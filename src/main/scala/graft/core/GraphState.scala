@@ -1,0 +1,107 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Property-graph state, Spark-native.
+  *
+  * The reference (memgraph/memgraph) stores one record per vertex/edge in
+  * concurrent skip lists with a packed row-oriented `PropertyStore`
+  * (`src/storage/v2/inmemory/storage.hpp:892,924`,
+  * `src/storage/v2/property_store.hpp:38-181`). We deliberately invert that:
+  * nodes are **label-partitioned columnar DataFrames** and edges are
+  * **type-partitioned DataFrames**, so that
+  *   - `ScanAllByLabel` (`src/query/plan/operator.hpp:607`) is partition
+  *     pruning — only the frames for the requested label are touched;
+  *   - property access is column access (Parquet column pruning + min/max
+  *     skipping stands in for the reference's label+property indexes,
+  *     `src/storage/v2/indices/`);
+  *   - every scan is parallel by partition, which makes the reference's
+  *     enterprise `ScanParallel` family (`operator.hpp:2055-2323`) a no-op.
+  *
+  * Frames are lazily constructed (and memoized) per label/type: a query that
+  * never touches label L never reads L's parquet footers — the DataFrame
+  * analog of partition pruning at the catalog level.
+  *
+  * Schema conventions:
+  *   - node frame:  `_id: LONG`, `_labels: ARRAY<STRING>`, then one typed
+  *     column per property ("promoted columns"; dynamic/schemaless properties
+  *     observed at load time, per-label — mirrors the reference's observed,
+  *     not declared, schema, `SHOW SCHEMA INFO`, ast.hpp:4302).
+  *   - edge frame:  `_id: LONG`, `_src: LONG`, `_dst: LONG`, `_type: STRING`,
+  *     then property columns.
+  *
+  * At 100 TB these maps are backed by label/type-partitioned Parquet
+  * directories; a mutation batch produces a new immutable `GraphState`
+  * (snapshot semantics instead of MVCC delta chains,
+  * `src/storage/v2/delta_action.hpp:27-41`).
+  */
+final class GraphState(
+    nodeThunks: Map[String, () => DataFrame],
+    edgeThunks: Map[String, () => DataFrame]) {
+
+  private val nodeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  val nodeLabels: Seq[String] = nodeThunks.keys.toSeq.sorted
+  val edgeTypes: Seq[String] = edgeThunks.keys.toSeq.sorted
+
+  def nodes(label: String): DataFrame =
+    nodeCache.getOrElseUpdate(
+      label,
+      nodeThunks
+        .getOrElse(
+          label,
+          throw new IllegalArgumentException(
+            s"unknown node label '$label' (have: ${nodeLabels.mkString(", ")})"))
+        .apply())
+
+  def edges(tpe: String): DataFrame =
+    edgeCache.getOrElseUpdate(
+      tpe,
+      edgeThunks
+        .getOrElse(
+          tpe,
+          throw new IllegalArgumentException(
+            s"unknown edge type '$tpe' (have: ${edgeTypes.mkString(", ")})"))
+        .apply())
+
+  def hasLabel(label: String): Boolean = nodeThunks.contains(label)
+  def hasType(tpe: String): Boolean = edgeThunks.contains(tpe)
+
+  /** All nodes; schema is the union of per-label schemas (missing → NULL).
+    * This is the `ScanAll` path (`operator.hpp:569`) — unavoidable full scan.
+    */
+  def allNodes: DataFrame =
+    nodeLabels.map(nodes).reduce(_.unionByName(_, allowMissingColumns = true))
+
+  def allEdges: DataFrame =
+    edgeTypes.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Edge frames for a (possibly empty = all) set of requested types —
+    * the `ScanAllByEdgeType` access path (`operator.hpp:667`). */
+  def edgesOfTypes(types: Seq[String]): DataFrame =
+    if (types.isEmpty) allEdges
+    else types.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+}
+
+object GraphState {
+
+  def apply(
+      nodeThunks: Map[String, () => DataFrame],
+      edgeThunks: Map[String, () => DataFrame]): GraphState =
+    new GraphState(nodeThunks, edgeThunks)
+
+  /** Reserved column names on node frames. */
+  val IdCol = "_id"
+  val LabelsCol = "_labels"
+
+  /** Reserved column names on edge frames. */
+  val SrcCol = "_src"
+  val DstCol = "_dst"
+  val TypeCol = "_type"
+
+  val nodeMeta: Seq[String] = Seq(IdCol, LabelsCol)
+  val edgeMeta: Seq[String] = Seq(IdCol, SrcCol, DstCol, TypeCol)
+}

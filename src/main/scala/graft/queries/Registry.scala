@@ -1,0 +1,13 @@
+package graft.queries
+
+/** Aggregates every query area's QueryDefs into the single catalog that
+  * SparkEntry exposes to the driver. */
+object Registry {
+  def all: Seq[QueryDef] =
+    Relational.defs
+
+  /** Fails fast on duplicate names (two areas claiming the same operator). */
+  require(
+    all.map(_.name).distinct.size == all.size,
+    s"duplicate query names: ${all.map(_.name).diff(all.map(_.name).distinct)}")
+}

@@ -1,0 +1,303 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.GraphState
+
+/** Builds a deterministic property graph from the driver-generated TPC-H-ish
+  * parquet tables (see TESTDATA.md). This is our stand-in for the reference's
+  * bulk import paths (`LOAD PARQUET`, `src/query/plan/operator.hpp:2971`;
+  * Arrow reader `src/query/arrow_parquet/reader.cppm:32`).
+  *
+  * Graph shape:
+  * {{{
+  *   (:Customer)-[:FROM_NATION]->(:Nation)-[:IN_REGION]->(:Region)
+  *   (:Supplier)-[:FROM_NATION]->(:Nation)
+  *   (:Customer)-[:PLACED]->(:Order)-[:HAS_LINE]->(:Lineitem)
+  *   (:Lineitem)-[:OF_PART]->(:Part)
+  *   (:Lineitem)-[:BY_SUPPLIER]->(:Supplier)
+  *   (:Customer)-[:KNOWS {k_weight}]->(:Customer)   // synthetic ring+chord
+  * }}}
+  *
+  * `KNOWS` gives the graph cycles and nontrivial BFS distances (the pokec
+  * friendship analog, `tests/mgbench/workloads/pokec.py:51`): customer keys
+  * are dense 0..N-1, and every customer c knows (c+1) mod N (ring) and
+  * (c+7) mod N (chord). Both edges and the weight are pure functions of
+  * c_custkey, so a DuckDB oracle can reconstruct them exactly.
+  *
+  * Ids are deterministic: `labelBase << 48 | businessKey` — no
+  * monotonically_increasing_id, no shuffles, stable across runs and
+  * partitionings (required for oracle parity and for idempotent re-loads at
+  * 100 TB).
+  *
+  * Tables are read with **explicit schemas** — no footer-inference job at
+  * graph-construction time, and `events.ts` (parquet TIMESTAMP(NANOS), which
+  * Spark cannot infer) is read as a long via
+  * `spark.sql.legacy.parquet.nanosAsLong` and surfaced as a proper
+  * microsecond timestamp column.
+  */
+object TpchGraphLoader {
+
+  /** 48-bit key space per label: at SF 100k the largest key
+    * (lineitem = orderkey*16+line) stays < 2^48. */
+  private val Shift = 48
+
+  val nodeBases: Map[String, Long] = Map(
+    "Region" -> 1L,
+    "Nation" -> 2L,
+    "Customer" -> 3L,
+    "Supplier" -> 4L,
+    "Part" -> 5L,
+    "Order" -> 6L,
+    "Lineitem" -> 7L,
+    "Document" -> 8L,
+    "Event" -> 9L)
+
+  val edgeBases: Map[String, Long] = Map(
+    "IN_REGION" -> 101L,
+    "FROM_NATION" -> 102L,
+    "PLACED" -> 103L,
+    "HAS_LINE" -> 104L,
+    "OF_PART" -> 105L,
+    "BY_SUPPLIER" -> 106L,
+    "KNOWS" -> 107L)
+
+  /** Global node id for a label + business key (column form). */
+  def nodeId(label: String, key: Column): Column =
+    lit(nodeBases(label) << Shift) + key.cast("long")
+
+  /** Global node id (literal form), e.g. for point lookups. */
+  def nodeId(label: String, key: Long): Long = (nodeBases(label) << Shift) + key
+
+  def edgeId(tpe: String, key: Column): Column =
+    lit(edgeBases(tpe) << Shift) + key.cast("long")
+
+  /** Lineitem business key. The synthetic data repeats (orderkey,
+    * linenumber) pairs, so we disambiguate with a deterministic per-pair
+    * row_number (duplicate rows are fully identical → any assignment within
+    * a pair yields the same node multiset; the window is partitioned by the
+    * pair, so it scales — no global sort). Key layout:
+    * (orderkey*16 + linenumber)*8 + rn, which stays < 2^48 at SF 100k. */
+  def withLineitemKey(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+    df.withColumn(
+      "__lkey",
+      (col("l_orderkey").cast("long") * 16 + col("l_linenumber")) * 8 +
+        row_number().over(w))
+  }
+
+  // ---- explicit table schemas (TESTDATA.md; driver-generated, seed=42) ----
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(
+      Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType))),
+    "nation" -> StructType(
+      Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(
+      Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(
+      Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(
+      Seq(
+        StructField("p_partkey", LongType),
+        StructField("p_name", StringType),
+        StructField("p_brand", StringType),
+        StructField("p_type", StringType),
+        StructField("p_size", IntegerType),
+        StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(
+      Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(
+      Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampType))),
+    "documents" -> StructType(
+      Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))),
+    "embeddings" -> StructType(
+      Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))),
+    // ts is TIMESTAMP(NANOS) in the file: read as long (nanosAsLong), convert.
+    "events" -> StructType(
+      Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+
+  /** Read one raw table with its explicit schema (no inference job). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Runtime SQL conf; needed so the parquet reader accepts NANOS → long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  // GraphState is a pure-lazy bundle of DataFrames; memoize per sfDir so
+  // repeated SparkEntry.queries calls don't re-read parquet footers.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, GraphState]
+
+  def apply(spark: SparkSession, sfDir: String): GraphState =
+    cache.getOrElseUpdate(sfDir, build(spark, sfDir))
+
+  private def nodeFrame(label: String, df: DataFrame, key: Column): DataFrame = {
+    val props = df.columns.toSeq.filterNot(_.startsWith("__")).map(col)
+    df.select(
+      (nodeId(label, key).as(GraphState.IdCol) ::
+        array(lit(label)).as(GraphState.LabelsCol) :: Nil) ++ props: _*)
+  }
+
+  private def edgeFrame(
+      tpe: String,
+      df: DataFrame,
+      key: Column,
+      src: Column,
+      dst: Column,
+      props: Seq[(String, Column)] = Nil): DataFrame =
+    df.select(
+      (edgeId(tpe, key).as(GraphState.IdCol) ::
+        src.as(GraphState.SrcCol) ::
+        dst.as(GraphState.DstCol) ::
+        lit(tpe).as(GraphState.TypeCol) :: Nil) ++
+        props.map { case (n, c) => c.as(n) }: _*)
+
+  def build(spark: SparkSession, sfDir: String): GraphState = {
+    def tbl(n: String) = table(spark, sfDir, n)
+    def li() = withLineitemKey(tbl("lineitem"))
+    val liKey = col("__lkey")
+
+    val nodes: Map[String, () => DataFrame] = Map(
+      "Region" -> (() => nodeFrame("Region", tbl("region"), col("r_regionkey"))),
+      "Nation" -> (() => nodeFrame("Nation", tbl("nation"), col("n_nationkey"))),
+      "Customer" -> (() => nodeFrame("Customer", tbl("customer"), col("c_custkey"))),
+      "Supplier" -> (() => nodeFrame("Supplier", tbl("supplier"), col("s_suppkey"))),
+      "Part" -> (() => nodeFrame("Part", tbl("part"), col("p_partkey"))),
+      "Order" -> (() => nodeFrame("Order", tbl("orders"), col("o_orderkey"))),
+      "Lineitem" -> (() => nodeFrame("Lineitem", li(), liKey)),
+      "Document" -> (() => nodeFrame("Document", tbl("documents"), col("doc_id"))),
+      "Event" -> (() => nodeFrame("Event", tbl("events"), col("event_id"))))
+
+    // KNOWS: ring + chord over customers; N via a broadcast 1-row aggregate
+    // (lazy, no driver-side action; at scale this is a metadata-cheap job).
+    // Customer keys are dense 0..N-1 in the synthetic data; dst = (c+off) % N.
+    def knows(): DataFrame = {
+      val customer = tbl("customer")
+      val nCust =
+        customer.agg((max(col("c_custkey")).cast("long") + 1).as("__N"))
+      val custWithN = customer.crossJoin(broadcast(nCust))
+      def chord(offset: Int, slot: Int): DataFrame =
+        edgeFrame(
+          "KNOWS",
+          custWithN,
+          col("c_custkey") * 2 + slot,
+          nodeId("Customer", col("c_custkey")),
+          nodeId(
+            "Customer",
+            (col("c_custkey").cast("long") + offset) % col("__N")),
+          Seq(
+            "k_weight" ->
+              ((col("c_custkey").cast("long") * 7 + offset) % 10 + 1)
+                .cast("double")))
+      chord(1, 0).unionByName(chord(7, 1))
+    }
+
+    val edges: Map[String, () => DataFrame] = Map(
+      "IN_REGION" -> (() =>
+        edgeFrame(
+          "IN_REGION",
+          tbl("nation"),
+          col("n_nationkey"),
+          nodeId("Nation", col("n_nationkey")),
+          nodeId("Region", col("n_regionkey")))),
+      "FROM_NATION" -> (() =>
+        edgeFrame(
+          "FROM_NATION",
+          tbl("customer"),
+          col("c_custkey") * 2,
+          nodeId("Customer", col("c_custkey")),
+          nodeId("Nation", col("c_nationkey")))
+          .unionByName(
+            edgeFrame(
+              "FROM_NATION",
+              tbl("supplier"),
+              col("s_suppkey") * 2 + 1,
+              nodeId("Supplier", col("s_suppkey")),
+              nodeId("Nation", col("s_nationkey"))))),
+      "PLACED" -> (() =>
+        edgeFrame(
+          "PLACED",
+          tbl("orders"),
+          col("o_orderkey"),
+          nodeId("Customer", col("o_custkey")),
+          nodeId("Order", col("o_orderkey")))),
+      "HAS_LINE" -> (() =>
+        edgeFrame(
+          "HAS_LINE",
+          li(),
+          liKey,
+          nodeId("Order", col("l_orderkey")),
+          nodeId("Lineitem", liKey))),
+      "OF_PART" -> (() =>
+        edgeFrame(
+          "OF_PART",
+          li(),
+          liKey,
+          nodeId("Lineitem", liKey),
+          nodeId("Part", col("l_partkey")))),
+      "BY_SUPPLIER" -> (() =>
+        edgeFrame(
+          "BY_SUPPLIER",
+          li(),
+          liKey,
+          nodeId("Lineitem", liKey),
+          nodeId("Supplier", col("l_suppkey")))),
+      "KNOWS" -> (() => knows()))
+
+    GraphState(nodes, edges)
+  }
+}
