@@ -1,0 +1,94 @@
+package graft.cypher
+
+/** openCypher AST — the subset our engine speaks (growing per round).
+  *
+  * Mirrors the reference's AST classes
+  * (`/root/reference/src/query/frontend/ast/ast.hpp`): `CypherQuery` holds a
+  * list of clauses + optional unions (`ast.hpp:2005` CypherUnion); patterns
+  * are alternating node/edge atoms (`ast.hpp:1809` EdgeAtom); expressions are
+  * a conventional operator tree evaluated with ternary NULL logic
+  * (`src/query/interpret/eval.hpp:279`).
+  */
+object Ast {
+
+  // ---------- expressions ----------
+  sealed trait Expr
+  final case class Lit(value: Any) extends Expr // null, Boolean, Long, Double, String
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  final case class MapLit(items: Seq[(String, Expr)]) extends Expr
+  final case class Var(name: String) extends Expr
+  final case class Prop(of: Expr, key: String) extends Expr
+  final case class Param(name: String) extends Expr
+
+  final case class BinOp(op: String, l: Expr, r: Expr) extends Expr // + - * / % ^ = <> < <= > >= AND OR XOR IN =~ CONTAINS STARTS ENDS
+  final case class Not(e: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class FnCall(name: String, distinct: Boolean, args: Seq[Expr]) extends Expr
+  final case class CountStar() extends Expr
+  final case class CaseExpr(
+      subject: Option[Expr],
+      whens: Seq[(Expr, Expr)],
+      default: Option[Expr]) extends Expr
+  final case class Subscript(of: Expr, index: Expr) extends Expr
+  final case class Slice(of: Expr, from: Option[Expr], to: Option[Expr]) extends Expr
+  /** [x IN list WHERE pred | proj] */
+  final case class ListComprehension(
+      varName: String,
+      list: Expr,
+      where: Option[Expr],
+      proj: Option[Expr]) extends Expr
+  /** all/any/none/single(x IN list WHERE pred) */
+  final case class Quantifier(kind: String, varName: String, list: Expr, pred: Expr) extends Expr
+  /** reduce(acc = init, x IN list | expr) */
+  final case class Reduce(acc: String, init: Expr, varName: String, list: Expr, step: Expr) extends Expr
+  /** exists((n)-[:T]->(m)) or pattern predicate used directly in WHERE. */
+  final case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
+
+  // ---------- patterns ----------
+  sealed trait Direction
+  case object OutDir extends Direction
+  case object InDir extends Direction
+  case object BothDir extends Direction
+
+  final case class NodePattern(
+      variable: Option[String],
+      labels: Seq[String],
+      props: Seq[(String, Expr)])
+
+  final case class RelPattern(
+      variable: Option[String],
+      types: Seq[String],
+      props: Seq[(String, Expr)],
+      direction: Direction,
+      varLength: Option[(Option[Int], Option[Int])]) // Some((min,max)) for *
+
+  /** node (rel node)* chain; optionally named (p = (...)). */
+  final case class PatternPart(
+      pathVar: Option[String],
+      start: NodePattern,
+      hops: Seq[(RelPattern, NodePattern)],
+      shortest: Option[String] = None) // "shortestPath" | "allShortestPaths"
+
+  // ---------- clauses ----------
+  sealed trait Clause
+  final case class Match(
+      optional: Boolean,
+      patterns: Seq[PatternPart],
+      where: Option[Expr]) extends Clause
+  final case class Unwind(list: Expr, as: String) extends Clause
+  final case class ReturnItem(expr: Expr, as: Option[String])
+  final case class ProjectionBody(
+      distinct: Boolean,
+      items: Seq[ReturnItem],
+      star: Boolean,
+      orderBy: Seq[(Expr, Boolean)], // (expr, ascending)
+      skip: Option[Expr],
+      limit: Option[Expr])
+  final case class With(body: ProjectionBody, where: Option[Expr]) extends Clause
+  final case class Return(body: ProjectionBody) extends Clause
+
+  // ---------- query ----------
+  final case class SingleQuery(clauses: Seq[Clause])
+  final case class Query(first: SingleQuery, unions: Seq[(Boolean, SingleQuery)]) // (all?, query)
+}

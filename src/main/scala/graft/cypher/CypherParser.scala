@@ -1,0 +1,325 @@
+package graft.cypher
+
+import scala.util.parsing.combinator.RegexParsers
+
+import Ast._
+
+/** openCypher parser (hand-rolled combinators — the reference uses a full
+  * ANTLR4 grammar, `src/query/frontend/opencypher/grammar/`; we implement the
+  * subset inventoried in SURVEY.md §2, widening per round).
+  *
+  * Precedence (low→high): OR, XOR, AND, NOT, comparison/IN/rlike/string-ops,
+  * +/-, * / %, ^, unary-, postfix (.prop, [idx], [a..b], IS NULL).
+  */
+object CypherParser extends RegexParsers {
+
+  override protected val whiteSpace = """(\s|//[^\n]*)+""".r
+
+  private val reserved = Set(
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "AS", "UNION",
+    "ALL", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "ASCENDING", "DESC",
+    "DESCENDING", "DISTINCT", "AND", "OR", "XOR", "NOT", "IN", "IS", "NULL",
+    "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END", "STARTS", "ENDS",
+    "CONTAINS", "EXISTS", "CREATE", "MERGE", "SET", "DELETE", "DETACH",
+    "REMOVE", "ON", "CALL", "YIELD")
+
+  private def kw(s: String): Parser[String] =
+    ("""(?i)""" + s + """\b""").r ^^ (_ => s.toUpperCase)
+
+  private val identRe = """[a-zA-Z_][a-zA-Z0-9_]*""".r
+  private val backtickRe = "`[^`]+`".r
+
+  private val identP: Parser[String] = regex(identRe)
+
+  def ident: Parser[String] =
+    backtickRe ^^ (s => s.substring(1, s.length - 1)) |
+      Parser { in =>
+        identP(in) match {
+          case Success(name, next) if !reserved(name.toUpperCase) =>
+            Success(name, next)
+          case Success(name, _) => Failure(s"reserved word '$name'", in)
+          case ns: NoSuccess => Failure(ns.msg, in)
+        }
+      }
+
+  /** Function names may be dotted (point.distance) and may collide with
+    * non-clause keywords like exists/contains — allow raw identifiers here. */
+  def fnName: Parser[String] =
+    rep1sep(identP, ".") ^^ (_.mkString("."))
+
+  // ---------- literals ----------
+  def numberLit: Parser[Expr] =
+    """-?(\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+)""".r ^^ (s => Lit(s.toDouble)) |
+      """-?\d+""".r ^^ (s => Lit(s.toLong))
+
+  def stringLit: Parser[Expr] =
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ (s => Lit(unescape(s.substring(1, s.length - 1)))) |
+      ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ (s => Lit(unescape(s.substring(1, s.length - 1))))
+
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); case 't' => b.append('\t')
+          case 'r' => b.append('\r'); case other => b.append(other)
+        }
+        i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
+  def literal: Parser[Expr] =
+    kw("NULL") ^^ (_ => Lit(null)) |
+      kw("TRUE") ^^ (_ => Lit(true)) |
+      kw("FALSE") ^^ (_ => Lit(false)) |
+      numberLit | stringLit
+
+  def listLit: Parser[Expr] = "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply
+  def mapLit: Parser[Expr] =
+    "{" ~> repsep((ident | identP) ~ (":" ~> expr), ",") <~ "}" ^^ (kvs =>
+      MapLit(kvs.map { case k ~ v => (k, v) }))
+
+  def param: Parser[Expr] = "$" ~> identP ^^ Param.apply
+
+  // ---------- expressions ----------
+  def expr: Parser[Expr] = orExpr
+
+  def orExpr: Parser[Expr] =
+    xorExpr ~ rep(kw("OR") ~> xorExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)((a, b) => BinOp("OR", a, b))
+    }
+  def xorExpr: Parser[Expr] =
+    andExpr ~ rep(kw("XOR") ~> andExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)((a, b) => BinOp("XOR", a, b))
+    }
+  def andExpr: Parser[Expr] =
+    notExpr ~ rep(kw("AND") ~> notExpr) ^^ { case h ~ t =>
+      t.foldLeft(h)((a, b) => BinOp("AND", a, b))
+    }
+  def notExpr: Parser[Expr] =
+    kw("NOT") ~> notExpr ^^ Not.apply | comparison
+
+  private def compOp: Parser[String] =
+    "<=" ^^^ "<=" | ">=" ^^^ ">=" | "<>" ^^^ "<>" | "=~" ^^^ "=~" |
+      "=" ^^^ "=" | "<" ^^^ "<" | ">" ^^^ ">" |
+      kw("IN") ^^^ "IN" | kw("CONTAINS") ^^^ "CONTAINS" |
+      (kw("STARTS") ~ kw("WITH")) ^^^ "STARTS WITH" |
+      (kw("ENDS") ~ kw("WITH")) ^^^ "ENDS WITH"
+
+  /** Chained comparisons (a < b <= c) fold into a conjunction, per Cypher. */
+  def comparison: Parser[Expr] =
+    addExpr ~ rep(compOp ~ addExpr) ^^ {
+      case h ~ Nil => h
+      case h ~ t =>
+        val pairs = (h +: t.map(_._2)).sliding(2).toSeq.zip(t.map(_._1))
+        pairs
+          .map { case (Seq(a, b), op) => BinOp(op, a, b): Expr }
+          .reduce((a, b) => BinOp("AND", a, b))
+    }
+
+  def addExpr: Parser[Expr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => BinOp(op, a, b) }
+    }
+  def mulExpr: Parser[Expr] =
+    powExpr ~ rep(("*" | "/" | "%") ~ powExpr) ^^ { case h ~ t =>
+      t.foldLeft(h) { case (a, op ~ b) => BinOp(op, a, b) }
+    }
+  def powExpr: Parser[Expr] =
+    unaryExpr ~ rep("^" ~> unaryExpr) ^^ { case h ~ t =>
+      (h +: t).reduceRight((a, b) => BinOp("^", a, b))
+    }
+  def unaryExpr: Parser[Expr] =
+    "-" ~> postfixExpr ^^ Neg.apply | opt("+") ~> postfixExpr
+
+  sealed private trait Post
+  private case class PProp(k: String) extends Post
+  private case class PSub(i: Expr) extends Post
+  private case class PSlice(a: Option[Expr], b: Option[Expr]) extends Post
+  private case class PIsNull(neg: Boolean) extends Post
+
+  def postfixExpr: Parser[Expr] =
+    atom ~ rep(
+      "." ~> (ident | identP) ^^ PProp.apply |
+        "[" ~> (opt(expr) ~ (".." ~> opt(expr))) <~ "]" ^^ { case a ~ b =>
+          PSlice(a, b)
+        } |
+        "[" ~> expr <~ "]" ^^ PSub.apply |
+        kw("IS") ~> kw("NOT") ~> kw("NULL") ^^ (_ => PIsNull(true)) |
+        kw("IS") ~> kw("NULL") ^^ (_ => PIsNull(false))) ^^ { case a ~ posts =>
+      posts.foldLeft(a) {
+        case (e, PProp(k)) => Prop(e, k)
+        case (e, PSub(i)) => Subscript(e, i)
+        case (e, PSlice(x, y)) => Slice(e, x, y)
+        case (e, PIsNull(n)) => IsNull(e, n)
+      }
+    }
+
+  def caseExpr: Parser[Expr] =
+    kw("CASE") ~> opt(not(kw("WHEN")) ~> expr) ~
+      rep1(kw("WHEN") ~> expr ~ (kw("THEN") ~> expr)) ~
+      opt(kw("ELSE") ~> expr) <~ kw("END") ^^ { case subj ~ whens ~ dflt =>
+      CaseExpr(subj, whens.map { case w ~ t => (w, t) }, dflt)
+    }
+
+  def quantifier: Parser[Expr] =
+    (kw("ALL") | kw("ANY") | kw("NONE") | kw("SINGLE")) ~
+      ("(" ~> ident) ~ (kw("IN") ~> expr) ~ (kw("WHERE") ~> expr) <~ ")" ^^ {
+      case k ~ v ~ l ~ p => Quantifier(k.toLowerCase, v, l, p)
+    }
+
+  def reduceExpr: Parser[Expr] =
+    kw("REDUCE") ~> "(" ~> (ident <~ "=") ~ expr ~ ("," ~> ident) ~
+      (kw("IN") ~> expr) ~ ("|" ~> expr) <~ ")" ^^ {
+      case acc ~ init ~ v ~ l ~ step => Reduce(acc, init, v, l, step)
+    }
+
+  def listComprehension: Parser[Expr] =
+    "[" ~> (ident <~ kw("IN")) ~ expr ~ opt(kw("WHERE") ~> expr) ~
+      opt("|" ~> expr) <~ "]" ^^ { case v ~ l ~ w ~ p =>
+      ListComprehension(v, l, w, p)
+    }
+
+  def existsFn: Parser[Expr] =
+    kw("EXISTS") ~> "(" ~> patternPart <~ ")" ^^ (p => PatternPredicate(p, negated = false))
+
+  def countStar: Parser[Expr] =
+    ("""(?i)count""".r ~ "(" ~ "*" ~ ")") ^^ (_ => CountStar())
+
+  def fnCall: Parser[Expr] =
+    fnName ~ ("(" ~> opt(kw("DISTINCT")) ~ repsep(expr, ",") <~ ")") ^^ {
+      case n ~ (d ~ args) => FnCall(n.toLowerCase, d.isDefined, args)
+    }
+
+  def patternPredicate: Parser[Expr] =
+    patternPartWithHops ^^ (p => PatternPredicate(p, negated = false))
+
+  def atom: Parser[Expr] =
+    literal | caseExpr | countStar | existsFn | quantifier | reduceExpr |
+      listComprehension | listLit | mapLit | param | patternPredicate |
+      fnCall | ident ^^ Var.apply | "(" ~> expr <~ ")"
+
+  // ---------- patterns ----------
+  def nodePattern: Parser[NodePattern] =
+    "(" ~> opt(ident) ~ rep(":" ~> (ident | identP)) ~
+      opt(mapLit) <~ ")" ^^ { case v ~ ls ~ props =>
+      NodePattern(
+        v,
+        ls,
+        props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil))
+    }
+
+  def varLength: Parser[(Option[Int], Option[Int])] =
+    "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
+      case lo ~ None => (lo.map(_.toInt), lo.map(_.toInt)) // *n = exactly n; * = unbounded
+      case lo ~ Some(hi) => (lo.map(_.toInt), hi.map(_.toInt))
+    }
+
+  def relDetail: Parser[RelPattern] =
+    "[" ~> opt(ident) ~
+      opt(":" ~> rep1sep(opt(":") ~> (ident | identP), "|")) ~
+      opt(varLength) ~ opt(mapLit) <~ "]" ^^ { case v ~ ts ~ vl ~ props =>
+      RelPattern(
+        v,
+        ts.getOrElse(Nil),
+        props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
+        OutDir, // direction patched by caller
+        vl)
+    }
+
+  def relPattern: Parser[RelPattern] =
+    ("<-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = InDir)) |
+      ("-" ~> opt(relDetail) <~ "->") ^^ (r => fill(r).copy(direction = OutDir)) |
+      ("-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = BothDir))
+
+  private def fill(r: Option[RelPattern]): RelPattern =
+    r.getOrElse(RelPattern(None, Nil, Nil, OutDir, None))
+
+  def patternChain: Parser[PatternPart] =
+    nodePattern ~ rep(relPattern ~ nodePattern) ^^ { case n ~ hops =>
+      PatternPart(None, n, hops.map { case r ~ m => (r, m) })
+    }
+
+  /** A chain with ≥1 hop (for pattern predicates, where a bare `(x)` must
+    * not swallow a parenthesized expression). */
+  def patternPartWithHops: Parser[PatternPart] =
+    nodePattern ~ rep1(relPattern ~ nodePattern) ^^ { case n ~ hops =>
+      PatternPart(None, n, hops.map { case r ~ m => (r, m) })
+    }
+
+  def shortestWrap: Parser[PatternPart] =
+    ("""(?i)(allShortestPaths|shortestPath)""".r <~ "(") ~ patternChain <~ ")" ^^ {
+      case f ~ p =>
+        p.copy(shortest =
+          Some(if (f.toLowerCase.startsWith("all")) "all" else "single"))
+    }
+
+  def patternPart: Parser[PatternPart] =
+    opt(ident <~ "=") ~ (shortestWrap | patternChain) ^^ { case pv ~ p =>
+      p.copy(pathVar = pv)
+    }
+
+  // ---------- clauses ----------
+  def matchClause: Parser[Clause] =
+    opt(kw("OPTIONAL")) ~ (kw("MATCH") ~> rep1sep(patternPart, ",")) ~
+      opt(kw("WHERE") ~> expr) ^^ { case o ~ ps ~ w =>
+      Match(o.isDefined, ps, w)
+    }
+
+  def unwindClause: Parser[Clause] =
+    kw("UNWIND") ~> expr ~ (kw("AS") ~> ident) ^^ { case e ~ v => Unwind(e, v) }
+
+  def returnItem: Parser[ReturnItem] =
+    expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
+
+  def orderItem: Parser[(Expr, Boolean)] =
+    expr ~ opt(kw("ASCENDING") | kw("ASC") | kw("DESCENDING") | kw("DESC")) ^^ {
+      case e ~ d => (e, !d.exists(_.startsWith("DESC")))
+    }
+
+  def projectionBody: Parser[ProjectionBody] =
+    opt(kw("DISTINCT")) ~
+      ("*" ^^^ ((List.empty[ReturnItem], true)) |
+        rep1sep(returnItem, ",") ^^ (is => (is, false))) ~
+      opt(kw("ORDER") ~> kw("BY") ~> rep1sep(orderItem, ",")) ~
+      opt(kw("SKIP") ~> expr) ~ opt(kw("LIMIT") ~> expr) ^^ {
+      case d ~ items ~ ob ~ sk ~ lim =>
+        ProjectionBody(
+          d.isDefined,
+          items._1,
+          items._2,
+          ob.getOrElse(Nil),
+          sk,
+          lim)
+    }
+
+  def withClause: Parser[Clause] =
+    kw("WITH") ~> projectionBody ~ opt(kw("WHERE") ~> expr) ^^ { case b ~ w =>
+      With(b, w)
+    }
+
+  def returnClause: Parser[Clause] =
+    kw("RETURN") ~> projectionBody ^^ Return.apply
+
+  def clause: Parser[Clause] =
+    matchClause | unwindClause | withClause | returnClause
+
+  def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
+
+  def query: Parser[Query] =
+    singleQuery ~ rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery) ^^ {
+      case f ~ us => Query(f, us.map { case a ~ q => (a.isDefined, q) })
+    }
+
+  def parse(text: String): Query =
+    parseAll(query, text) match {
+      case Success(q, _) => q
+      case ns: NoSuccess =>
+        throw new IllegalArgumentException(
+          s"Cypher parse error at ${ns.next.pos}: ${ns.msg}\n${ns.next.pos.longString}")
+    }
+}

@@ -1,0 +1,280 @@
+package graft.cypher
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Frames
+import Ast._
+
+/** Lowers a Cypher expression tree to a Spark `Column` against the current
+  * frame — the analog of the reference's tree-walking `ExpressionEvaluator`
+  * (`src/query/interpret/eval.hpp:279`), except ours compiles to Catalyst
+  * expressions once per query instead of interpreting per row; whole-stage
+  * codegen then fuses them.
+  *
+  * Cypher's ternary NULL logic coincides with Spark SQL's for comparisons,
+  * AND/OR/NOT, and WHERE (NULL ⇒ row dropped), so most operators map 1:1.
+  */
+final class ExprLowering(
+    df: DataFrame,
+    scope: Scope,
+    params: Map[String, Any],
+    lambdaVars: Map[String, Column] = Map.empty) {
+
+  private def withLambda(name: String, c: Column) =
+    new ExprLowering(df, scope, params, lambdaVars + (name -> c))
+
+  /** Best-effort static type of a lowered column (None inside lambdas). */
+  def typeOf(c: Column): Option[DataType] =
+    Try(df.select(c).schema.head.dataType).toOption
+
+  def lower(e: Expr): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case ListLit(items) => array(items.map(lower): _*)
+    case MapLit(items) =>
+      map(items.flatMap { case (k, v) => Seq(lit(k), lower(v)) }: _*)
+    case Param(name) =>
+      lit(params.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"missing parameter $$$name")))
+
+    case Var(n) if lambdaVars.contains(n) => lambdaVars(n)
+    case Var(n) =>
+      scope.get(n) match {
+        case Some(Binding.ValueB) => Frames.f(n, "_val")
+        case Some(Binding.EdgeListB) => Frames.f(n, "_ids")
+        case Some(Binding.NodeB) | Some(Binding.EdgeB) => varStruct(n)
+        case None =>
+          throw new IllegalArgumentException(s"unbound variable: $n")
+      }
+
+    case Prop(Var(n), key)
+        if scope.get(n).exists(b => b == Binding.NodeB || b == Binding.EdgeB) =>
+      if (df.columns.contains(s"$n${Frames.Sep}$key")) {
+        val c = Frames.f(n, key)
+        temporalOrSelf(c, key, typeOf(c))
+      } else lit(null)
+    case Prop(of, key) =>
+      val c = lower(of)
+      typeOf(c) match {
+        case Some(_: MapType) => element_at(c, lit(key))
+        case Some(s: StructType) if s.fieldNames.contains(key) => c.getField(key)
+        case Some(t) if isTemporalComponent(key, t) => temporalComponent(c, key)
+        case Some(_: StructType) => lit(null)
+        case _ => element_at(c, lit(key)) // dynamic map access fallback
+      }
+
+    case BinOp(op, l, r) => binOp(op, l, r)
+    case Not(x) => !lower(x)
+    case Neg(x) => -lower(x)
+    case IsNull(x, false) => lower(x).isNull
+    case IsNull(x, true) => lower(x).isNotNull
+
+    case CaseExpr(subject, whens, default) =>
+      val branches = subject match {
+        case Some(s) =>
+          val sc = lower(s)
+          whens.map { case (w, t) => (sc === lower(w), lower(t)) }
+        case None => whens.map { case (w, t) => (lower(w), lower(t)) }
+      }
+      val start = when(branches.head._1, branches.head._2)
+      val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) =>
+        acc.when(c, v)
+      }
+      default.map(d => chained.otherwise(lower(d))).getOrElse(chained)
+
+    case Subscript(of, idx) =>
+      val c = lower(of)
+      val i = lower(idx)
+      typeOf(c) match {
+        case Some(_: MapType) => element_at(c, i)
+        case _ =>
+          // Cypher lists are 0-based, element_at is 1-based; negatives from end.
+          element_at(c, when(i >= 0, i + 1).otherwise(i).cast("int"))
+      }
+
+    case Slice(of, fromE, toE) =>
+      val c = lower(of)
+      val n = size(c)
+      def norm(e: Option[Expr], dflt: Column): Column =
+        e.map { x =>
+          val v = lower(x)
+          when(v < 0, n + v).otherwise(v)
+        }.getOrElse(dflt)
+      val a = norm(fromE, lit(0))
+      val b = norm(toE, n.cast("long"))
+      slice(c, (a + 1).cast("int"), greatest(b - a, lit(0)).cast("int"))
+
+    case ListComprehension(v, listE, whereE, projE) =>
+      val listC = lower(listE)
+      val filtered = whereE match {
+        case Some(p) => filter(listC, x => withLambda(v, x).lower(p))
+        case None => listC
+      }
+      projE match {
+        case Some(p) => transform(filtered, x => withLambda(v, x).lower(p))
+        case None => filtered
+      }
+
+    case Quantifier(kind, v, listE, predE) =>
+      val listC = lower(listE)
+      def pred(x: Column) = withLambda(v, x).lower(predE)
+      kind match {
+        case "all" => forall(listC, pred)
+        case "any" => exists(listC, pred)
+        case "none" => !exists(listC, pred)
+        case "single" => size(filter(listC, pred(_))) === 1
+      }
+
+    case Reduce(acc, initE, v, listE, stepE) =>
+      aggregate(
+        lower(listE),
+        lower(initE),
+        (a, x) => new ExprLowering(df, scope, params,
+          lambdaVars + (acc -> a) + (v -> x)).lower(stepE))
+
+    case CountStar() => count(lit(1))
+
+    case FnCall(name, distinct, args) =>
+      Functions.lower(this, name, distinct, args)
+
+    case p: PatternPredicate =>
+      throw new UnsupportedOperationException(
+        "pattern predicates are only supported as top-level WHERE conjuncts")
+  }
+
+  /** Whole node/edge value as a struct (for RETURN n, n = m, properties(n)). */
+  def varStruct(n: String): Column = {
+    val cols = Frames.colsOf(df, n)
+    struct(cols.map(c =>
+      col(c).as(c.substring(n.length + Frames.Sep.length))): _*)
+  }
+
+  def varCols(n: String): Seq[String] = Frames.colsOf(df, n)
+
+  private def isNodeOrEdge(e: Expr): Option[String] = e match {
+    case Var(n)
+        if scope.get(n).exists(b => b == Binding.NodeB || b == Binding.EdgeB) =>
+      Some(n)
+    case _ => None
+  }
+
+  private def binOp(op: String, l: Expr, r: Expr): Column = {
+    // node/edge equality compares identity (reference: TypedValue vertex
+    // equality is by Gid).
+    (op, isNodeOrEdge(l), isNodeOrEdge(r)) match {
+      case ("=", Some(a), Some(b)) => return Frames.id(a) === Frames.id(b)
+      case ("<>", Some(a), Some(b)) => return Frames.id(a) =!= Frames.id(b)
+      case _ => ()
+    }
+    lazy val lc = lower(l)
+    lazy val rc = lower(r)
+    op match {
+      case "+" =>
+        (typeOf(lc), typeOf(rc)) match {
+          case (Some(StringType), _) | (_, Some(StringType)) => concat(lc.cast("string"), rc.cast("string"))
+          case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
+          case (Some(_: ArrayType), _) => concat(lc, array(rc))
+          case (_, Some(_: ArrayType)) => concat(array(lc), rc)
+          case _ => lc + rc
+        }
+      case "-" => lc - rc
+      case "*" => lc * rc
+      case "/" =>
+        (typeOf(lc), typeOf(rc)) match {
+          case (Some(a), Some(b)) if integral(a) && integral(b) =>
+            try_divide(lc, rc).cast("long") // Cypher int/int truncates; /0 → null? reference errors, we yield null
+          case _ => lc / rc
+        }
+      case "%" => lc % rc
+      case "^" => pow(lc, rc)
+      case "=" => lc === rc
+      case "<>" => lc =!= rc
+      case "<" => lc < rc
+      case "<=" => lc <= rc
+      case ">" => lc > rc
+      case ">=" => lc >= rc
+      case "AND" => lc && rc
+      case "OR" => lc || rc
+      case "XOR" => lc =!= rc
+      case "IN" =>
+        r match {
+          case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
+            lc.isin(items.map { case Lit(v) => v }: _*)
+          case _ => array_contains(rc, lc)
+        }
+      case "=~" => lc.rlike_(rc)
+      case "CONTAINS" => lc.contains(rc)
+      case "STARTS WITH" => lc.startsWith(rc)
+      case "ENDS WITH" => lc.endsWith(rc)
+      case other =>
+        throw new UnsupportedOperationException(s"operator $other")
+    }
+  }
+
+  private implicit class RichCol(c: Column) {
+    /** rlike with a (possibly) non-literal pattern. */
+    def rlike_(p: Column): Column = regexp_like(c, p)
+  }
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private val temporalKeys =
+    Set("year", "month", "day", "hour", "minute", "second", "quarter",
+      "week", "dayofweek")
+
+  private def isTemporalComponent(key: String, t: DataType): Boolean =
+    temporalKeys(key.toLowerCase) && (t == TimestampType || t == DateType ||
+      t == TimestampNTZType)
+
+  private def temporalOrSelf(c: Column, key: String, t: Option[DataType]): Column = c
+
+  /** Temporal component lookup (`d.year` — PropertyLookup on temporals,
+    * `awesome_memgraph_functions.cpp` temporal accessors). */
+  def temporalComponent(c: Column, key: String): Column =
+    key.toLowerCase match {
+      case "year" => year(c).cast("long")
+      case "month" => month(c).cast("long")
+      case "day" => dayofmonth(c).cast("long")
+      case "hour" => hour(c).cast("long")
+      case "minute" => minute(c).cast("long")
+      case "second" => second(c).cast("long")
+      case "quarter" => quarter(c).cast("long")
+      case "week" => weekofyear(c).cast("long")
+      case "dayofweek" => dayofweek(c).cast("long")
+      case other =>
+        throw new UnsupportedOperationException(s"temporal component $other")
+    }
+
+  /** Does this expression contain an aggregation call? */
+  def hasAgg(e: Expr): Boolean = e match {
+    case CountStar() => true
+    case FnCall(n, _, args) =>
+      Functions.isAggregate(n) || args.exists(hasAgg)
+    case BinOp(_, a, b) => hasAgg(a) || hasAgg(b)
+    case Not(x) => hasAgg(x)
+    case Neg(x) => hasAgg(x)
+    case IsNull(x, _) => hasAgg(x)
+    case Prop(x, _) => hasAgg(x)
+    case Subscript(a, b) => hasAgg(a) || hasAgg(b)
+    case Slice(a, b, c) =>
+      hasAgg(a) || b.exists(hasAgg) || c.exists(hasAgg)
+    case CaseExpr(s, ws, d) =>
+      s.exists(hasAgg) || ws.exists { case (a, b) => hasAgg(a) || hasAgg(b) } ||
+        d.exists(hasAgg)
+    case ListLit(items) => items.exists(hasAgg)
+    case MapLit(items) => items.exists(kv => hasAgg(kv._2))
+    case ListComprehension(_, l, w, p) =>
+      hasAgg(l) || w.exists(hasAgg) || p.exists(hasAgg)
+    case Quantifier(_, _, l, p) => hasAgg(l) || hasAgg(p)
+    case Reduce(_, i, _, l, s) => hasAgg(i) || hasAgg(l) || hasAgg(s)
+    case _ => false
+  }
+}

@@ -1,0 +1,184 @@
+package graft.cypher
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Frames, GraphState}
+import Ast._
+
+/** Cypher builtin function registry — our analog of the reference's
+  * `builtin_functions` map
+  * (`src/query/interpret/awesome_memgraph_functions.cpp:2058-2170`). Every
+  * function lowers to `org.apache.spark.sql.functions` (codegen'd); no UDFs.
+  */
+object Functions {
+
+  private val aggregates =
+    Set("count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
+      "percentilecont", "percentiledisc")
+
+  def isAggregate(name: String): Boolean = aggregates(name.toLowerCase)
+
+  def lower(
+      ctx: ExprLowering,
+      name: String,
+      distinct: Boolean,
+      args: Seq[Expr]): Column = {
+
+    def a(i: Int): Column = ctx.lower(args(i))
+    def argType(i: Int): Option[DataType] = ctx.typeOf(a(i))
+
+    // graph-aware functions on node/edge variables
+    def nodeEdgeVar(i: Int): Option[String] = args.lift(i) match {
+      case Some(Var(n)) => Some(n)
+      case _ => None
+    }
+
+    name.toLowerCase match {
+      // ---- aggregations (aggregation.hpp:27) ----
+      case "count" =>
+        if (distinct) count_distinct(a(0)) else count(a(0))
+      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
+      case "avg" => avg(a(0))
+      case "min" => min(a(0))
+      case "max" => max(a(0))
+      case "collect" =>
+        if (distinct) collect_set(a(0)) else collect_list(a(0))
+      case "stdev" => stddev_samp(a(0))
+      case "stdevp" => stddev_pop(a(0))
+      case "percentilecont" => percentile_approx(a(0), a(1), lit(10000))
+
+      // ---- graph scalars (awesome_memgraph_functions.cpp:2063-2099) ----
+      case "id" | "elementid" =>
+        nodeEdgeVar(0)
+          .map(Frames.id)
+          .getOrElse(a(0).getField(GraphState.IdCol))
+      case "labels" =>
+        nodeEdgeVar(0)
+          .map(n => Frames.f(n, GraphState.LabelsCol))
+          .getOrElse(a(0).getField(GraphState.LabelsCol))
+      case "type" =>
+        nodeEdgeVar(0)
+          .map(n => Frames.f(n, GraphState.TypeCol))
+          .getOrElse(a(0).getField(GraphState.TypeCol))
+      case "startnode" => nodeEdgeVar(0).map(Frames.src).getOrElse(a(0).getField(GraphState.SrcCol))
+      case "endnode" => nodeEdgeVar(0).map(Frames.dst).getOrElse(a(0).getField(GraphState.DstCol))
+      case "properties" => nodeEdgeVar(0).map(ctx.varStruct).getOrElse(a(0))
+      case "keys" =>
+        nodeEdgeVar(0) match {
+          case Some(n) =>
+            val props = ctx
+              .varCols(n)
+              .map(_.split(Frames.Sep, 2)(1))
+              .filterNot(_.startsWith("_"))
+            array(props.map(lit): _*)
+          case None => map_keys(a(0))
+        }
+
+      // ---- predicates / casts ----
+      case "isempty" => size(a(0)) === 0
+      case "exists" => a(0).isNotNull
+      case "coalesce" => coalesce(args.map(ctx.lower): _*)
+      case "toboolean" => a(0).cast("boolean")
+      case "tointeger" => a(0).cast("long")
+      case "tofloat" => a(0).cast("double")
+      case "tostring" => a(0).cast("string")
+      case "tointegerornull" => a(0).cast("long") // cast already yields null on failure (ANSI off)
+      case "tofloatornull" => a(0).cast("double")
+      case "tobooleanornull" => a(0).cast("boolean")
+      case "tostringornull" => a(0).cast("string")
+      case "tointegerlist" => transform(a(0), _.cast("long"))
+      case "tofloatlist" => transform(a(0), _.cast("double"))
+      case "tostringlist" => transform(a(0), _.cast("string"))
+      case "valuetype" => typeof(a(0))
+
+      // ---- list ----
+      case "size" | "length" =>
+        argType(0) match {
+          case Some(StringType) => length(a(0)).cast("long")
+          case _ => size(a(0)).cast("long")
+        }
+      case "head" => element_at(a(0), 1)
+      case "last" => element_at(a(0), -1)
+      case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
+      case "range" =>
+        if (args.size >= 3) sequence(a(0), a(1), a(2))
+        else sequence(a(0), a(1))
+      case "toset" => array_distinct(a(0))
+      case "reverse" =>
+        argType(0) match {
+          case Some(_: ArrayType) => reverse(a(0))
+          case _ => reverse(a(0))
+        }
+
+      // ---- math (:2102-2124) ----
+      case "abs" => abs(a(0))
+      case "ceil" => ceil(a(0)).cast("double")
+      case "floor" => floor(a(0)).cast("double")
+      case "round" =>
+        if (args.size > 1) round(a(0), args(1) match {
+          case Lit(n: Long) => n.toInt
+          case _ => throw new IllegalArgumentException("round scale must be literal")
+        })
+        else round(a(0))
+      case "sign" => signum(a(0)).cast("long")
+      case "sqrt" => sqrt(a(0))
+      case "exp" => exp(a(0))
+      case "log" => log(a(0))
+      case "log10" => log10(a(0))
+      case "e" => lit(math.E)
+      case "pi" => lit(math.Pi)
+      case "rand" => rand()
+      case "sin" => sin(a(0))
+      case "cos" => cos(a(0))
+      case "tan" => tan(a(0))
+      case "asin" => asin(a(0))
+      case "acos" => acos(a(0))
+      case "atan" => atan(a(0))
+      case "atan2" => atan2(a(0), a(1))
+
+      // ---- string (:2127-2143) ----
+      case "tolower" => lower_(a(0))
+      case "toupper" => upper(a(0))
+      case "trim" => trim(a(0))
+      case "ltrim" => ltrim(a(0))
+      case "rtrim" => rtrim(a(0))
+      case "replace" => replace_(a(0), a(1), a(2))
+      case "split" => split(a(0), args(1) match {
+        case Lit(s: String) => java.util.regex.Pattern.quote(s)
+        case _ => throw new IllegalArgumentException("split delimiter must be literal")
+      })
+      case "substring" =>
+        // Cypher substring(s, start[, len]) is 0-based
+        if (args.size > 2) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
+        else a(0).substr(a(1).cast("int") + 1, length(a(0)))
+      case "left" => a(0).substr(lit(1), a(1).cast("int"))
+      case "right" => a(0).substr(length(a(0)) - a(1).cast("int") + 1, a(1).cast("int"))
+      case "contains" => a(0).contains(a(1))
+      case "startswith" => a(0).startsWith(a(1))
+      case "endswith" => a(0).endsWith(a(1))
+
+      // ---- temporal (:2150-2154) ----
+      case "date" => if (args.isEmpty) current_date() else to_date(a(0))
+      case "datetime" | "localdatetime" =>
+        if (args.isEmpty) current_timestamp() else to_timestamp(a(0))
+      case "timestamp" => unix_micros(current_timestamp())
+      case "duration" => a(0).cast("interval day to second")
+
+      // ---- misc ----
+      case "randomuuid" => uuid()
+      case "tobytestring" => unhex(a(0))
+      case "frombytestring" => hex(a(0))
+
+      case other =>
+        throw new UnsupportedOperationException(s"unknown function: $other")
+    }
+  }
+
+  // avoid shadowing by sql.functions.{lower,replace}
+  private def lower_(c: Column): Column =
+    org.apache.spark.sql.functions.lower(c)
+  private def replace_(c: Column, find: Column, repl: Column): Column =
+    org.apache.spark.sql.functions.replace(c, find, repl)
+}

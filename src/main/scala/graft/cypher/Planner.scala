@@ -1,0 +1,524 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Frames, GraphState}
+import graft.operators.{Expand, VarExpand}
+import Ast._
+
+/** Clause-by-clause lowering of a Cypher query to a DataFrame program — our
+  * analog of the reference's `RuleBasedPlanner`
+  * (`src/query/plan/rule_based_planner.cpp`), with Catalyst playing the role
+  * of the rewrite pipeline (`plan/planner.hpp:73-97`): filter pushdown,
+  * column pruning, join selection and reordering all happen below the
+  * DataFrame line, so this planner only has to emit a *correct* declarative
+  * plan, not an optimal one.
+  *
+  * Frame discipline: one DataFrame whose columns are namespaced per bound
+  * variable (see [[graft.core.Frames]]); `Scope` tracks what each variable
+  * denotes. Pattern-predicate EXISTS and OPTIONAL MATCH are decorrelated into
+  * semi/anti/outer joins seeded from the distinct binding columns — the same
+  * shape Catalyst's own subquery decorrelation produces.
+  */
+final class Planner(
+    spark: SparkSession,
+    g: GraphState,
+    params: Map[String, Any]) {
+
+  private var counter = 0
+  private def fresh(p: String): String = { counter += 1; s"__$p$counter" }
+
+  final case class LF(df: DataFrame, scope: Scope)
+
+  private def initial: LF = LF(spark.range(1).drop("id"), Scope.empty)
+
+  def plan(q: Query): DataFrame = {
+    val first = planSingle(q.first)
+    q.unions.foldLeft(first) { case (acc, (all, sq)) =>
+      val u = acc.unionByName(planSingle(sq))
+      if (all) u else u.dropDuplicates()
+    }
+  }
+
+  def planSingle(sq: SingleQuery): DataFrame =
+    sq.clauses.foldLeft(initial)(planClause).df
+
+  private def lowering(lf: LF) = new ExprLowering(lf.df, lf.scope, params)
+
+  private def planClause(lf: LF, c: Clause): LF = c match {
+    case Match(false, patterns, where) =>
+      var cur = lf
+      var newEdges = Vector.empty[String]
+      patterns.foreach { p =>
+        val (next, edges) = planPattern(cur, p)
+        cur = next
+        newEdges ++= edges
+      }
+      cur = edgeUniqueness(cur, newEdges)
+      where.map(w => planWhere(cur, w)).getOrElse(cur)
+
+    case Match(true, patterns, where) => planOptional(lf, patterns, where)
+
+    case Unwind(listE, v) =>
+      val c0 = lowering(lf).lower(listE)
+      val out = s"$v${Frames.Sep}_val"
+      val df =
+        if (lf.df.columns.isEmpty) lf.df.select(explode(c0).as(out))
+        else lf.df.select(col("*"), explode(c0).as(out))
+      LF(df, lf.scope + (v -> Binding.ValueB))
+
+    case With(body, where) => project(lf, body, where, isReturn = false)
+    case Return(body) => project(lf, body, None, isReturn = true)
+  }
+
+  // ---------------- patterns ----------------
+
+  /** Plans one comma-separated pattern part; returns new single-edge vars
+    * bound in it (for the cyphermorphism filter). */
+  private def planPattern(lf: LF, part: PatternPart): (LF, Seq[String]) = {
+    if (part.shortest.isDefined)
+      throw new UnsupportedOperationException(
+        "shortestPath()/allShortestPaths() planned in a later milestone")
+    val (cur0, startName) = bindNode(lf, part.start)
+    var cur = cur0
+    var srcVar = startName
+    var edgeVars = Vector.empty[String]
+
+    part.hops.foreach { case (rel, node) =>
+      val eVar = rel.variable.getOrElse(fresh("e"))
+      val dstName = node.variable.getOrElse(fresh("n"))
+      val dstBound = node.variable.exists(cur.scope.contains)
+      val types = rel.types
+      val dir = rel.direction match {
+        case OutDir => Expand.Out
+        case InDir => Expand.In
+        case BothDir => Expand.Both
+      }
+
+      rel.varLength match {
+        case None =>
+          if (dstBound) {
+            val df = Expand.toExisting(cur.df, g, srcVar, eVar, types, dir, dstName)
+            cur = LF(df, cur.scope + (eVar -> Binding.EdgeB))
+          } else {
+            val dstLabel = node.labels.headOption
+            val df = dir match {
+              case Expand.Both =>
+                Expand.expandBoth(cur.df, g, srcVar, eVar, types, dstName, dstLabel)
+              case d =>
+                Expand(cur.df, g, srcVar, eVar, types, d, dstName, dstLabel)
+            }
+            cur = LF(
+              df,
+              cur.scope + (eVar -> Binding.EdgeB) + (dstName -> Binding.NodeB))
+            cur = nodeConstraints(cur, dstName, node.labels.drop(1), node.props)
+          }
+          cur = relConstraints(cur, eVar, rel.props)
+          edgeVars :+= eVar
+
+        case Some((lo, hi)) =>
+          val minH = lo.getOrElse(1)
+          val maxH = hi.getOrElse(VarExpand.DefaultMaxHops)
+          if (rel.props.nonEmpty)
+            throw new UnsupportedOperationException(
+              "property map on variable-length relationships")
+          if (dstBound) {
+            val tmp = fresh("n")
+            val df0 = VarExpand(
+              cur.df, g, srcVar, eVar, types, dir, minH, maxH, tmp,
+              dstLabel = None)
+            val df = df0
+              .filter(Frames.id(tmp) === Frames.id(dstName))
+              .drop(Frames.colsOf(df0, tmp): _*)
+            cur = LF(df, cur.scope + (eVar -> Binding.EdgeListB))
+          } else {
+            val df = VarExpand(
+              cur.df, g, srcVar, eVar, types, dir, minH, maxH, dstName,
+              node.labels.headOption)
+            cur = LF(
+              df,
+              cur.scope + (eVar -> Binding.EdgeListB) + (dstName -> Binding.NodeB))
+            cur = nodeConstraints(cur, dstName, node.labels.drop(1), node.props)
+          }
+      }
+      srcVar = dstName
+    }
+    (cur, edgeVars)
+  }
+
+  /** Bind (or re-constrain) the first node of a pattern part. */
+  private def bindNode(lf: LF, n: NodePattern): (LF, String) = {
+    val name = n.variable.getOrElse(fresh("n"))
+    if (n.variable.exists(lf.scope.contains)) {
+      // already bound: apply label/prop constraints as filters
+      (nodeConstraints(lf, name, n.labels, n.props), name)
+    } else {
+      val scan = n.labels.headOption match {
+        case Some(l) => g.nodes(l)
+        case None => g.allNodes
+      }
+      val bound = Frames.bind(name)(scan)
+      val df =
+        if (lf.df.columns.isEmpty) bound // first scan replaces Once
+        else lf.df.crossJoin(bound) // Cartesian (operator.hpp:2797)
+      val lf2 = LF(df, lf.scope + (name -> Binding.NodeB))
+      (nodeConstraints(lf2, name, n.labels.drop(1), n.props), name)
+    }
+  }
+
+  private def nodeConstraints(
+      lf: LF,
+      v: String,
+      extraLabels: Seq[String],
+      props: Seq[(String, Expr)]): LF = {
+    var df = lf.df
+    extraLabels.foreach { l =>
+      df = df.filter(array_contains(Frames.f(v, GraphState.LabelsCol), l))
+    }
+    if (props.nonEmpty) {
+      val low = new ExprLowering(df, lf.scope, params)
+      props.foreach { case (k, e) =>
+        val c =
+          if (df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
+          else lit(null)
+        df = df.filter(c === low.lower(e))
+      }
+    }
+    LF(df, lf.scope)
+  }
+
+  private def relConstraints(lf: LF, v: String, props: Seq[(String, Expr)]): LF =
+    if (props.isEmpty) lf
+    else nodeConstraints(lf, v, Nil, props)
+
+  /** Cyphermorphism: all single-edge vars bound in one MATCH are pairwise
+    * distinct (reference `EdgeUniquenessFilter`, operator.hpp:1768). Edge ids
+    * are globally unique so a plain id-inequality suffices across types. */
+  private def edgeUniqueness(lf: LF, edgeVars: Seq[String]): LF = {
+    val pairs = for {
+      i <- edgeVars.indices
+      j <- (i + 1) until edgeVars.size
+    } yield (edgeVars(i), edgeVars(j))
+    val df = pairs.foldLeft(lf.df) { case (d, (a, b)) =>
+      d.filter(Frames.id(a) =!= Frames.id(b))
+    }
+    LF(df, lf.scope)
+  }
+
+  // ---------------- WHERE ----------------
+
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case BinOp("AND", a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def planWhere(lf: LF, where: Expr): LF =
+    conjuncts(where).foldLeft(lf) {
+      case (cur, PatternPredicate(p, _)) => patternJoin(cur, p, anti = false)
+      case (cur, Not(PatternPredicate(p, _))) => patternJoin(cur, p, anti = true)
+      case (cur, e) => LF(cur.df.filter(lowering(cur).lower(e)), cur.scope)
+    }
+
+  /** Decorrelated pattern predicate: seed the sub-pattern from the distinct
+    * bindings of its shared variables, expand, then semi/anti join back —
+    * reference `EvaluatePatternFilter` (operator.hpp:2427) as a join. */
+  private def patternJoin(lf: LF, part: PatternPart, anti: Boolean): LF = {
+    val patVars =
+      (part.start.variable.toSeq ++ part.hops.flatMap { case (r, n) =>
+        r.variable.toSeq ++ n.variable.toSeq
+      })
+    val shared = patVars.filter(lf.scope.contains).distinct
+    require(
+      shared.nonEmpty,
+      "pattern predicate must share at least one variable with the outer query")
+
+    val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
+    val seedScope =
+      Scope(lf.scope.vars.filter { case (n, _) => shared.contains(n) })
+    val seed = LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+
+    val (sub, _) = planPattern(seed, part)
+    val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
+    val matched = sub.df
+      .select(keyCols.map(col): _*)
+      .distinct()
+    val renamed = keyCols.foldLeft(matched)((d, c) =>
+      d.withColumnRenamed(c, s"__pj_$c"))
+    val cond = keyCols
+      .map(c => col(c) === col(s"__pj_$c"))
+      .reduce(_ && _)
+    val joined =
+      lf.df.join(renamed, cond, if (anti) "left_anti" else "left_semi")
+    LF(joined, lf.scope)
+  }
+
+  // ---------------- OPTIONAL MATCH ----------------
+
+  private def planOptional(
+      lf: LF,
+      patterns: Seq[PatternPart],
+      where: Option[Expr]): LF = {
+    val patVars = patterns.flatMap(p =>
+      p.start.variable.toSeq ++ p.hops.flatMap { case (r, n) =>
+        r.variable.toSeq ++ n.variable.toSeq
+      })
+    val shared = patVars.filter(lf.scope.contains).distinct
+
+    // plan the optional branch seeded from distinct shared bindings
+    val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
+    val seedScope =
+      Scope(lf.scope.vars.filter { case (n, _) => shared.contains(n) })
+    val seed =
+      if (shared.nonEmpty)
+        LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+      else initial
+
+    var sub = seed
+    patterns.foreach { p =>
+      val (next, edges) = planPattern(sub, p)
+      sub = edgeUniqueness(next, edges)
+    }
+    sub = where.map(w => planWhere(sub, w)).getOrElse(sub)
+
+    if (shared.isEmpty) {
+      // OPTIONAL MATCH with no correlation: cross join, NULL row if empty —
+      // emulate with a left join on a constant key.
+      val l = lf.df.withColumn("__ok", lit(1))
+      val r = sub.df.withColumn("__ok", lit(1))
+      val joined = l.join(r, Seq("__ok"), "left_outer").drop("__ok")
+      return LF(joined, sub.scope.vars.foldLeft(lf.scope)(_ + _))
+    }
+
+    val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
+    // drop the duplicated shared columns from the sub side, keep its new vars
+    val newVars = sub.scope.vars.map(_._1).filterNot(shared.contains)
+    val subKeep =
+      keyCols ++ newVars.flatMap(v => Frames.colsOf(sub.df, v))
+    val subRenamed = keyCols.foldLeft(sub.df.select(subKeep.distinct.map(col): _*))(
+      (d, c) => d.withColumnRenamed(c, s"__om_$c"))
+    val cond = keyCols.map(c => col(c) === col(s"__om_$c")).reduce(_ && _)
+    val joined = lf.df
+      .join(subRenamed, cond, "left_outer")
+      .drop(keyCols.map(c => s"__om_$c"): _*)
+    val scope2 = sub.scope.vars
+      .filter { case (n, _) => newVars.contains(n) }
+      .foldLeft(lf.scope)(_ + _)
+    LF(joined, scope2)
+  }
+
+  // ---------------- WITH / RETURN ----------------
+
+  private def deriveAlias(e: Expr, i: Int): String = e match {
+    case Var(n) => n
+    case Prop(Var(n), k) => s"${n}_$k"
+    case _ => s"col$i"
+  }
+
+  private def project(
+      lf: LF,
+      body: ProjectionBody,
+      whereAfter: Option[Expr],
+      isReturn: Boolean): LF = {
+    val low0 = lowering(lf)
+
+    val items: Seq[(String, Expr)] =
+      if (body.star)
+        lf.scope.vars.collect {
+          case (n, _) if !n.startsWith("__") => (n, Var(n))
+        }
+      else
+        body.items.zipWithIndex.map { case (ReturnItem(e, as), i) =>
+          (as.getOrElse(deriveAlias(e, i)), e)
+        }
+
+    val hasAgg = items.exists { case (_, e) => low0.hasAgg(e) }
+
+    /** passthrough = bare var keeping its namespace under a (new) name */
+    def passthroughOf(e: Expr): Option[(String, Binding)] = e match {
+      case Var(n) =>
+        lf.scope.get(n) match {
+          case Some(b)
+              if b == Binding.NodeB || b == Binding.EdgeB || b == Binding.EdgeListB =>
+            Some((n, b))
+          case _ => None
+        }
+      case _ => None
+    }
+
+    var df = lf.df
+    var newScope = Scope.empty
+    // map alias -> either Left(oldVarName, binding) passthrough, or Right(valueCol)
+    val lowered: Seq[(String, Either[(String, Binding), Column])] = items.map {
+      case (alias, e) =>
+        passthroughOf(e) match {
+          case Some((n, b)) => (alias, Left((n, b)))
+          case None => (alias, Right(low0.lower(e)))
+        }
+    }
+
+    if (hasAgg) {
+      val groupSide = lowered.zip(items).filterNot { case (_, (_, e)) => low0.hasAgg(e) }
+      val aggSide = lowered.zip(items).filter { case (_, (_, e)) => low0.hasAgg(e) }
+
+      // 1) pre-project computed group keys
+      var pre = df
+      groupSide.foreach {
+        case ((alias, Right(c)), _) =>
+          pre = pre.withColumn(s"$alias${Frames.Sep}_val", c)
+        case _ => ()
+      }
+      val groupCols: Seq[String] = groupSide.flatMap {
+        case ((alias, Left((n, _))), _) => Frames.colsOf(pre, n)
+        case ((alias, Right(_)), _) => Seq(s"$alias${Frames.Sep}_val")
+      }
+      // 2) aggregate (partial+final handled by Spark)
+      val lowPre = new ExprLowering(pre, lf.scope, params)
+      val aggCols = aggSide.map { case ((alias, _), (_, e)) =>
+        lowPre.lower(e).as(s"$alias${Frames.Sep}_val")
+      }
+      df =
+        if (groupCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
+        else pre.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+      // 3) rename passthrough group vars to their aliases
+      groupSide.foreach {
+        case ((alias, Left((n, b))), _) =>
+          if (alias != n) df = renameVar(df, n, alias)
+          newScope += (alias -> b)
+        case ((alias, Right(_)), _) => newScope += (alias -> Binding.ValueB)
+      }
+      aggSide.foreach { case ((alias, _), _) =>
+        newScope += (alias -> Binding.ValueB)
+      }
+    } else {
+      // non-aggregating projection: extend, then select
+      lowered.foreach {
+        case (alias, Right(c)) => df = df.withColumn(s"$alias${Frames.Sep}_val", c)
+        case _ => ()
+      }
+      lowered.foreach {
+        case (alias, Left((n, b))) => newScope += (alias -> b)
+        case (alias, Right(_)) => newScope += (alias -> Binding.ValueB)
+      }
+
+      // WHERE / ORDER BY may reference both old vars and new aliases
+      val mergedScope =
+        newScope.vars.foldLeft(lf.scope)(_ + _)
+      val lowM = new ExprLowering(df, mergedScope, params)
+      whereAfter.foreach { w => df = df.filter(lowM.lower(w)) }
+
+      if (body.orderBy.nonEmpty && !body.distinct) {
+        val lowS = new ExprLowering(df, mergedScope, params)
+        val sortCols = body.orderBy.zipWithIndex.map { case ((e, _), i) =>
+          (s"__sort$i", lowS.lower(resolveAlias(e, items)))
+        }
+        sortCols.foreach { case (n, c) => df = df.withColumn(n, c) }
+        val order = body.orderBy.zipWithIndex.map { case ((_, asc), i) =>
+          if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc
+        }
+        df = df.orderBy(order: _*)
+        // keep sort columns until after the final select (select preserves order)
+        df = selectFinal(df, lowered, keep = sortCols.map(_._1))
+        df = df.drop(sortCols.map(_._1): _*)
+      } else {
+        df = selectFinal(df, lowered, keep = Nil)
+      }
+    }
+
+    if (hasAgg) {
+      // HAVING-style WHERE + ORDER BY on the aggregated frame
+      val lowA = new ExprLowering(df, newScope, params)
+      whereAfter.foreach { w => df = df.filter(lowA.lower(resolveAlias(w, items))) }
+      df = selectFinal(df, lowered, keep = Nil)
+      if (body.orderBy.nonEmpty) {
+        val lowF = new ExprLowering(df, newScope, params)
+        val order = body.orderBy.map { case (e, asc) =>
+          val c = lowF.lower(resolveAlias(e, items))
+          if (asc) c.asc else c.desc
+        }
+        df = df.orderBy(order: _*)
+      }
+    } else if (body.distinct) {
+      df = df.dropDuplicates()
+      if (body.orderBy.nonEmpty) {
+        val lowF = new ExprLowering(df, newScope, params)
+        val order = body.orderBy.map { case (e, asc) =>
+          val c = lowF.lower(resolveAlias(e, items))
+          if (asc) c.asc else c.desc
+        }
+        df = df.orderBy(order: _*)
+      }
+    }
+
+    if (hasAgg && body.distinct) df = df.dropDuplicates()
+
+    body.skip.foreach { e => df = df.offset(constInt(e, "SKIP")) }
+    body.limit.foreach { e => df = df.limit(constInt(e, "LIMIT")) }
+
+    if (isReturn) {
+      val outCols = lowered.map {
+        case (alias, Left((n, Binding.EdgeListB))) =>
+          col(s"$alias${Frames.Sep}_ids").as(alias)
+        case (alias, Left((n, _))) =>
+          structOf(df, alias).as(alias)
+        case (alias, Right(_)) => col(s"$alias${Frames.Sep}_val").as(alias)
+      }
+      LF(df.select(outCols: _*), newScope)
+    } else LF(df, newScope)
+  }
+
+  /** ORDER BY/HAVING expressions that syntactically match a projected item
+    * resolve to its alias (needed for `ORDER BY count(*)`). */
+  private def resolveAlias(e: Expr, items: Seq[(String, Expr)]): Expr =
+    items.find(_._2 == e).map(it => Var(it._1)).getOrElse(e)
+
+  private def structOf(df: DataFrame, v: String): Column = {
+    val cols = Frames.colsOf(df, v)
+    struct(cols.map(c => col(c).as(c.substring(v.length + Frames.Sep.length))): _*)
+  }
+
+  private def renameVar(df: DataFrame, from: String, to: String): DataFrame =
+    Frames.colsOf(df, from).foldLeft(df) { (d, c) =>
+      d.withColumnRenamed(c, s"$to${c.substring(from.length)}")
+    }
+
+  private def selectFinal(
+      df: DataFrame,
+      lowered: Seq[(String, Either[(String, Binding), Column])],
+      keep: Seq[String]): DataFrame = {
+    var d = df
+    // rename passthroughs to their aliases first
+    lowered.foreach {
+      case (alias, Left((n, _))) if alias != n => d = renameVar(d, n, alias)
+      case _ => ()
+    }
+    val cols: Seq[String] = lowered.flatMap {
+      case (alias, Left(_)) => Frames.colsOf(d, alias)
+      case (alias, Right(_)) => Seq(s"$alias${Frames.Sep}_val")
+    } ++ keep
+    d.select(cols.distinct.map(col): _*)
+  }
+
+  private def constInt(e: Expr, what: String): Int = e match {
+    case Lit(n: Long) => n.toInt
+    case Param(name) =>
+      params.get(name) match {
+        case Some(n: Long) => n.toInt
+        case Some(n: Int) => n
+        case _ => throw new IllegalArgumentException(s"$what parameter $$$name")
+      }
+    case _ =>
+      throw new IllegalArgumentException(s"$what must be a literal or parameter")
+  }
+}
+
+/** Public entry: run a Cypher query against a GraphState. */
+object Cypher {
+  def run(
+      spark: SparkSession,
+      g: GraphState,
+      query: String,
+      params: Map[String, Any] = Map.empty): DataFrame =
+    new Planner(spark, g, params).plan(CypherParser.parse(query))
+}

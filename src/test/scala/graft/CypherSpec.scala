@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.cypher.Cypher
+import graft.sources.TpchGraphLoader
+
+/** Semantic tests for the Cypher frontend against the sf0.001 graph, checked
+  * against independently-computed DataFrame results. */
+class CypherSpec extends SparkTestBase {
+
+  lazy val g = TpchGraphLoader(spark, sfDir)
+  def run(q: String, params: Map[String, Any] = Map.empty) =
+    Cypher.run(spark, g, q, params)
+
+  test("scan by label + count") {
+    val n = run("MATCH (c:Customer) RETURN count(*) AS n")
+      .collect()(0).getLong(0)
+    assert(n == g.nodes("Customer").count())
+  }
+
+  test("filter + projection + order + limit") {
+    val rows = run(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 5000
+        |RETURN c.c_custkey AS k, c.c_name AS name
+        |ORDER BY k DESC LIMIT 3""".stripMargin).collect()
+    assert(rows.length <= 3)
+    val expected = g.nodes("Customer")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal") > 5000)
+      .orderBy(org.apache.spark.sql.functions.col("c_custkey").desc)
+      .limit(3)
+      .select("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == expected)
+  }
+
+  test("expand one hop with aggregation") {
+    val rows = run(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |RETURN n.n_name AS nation, count(*) AS cnt
+        |ORDER BY nation""".stripMargin).collect()
+    assert(rows.map(_.getLong(1)).sum == g.nodes("Customer").count())
+  }
+
+  test("two-hop + property map in pattern") {
+    val rows = run(
+      """MATCH (c:Customer {c_mktsegment: 'BUILDING'})-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN r.r_name AS region, count(*) AS cnt ORDER BY region""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("WITH pipeline + WHERE on aggregate (HAVING)") {
+    val rows = run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n_orders
+        |WHERE n_orders > 2
+        |RETURN c.c_custkey AS k, n_orders ORDER BY k""".stripMargin).collect()
+    assert(rows.forall(_.getLong(1) > 2))
+  }
+
+  test("UNWIND + collect + list ops") {
+    val rows = run(
+      "UNWIND [3, 1, 2] AS x RETURN x ORDER BY x").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("CASE + string functions") {
+    val rows = run(
+      """MATCH (r:Region)
+        |RETURN r.r_name AS name,
+        |       CASE WHEN r.r_name STARTS WITH 'A' THEN 'a-region' ELSE 'other' END AS kind
+        |ORDER BY name""".stripMargin).collect()
+    assert(rows.forall(r =>
+      (r.getString(0).startsWith("A")) == (r.getString(1) == "a-region")))
+  }
+
+  test("OPTIONAL MATCH keeps unmatched rows with NULLs") {
+    val rows = run(
+      """MATCH (c:Customer)
+        |OPTIONAL MATCH (c)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS k, count(o.o_orderkey) AS n
+        |ORDER BY k""".stripMargin).collect()
+    assert(rows.length == g.nodes("Customer").count())
+  }
+
+  test("pattern predicate EXISTS as semi join") {
+    val all = run("MATCH (n:Nation) RETURN n.n_name AS x").count()
+    val some = run(
+      """MATCH (n:Nation) WHERE (n)<-[:FROM_NATION]-(:Supplier)
+        |RETURN n.n_name AS x""".stripMargin).count()
+    val none = run(
+      """MATCH (n:Nation) WHERE NOT (n)<-[:FROM_NATION]-(:Supplier)
+        |RETURN n.n_name AS x""".stripMargin).count()
+    assert(some + none == all && some > 0)
+  }
+
+  test("variable-length expansion over KNOWS") {
+    val rows = run(
+      """MATCH (a:Customer {c_custkey: 0})-[e:KNOWS*1..2]->(b:Customer)
+        |RETURN b.c_custkey AS k, size(e) AS hops ORDER BY hops, k""".stripMargin)
+      .collect()
+    // 1 hop: customers 1 and 7; 2 hops: 2, 8, 8, 14 (two chords each)
+    assert(rows.map(r => (r.getLong(1), r.getLong(0))).toSeq ==
+      Seq((1L, 1L), (1L, 7L), (2L, 2L), (2L, 8L), (2L, 8L), (2L, 14L)))
+  }
+
+  test("UNION and UNION ALL") {
+    val u = run(
+      "MATCH (r:Region) RETURN r.r_name AS name UNION MATCH (r:Region) RETURN r.r_name AS name")
+    assert(u.count() == g.nodes("Region").count())
+    val ua = run(
+      "MATCH (r:Region) RETURN r.r_name AS name UNION ALL MATCH (r:Region) RETURN r.r_name AS name")
+    assert(ua.count() == 2 * g.nodes("Region").count())
+  }
+
+  test("list comprehension, reduce, quantifiers") {
+    val r = run(
+      """RETURN [x IN range(1, 5) WHERE x % 2 = 0 | x * 10] AS evens,
+        |       reduce(acc = 0, x IN [1,2,3] | acc + x) AS total,
+        |       all(x IN [1,2] WHERE x > 0) AS allpos,
+        |       single(x IN [1,2] WHERE x = 2) AS one""".stripMargin)
+      .collect()(0)
+    assert(r.getAs[Seq[Long]]("evens") == Seq(20L, 40L))
+    assert(r.getAs[Long]("total") == 6L)
+    assert(r.getAs[Boolean]("allpos"))
+    assert(r.getAs[Boolean]("one"))
+  }
+
+  test("parameters") {
+    val n = run(
+      "MATCH (c:Customer) WHERE c.c_custkey = $k RETURN c.c_name AS name",
+      Map("k" -> 42L)).count()
+    assert(n == 1)
+  }
+
+  test("ternary NULL semantics: WHERE null drops rows") {
+    val n = run(
+      "MATCH (c:Customer) WHERE c.no_such_prop > 1 RETURN c.c_custkey AS k").count()
+    assert(n == 0)
+  }
+
+  test("DISTINCT") {
+    val n = run(
+      "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg ORDER BY seg").count()
+    assert(n == 5)
+  }
+}
