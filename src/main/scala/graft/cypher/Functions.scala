@@ -47,7 +47,15 @@ object Functions {
         if (distinct) collect_set(a(0)) else collect_list(a(0))
       case "stdev" => stddev_samp(a(0))
       case "stdevp" => stddev_pop(a(0))
-      case "percentilecont" => percentile_approx(a(0), a(1), lit(10000))
+      // Exact percentiles (the reference computes exact nth-element,
+      // awesome_memgraph_functions.cpp `percentileCont`/`percentileDisc`):
+      // cont = linear interpolation (Spark's exact `percentile`); disc =
+      // smallest element at cumulative position >= p, via sorted collect.
+      case "percentilecont" => percentile(a(0), a(1))
+      case "percentiledisc" =>
+        element_at(
+          sort_array(collect_list(a(0))),
+          greatest(ceil(a(1) * count(a(0))), lit(1)).cast("int"))
 
       // ---- graph scalars (awesome_memgraph_functions.cpp:2063-2099) ----
       case "id" | "elementid" =>

@@ -368,15 +368,27 @@ final class Planner(
           pre = pre.withColumn(s"$alias${Frames.Sep}_val", c)
         case _ => ()
       }
-      val groupCols: Seq[String] = groupSide.flatMap {
-        case ((alias, Left((n, _))), _) => Frames.colsOf(pre, n)
-        case ((alias, Right(_)), _) => Seq(s"$alias${Frames.Sep}_val")
+      // Node/edge group keys shuffle on `_id` alone — grouping by every
+      // promoted property column would make a fat shuffle key at scale; the
+      // other columns are functionally determined by the id, so `first()`
+      // carries them (reference `remember_` symbols, operator.hpp:1910).
+      val keyCols = Vector.newBuilder[String]
+      val carryCols = Vector.newBuilder[String]
+      groupSide.foreach {
+        case ((_, Left((n, b))), _)
+            if b == Binding.NodeB || b == Binding.EdgeB =>
+          val idc = s"$n${Frames.Sep}${GraphState.IdCol}"
+          keyCols += idc
+          carryCols ++= Frames.colsOf(pre, n).filterNot(_ == idc)
+        case ((_, Left((n, _))), _) => keyCols ++= Frames.colsOf(pre, n)
+        case ((alias, Right(_)), _) => keyCols += s"$alias${Frames.Sep}_val"
       }
+      val groupCols: Seq[String] = keyCols.result()
       // 2) aggregate (partial+final handled by Spark)
       val lowPre = new ExprLowering(pre, lf.scope, params)
       val aggCols = aggSide.map { case ((alias, _), (_, e)) =>
         lowPre.lower(e).as(s"$alias${Frames.Sep}_val")
-      }
+      } ++ carryCols.result().map(c => first(col(c)).as(c))
       df =
         if (groupCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
         else pre.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)

@@ -43,7 +43,10 @@ object Expand {
       far === Frames.id(dstVar))
   }
 
-  /** Expand to an already-bound endpoint: only adds the join predicate. */
+  /** Expand to an already-bound endpoint: only adds the join predicate.
+    * For BOTH the edge must connect the two bound nodes in either
+    * orientation; a self-loop (src=dst=both nodes) matches exactly once
+    * because this is a filter, not a union. */
   def toExisting(
       frame: DataFrame,
       g: GraphState,
@@ -53,7 +56,15 @@ object Expand {
       dir: Direction,
       existingVar: String): DataFrame = {
     val withEdge = joinEdge(frame, g, srcVar, edgeVar, types, dir)
-    withEdge.filter(farEnd(edgeVar, dir) === Frames.id(existingVar))
+    dir match {
+      case Both =>
+        withEdge.filter(
+          (Frames.src(edgeVar) === Frames.id(srcVar) &&
+            Frames.dst(edgeVar) === Frames.id(existingVar)) ||
+            (Frames.dst(edgeVar) === Frames.id(srcVar) &&
+              Frames.src(edgeVar) === Frames.id(existingVar)))
+      case d => withEdge.filter(farEnd(edgeVar, d) === Frames.id(existingVar))
+    }
   }
 
   private def joinEdge(
@@ -88,7 +99,10 @@ object Expand {
   }
 
   /** Undirected expand to a fresh node: union of both orientations —
-    * mirrors the reference's EdgeAtom::Direction::BOTH handling. */
+    * mirrors the reference's EdgeAtom::Direction::BOTH handling. A self-loop
+    * edge appears in both orientations with identical bindings; the reference
+    * yields it once (`operator.cpp:1904` iterates in- and out-lists but a
+    * loop is stored once per list), so the In side excludes loops. */
   def expandBoth(
       frame: DataFrame,
       g: GraphState,
@@ -99,5 +113,6 @@ object Expand {
       dstLabel: Option[String]): DataFrame =
     apply(frame, g, srcVar, edgeVar, types, Out, dstVar, dstLabel)
       .unionByName(
-        apply(frame, g, srcVar, edgeVar, types, In, dstVar, dstLabel))
+        apply(frame, g, srcVar, edgeVar, types, In, dstVar, dstLabel)
+          .filter(Frames.src(edgeVar) =!= Frames.dst(edgeVar)))
 }

@@ -208,7 +208,15 @@ object TpchGraphLoader {
 
   def build(spark: SparkSession, sfDir: String): GraphState = {
     def tbl(n: String) = table(spark, sfDir, n)
-    def li() = withLineitemKey(tbl("lineitem"))
+    // The keyed lineitem feeds the Lineitem node frame AND three edge frames
+    // (HAS_LINE, OF_PART, BY_SUPPLIER). Without caching, a query touching all
+    // of them pays the keying window (a shuffle+sort of the whole fact table)
+    // once per frame. Persist it once per GraphState; at 100 TB the analog is
+    // writing the keyed table to parquet once at load time and reading the
+    // materialization everywhere.
+    lazy val keyedLineitem = withLineitemKey(tbl("lineitem"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def li() = keyedLineitem
     val liKey = col("__lkey")
 
     val nodes: Map[String, () => DataFrame] = Map(

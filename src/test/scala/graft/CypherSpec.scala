@@ -121,7 +121,7 @@ class CypherSpec extends SparkTestBase {
         |       all(x IN [1,2] WHERE x > 0) AS allpos,
         |       single(x IN [1,2] WHERE x = 2) AS one""".stripMargin)
       .collect()(0)
-    assert(r.getAs[Seq[Long]]("evens") == Seq(20L, 40L))
+    assert(r.getAs[scala.collection.Seq[Long]]("evens").toSeq == Seq(20L, 40L))
     assert(r.getAs[Long]("total") == 6L)
     assert(r.getAs[Boolean]("allpos"))
     assert(r.getAs[Boolean]("one"))
