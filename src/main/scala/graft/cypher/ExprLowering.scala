@@ -147,6 +147,10 @@ final class ExprLowering(
         "pattern predicates are only supported as top-level WHERE conjuncts")
   }
 
+  /** Is `n` bound to a node or edge (vs a plain value / lambda var)? */
+  def isNodeOrEdgeVar(n: String): Boolean =
+    scope.get(n).exists(b => b == Binding.NodeB || b == Binding.EdgeB)
+
   /** Whole node/edge value as a struct (for RETURN n, n = m, properties(n)). */
   def varStruct(n: String): Column = {
     val cols = Frames.colsOf(df, n)

@@ -31,16 +31,35 @@ object Functions {
 
     // graph-aware functions on node/edge variables
     def nodeEdgeVar(i: Int): Option[String] = args.lift(i) match {
-      case Some(Var(n)) => Some(n)
+      case Some(Var(n)) if ctx.isNodeOrEdgeVar(n) => Some(n)
       case _ => None
     }
+
+    def isFloating(i: Int): Boolean =
+      argType(i).exists(t => t == DoubleType || t == FloatType)
 
     name.toLowerCase match {
       // ---- aggregations (aggregation.hpp:27) ----
       case "count" =>
-        if (distinct) count_distinct(a(0)) else count(a(0))
-      case "sum" => if (distinct) sum_distinct(a(0)) else sum(a(0))
-      case "avg" => avg(a(0))
+        // count(n) of a node/edge counts bound ids — after OPTIONAL MATCH the
+        // unmatched row's property struct is non-null even though the binding
+        // is, so counting the struct would be wrong.
+        val c = nodeEdgeVar(0).map(Frames.id).getOrElse(a(0))
+        if (distinct) count_distinct(c) else count(c)
+      // Distributed double sums are not reproducible across partitionings
+      // (float addition is non-associative), so sum/avg over floating input
+      // accumulate in DECIMAL(38,4) and surface as DOUBLE — bit-stable for
+      // any cluster size, and matching our DuckDB oracle discipline.
+      case "sum" =>
+        if (isFloating(0)) {
+          val d = a(0).cast(DecimalType(38, 4))
+          (if (distinct) sum_distinct(d) else sum(d)).cast("double")
+        } else if (distinct) sum_distinct(a(0))
+        else sum(a(0))
+      case "avg" =>
+        if (isFloating(0))
+          sum(a(0).cast(DecimalType(38, 4))).cast("double") / count(a(0))
+        else avg(a(0))
       case "min" => min(a(0))
       case "max" => max(a(0))
       case "collect" =>
@@ -178,6 +197,19 @@ object Functions {
       case "randomuuid" => uuid()
       case "tobytestring" => unhex(a(0))
       case "frombytestring" => hex(a(0))
+
+      // ---- MAGE-style module helpers (src/mage/cpp/collections, text) ----
+      case "collections.sort" => sort_array(a(0))
+      case "collections.reverse" => reverse(a(0))
+      case "collections.sum" => aggregate(a(0), lit(0L), _ + _)
+      case "collections.contains" => array_contains(a(0), a(1))
+      case "text.join" =>
+        array_join(a(0), args(1) match {
+          case Lit(s: String) => s
+          case _ =>
+            throw new IllegalArgumentException("text.join separator must be literal")
+        })
+      case "text.format" => format_string("%s", a(0))
 
       case other =>
         throw new UnsupportedOperationException(s"unknown function: $other")
