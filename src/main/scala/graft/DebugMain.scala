@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main for timing/debugging individual catalog queries:
+  * `runMain graft.DebugMain <sfDir> <queryName>...` */
+object DebugMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = args.drop(1)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      try {
+        val rows = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"[debug] $n rows=$rows secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+      } catch {
+        case e: Throwable =>
+          println(s"[debug] $n FAILED after ${(System.nanoTime() - t0) / 1e9}: $e")
+          e.printStackTrace()
+      }
+    }
+    spark.stop()
+  }
+}

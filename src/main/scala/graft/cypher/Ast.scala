@@ -61,7 +61,15 @@ object Ast {
       types: Seq[String],
       props: Seq[(String, Expr)],
       direction: Direction,
-      varLength: Option[(Option[Int], Option[Int])]) // Some((min,max)) for *
+      varLength: Option[(Option[Int], Option[Int])], // Some((min,max)) for *
+      /** Expansion mode after `*`: DFS (plain), BFS, WSHORTEST, ALLSHORTEST
+        * (reference `EdgeAtom::Type`, ast.hpp:1809-1813). */
+      mode: String = "DFS",
+      /** `(e, n | expr)` weight lambda for WSHORTEST (ast.hpp EdgeAtom
+        * `weight_lambda_`). */
+      weight: Option[(String, String, Expr)] = None,
+      /** Symbol receiving the accumulated weight (`total_weight_`). */
+      totalVar: Option[String] = None)
 
   /** node (rel node)* chain; optionally named (p = (...)). */
   final case class PatternPart(

@@ -17,6 +17,10 @@ object Binding {
   case object ValueB extends Binding
   /** Variable-length relationship: `v@_ids` = ARRAY<LONG> of edge ids. */
   case object EdgeListB extends Binding
+  /** Named path from a shortest-path pattern: `v@_len` = hop count
+    * (reference `TypedValue::Path`; we carry length, not materialized
+    * vertices, through the BFS operators). */
+  case object PathB extends Binding
 }
 
 /** Ordered scope (Cypher preserves introduction order for RETURN *). */

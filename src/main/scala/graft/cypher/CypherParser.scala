@@ -213,22 +213,46 @@ object CypherParser extends RegexParsers {
         props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil))
     }
 
-  def varLength: Parser[(Option[Int], Option[Int])] =
-    "*" ~> opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
+  private def varBounds: Parser[(Option[Int], Option[Int])] =
+    opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
       case lo ~ None => (lo.map(_.toInt), lo.map(_.toInt)) // *n = exactly n; * = unbounded
       case lo ~ Some(hi) => (lo.map(_.toInt), hi.map(_.toInt))
+    }
+
+  /** `(e, n | expr)` — per-edge lambda (weight for wShortest). */
+  def edgeLambda: Parser[(String, String, Expr)] =
+    "(" ~> ident ~ ("," ~> ident) ~ ("|" ~> expr) <~ ")" ^^ { case e ~ n ~ x =>
+      (e, n, x)
+    }
+
+  /** `*[BFS|WSHORTEST|ALLSHORTEST] [lo][..hi] [(e,n|expr)] [total]` — the
+    * reference's variable-expansion spec (`EdgeAtom::Type`,
+    * ast.hpp:1809-1813, e.g. `-[e:T *WSHORTEST (e,n | e.w) total]->`). */
+  private case class VarSpec(
+      bounds: (Option[Int], Option[Int]),
+      mode: String,
+      lambda: Option[(String, String, Expr)],
+      total: Option[String])
+
+  private def varSpec: Parser[VarSpec] =
+    "*" ~> opt("""(?i)(BFS|WSHORTEST|ALLSHORTEST)""".r) ~ varBounds ~
+      opt(edgeLambda) ~ opt(ident) ^^ { case m ~ b ~ l ~ t =>
+      VarSpec(b, m.map(_.toUpperCase).getOrElse("DFS"), l, t)
     }
 
   def relDetail: Parser[RelPattern] =
     "[" ~> opt(ident) ~
       opt(":" ~> rep1sep(opt(":") ~> (ident | identP), "|")) ~
-      opt(varLength) ~ opt(mapLit) <~ "]" ^^ { case v ~ ts ~ vl ~ props =>
+      opt(varSpec) ~ opt(mapLit) <~ "]" ^^ { case v ~ ts ~ vs ~ props =>
       RelPattern(
         v,
         ts.getOrElse(Nil),
         props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
         OutDir, // direction patched by caller
-        vl)
+        vs.map(_.bounds),
+        vs.map(_.mode).getOrElse("DFS"),
+        vs.flatMap(_.lambda),
+        vs.flatMap(_.total))
     }
 
   def relPattern: Parser[RelPattern] =

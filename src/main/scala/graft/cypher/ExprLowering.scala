@@ -47,6 +47,7 @@ final class ExprLowering(
       scope.get(n) match {
         case Some(Binding.ValueB) => Frames.f(n, "_val")
         case Some(Binding.EdgeListB) => Frames.f(n, "_ids")
+        case Some(Binding.PathB) => Frames.f(n, "_len")
         case Some(Binding.NodeB) | Some(Binding.EdgeB) => varStruct(n)
         case None =>
           throw new IllegalArgumentException(s"unbound variable: $n")
@@ -150,6 +151,10 @@ final class ExprLowering(
   /** Is `n` bound to a node or edge (vs a plain value / lambda var)? */
   def isNodeOrEdgeVar(n: String): Boolean =
     scope.get(n).exists(b => b == Binding.NodeB || b == Binding.EdgeB)
+
+  /** Is `n` a named shortest-path binding? */
+  def isPathVar(n: String): Boolean =
+    scope.get(n).contains(Binding.PathB)
 
   /** Whole node/edge value as a struct (for RETURN n, n = m, properties(n)). */
   def varStruct(n: String): Column = {

@@ -122,9 +122,14 @@ object Functions {
 
       // ---- list ----
       case "size" | "length" =>
-        argType(0) match {
-          case Some(StringType) => length(a(0)).cast("long")
-          case _ => size(a(0)).cast("long")
+        args.lift(0) match {
+          // length(p) of a shortest-path binding = its hop count
+          case Some(Var(n)) if ctx.isPathVar(n) => Frames.f(n, "_len")
+          case _ =>
+            argType(0) match {
+              case Some(StringType) => length(a(0)).cast("long")
+              case _ => size(a(0)).cast("long")
+            }
         }
       case "head" => element_at(a(0), 1)
       case "last" => element_at(a(0), -1)

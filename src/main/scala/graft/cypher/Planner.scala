@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Frames, GraphState}
-import graft.operators.{Expand, VarExpand}
+import graft.operators.{Expand, ShortestPath, VarExpand}
 import Ast._
 
 /** Clause-by-clause lowering of a Cypher query to a DataFrame program — our
@@ -77,9 +77,8 @@ final class Planner(
   /** Plans one comma-separated pattern part; returns new single-edge vars
     * bound in it (for the cyphermorphism filter). */
   private def planPattern(lf: LF, part: PatternPart): (LF, Seq[String]) = {
-    if (part.shortest.isDefined)
-      throw new UnsupportedOperationException(
-        "shortestPath()/allShortestPaths() planned in a later milestone")
+    if (part.shortest.isDefined || part.hops.exists(_._1.mode != "DFS"))
+      return (planShortest(lf, part), Nil)
     val (cur0, startName) = bindNode(lf, part.start)
     var cur = cur0
     var srcVar = startName
@@ -145,6 +144,108 @@ final class Planner(
       srcVar = dstName
     }
     (cur, edgeVars)
+  }
+
+  /** Shortest-path pattern — `p = shortestPath((a)-[:T*..h]->(b))`,
+    * `allShortestPaths(...)`, or the reference's inline modes
+    * `-[e:T *BFS|*WSHORTEST ...]->` (`operator.cpp:2458,2726,3000,3309`).
+    *
+    * Lowered to the multi-source batched BFS / weighted-rounds operators in
+    * [[graft.operators.ShortestPath]]: seeds = distinct bound source ids,
+    * one shuffle per level, result re-joined to the frame. `allShortestPaths`
+    * multiplies rows by the shortest-path count (`npaths`) instead of
+    * enumerating concrete paths — same cardinality and lengths as the
+    * reference's per-path rows, without materializing vertex lists.
+    */
+  private def planShortest(lf: LF, part: PatternPart): LF = {
+    require(
+      part.hops.size == 1,
+      "shortest-path pattern must be a single variable-length relationship")
+    val (rel, node) = part.hops.head
+    val (lo, hi) = rel.varLength.getOrElse((None, None))
+    val minH = lo.getOrElse(1)
+    val maxH = hi.getOrElse(Int.MaxValue) // fixpoint-terminated, not capped
+    val dir = rel.direction match {
+      case OutDir => Expand.Out
+      case InDir => Expand.In
+      case BothDir => Expand.Both
+    }
+    val (cur0, srcName) = bindNode(lf, part.start)
+    val dstName = node.variable.getOrElse(fresh("n"))
+    val dstBound = node.variable.exists(cur0.scope.contains)
+    val seeds = cur0.df
+      .select(Frames.id(srcName).as(ShortestPath.SeedCol))
+      .distinct()
+
+    val all = part.shortest.contains("all") || rel.mode == "ALLSHORTEST"
+    val res: DataFrame = rel.mode match {
+      case "WSHORTEST" =>
+        val (ev, _, wexpr) = rel.weight.getOrElse(
+          throw new IllegalArgumentException(
+            "*WSHORTEST requires a weight lambda (e, n | expr)"))
+        val eframe = Frames.bind(ev)(g.edgesOfTypes(rel.types))
+        val wcol = new ExprLowering(
+          eframe,
+          Scope.empty + (ev -> Binding.EdgeB),
+          params).lower(wexpr)
+        val oriented = ShortestPath.oriented(
+          eframe.select(
+            Frames.src(ev).as(GraphState.SrcCol),
+            Frames.dst(ev).as(GraphState.DstCol),
+            wcol.cast("double").as(ShortestPath.EdgeWeightCol)),
+          dir)
+        ShortestPath.weighted(g, seeds, oriented, maxRounds = maxH)
+      case _ =>
+        ShortestPath.bfs(g, seeds, rel.types, dir, maxH)
+    }
+
+    var joined = cur0.df
+      .join(res, Frames.id(srcName) === col(ShortestPath.SeedCol))
+      .filter(col(ShortestPath.DistCol) >= minH)
+      .drop(ShortestPath.SeedCol)
+    var scope = cur0.scope
+
+    if (dstBound) {
+      joined = joined
+        .filter(col(ShortestPath.NodeCol) === Frames.id(dstName))
+        .drop(ShortestPath.NodeCol)
+    } else {
+      val nodesDf = node.labels.headOption.map(g.nodes).getOrElse(g.allNodes)
+      joined = joined
+        .join(
+          Frames.bind(dstName)(nodesDf),
+          col(ShortestPath.NodeCol) === Frames.id(dstName))
+        .drop(ShortestPath.NodeCol)
+      scope += (dstName -> Binding.NodeB)
+    }
+
+    if (all && joined.columns.contains(ShortestPath.NPathsCol))
+      joined = joined
+        .withColumn(
+          "__sp_dup",
+          explode(sequence(lit(1L), col(ShortestPath.NPathsCol))))
+        .drop("__sp_dup")
+    if (joined.columns.contains(ShortestPath.NPathsCol))
+      joined = joined.drop(ShortestPath.NPathsCol)
+
+    part.pathVar.foreach { pv =>
+      joined = joined.withColumn(
+        s"$pv${Frames.Sep}_len",
+        col(ShortestPath.DistCol))
+      scope += (pv -> Binding.PathB)
+    }
+    rel.totalVar.foreach { tv =>
+      joined = joined.withColumn(
+        s"$tv${Frames.Sep}_val",
+        col(ShortestPath.WeightCol))
+      scope += (tv -> Binding.ValueB)
+    }
+    joined = joined.drop(ShortestPath.DistCol, ShortestPath.WeightCol)
+
+    var out = LF(joined, scope)
+    if (!dstBound)
+      out = nodeConstraints(out, dstName, node.labels.drop(1), node.props)
+    out
   }
 
   /** Bind (or re-constrain) the first node of a pattern part. */

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.GraphState
+
+/** Shortest-path family — the reference's BFS/weighted cursors of
+  * `ExpandVariable` (`src/query/plan/operator.hpp:1172`):
+  *
+  *   - `STShortestPathCursor` / `SingleSourceShortestPathCursor`
+  *     (`operator.cpp:2458`, `:2726`) → [[bfs]]
+  *   - `ExpandWeightedShortestPathCursor` (`operator.cpp:3000`) → [[weighted]]
+  *   - `ExpandAllShortestPathsCursor` (`operator.cpp:3309`) → [[bfs]]'s
+  *     `npaths` column (shortest-path multiplicity), exploded by the planner
+  *     into one row per path.
+  *
+  * Spark-first design: instead of a per-(source,target) cursor, one
+  * **multi-source batched BFS** — every distinct seed advances one level per
+  * round, each round being a frontier⋈edges equi-join + per-(seed,node)
+  * aggregate. On a cluster that is: one shuffle per level over a frontier
+  * that is never larger than (seeds × reachable nodes), with an emptiness
+  * probe for early stop. No driver-side per-row loops; the driver only
+  * steers rounds. Per-round `persist` bounds lineage; frames are unpersisted
+  * eagerly when superseded.
+  */
+object ShortestPath {
+
+  val SeedCol = "__sp_seed"
+  val NodeCol = "__sp_node"
+  val DistCol = "__sp_dist"
+  val NPathsCol = "__sp_npaths"
+  val WeightCol = "__sp_w"
+  /** Column name the caller must use for the edge weight in [[weighted]]. */
+  val EdgeWeightCol = "__sp_we"
+
+  /** Direction-adjusted (src, dst, …) edge view. */
+  def oriented(edges: DataFrame, dir: Expand.Direction): DataFrame = {
+    val rest = edges.columns
+      .filterNot(c => c == GraphState.SrcCol || c == GraphState.DstCol)
+      .map(col)
+      .toSeq
+    val out = edges
+    lazy val in = edges.select(
+      col(GraphState.DstCol).as(GraphState.SrcCol) +:
+        col(GraphState.SrcCol).as(GraphState.DstCol) +: rest: _*)
+    dir match {
+      case Expand.Out => out
+      case Expand.In => in
+      case Expand.Both => out.unionByName(in)
+    }
+  }
+
+  /** Multi-source BFS with shortest-path counting.
+    *
+    * @param seeds one column [[SeedCol]] of distinct start-node ids
+    * @return (seed, node, dist, npaths): minimal hop count seed→node and the
+    *         number of distinct shortest paths, for every node reachable
+    *         within `maxHops` (dist 0 = the seed itself, npaths 1)
+    */
+  def bfs(
+      g: GraphState,
+      seeds: DataFrame,
+      types: Seq[String],
+      dir: Expand.Direction,
+      maxHops: Int): DataFrame = {
+    val edges = oriented(
+      g.edgesOfTypes(types)
+        .select(col(GraphState.SrcCol), col(GraphState.DstCol)),
+      dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Iterative driver loops MUST truncate lineage every round: the round-k
+    // plan references round-(k-1) twice (expand + anti-join), so without
+    // truncation the logical plan grows exponentially and the driver dies
+    // re-analyzing it long before any data is large. `localCheckpoint`
+    // materializes the round AND cuts the plan to a leaf — on a real cluster
+    // the same code runs with `checkpoint` to durable storage.
+    var visited = seeds
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        lit(1L).as(NPathsCol))
+      .localCheckpoint(true)
+    var frontier = visited
+    var k = 0L
+    var done = frontier.isEmpty
+    while (!done && k < maxHops) {
+      k += 1
+      // one BFS level: expand the frontier, fold path counts per node,
+      // drop nodes already reached at a smaller depth (first level wins —
+      // exactly the BFS layering the reference's cursor maintains)
+      val next = frontier
+        .join(edges, col(NodeCol) === col(GraphState.SrcCol))
+        .select(
+          col(SeedCol),
+          col(GraphState.DstCol).as(NodeCol),
+          col(NPathsCol))
+        .groupBy(SeedCol, NodeCol)
+        .agg(sum(NPathsCol).as(NPathsCol))
+        .withColumn(DistCol, lit(k))
+        .select(SeedCol, NodeCol, DistCol, NPathsCol)
+      val t0 = System.nanoTime()
+      val fresh = next
+        .join(visited, Seq(SeedCol, NodeCol), "left_anti")
+        .localCheckpoint(true)
+      done = fresh.isEmpty
+      if (!done) {
+        visited = visited.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh
+      }
+      if (sys.env.contains("GRAFT_SP_DEBUG"))
+        System.err.println(
+          f"[bfs] level $k%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    edges.unpersist(blocking = false)
+    visited
+  }
+
+  /** Weighted shortest path (Dijkstra-by-rounds ≈ Bellman–Ford with early
+    * stop): each round relaxes every edge once; converges when no distance
+    * improves or after `maxRounds` (the hops-limit analog). Weights must be
+    * non-negative for shortest-walk = shortest-path semantics (the reference
+    * raises on negative weights too, `operator.cpp:3000` region).
+    *
+    * @param edges pre-oriented (src, dst, weight) frame
+    * @return (seed, node, weight-dist, hop count) per reachable node
+    */
+  def weighted(
+      g: GraphState,
+      seeds: DataFrame,
+      edges: DataFrame,
+      maxRounds: Int): DataFrame = {
+    val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // Same lineage discipline as [[bfs]]: one localCheckpoint per round.
+    var dist = seeds
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0.0).as(WeightCol),
+        lit(0L).as(DistCol))
+      .localCheckpoint(true)
+    var r = 0
+    var converged = false
+    while (!converged && r < maxRounds) {
+      r += 1
+      val t0 = System.nanoTime()
+      val relaxed = dist
+        .join(e, col(NodeCol) === col(GraphState.SrcCol))
+        .select(
+          col(SeedCol),
+          col(GraphState.DstCol).as(NodeCol),
+          (col(WeightCol) + col(EdgeWeightCol)).as(WeightCol),
+          (col(DistCol) + 1L).as(DistCol))
+      val merged = dist
+        .unionByName(relaxed)
+        .groupBy(SeedCol, NodeCol)
+        .agg(min(struct(col(WeightCol), col(DistCol))).as("__m"))
+        .select(
+          col(SeedCol),
+          col(NodeCol),
+          col("__m")(WeightCol).as(WeightCol),
+          col("__m")(DistCol).as(DistCol))
+        .localCheckpoint(true)
+      // converged when no (seed,node) gained a strictly better weight and no
+      // new node appeared — checked with one anti/inequality join
+      val improved = merged
+        .join(
+          dist.select(
+            col(SeedCol),
+            col(NodeCol),
+            col(WeightCol).as("__old_w")),
+          Seq(SeedCol, NodeCol),
+          "left_outer")
+        .filter(col("__old_w").isNull || col(WeightCol) < col("__old_w"))
+      converged = improved.isEmpty
+      dist = merged
+      if (sys.env.contains("GRAFT_SP_DEBUG"))
+        System.err.println(
+          f"[wsp] round $r%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+}
