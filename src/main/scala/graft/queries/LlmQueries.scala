@@ -1,0 +1,401 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.llm.LlmOps._
+import graft.sources.TpchGraphLoader
+
+/** Oracle-checked LLM-data-pipeline catalog over `documents.parquet` and
+  * `embeddings.parquet`: dedup (exact, MinHash-LSH, n-gram Jaccard,
+  * simhash), text analysis (quality stats, language-ID voting), similarity
+  * search (brute-force cosine top-k + IVF-style sign-code buckets), and
+  * multimodal column plumbing. Every entry has a DuckDB oracle built from
+  * the identical hash/fold recipes (see [[graft.llm.LlmOps]]).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    TpchGraphLoader.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    TpchGraphLoader.table(s, dir, "embeddings")
+
+  /** DuckDB-side canonical text form (mirrors LlmOps.normText). */
+  private val oNorm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  private val NumHashes = 12
+  private val BandSize = 4 // 3 bands of 4 minhashes
+
+  val defs: Seq[QueryDef] = Seq(
+    // -------- exact dedup: sha-256 of canonical text, hash-group stats.
+    QueryDef(
+      "dedup_exact",
+      (s, dir) =>
+        docs(s, dir)
+          .select(docHash(col("text")).as("h"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("h")).as("n_distinct"),
+            min(col("h")).as("min_h"),
+            max(col("h")).as("max_h")),
+      Some(s"""SELECT count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
+              |  min(h) AS min_h, max(h) AS max_h
+              |FROM (SELECT sha256($oNorm) AS h FROM documents)""".stripMargin)),
+
+    // -------- MinHash + LSH banding near-dup: 12 salted-md5 minhashes over
+    // word sets, 3 bands × 4 rows; candidate pairs share a band; estimated
+    // Jaccard = matching minhash fraction. Banding keeps the pair join
+    // within buckets (the 100 TB-safe shape); the oracle checks the
+    // candidate count and the estimate distribution.
+    QueryDef(
+      "dedup_minhash",
+      (s, dir) => {
+        val w = docs(s, dir)
+          .select(
+            col("doc_id"),
+            explode(array_distinct(words(col("text")))).as("w"))
+        val aggs = (0 until NumHashes)
+          .map(i => minhashAgg(col("w"), i).as(s"m$i"))
+        val mh = w.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        val withBands = (0 until NumHashes / BandSize).foldLeft(mh) {
+          (d, b) =>
+            d.withColumn(
+              s"b$b",
+              concat(
+                (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*))
+        }
+        val right = withBands.select(
+          withBands.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
+        val est = ((0 until NumHashes)
+          .map(i => (col(s"m$i") === col(s"m${i}_r")).cast("int"))
+          .reduce(_ + _) / lit(NumHashes.toDouble)).as("est")
+        val pairs = (0 until NumHashes / BandSize)
+          .map(b =>
+            withBands.join(
+              right,
+              col(s"b$b") === col(s"b${b}_r") &&
+                col("doc_id") < col("doc_id_r")))
+          .reduce(_ unionByName _)
+          .select(col("doc_id"), col("doc_id_r"), est)
+          .dropDuplicates("doc_id", "doc_id_r")
+        pairs.agg(
+          count(lit(1)).as("n_cand"),
+          count(when(col("est") >= 0.5, 1)).as("n_near"),
+          round(avg(col("est")), 4).as("avg_est"))
+      },
+      Some {
+        val minhashes = (0 until NumHashes)
+          .map(i => s"min(md5('mh$i:' || w)) AS m$i")
+          .mkString(", ")
+        val bands = (0 until NumHashes / BandSize)
+          .map(b =>
+            (0 until BandSize)
+              .map(j => s"m${b * BandSize + j}")
+              .mkString(" || ") + s" AS b$b")
+          .mkString(", ")
+        val bandCond = (0 until NumHashes / BandSize)
+          .map(b => s"a.b$b = c.b$b")
+          .mkString(" OR ")
+        val estSum = (0 until NumHashes)
+          .map(i => s"(a.m$i = c.m$i)::INT")
+          .mkString(" + ")
+        s"""WITH wx AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w FROM documents)),
+           |mh AS MATERIALIZED (SELECT doc_id, $minhashes FROM wx GROUP BY doc_id),
+           |b AS MATERIALIZED (SELECT *, $bands FROM mh),
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb,
+           |    ($estSum) / ${NumHashes}.0 AS est
+           |  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond))
+           |SELECT count(*) AS n_cand,
+           |  count(CASE WHEN est >= 0.5 THEN 1 END) AS n_near,
+           |  round(avg(est), 4) AS avg_est
+           |FROM pairs""".stripMargin
+      }),
+
+    // -------- exact n-gram Jaccard between consecutive docs (word sets +
+    // 3-gram shingle sets) — the exact-metric counterpart of MinHash.
+    QueryDef(
+      "ngram_jaccard",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .withColumn("sh", shingles3(col("ws")))
+        val b = d.select(
+          (col("doc_id") - 1).as("join_id"),
+          col("ws").as("ws_b"),
+          col("sh").as("sh_b"))
+        d.filter(col("doc_id") < 200)
+          .join(b, col("doc_id") === col("join_id"))
+          .select(
+            col("doc_id").as("a"),
+            (col("doc_id") + 1).as("b"),
+            round(
+              jaccard(array_distinct(col("ws")), array_distinct(col("ws_b"))),
+              4).as("j_words"),
+            round(
+              jaccard(array_distinct(col("sh")), array_distinct(col("sh_b"))),
+              4).as("j_shingles"))
+          .orderBy("a")
+      },
+      Some(s"""WITH d AS MATERIALIZED (
+              |  SELECT doc_id, string_split($oNorm, ' ') AS ws FROM documents),
+              |sh AS MATERIALIZED (
+              |  SELECT doc_id, ws,
+              |    CASE WHEN len(ws) < 3 THEN [] ELSE
+              |      list_transform(generate_series(1, len(ws) - 2),
+              |                     i -> array_to_string(ws[i:i+2], ' '))
+              |    END AS sh
+              |  FROM d)
+              |SELECT a.doc_id AS a, b.doc_id AS b,
+              |  round(CAST(len(list_distinct(list_intersect(a.ws, b.ws))) AS DOUBLE)
+              |    / len(list_distinct(list_concat(a.ws, b.ws))), 4) AS j_words,
+              |  round(CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+              |    / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS j_shingles
+              |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+              |WHERE a.doc_id < 200 ORDER BY a""".stripMargin)),
+
+    // -------- simhash document fingerprint: 16-bit majority-vote signature
+    // over word hashes; equal/near signatures → near-dup candidates.
+    QueryDef(
+      "simhash_fp",
+      (s, dir) => {
+        val w = docs(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(
+            col("doc_id"),
+            explode(array_distinct(words(col("text")))).as("w"))
+        val bits = (0 until 16).map(b => simhashBitAgg(col("w"), b).as(s"bit$b"))
+        w.groupBy("doc_id")
+          .agg(bits.head, bits.tail: _*)
+          .select(
+            col("doc_id"),
+            concat((0 until 16).map(b => col(s"bit$b")): _*).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bitExprs = (0 until 16)
+          .map(b =>
+            s"CASE WHEN sum(CASE WHEN substr(md5('sh$b:' || w), 1, 1) < '8' THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH wx AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w
+           |    FROM documents WHERE doc_id < 100))
+           |SELECT doc_id, $bitExprs AS fp FROM wx GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // -------- per-doc quality stats: lengths, token counts (whitespace +
+    // regex "BPE-ish"), type/token ratio.
+    QueryDef(
+      "text_quality",
+      (s, dir) =>
+        docs(s, dir)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), normText(col("text")).as("norm"))
+          .withColumn("ws", split(col("norm"), " "))
+          .select(
+            col("doc_id"),
+            length(col("norm")).as("n_chars"),
+            size(col("ws")).cast("long").as("n_words"),
+            round(
+              size(array_distinct(col("ws"))).cast("double") / size(col("ws")),
+              4).as("ttr"),
+            round(
+              aggregate(
+                transform(col("ws"), w => length(w).cast("long")),
+                lit(0L),
+                _ + _).cast("double") / size(col("ws")),
+              4).as("avg_wlen"),
+            size(
+              regexp_extract_all(
+                col("norm"),
+                lit("[a-z0-9]+|[^a-z0-9 ]"),
+                lit(0))).cast("long").as("re_tokens"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, length(norm) AS n_chars,
+              |  len(ws) AS n_words,
+              |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4) AS ttr,
+              |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+              |    / len(ws), 4) AS avg_wlen,
+              |  len(regexp_extract_all(norm, '[a-z0-9]+|[^a-z0-9 ]')) AS re_tokens
+              |FROM (SELECT doc_id, $oNorm AS norm,
+              |        string_split($oNorm, ' ') AS ws
+              |      FROM documents WHERE doc_id < 200)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // -------- language-ID by stopword voting (n-gram-heuristic shape; the
+    // synthetic corpus is language-neutral so votes mostly tie to the
+    // deterministic fallback — the oracle still checks the full vote
+    // machinery end to end).
+    QueryDef(
+      "lang_id",
+      (s, dir) => {
+        val stop = Map(
+          "en" -> Seq("the", "and", "of", "to", "in"),
+          "de" -> Seq("der", "die", "und", "das", "ist"),
+          "fr" -> Seq("le", "la", "et", "les", "des"),
+          "es" -> Seq("el", "los", "las", "que", "y"))
+        def score(l: String): Column =
+          size(filter(col("ws"), w => w.isin(stop(l).map(x => x: Any): _*)))
+        docs(s, dir)
+          .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+          .withColumn(
+            "predicted",
+            when(
+              score("en") >= score("de") && score("en") >= score("fr") &&
+                score("en") >= score("es"),
+              "en")
+              .when(score("de") >= score("fr") && score("de") >= score("es"), "de")
+              .when(score("fr") >= score("es"), "fr")
+              .otherwise("es"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT lang,
+              |    len(list_filter(ws, w -> w IN ('the','and','of','to','in'))) AS s_en,
+              |    len(list_filter(ws, w -> w IN ('der','die','und','das','ist'))) AS s_de,
+              |    len(list_filter(ws, w -> w IN ('le','la','et','les','des'))) AS s_fr,
+              |    len(list_filter(ws, w -> w IN ('el','los','las','que','y'))) AS s_es
+              |  FROM (SELECT lang, string_split($oNorm, ' ') AS ws FROM documents))
+              |SELECT lang,
+              |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |       WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+              |  count(*) AS n
+              |FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin)),
+
+    // -------- brute-force cosine top-k (the ANN correctness baseline;
+    // reference vector index: usearch HNSW, vector_index.hpp:125-129).
+    QueryDef(
+      "ann_topk",
+      (s, dir) => {
+        val n = embs(s, dir)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+        val q = n.filter(col("vec_id") < 5).select(
+          col("vec_id").as("q"),
+          col("v").as("qv"),
+          col("nrm").as("qn"))
+        val sim = round(
+          dot(col("qv"), col("v")) / (col("qn") * col("nrm")),
+          6).as("sim")
+        val scored = broadcast(q)
+          .join(n, col("vec_id") =!= col("q"))
+          .select(col("q"), col("vec_id").as("c"), sim)
+        scored
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("q").orderBy(col("sim").desc, col("c"))))
+          .filter(col("rk") <= 3)
+          .drop("rk")
+          .orderBy("q", "c")
+      },
+      Some("""WITH n AS MATERIALIZED (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+             |  FROM embeddings)
+             |SELECT q, c, sim FROM (
+             |  SELECT a.vec_id AS q, b.vec_id AS c,
+             |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+             |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+             |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+             |                             ORDER BY sim DESC, b.vec_id) <= 3)
+             |ORDER BY q, c""".stripMargin)),
+
+    // -------- IVF-style bucketed ANN (the scale path): candidates bucketed
+    // by an 8-bit sign code of the leading dimensions; search stays within
+    // the query's bucket (co-shuffled by code at cluster scale).
+    QueryDef(
+      "ann_ivf",
+      (s, dir) => {
+        val n = embs(s, dir)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+          .withColumn("code", signCode(col("v"), 8))
+        val q = n.filter(col("vec_id") < 20).select(
+          col("vec_id").as("q"),
+          col("v").as("qv"),
+          col("nrm").as("qn"),
+          col("code").as("qcode"))
+        val sim = round(
+          dot(col("qv"), col("v")) / (col("qn") * col("nrm")),
+          6).as("sim")
+        broadcast(q)
+          .join(n, col("code") === col("qcode") && col("vec_id") =!= col("q"))
+          .select(col("q"), col("qcode").as("code"), col("vec_id").as("c"), sim)
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("q").orderBy(col("sim").desc, col("c"))))
+          .filter(col("rk") === 1)
+          .drop("rk")
+          .orderBy("q")
+      },
+      Some {
+        val code = (1 to 8)
+          .map(i => s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH n AS MATERIALIZED (
+           |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+           |         $code AS code
+           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+           |SELECT q, code, c, sim FROM (
+           |  SELECT a.vec_id AS q, a.code AS code, b.vec_id AS c,
+           |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+           |  FROM n a JOIN n b ON a.vec_id < 20 AND b.code = a.code
+           |                    AND b.vec_id <> a.vec_id
+           |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+           |                             ORDER BY sim DESC, b.vec_id) = 1)
+           |ORDER BY q""".stripMargin
+      }),
+
+    // -------- embedding corpus stats per cluster label.
+    QueryDef(
+      "emb_stats",
+      (s, dir) =>
+        embs(s, dir)
+          .select(
+            col("label"),
+            l2norm(vecD(col("embedding"))).as("nrm"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("nrm")), 4).as("avg_norm"))
+          .orderBy("label"),
+      Some("""SELECT label, count(*) AS n,
+             |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 4) AS avg_norm
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    // -------- multimodal column plumbing: text → binary payload column +
+    // deterministic stub "decode" features (see LlmOps.stubFeature — the
+    // real decode would run here over image/audio bytes).
+    QueryDef(
+      "multimodal_features",
+      (s, dir) =>
+        docs(s, dir)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), normText(col("text")).as("norm"))
+          .withColumn("payload", encode(col("norm"), "UTF-8"))
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            stubFeature(col("norm"), 1).as("f1"),
+            stubFeature(col("norm"), 2).as("f2"),
+            stubFeature(col("norm"), 3).as("f3"),
+            stubFeature(col("norm"), 4).as("f4"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, octet_length(encode(norm)) AS n_bytes,
+              |  ascii(substr(md5(norm), 1, 1)) AS f1,
+              |  ascii(substr(md5(norm), 2, 1)) AS f2,
+              |  ascii(substr(md5(norm), 3, 1)) AS f3,
+              |  ascii(substr(md5(norm), 4, 1)) AS f4
+              |FROM (SELECT doc_id, $oNorm AS norm FROM documents WHERE doc_id < 100)
+              |ORDER BY doc_id""".stripMargin))
+  )
+}

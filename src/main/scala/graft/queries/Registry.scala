@@ -4,7 +4,8 @@ package graft.queries
   * SparkEntry exposes to the driver. */
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs
+    Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs ++
+      LlmQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(
