@@ -84,6 +84,16 @@ final class GraphState(
   def edgesOfTypes(types: Seq[String]): DataFrame =
     if (types.isEmpty) allEdges
     else types.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** New graph version with one node frame replaced/added — the snapshot
+    * step every mutation funnels through (our Accumulate barrier analog,
+    * `operator.hpp:1870`: writes become visible as a whole new state, never
+    * mid-read). */
+  def withNodes(label: String, mk: () => DataFrame): GraphState =
+    new GraphState(nodeThunks + (label -> mk), edgeThunks)
+
+  def withEdges(tpe: String, mk: () => DataFrame): GraphState =
+    new GraphState(nodeThunks, edgeThunks + (tpe -> mk))
 }
 
 object GraphState {

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraphState
+
+/** Graph mutations (SURVEY.md §2.6) — each produces a **new immutable
+  * GraphState version** instead of the reference's MVCC delta chains
+  * (`src/storage/v2/delta_action.hpp:27-41`): snapshot-at-statement
+  * semantics, which is also the Accumulate barrier (`operator.hpp:1870`) —
+  * a statement's reads never see its own partial writes.
+  *
+  * All updates are declarative column transforms or anti/outer joins, so at
+  * 100 TB each mutation compiles to one scan + (at most) one shuffle of the
+  * touched frames; untouched label/type frames are carried by reference and
+  * cost nothing.
+  *
+  * Reference operators mapped here:
+  *   - `CreateNode` operator.hpp:411 → [[createNodes]]
+  *   - `CreateExpand` operator.hpp:494 → [[createEdges]]
+  *   - `Delete` (+DETACH) operator.hpp:1396 → [[deleteNodes]], [[deleteEdges]]
+  *   - `SetProperty` operator.hpp:1448 → [[setProperty]]
+  *   - `RemoveProperty` operator.hpp:1630 → [[removeProperty]]
+  *   - `SetLabels`/`RemoveLabels` operator.hpp:1590,1715 → [[setLabels]],
+  *     [[removeLabels]]
+  *   - `Merge` operator.hpp:2579 → [[mergeNodes]]
+  */
+object Mutations {
+
+  import GraphState.{DstCol, IdCol, LabelsCol, SrcCol}
+
+  /** Append nodes (schema: `_id`, `_labels`, props). New labels allowed. */
+  def createNodes(g: GraphState, label: String, rows: DataFrame): GraphState =
+    if (g.hasLabel(label))
+      g.withNodes(
+        label,
+        () => g.nodes(label).unionByName(rows, allowMissingColumns = true))
+    else g.withNodes(label, () => rows)
+
+  /** Append edges (schema: `_id`, `_src`, `_dst`, `_type`, props). */
+  def createEdges(g: GraphState, tpe: String, rows: DataFrame): GraphState =
+    if (g.hasType(tpe))
+      g.withEdges(
+        tpe,
+        () => g.edges(tpe).unionByName(rows, allowMissingColumns = true))
+    else g.withEdges(tpe, () => rows)
+
+  /** Delete nodes by id. `detach=true` also removes incident edges (DETACH
+    * DELETE); without it, dangling edges are the caller's responsibility
+    * (the reference raises mid-transaction instead — a runtime check a
+    * batch engine defers to validation). */
+  def deleteNodes(
+      g: GraphState,
+      ids: DataFrame, // single column: _id
+      detach: Boolean): GraphState = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => g.nodes(l).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
+    }
+    if (detach) {
+      g.edgeTypes.foreach { t =>
+        out = out.withEdges(
+          t,
+          () =>
+            g.edges(t)
+              .join(
+                broadcastIfSmall(key.select(col(IdCol).as(SrcCol))),
+                Seq(SrcCol),
+                "left_anti")
+              .join(
+                broadcastIfSmall(key.select(col(IdCol).as(DstCol))),
+                Seq(DstCol),
+                "left_anti"))
+      }
+    }
+    out
+  }
+
+  /** Delete edges of one type by edge id. */
+  def deleteEdges(g: GraphState, tpe: String, ids: DataFrame): GraphState = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+    g.withEdges(
+      tpe,
+      () => g.edges(tpe).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
+  }
+
+  /** SET n.prop = expr for every node of a label (expr over the node
+    * frame's columns) — a pure column transform, no shuffle. */
+  def setProperty(
+      g: GraphState,
+      label: String,
+      prop: String,
+      value: Column): GraphState =
+    g.withNodes(label, () => g.nodes(label).withColumn(prop, value))
+
+  /** REMOVE n.prop — drops the promoted column. */
+  def removeProperty(g: GraphState, label: String, prop: String): GraphState =
+    g.withNodes(label, () => g.nodes(label).drop(prop))
+
+  def setLabels(g: GraphState, label: String, add: Seq[String]): GraphState =
+    g.withNodes(
+      label,
+      () =>
+        g.nodes(label).withColumn(
+          LabelsCol,
+          array_union(col(LabelsCol), array(add.map(lit): _*))))
+
+  def removeLabels(g: GraphState, label: String, rm: Seq[String]): GraphState =
+    g.withNodes(
+      label,
+      () =>
+        g.nodes(label).withColumn(
+          LabelsCol,
+          array_except(col(LabelsCol), array(rm.map(lit): _*))))
+
+  /** MERGE: idempotent upsert — rows whose `_id` is absent are created,
+    * existing ones are left untouched (ON MATCH updates compose via
+    * [[setProperty]] afterwards). Anti-join on the id is the exact analog
+    * of the reference's match-miss branch. */
+  def mergeNodes(g: GraphState, label: String, rows: DataFrame): GraphState =
+    if (!g.hasLabel(label)) g.withNodes(label, () => rows)
+    else
+      g.withNodes(
+        label,
+        () =>
+          g.nodes(label).unionByName(
+            rows.join(
+              g.nodes(label).select(IdCol),
+              Seq(IdCol),
+              "left_anti"),
+            allowMissingColumns = true))
+
+  // Mutation key-sets are usually tiny relative to the frames they prune;
+  // broadcasting keeps DELETE from shuffling the whole graph. Spark's AQE
+  // does this automatically when sizes are known — the hint covers the
+  // unknown-size lazy case.
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+}
