@@ -95,6 +95,12 @@ object Ast {
       limit: Option[Expr])
   final case class With(body: ProjectionBody, where: Option[Expr]) extends Clause
   final case class Return(body: ProjectionBody) extends Clause
+  /** CALL name(args) YIELD cols (reference `CallProcedure`,
+    * operator.hpp:2891). Args must be constant expressions. */
+  final case class CallProc(
+      name: String,
+      args: Seq[Expr],
+      yields: Seq[String]) extends Clause
 
   // ---------- query ----------
   final case class SingleQuery(clauses: Seq[Clause])

@@ -329,8 +329,14 @@ object CypherParser extends RegexParsers {
   def returnClause: Parser[Clause] =
     kw("RETURN") ~> projectionBody ^^ Return.apply
 
+  def callClause: Parser[Clause] =
+    kw("CALL") ~> fnName ~ opt("(" ~> repsep(expr, ",") <~ ")") ~
+      (kw("YIELD") ~> rep1sep(ident, ",")) ^^ { case n ~ args ~ ys =>
+      CallProc(n.toLowerCase, args.getOrElse(Nil), ys)
+    }
+
   def clause: Parser[Clause] =
-    matchClause | unwindClause | withClause | returnClause
+    matchClause | unwindClause | withClause | returnClause | callClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

@@ -62,6 +62,9 @@ object Functions {
         else avg(a(0))
       case "min" => min(a(0))
       case "max" => max(a(0))
+      case "collect" if args.size == 2 =>
+        // COLLECT_MAP (aggregation.hpp:27 Op::COLLECT_MAP): collect(k, v).
+        map_from_entries(array_distinct(collect_list(struct(a(0), a(1)))))
       case "collect" =>
         if (distinct) collect_set(a(0)) else collect_list(a(0))
       case "stdev" => stddev_samp(a(0))

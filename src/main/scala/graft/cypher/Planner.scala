@@ -70,6 +70,39 @@ final class Planner(
 
     case With(body, where) => project(lf, body, where, isReturn = false)
     case Return(body) => project(lf, body, None, isReturn = true)
+
+    case CallProc(name, args, yields) =>
+      val proc = graft.procedures.Procedures.registry.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"unknown procedure: $name"))
+      val out = proc(
+        graft.procedures.ProcContext(spark, g, args.map(constValue)))
+      val missing = yields.filterNot(out.columns.contains)
+      require(missing.isEmpty, s"procedure $name does not yield: $missing")
+      val selected = out.select(
+        yields.map(y => col(y).as(s"$y${Frames.Sep}_val")): _*)
+      val df =
+        if (lf.df.columns.isEmpty) selected
+        else lf.df.crossJoin(selected)
+      LF(df, yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+  }
+
+  /** Constant evaluation for procedure arguments (literals, maps, lists,
+    * params) — procedures run at plan time, not per row. */
+  private def constValue(e: Expr): Any = e match {
+    case Lit(v) => v
+    case Neg(Lit(v: Long)) => -v
+    case Neg(Lit(v: Double)) => -v
+    case ListLit(items) => items.map(constValue)
+    case MapLit(items) =>
+      items.map { case (k, v) => k -> constValue(v) }.toMap
+    case Param(n) =>
+      params.getOrElse(
+        n,
+        throw new IllegalArgumentException(s"missing parameter $$$n"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"procedure arguments must be constant, got $other")
   }
 
   // ---------------- patterns ----------------
@@ -118,7 +151,7 @@ final class Planner(
 
         case Some((lo, hi)) =>
           val minH = lo.getOrElse(1)
-          val maxH = hi.getOrElse(VarExpand.DefaultMaxHops)
+          val maxH = hi // None = unbounded → fixpoint iteration
           if (rel.props.nonEmpty)
             throw new UnsupportedOperationException(
               "property map on variable-length relationships")

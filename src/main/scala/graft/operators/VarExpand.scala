@@ -11,18 +11,26 @@ import graft.core.{Frames, GraphState}
   * appear at most once per traversal,
   * reference `EdgeUniquenessFilter`, operator.hpp:1768).
   *
-  * Spark-first lowering: bounded unrolling into a union of k-hop join chains.
-  * Each hop is an equi-join on node id (shuffled or broadcast by Catalyst);
-  * the traversed edge-id list is carried as an ARRAY column, and uniqueness
-  * is `!array_contains(path, edge)`. Unbounded `*` is capped (the reference
-  * has `USING HOPS LIMIT` for the same reason, ast.hpp:2086). The unrolled
-  * plan is a DAG of joins — at 1000-executor scale each hop is one shuffle
-  * stage and the union is evaluated in parallel, not sequentially.
+  * Two lowerings:
+  *   - **bounded** (`*lo..hi`): unrolled into a union of k-hop join chains —
+  *     one declarative plan, each hop an equi-join Catalyst can broadcast or
+  *     shuffle; the union's branches evaluate in parallel across the
+  *     cluster.
+  *   - **unbounded** (`*`): driver-steered fixpoint — expand a frontier one
+  *     hop per round with per-round `localCheckpoint` (lineage truncation,
+  *     see [[ShortestPath]]) until the frontier is empty. Terminates on any
+  *     graph because a path cannot repeat an edge; a safety valve raises
+  *     after [[HardHopLimit]] rounds instead of silently truncating (the
+  *     reference's opt-in `USING HOPS LIMIT`, ast.hpp:2086 — but wrong
+  *     answers are never returned silently).
+  *
+  * The traversed edge-id list is carried as an ARRAY column (`e@_ids`);
+  * uniqueness is `!array_contains(path, edge)`.
   */
 object VarExpand {
 
-  /** Default cap for unbounded `*` (hops-limit analog). */
-  val DefaultMaxHops = 8
+  /** Safety valve for unbounded `*`: raise, never truncate. */
+  val HardHopLimit = 64
 
   /** Internal column names used while stepping (dropped before return). */
   private val CUR = "__vx_cur"
@@ -30,6 +38,7 @@ object VarExpand {
 
   /** Expand from `srcVar`, binding `edgeVar@_ids` (edge-id list, in
     * traversal order) and fresh node `dstVar`. `dir` is interpreted per-hop.
+    * `maxHops = None` means unbounded (fixpoint iteration).
     */
   def apply(
       frame: DataFrame,
@@ -39,53 +48,86 @@ object VarExpand {
       types: Seq[String],
       dir: Expand.Direction,
       minHops: Int,
-      maxHops: Int,
+      maxHops: Option[Int],
       dstVar: String,
       dstLabel: Option[String]): DataFrame = {
-    require(minHops >= 0 && maxHops >= minHops, s"bad hop range $minHops..$maxHops")
+    require(
+      minHops >= 0 && maxHops.forall(_ >= minHops),
+      s"bad hop range $minHops..$maxHops")
 
     val edges = g.edgesOfTypes(types)
       .select(col(GraphState.IdCol), col(GraphState.SrcCol), col(GraphState.DstCol))
 
-    var cur = frame
+    val base = frame
       .withColumn(CUR, Frames.id(srcVar))
       .withColumn(PATH, array().cast("array<long>"))
 
-    var reached: Seq[DataFrame] = Nil
-    if (minHops == 0) reached = reached :+ cur
-
-    for (k <- 1 to maxHops) {
-      val e = edges.select(
-        col(GraphState.IdCol).as(s"__e_id"),
-        col(GraphState.SrcCol).as(s"__e_src"),
-        col(GraphState.DstCol).as(s"__e_dst"))
-      val joined = dir match {
-        case Expand.Out =>
-          cur.join(e, col(CUR) === col("__e_src"))
-            .withColumn("__next", col("__e_dst"))
-        case Expand.In =>
-          cur.join(e, col(CUR) === col("__e_dst"))
-            .withColumn("__next", col("__e_src"))
-        case Expand.Both =>
-          cur.join(e, col(CUR) === col("__e_src") || col(CUR) === col("__e_dst"))
-            .withColumn(
-              "__next",
-              when(col(CUR) === col("__e_src"), col("__e_dst"))
-                .otherwise(col("__e_src")))
-      }
-      cur = joined
-        .filter(!array_contains(col(PATH), col("__e_id")))
-        .withColumn(PATH, concat(col(PATH), array(col("__e_id"))))
-        .withColumn(CUR, col("__next"))
-        .drop("__e_id", "__e_src", "__e_dst", "__next")
-      if (k >= minHops) reached = reached :+ cur
+    val all = maxHops match {
+      case Some(h) if h <= 12 => // unrolled declarative plan
+        var cur = base
+        var reached: Seq[DataFrame] = Nil
+        if (minHops == 0) reached = reached :+ cur
+        for (k <- 1 to h) {
+          cur = step(cur, edges, dir)
+          if (k >= minHops) reached = reached :+ cur
+        }
+        reached.reduce(_ unionByName _)
+      case bound => // fixpoint loop (unbounded or large bound)
+        val limit = bound.getOrElse(HardHopLimit)
+        var cur = base.localCheckpoint(true)
+        var reached: Seq[DataFrame] = Nil
+        if (minHops == 0) reached = reached :+ cur
+        var k = 0
+        var empty = cur.isEmpty
+        while (!empty && k < limit) {
+          k += 1
+          cur = step(cur, edges, dir).localCheckpoint(true)
+          empty = cur.isEmpty
+          if (!empty && k >= minHops) reached = reached :+ cur
+        }
+        if (!empty && bound.isEmpty)
+          throw new IllegalStateException(
+            s"unbounded variable expansion exceeded $HardHopLimit hops — " +
+              "add an explicit upper bound (USING HOPS LIMIT analog)")
+        if (reached.isEmpty) reached = Seq(cur.limit(0))
+        reached.reduce(_ unionByName _)
     }
 
-    val all = reached.reduce(_ unionByName _)
     val nodesDf = dstLabel.map(g.nodes).getOrElse(g.allNodes)
     all
       .join(Frames.bind(dstVar)(nodesDf), col(CUR) === Frames.id(dstVar))
       .withColumn(s"$edgeVar${Frames.Sep}_ids", col(PATH))
       .drop(CUR, PATH)
+  }
+
+  /** One hop: join the frontier to the edge frame, enforce edge
+    * uniqueness, extend the path. */
+  private def step(
+      cur: DataFrame,
+      edges: DataFrame,
+      dir: Expand.Direction): DataFrame = {
+    val e = edges.select(
+      col(GraphState.IdCol).as("__e_id"),
+      col(GraphState.SrcCol).as("__e_src"),
+      col(GraphState.DstCol).as("__e_dst"))
+    val joined = dir match {
+      case Expand.Out =>
+        cur.join(e, col(CUR) === col("__e_src"))
+          .withColumn("__next", col("__e_dst"))
+      case Expand.In =>
+        cur.join(e, col(CUR) === col("__e_dst"))
+          .withColumn("__next", col("__e_src"))
+      case Expand.Both =>
+        cur.join(e, col(CUR) === col("__e_src") || col(CUR) === col("__e_dst"))
+          .withColumn(
+            "__next",
+            when(col(CUR) === col("__e_src"), col("__e_dst"))
+              .otherwise(col("__e_src")))
+    }
+    joined
+      .filter(!array_contains(col(PATH), col("__e_id")))
+      .withColumn(PATH, concat(col(PATH), array(col("__e_id"))))
+      .withColumn(CUR, col("__next"))
+      .drop("__e_id", "__e_src", "__e_dst", "__next")
   }
 }

@@ -5,7 +5,7 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs ++
-      LlmQueries.defs ++ MutationQueries.defs
+      LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(
