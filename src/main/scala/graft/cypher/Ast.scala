@@ -102,6 +102,32 @@ object Ast {
       args: Seq[Expr],
       yields: Seq[String]) extends Clause
 
+  // ---------- mutation clauses (SURVEY.md §2.6) ----------
+  /** CREATE patterns (`CreateNode` operator.hpp:411, `CreateExpand` :494). */
+  final case class CreateCl(patterns: Seq[PatternPart]) extends Clause
+  /** MERGE pattern with ON CREATE / ON MATCH SET (`Merge` operator.hpp:2579). */
+  final case class MergeCl(
+      pattern: PatternPart,
+      onCreate: Seq[SetItem],
+      onMatch: Seq[SetItem]) extends Clause
+  sealed trait SetItem
+  final case class SetProp(variable: String, key: String, value: Expr) extends SetItem
+  final case class SetLabelsItem(variable: String, labels: Seq[String]) extends SetItem
+  /** SET items (`SetProperty` operator.hpp:1448, `SetLabels` :1590). */
+  final case class SetCl(items: Seq[SetItem]) extends Clause
+  /** [DETACH] DELETE vars (`Delete` operator.hpp:1396). */
+  final case class DeleteCl(detach: Boolean, vars: Seq[String]) extends Clause
+  sealed trait RemoveItem
+  final case class RemoveProp(variable: String, key: String) extends RemoveItem
+  final case class RemoveLabelsItem(variable: String, labels: Seq[String]) extends RemoveItem
+  /** REMOVE items (`RemoveProperty` operator.hpp:1630, `RemoveLabels` :1715). */
+  final case class RemoveCl(items: Seq[RemoveItem]) extends Clause
+  /** FOREACH (x IN list | update-clauses) (`Foreach` operator.hpp:3032). */
+  final case class ForeachCl(
+      variable: String,
+      list: Expr,
+      updates: Seq[Clause]) extends Clause
+
   // ---------- query ----------
   final case class SingleQuery(clauses: Seq[Clause])
   final case class Query(first: SingleQuery, unions: Seq[(Boolean, SingleQuery)]) // (all?, query)

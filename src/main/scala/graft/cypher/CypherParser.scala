@@ -335,8 +335,61 @@ object CypherParser extends RegexParsers {
       CallProc(n.toLowerCase, args.getOrElse(Nil), ys)
     }
 
+  // ---------- mutation clauses ----------
+  def createClause: Parser[Clause] =
+    kw("CREATE") ~> rep1sep(patternPart, ",") ^^ CreateCl.apply
+
+  def setItem: Parser[SetItem] =
+    (ident <~ ".") ~ (ident | identP) ~ ("=" ~> expr) ^^ { case v ~ k ~ e =>
+      SetProp(v, k, e)
+    } |
+      ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
+        SetLabelsItem(v, ls)
+      }
+
+  def setClause: Parser[Clause] =
+    kw("SET") ~> rep1sep(setItem, ",") ^^ SetCl.apply
+
+  def deleteClause: Parser[Clause] =
+    opt(kw("DETACH")) ~ (kw("DELETE") ~> rep1sep(ident, ",")) ^^ {
+      case d ~ vs => DeleteCl(d.isDefined, vs)
+    }
+
+  def removeItem: Parser[RemoveItem] =
+    (ident <~ ".") ~ (ident | identP) ^^ { case v ~ k => RemoveProp(v, k) } |
+      ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
+        RemoveLabelsItem(v, ls)
+      }
+
+  def removeClause: Parser[Clause] =
+    kw("REMOVE") ~> rep1sep(removeItem, ",") ^^ RemoveCl.apply
+
+  def mergeClause: Parser[Clause] =
+    kw("MERGE") ~> patternPart ~
+      rep(
+        (kw("ON") ~> kw("CREATE") ~> kw("SET") ~> rep1sep(setItem, ",")) ^^ (
+            ("create", _)) |
+          (kw("ON") ~> kw("MATCH") ~> kw("SET") ~> rep1sep(setItem, ",")) ^^ (
+              ("match", _))) ^^ { case p ~ ons =>
+      MergeCl(
+        p,
+        ons.collect { case ("create", is) => is }.flatten,
+        ons.collect { case ("match", is) => is }.flatten)
+    }
+
+  def foreachClause: Parser[Clause] =
+    kw("FOREACH") ~> "(" ~> ident ~ (kw("IN") ~> expr) ~
+      ("|" ~> rep1(updateClause)) <~ ")" ^^ { case v ~ l ~ us =>
+      ForeachCl(v, l, us)
+    }
+
+  def updateClause: Parser[Clause] =
+    createClause | mergeClause | setClause | deleteClause | removeClause |
+      foreachClause
+
   def clause: Parser[Clause] =
-    matchClause | unwindClause | withClause | returnClause | callClause
+    matchClause | unwindClause | withClause | returnClause | callClause |
+      updateClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

@@ -29,6 +29,19 @@ final class Planner(
   private var counter = 0
   private def fresh(p: String): String = { counter += 1; s"__$p$counter" }
 
+  /** Current graph version. Mutation clauses replace it (snapshot-per-
+    * statement — the Accumulate barrier, operator.hpp:1870): reads planned
+    * after a mutation clause see the new version, never partial writes. */
+  private var state: GraphState = g
+  def currentState: GraphState = state
+
+  /** Id namespace for nodes/edges created by this query (outside loader
+    * bases). `monotonically_increasing_id` is partition-parallel (no global
+    * window); created frames are checkpointed so ids are assigned exactly
+    * once. */
+  private var createBase = 900L
+  private def nextBase(): Long = { createBase += 1; createBase << 48 }
+
   final case class LF(df: DataFrame, scope: Scope)
 
   private def initial: LF = LF(spark.range(1).drop("id"), Scope.empty)
@@ -76,7 +89,7 @@ final class Planner(
         name,
         throw new IllegalArgumentException(s"unknown procedure: $name"))
       val out = proc(
-        graft.procedures.ProcContext(spark, g, args.map(constValue)))
+        graft.procedures.ProcContext(spark, state, args.map(constValue)))
       val missing = yields.filterNot(out.columns.contains)
       require(missing.isEmpty, s"procedure $name does not yield: $missing")
       val selected = out.select(
@@ -85,6 +98,197 @@ final class Planner(
         if (lf.df.columns.isEmpty) selected
         else lf.df.crossJoin(selected)
       LF(df, yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+
+    case CreateCl(patterns) => patterns.foldLeft(lf)(planCreate)
+    case SetCl(items) => { planSet(lf, items); lf }
+    case DeleteCl(detach, vars) => { planDelete(lf, detach, vars); lf }
+    case RemoveCl(items) => { planRemove(lf, items); lf }
+    case m: MergeCl => { planMerge(lf, m); lf }
+    case ForeachCl(v, listE, updates) =>
+      // Foreach (operator.hpp:3032): run the update clauses against the
+      // exploded frame; the outer frame and scope are unchanged.
+      val exploded = planClause(lf, Unwind(listE, v))
+      updates.foldLeft(exploded)(planClause)
+      lf
+  }
+
+  // ---------------- mutations (SURVEY.md §2.6) ----------------
+
+  import graft.operators.Mutations
+
+  /** Base frame for standalone (frame-less) mutation clauses. */
+  private def oneRow(lf: LF): DataFrame =
+    if (lf.df.columns.isEmpty) spark.range(1).toDF() else lf.df
+
+  /** CREATE (v:L {props}) — one node per input row — or
+    * CREATE (a)-[:T {props}]->(b) with bound endpoints — one edge per row.
+    * Created frames are localCheckpoint-ed: ids are assigned exactly once,
+    * and the new state version is materialized (Accumulate barrier). */
+  private def planCreate(lf: LF, part: PatternPart): LF = {
+    val low = lowering(lf)
+    if (part.hops.isEmpty) {
+      val n = part.start
+      require(n.labels.nonEmpty, "CREATE node requires a label")
+      val label = n.labels.head
+      val props = n.props.map { case (k, e) => low.lower(e).as(k) }
+      val rows = oneRow(lf)
+        .select(props: _*)
+        .select(
+          (lit(nextBase()) + monotonically_increasing_id())
+            .as(GraphState.IdCol) +:
+            array(n.labels.map(lit): _*).as(GraphState.LabelsCol) +:
+            n.props.map { case (k, _) => col(k) }: _*)
+        .localCheckpoint(true)
+      state = Mutations.createNodes(state, label, rows)
+      // standalone CREATE binds the variable (CREATE ... RETURN v works);
+      // correlated CREATE leaves the frame untouched
+      part.start.variable match {
+        case Some(v) if lf.df.columns.isEmpty =>
+          LF(Frames.bind(v)(rows), lf.scope + (v -> Binding.NodeB))
+        case _ => lf
+      }
+    } else {
+      require(
+        part.hops.size == 1,
+        "CREATE supports single-edge patterns")
+      val (rel, endNode) = part.hops.head
+      val a = part.start.variable.getOrElse(
+        throw new IllegalArgumentException("CREATE edge: source must be bound"))
+      val b = endNode.variable.getOrElse(
+        throw new IllegalArgumentException("CREATE edge: target must be bound"))
+      require(
+        lf.scope.contains(a) && lf.scope.contains(b),
+        "CREATE edge endpoints must be bound node variables")
+      require(rel.types.size == 1, "CREATE edge requires exactly one type")
+      val tpe = rel.types.head
+      val (src, dst) =
+        if (rel.direction == InDir) (Frames.id(b), Frames.id(a))
+        else (Frames.id(a), Frames.id(b))
+      val rows = lf.df
+        .select(
+          (lit(nextBase()) + monotonically_increasing_id())
+            .as(GraphState.IdCol) +:
+            src.as(GraphState.SrcCol) +:
+            dst.as(GraphState.DstCol) +:
+            lit(tpe).as(GraphState.TypeCol) +:
+            rel.props.map { case (k, e) => low.lower(e).as(k) }: _*)
+        .localCheckpoint(true)
+      state = Mutations.createEdges(state, tpe, rows)
+      lf
+    }
+  }
+
+  private def planSet(lf: LF, items: Seq[SetItem]): Unit = items.foreach {
+    case SetProp(v, key, e) =>
+      val low = lowering(lf)
+      val value = low.lower(e)
+      lf.scope.get(v) match {
+        case Some(Binding.NodeB) =>
+          val updates = lf.df
+            .select(Frames.id(v).as(GraphState.IdCol), value.as("__nv"))
+            .groupBy(GraphState.IdCol)
+            .agg(max(col("__nv")).as("__nv"))
+          state = Mutations.setPropertyByIds(state, updates, key)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"SET on $other binding (only node properties in this version)")
+      }
+    case SetLabelsItem(v, labels) =>
+      state = Mutations.updateLabelsByIds(
+        state,
+        lf.df.select(Frames.id(v)).distinct(),
+        labels,
+        add = true)
+  }
+
+  private def planDelete(lf: LF, detach: Boolean, vars: Seq[String]): Unit =
+    vars.foreach { v =>
+      val ids = lf.df.select(Frames.id(v)).distinct()
+      lf.scope.get(v) match {
+        case Some(Binding.NodeB) =>
+          state = Mutations.deleteNodes(state, ids, detach)
+        case Some(Binding.EdgeB) =>
+          state = Mutations.deleteEdgesAllTypes(state, ids)
+        case other =>
+          throw new UnsupportedOperationException(s"DELETE on $other binding")
+      }
+    }
+
+  private def planRemove(lf: LF, items: Seq[RemoveItem]): Unit =
+    items.foreach {
+      case RemoveProp(v, key) =>
+        state = Mutations.removePropertyByIds(
+          state,
+          lf.df.select(Frames.id(v)).distinct(),
+          key)
+      case RemoveLabelsItem(v, labels) =>
+        state = Mutations.updateLabelsByIds(
+          state,
+          lf.df.select(Frames.id(v)).distinct(),
+          labels,
+          add = false)
+    }
+
+  /** MERGE (v:L {props}) — distinct prop rows; missing ones are created
+    * (with ON CREATE SET columns), existing ones get ON MATCH SET updates.
+    * Anti-join on the property columns = the reference's match-miss branch.
+    */
+  private def planMerge(lf: LF, m: MergeCl): Unit = {
+    require(
+      m.pattern.hops.isEmpty,
+      "MERGE supports single-node patterns in this version")
+    val n = m.pattern.start
+    require(
+      n.labels.nonEmpty && n.props.nonEmpty,
+      "MERGE requires a label and a property map")
+    val label = n.labels.head
+    val low = lowering(lf)
+    val propNames = n.props.map(_._1)
+    val want = oneRow(lf)
+      .select(n.props.map { case (k, e) => low.lower(e).as(k) }: _*)
+      .distinct()
+
+    def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
+      items.foldLeft(base) {
+        case (d, SetProp(v, key, e)) if n.variable.contains(v) =>
+          val lowD = new ExprLowering(d, Scope.empty, params)
+          d.withColumn(key, lowD.lower(e))
+        case (d, _) => d
+      }
+
+    if (!state.hasLabel(label)) {
+      val created = setCols(
+        m.onCreate,
+        want.select(
+          (lit(nextBase()) + monotonically_increasing_id())
+            .as(GraphState.IdCol) +:
+            array(n.labels.map(lit): _*).as(GraphState.LabelsCol) +:
+            propNames.map(col): _*)).localCheckpoint(true)
+      state = Mutations.createNodes(state, label, created)
+    } else {
+      val existing = state.nodes(label)
+      val missing = want.join(existing, propNames, "left_anti")
+      val created = setCols(
+        m.onCreate,
+        missing.select(
+          (lit(nextBase()) + monotonically_increasing_id())
+            .as(GraphState.IdCol) +:
+            array(n.labels.map(lit): _*).as(GraphState.LabelsCol) +:
+            propNames.map(col): _*)).localCheckpoint(true)
+      state = Mutations.createNodes(state, label, created)
+      if (m.onMatch.nonEmpty) {
+        val matchedIds = existing
+          .join(want, propNames, "left_semi")
+          .select(GraphState.IdCol)
+        m.onMatch.foreach {
+          case SetProp(v, key, e) if n.variable.contains(v) =>
+            val lowU = new ExprLowering(matchedIds.toDF(), Scope.empty, params)
+            val updates = matchedIds.withColumn("__nv", lowU.lower(e))
+            state = Mutations.setPropertyByIds(state, updates, key)
+          case _ => ()
+        }
+      }
+    }
   }
 
   /** Constant evaluation for procedure arguments (literals, maps, lists,
@@ -131,15 +335,15 @@ final class Planner(
       rel.varLength match {
         case None =>
           if (dstBound) {
-            val df = Expand.toExisting(cur.df, g, srcVar, eVar, types, dir, dstName)
+            val df = Expand.toExisting(cur.df, state, srcVar, eVar, types, dir, dstName)
             cur = LF(df, cur.scope + (eVar -> Binding.EdgeB))
           } else {
             val dstLabel = node.labels.headOption
             val df = dir match {
               case Expand.Both =>
-                Expand.expandBoth(cur.df, g, srcVar, eVar, types, dstName, dstLabel)
+                Expand.expandBoth(cur.df, state, srcVar, eVar, types, dstName, dstLabel)
               case d =>
-                Expand(cur.df, g, srcVar, eVar, types, d, dstName, dstLabel)
+                Expand(cur.df, state, srcVar, eVar, types, d, dstName, dstLabel)
             }
             cur = LF(
               df,
@@ -158,7 +362,7 @@ final class Planner(
           if (dstBound) {
             val tmp = fresh("n")
             val df0 = VarExpand(
-              cur.df, g, srcVar, eVar, types, dir, minH, maxH, tmp,
+              cur.df, state, srcVar, eVar, types, dir, minH, maxH, tmp,
               dstLabel = None)
             val df = df0
               .filter(Frames.id(tmp) === Frames.id(dstName))
@@ -166,7 +370,7 @@ final class Planner(
             cur = LF(df, cur.scope + (eVar -> Binding.EdgeListB))
           } else {
             val df = VarExpand(
-              cur.df, g, srcVar, eVar, types, dir, minH, maxH, dstName,
+              cur.df, state, srcVar, eVar, types, dir, minH, maxH, dstName,
               node.labels.headOption)
             cur = LF(
               df,
@@ -216,7 +420,7 @@ final class Planner(
         val (ev, _, wexpr) = rel.weight.getOrElse(
           throw new IllegalArgumentException(
             "*WSHORTEST requires a weight lambda (e, n | expr)"))
-        val eframe = Frames.bind(ev)(g.edgesOfTypes(rel.types))
+        val eframe = Frames.bind(ev)(state.edgesOfTypes(rel.types))
         val wcol = new ExprLowering(
           eframe,
           Scope.empty + (ev -> Binding.EdgeB),
@@ -227,9 +431,9 @@ final class Planner(
             Frames.dst(ev).as(GraphState.DstCol),
             wcol.cast("double").as(ShortestPath.EdgeWeightCol)),
           dir)
-        ShortestPath.weighted(g, seeds, oriented, maxRounds = maxH)
+        ShortestPath.weighted(state, seeds, oriented, maxRounds = maxH)
       case _ =>
-        ShortestPath.bfs(g, seeds, rel.types, dir, maxH)
+        ShortestPath.bfs(state, seeds, rel.types, dir, maxH)
     }
 
     var joined = cur0.df
@@ -243,7 +447,7 @@ final class Planner(
         .filter(col(ShortestPath.NodeCol) === Frames.id(dstName))
         .drop(ShortestPath.NodeCol)
     } else {
-      val nodesDf = node.labels.headOption.map(g.nodes).getOrElse(g.allNodes)
+      val nodesDf = node.labels.headOption.map(state.nodes).getOrElse(state.allNodes)
       joined = joined
         .join(
           Frames.bind(dstName)(nodesDf),
@@ -289,8 +493,8 @@ final class Planner(
       (nodeConstraints(lf, name, n.labels, n.props), name)
     } else {
       val scan = n.labels.headOption match {
-        case Some(l) => g.nodes(l)
-        case None => g.allNodes
+        case Some(l) => state.nodes(l)
+        case None => state.allNodes
       }
       val bound = Frames.bind(name)(scan)
       val df =
@@ -667,4 +871,22 @@ object Cypher {
       query: String,
       params: Map[String, Any] = Map.empty): DataFrame =
     new Planner(spark, g, params).plan(CypherParser.parse(query))
+
+  /** Result of a mutating statement: the new graph version plus whatever
+    * the final RETURN produced (the frame of the last clause otherwise —
+    * callers treating this as EmptyResult just ignore it,
+    * operator.hpp:1819). */
+  final case class ExecResult(graph: GraphState, result: DataFrame)
+
+  /** Run a (possibly mutating) Cypher statement; reads after a mutation
+    * clause see the new state (statement-serial versions, not MVCC). */
+  def execute(
+      spark: SparkSession,
+      g: GraphState,
+      query: String,
+      params: Map[String, Any] = Map.empty): ExecResult = {
+    val planner = new Planner(spark, g, params)
+    val df = planner.plan(CypherParser.parse(query))
+    ExecResult(planner.currentState, df)
+  }
 }

@@ -134,6 +134,99 @@ object Mutations {
               "left_anti"),
             allowMissingColumns = true))
 
+  /** SET n.prop = value for a set of (_id, __nv) updates, across every
+    * label — id namespaces are per-label, so only the owning frame actually
+    * changes; the others join against zero matching keys. */
+  def setPropertyByIds(
+      g: GraphState,
+      updates: DataFrame, // columns: _id, __nv
+      prop: String): GraphState = {
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => {
+          val n = g.nodes(l)
+          val vtype = updates.schema("__nv").dataType
+          val base =
+            if (n.columns.contains(prop)) n
+            else n.withColumn(prop, lit(null).cast(vtype))
+          base
+            .join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+            .withColumn(prop, coalesce(col("__nv"), col(prop)))
+            .drop("__nv")
+        })
+    }
+    out
+  }
+
+  /** REMOVE n.prop for the given ids: property → NULL on matched nodes. */
+  def removePropertyByIds(
+      g: GraphState,
+      ids: DataFrame,
+      prop: String): GraphState = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+      .withColumn("__rm", lit(1))
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => {
+          val n = g.nodes(l)
+          if (!n.columns.contains(prop)) n
+          else {
+            val t = n.schema(prop).dataType
+            n.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+              .withColumn(
+                prop,
+                when(col("__rm").isNotNull, lit(null).cast(t))
+                  .otherwise(col(prop)))
+              .drop("__rm")
+          }
+        })
+    }
+    out
+  }
+
+  /** SET n:Label / REMOVE n:Label for the given ids. */
+  def updateLabelsByIds(
+      g: GraphState,
+      ids: DataFrame,
+      labels: Seq[String],
+      add: Boolean): GraphState = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+      .withColumn("__hit", lit(1))
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => {
+          val n = g.nodes(l)
+          val alter =
+            if (add) array_union(col(LabelsCol), array(labels.map(lit): _*))
+            else array_except(col(LabelsCol), array(labels.map(lit): _*))
+          n.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+            .withColumn(
+              LabelsCol,
+              when(col("__hit").isNotNull, alter).otherwise(col(LabelsCol)))
+            .drop("__hit")
+        })
+    }
+    out
+  }
+
+  /** DELETE e for edge-variable bindings: anti-join every type by edge id. */
+  def deleteEdgesAllTypes(g: GraphState, ids: DataFrame): GraphState = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+    var out = g
+    g.edgeTypes.foreach { t =>
+      out = out.withEdges(
+        t,
+        () => g.edges(t).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
+    }
+    out
+  }
+
   // Mutation key-sets are usually tiny relative to the frames they prune;
   // broadcasting keeps DELETE from shuffling the whole graph. Spark's AQE
   // does this automatically when sizes are known — the hint covers the

@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs ++
-      LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs
+      LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs ++
+      CypherMutationQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(
