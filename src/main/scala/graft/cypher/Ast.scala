@@ -44,6 +44,13 @@ object Ast {
   final case class Reduce(acc: String, init: Expr, varName: String, list: Expr, step: Expr) extends Expr
   /** exists((n)-[:T]->(m)) or pattern predicate used directly in WHERE. */
   final case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
+  /** Pattern comprehension `[(n)-[]->(m) WHERE pred | proj]` — RollUpApply
+    * (operator.hpp:3185): collect the projection over pattern matches into
+    * a list per input row. */
+  final case class PatternComprehension(
+      pattern: PatternPart,
+      where: Option[Expr],
+      proj: Expr) extends Expr
 
   // ---------- patterns ----------
   sealed trait Direction
@@ -127,6 +134,9 @@ object Ast {
       variable: String,
       list: Expr,
       updates: Seq[Clause]) extends Clause
+  /** CALL { subquery } (`Apply`, operator.hpp:3061): correlated via a
+    * leading import `WITH var, …`, else uncorrelated (cartesian). */
+  final case class CallSubquery(inner: SingleQuery) extends Clause
 
   // ---------- query ----------
   final case class SingleQuery(clauses: Seq[Clause])

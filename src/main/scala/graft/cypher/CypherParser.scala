@@ -198,10 +198,16 @@ object CypherParser extends RegexParsers {
   def patternPredicate: Parser[Expr] =
     patternPartWithHops ^^ (p => PatternPredicate(p, negated = false))
 
+  def patternComprehension: Parser[Expr] =
+    "[" ~> patternPartWithHops ~ opt(kw("WHERE") ~> expr) ~
+      ("|" ~> expr) <~ "]" ^^ { case p ~ w ~ proj =>
+      PatternComprehension(p, w, proj)
+    }
+
   def atom: Parser[Expr] =
     literal | caseExpr | countStar | existsFn | quantifier | reduceExpr |
-      listComprehension | listLit | mapLit | param | patternPredicate |
-      fnCall | ident ^^ Var.apply | "(" ~> expr <~ ")"
+      patternComprehension | listComprehension | listLit | mapLit | param |
+      patternPredicate | fnCall | ident ^^ Var.apply | "(" ~> expr <~ ")"
 
   // ---------- patterns ----------
   def nodePattern: Parser[NodePattern] =
@@ -335,6 +341,9 @@ object CypherParser extends RegexParsers {
       CallProc(n.toLowerCase, args.getOrElse(Nil), ys)
     }
 
+  def callSubquery: Parser[Clause] =
+    kw("CALL") ~> "{" ~> singleQuery <~ "}" ^^ CallSubquery.apply
+
   // ---------- mutation clauses ----------
   def createClause: Parser[Clause] =
     kw("CREATE") ~> rep1sep(patternPart, ",") ^^ CreateCl.apply
@@ -388,8 +397,8 @@ object CypherParser extends RegexParsers {
       foreachClause
 
   def clause: Parser[Clause] =
-    matchClause | unwindClause | withClause | returnClause | callClause |
-      updateClause
+    matchClause | unwindClause | withClause | returnClause | callSubquery |
+      callClause | updateClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

@@ -146,6 +146,9 @@ final class ExprLowering(
     case p: PatternPredicate =>
       throw new UnsupportedOperationException(
         "pattern predicates are only supported as top-level WHERE conjuncts")
+    case p: PatternComprehension =>
+      throw new UnsupportedOperationException(
+        "pattern comprehensions are only supported in WITH/RETURN items")
   }
 
   /** Is `n` bound to a node or edge (vs a plain value / lambda var)? */
@@ -284,6 +287,7 @@ final class ExprLowering(
       hasAgg(l) || w.exists(hasAgg) || p.exists(hasAgg)
     case Quantifier(_, _, l, p) => hasAgg(l) || hasAgg(p)
     case Reduce(_, i, _, l, s) => hasAgg(i) || hasAgg(l) || hasAgg(s)
+    case _: PatternComprehension => false // rolled up before lowering
     case _ => false
   }
 }

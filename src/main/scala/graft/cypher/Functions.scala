@@ -106,6 +106,49 @@ object Functions {
           case None => map_keys(a(0))
         }
 
+      // ---- paths (ConstructNamedPath, operator.hpp:1255) ----
+      case "nodes" =>
+        args.lift(0) match {
+          case Some(Var(n)) if ctx.isPathVar(n) => Frames.f(n, "_nodes")
+          case _ => a(0).getField("_nodes")
+        }
+      case "relationships" =>
+        args.lift(0) match {
+          case Some(Var(n)) if ctx.isPathVar(n) => Frames.f(n, "_edges")
+          case _ => a(0).getField("_edges")
+        }
+
+      // ---- spatial (point/distance/withinbbox,
+      // awesome_memgraph_functions.cpp:2160-2162; Point2d
+      // src/storage/v2/point.hpp) ----
+      case "point" =>
+        args(0) match {
+          case MapLit(kvs) =>
+            val m = kvs.toMap
+            def f(k: String) =
+              m.get(k).map(e => ctx.lower(e).cast("double")).getOrElse(lit(null))
+            struct(
+              f("x").as("x"),
+              f("y").as("y"),
+              f("z").as("z"),
+              lit(m.get("crs").collect { case Lit(s: String) => s }
+                .getOrElse("cartesian")).as("crs"))
+          case _ =>
+            throw new IllegalArgumentException("point() takes a map literal")
+        }
+      case "point.distance" | "distance" =>
+        val (p1, p2) = (a(0), a(1))
+        def d(k: String) = p1.getField(k) - p2.getField(k)
+        sqrt(
+          d("x") * d("x") + d("y") * d("y") +
+            coalesce(d("z") * d("z"), lit(0.0)))
+      case "point.withinbbox" =>
+        val (p, ll, ur) = (a(0), a(1), a(2))
+        p.getField("x") >= ll.getField("x") &&
+        p.getField("x") <= ur.getField("x") &&
+        p.getField("y") >= ll.getField("y") &&
+        p.getField("y") <= ur.getField("y")
+
       // ---- predicates / casts ----
       case "isempty" => size(a(0)) === 0
       case "exists" => a(0).isNotNull

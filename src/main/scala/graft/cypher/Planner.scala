@@ -110,6 +110,143 @@ final class Planner(
       val exploded = planClause(lf, Unwind(listE, v))
       updates.foldLeft(exploded)(planClause)
       lf
+
+    case CallSubquery(inner) => planCallSubquery(lf, inner)
+  }
+
+  /** CALL { [WITH imports] … RETURN items } — the reference's `Apply`
+    * (operator.hpp:3061), decorrelated: the subquery is planned once from
+    * the distinct imported bindings and joined back, instead of being
+    * pulled per input row. */
+  private def planCallSubquery(lf: LF, inner: SingleQuery): LF = {
+    val imports: Seq[String] = inner.clauses.headOption match {
+      case Some(With(body, None))
+          if body.items.nonEmpty &&
+            body.items.forall(i => i.expr.isInstanceOf[Var] && i.as.isEmpty) =>
+        body.items.map(_.expr.asInstanceOf[Var].name)
+      case _ => Nil
+    }
+    if (imports.isEmpty) {
+      val subDf = planSingle(inner)
+      val renamed = subDf.select(
+        subDf.columns.map(c => col(c).as(s"$c${Frames.Sep}_val")).toSeq: _*)
+      val df =
+        if (lf.df.columns.isEmpty) renamed else lf.df.crossJoin(renamed)
+      LF(
+        df,
+        subDf.columns.foldLeft(lf.scope)((sc, c) => sc + (c -> Binding.ValueB)))
+    } else {
+      require(
+        imports.forall(lf.scope.contains),
+        s"CALL {} imports unbound variables: $imports")
+      val seedCols = imports.flatMap(v => Frames.colsOf(lf.df, v))
+      val seedScope =
+        Scope(lf.scope.vars.filter { case (nm, _) => imports.contains(nm) })
+      val seed = LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+      val rest = inner.clauses.tail
+      val retBody = rest.lastOption match {
+        case Some(Return(b)) => b
+        case _ =>
+          throw new IllegalArgumentException("CALL { } must end with RETURN")
+      }
+      val pre = rest.init.foldLeft(seed)(planClause)
+      // project the RETURN items plus the import keys (so we can join back)
+      val body2 = retBody.copy(
+        items = retBody.items ++ imports.map(v => ReturnItem(Var(v), None)),
+        star = false)
+      val subP = project(pre, body2, None, isReturn = false)
+      val keyCols: Seq[String] = imports.map { v =>
+        lf.scope.get(v) match {
+          case Some(Binding.NodeB) | Some(Binding.EdgeB) =>
+            s"$v${Frames.Sep}${GraphState.IdCol}"
+          case _ => s"$v${Frames.Sep}_val"
+        }
+      }
+      val renamed = keyCols.foldLeft(subP.df)((d, c) =>
+        d.withColumnRenamed(c, s"__cs_$c"))
+      val cleaned = renamed.drop(
+        imports.flatMap(v => Frames.colsOf(renamed, v)): _*)
+      val cond = keyCols.map(c => col(c) === col(s"__cs_$c")).reduce(_ && _)
+      val joined =
+        lf.df.join(cleaned, cond).drop(keyCols.map(c => s"__cs_$c"): _*)
+      val newVars = subP.scope.vars.filterNot { case (nm, _) =>
+        imports.contains(nm)
+      }
+      LF(joined, newVars.foldLeft(lf.scope)(_ + _))
+    }
+  }
+
+  // ---------------- pattern comprehension (RollUpApply) ----------------
+
+  /** Replace every PatternComprehension in `items` with a fresh ValueB
+    * variable computed by [[planRollUp]]; returns the extended frame. */
+  private def rewritePatternComprehensions(
+      lf0: LF,
+      items: Seq[(String, Expr)]): (LF, Seq[(String, Expr)]) = {
+    var cur = lf0
+    def rw(e: Expr): Expr = e match {
+      case pc: PatternComprehension =>
+        val name = fresh("pc")
+        cur = planRollUp(cur, name, pc)
+        Var(name)
+      case BinOp(o, a, b) => BinOp(o, rw(a), rw(b))
+      case Not(x) => Not(rw(x))
+      case Neg(x) => Neg(rw(x))
+      case IsNull(x, n) => IsNull(rw(x), n)
+      case FnCall(n, d, as) => FnCall(n, d, as.map(rw))
+      case CaseExpr(s, ws, d) =>
+        CaseExpr(s.map(rw), ws.map { case (a, b) => (rw(a), rw(b)) }, d.map(rw))
+      case Subscript(a, b) => Subscript(rw(a), rw(b))
+      case Slice(a, b, c) => Slice(rw(a), b.map(rw), c.map(rw))
+      case ListLit(is) => ListLit(is.map(rw))
+      case MapLit(is) => MapLit(is.map { case (k, v) => (k, rw(v)) })
+      case Reduce(acc, i, v, l, st) => Reduce(acc, rw(i), v, rw(l), rw(st))
+      case ListComprehension(v, l, w, p) =>
+        ListComprehension(v, rw(l), w.map(rw), p.map(rw))
+      case Quantifier(k, v, l, p) => Quantifier(k, v, rw(l), rw(p))
+      case other => other
+    }
+    val newItems = items.map { case (a, e) => (a, rw(e)) }
+    (cur, newItems)
+  }
+
+  /** RollUpApply (operator.hpp:3185): plan the comprehension's pattern from
+    * the distinct shared bindings, collect the projection per binding, and
+    * left-join the list back (no match → empty list, per Cypher). */
+  private def planRollUp(lf: LF, name: String, pc: PatternComprehension): LF = {
+    val patVars = pc.pattern.start.variable.toSeq ++
+      pc.pattern.hops.flatMap { case (r, n) =>
+        r.variable.toSeq ++ n.variable.toSeq
+      }
+    val shared = patVars.filter(lf.scope.contains).distinct
+    require(
+      shared.nonEmpty,
+      "pattern comprehension must reference an outer variable")
+    val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
+    val seedScope =
+      Scope(lf.scope.vars.filter { case (nm, _) => shared.contains(nm) })
+    val seed = LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+    var (sub, subEdges) = planPattern(seed, pc.pattern)
+    sub = edgeUniqueness(sub, subEdges)
+    pc.where.foreach { w => sub = planWhere(sub, w) }
+    val low = new ExprLowering(sub.df, sub.scope, params)
+    val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
+    val outCol = s"$name${Frames.Sep}_val"
+    val grouped = sub.df
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(low.lower(pc.proj)).as(outCol))
+    val renamed = keyCols.foldLeft(grouped)((d, c) =>
+      d.withColumnRenamed(c, s"__rc_$c"))
+    val cond = keyCols.map(c => col(c) === col(s"__rc_$c")).reduce(_ && _)
+    var joined = lf.df
+      .join(renamed, cond, "left_outer")
+      .drop(keyCols.map(c => s"__rc_$c"): _*)
+    val t = joined.schema(outCol).dataType
+    joined = joined.withColumn(
+      outCol,
+      when(col(outCol).isNotNull, col(outCol))
+        .otherwise(array().cast(t)))
+    LF(joined, lf.scope + (name -> Binding.ValueB))
   }
 
   // ---------------- mutations (SURVEY.md §2.6) ----------------
@@ -320,6 +457,8 @@ final class Planner(
     var cur = cur0
     var srcVar = startName
     var edgeVars = Vector.empty[String]
+    var nodeSeq = Vector(startName)
+    var edgeSeq = Vector.empty[(String, Boolean)] // (var, isEdgeList)
 
     part.hops.foreach { case (rel, node) =>
       val eVar = rel.variable.getOrElse(fresh("e"))
@@ -378,7 +517,30 @@ final class Planner(
             cur = nodeConstraints(cur, dstName, node.labels.drop(1), node.props)
           }
       }
+      edgeSeq :+= ((eVar, rel.varLength.isDefined))
+      nodeSeq :+= dstName
       srcVar = dstName
+    }
+
+    // ConstructNamedPath (operator.hpp:1255): p = (a)-[e]->(b)… binds
+    // p@_nodes / p@_edges (id arrays) + p@_len.
+    part.pathVar.foreach { pv =>
+      val nodesArr = array(nodeSeq.map(Frames.id): _*)
+      val edgesArr =
+        if (edgeSeq.isEmpty) array().cast("array<long>")
+        else
+          edgeSeq
+            .map { case (e, isList) =>
+              if (isList) Frames.f(e, "_ids") else array(Frames.id(e))
+            }
+            .reduce(concat(_, _))
+      val df = cur.df
+        .withColumn(s"$pv${Frames.Sep}_nodes", nodesArr)
+        .withColumn(s"$pv${Frames.Sep}_edges", edgesArr)
+        .withColumn(
+          s"$pv${Frames.Sep}_len",
+          size(col(s"$pv${Frames.Sep}_edges")).cast("long"))
+      cur = LF(df, cur.scope + (pv -> Binding.PathB))
     }
     (cur, edgeVars)
   }
@@ -654,21 +816,22 @@ final class Planner(
   }
 
   private def project(
-      lf: LF,
+      lf0: LF,
       body: ProjectionBody,
       whereAfter: Option[Expr],
       isReturn: Boolean): LF = {
-    val low0 = lowering(lf)
-
-    val items: Seq[(String, Expr)] =
+    val itemsRaw: Seq[(String, Expr)] =
       if (body.star)
-        lf.scope.vars.collect {
+        lf0.scope.vars.collect {
           case (n, _) if !n.startsWith("__") => (n, Var(n))
         }
       else
         body.items.zipWithIndex.map { case (ReturnItem(e, as), i) =>
           (as.getOrElse(deriveAlias(e, i)), e)
         }
+    // RollUpApply pre-pass: pattern comprehensions become computed columns
+    val (lf, items) = rewritePatternComprehensions(lf0, itemsRaw)
+    val low0 = lowering(lf)
 
     val hasAgg = items.exists { case (_, e) => low0.hasAgg(e) }
 

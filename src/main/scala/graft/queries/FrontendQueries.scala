@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cypher.Cypher
+import graft.sources.TpchGraphLoader
+
+/** Frontend-surface coverage: pattern comprehension (RollUpApply), CALL { }
+  * subqueries (Apply), named paths (ConstructNamedPath), spatial point
+  * functions, and the edge property/id scan access paths — each as Cypher
+  * text with a DuckDB oracle.
+  */
+object FrontendQueries {
+
+  private def g(s: SparkSession, dir: String) = TpchGraphLoader(s, dir)
+
+  private def cq(name: String, cypher: String, oracle: String): QueryDef =
+    QueryDef(name, (s, dir) => Cypher.run(s, g(s, dir), cypher), Some(oracle))
+
+  /** KNOWS edge id for customer c, slot 0 = the +1 ring edge. */
+  private val knowsEdgeId5 = (107L << 48) + 10L // c=5, slot 0
+
+  val defs: Seq[QueryDef] = Seq(
+    // RollUpApply (operator.hpp:3185): list-per-row from a sub-pattern,
+    // consumed by size() and reduce().
+    cq(
+      "cy_pattern_comprehension",
+      """MATCH (n:Nation)
+        |RETURN n.n_name AS nation,
+        |  size([(n)<-[:FROM_NATION]-(c:Customer) | c.c_custkey]) AS n_cust,
+        |  reduce(acc = 0,
+        |         k IN [(n)<-[:FROM_NATION]-(s:Supplier) | s.s_suppkey] |
+        |         acc + k) AS supp_key_sum
+        |ORDER BY nation""".stripMargin,
+      """SELECT n_name AS nation,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+        |    AS n_cust,
+        |  (SELECT coalesce(sum(s_suppkey), 0) FROM supplier
+        |   WHERE s_nationkey = n_nationkey) AS supp_key_sum
+        |FROM nation ORDER BY nation""".stripMargin),
+
+    // Apply (operator.hpp:3061): correlated CALL { WITH r … RETURN aggs }.
+    cq(
+      "cy_call_subquery",
+      """MATCH (r:Region)
+        |CALL {
+        |  WITH r
+        |  MATCH (r)<-[:IN_REGION]-(n:Nation)
+        |  RETURN count(*) AS n_nations, min(n.n_name) AS first_nation
+        |}
+        |RETURN r.r_name AS r_name, n_nations, first_nation
+        |ORDER BY r_name""".stripMargin,
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // ConstructNamedPath (operator.hpp:1255): p = (…)-[…]->(…) with
+    // nodes()/relationships()/length() accessors.
+    cq(
+      "cy_named_path",
+      """MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE c.c_custkey < 50
+        |RETURN c.c_custkey AS k, length(p) AS len,
+        |       size(nodes(p)) AS n_nodes, size(relationships(p)) AS n_edges
+        |ORDER BY k""".stripMargin,
+      """SELECT c_custkey AS k, CAST(2 AS BIGINT) AS len,
+        |  CAST(3 AS BIGINT) AS n_nodes, CAST(2 AS BIGINT) AS n_edges
+        |FROM customer WHERE c_custkey < 50 ORDER BY k""".stripMargin),
+
+    // Spatial: point construction, euclidean distance, bbox containment
+    // (point/point.distance/point.withinbbox; Point2d src/storage/v2/point.hpp).
+    cq(
+      "cy_point",
+      """MATCH (s:Supplier)
+        |WITH s, point({x: s.s_suppkey % 10, y: s.s_acctbal / 1000}) AS p
+        |RETURN s.s_suppkey AS k,
+        |       floor(point.distance(p, point({x: 0, y: 0})) * 10000) / 10000 AS dist,
+        |       point.withinbbox(p, point({x: 0, y: -5}), point({x: 5, y: 5}))
+        |         AS inbox
+        |ORDER BY k""".stripMargin,
+      """SELECT s_suppkey AS k,
+        |  floor(sqrt((s_suppkey % 10) * (s_suppkey % 10)
+        |           + (s_acctbal / 1000) * (s_acctbal / 1000)) * 10000) / 10000
+        |    AS dist,
+        |  (s_suppkey % 10 >= 0 AND s_suppkey % 10 <= 5
+        |   AND s_acctbal / 1000 >= -5 AND s_acctbal / 1000 <= 5) AS inbox
+        |FROM supplier ORDER BY k""".stripMargin),
+
+    // ScanAllByEdgeTypePropertyRange (operator.hpp:745): edge-property
+    // range scan over reconstructable KNOWS weights.
+    cq(
+      "cy_edge_scan_prop",
+      """MATCH (a:Customer)-[k:KNOWS]->(b:Customer) WHERE k.k_weight >= 9.0
+        |RETURN count(*) AS n, round(sum(k.k_weight), 1) AS w_sum""".stripMargin,
+      """SELECT count(*) AS n,
+        |  round(CAST(sum(CAST(w AS DECIMAL(38,4))) AS DOUBLE), 1) AS w_sum
+        |FROM (
+        |  SELECT CAST((c_custkey * 7 + 1) % 10 + 1 AS DOUBLE) AS w FROM customer
+        |  UNION ALL
+        |  SELECT CAST((c_custkey * 7 + 7) % 10 + 1 AS DOUBLE) FROM customer)
+        |WHERE w >= 9""".stripMargin),
+
+    // ScanAllByEdgeId (operator.hpp:945): point lookup by edge id.
+    cq(
+      "cy_edge_scan_id",
+      s"""MATCH (a:Customer)-[k:KNOWS]->(b:Customer) WHERE id(k) = $knowsEdgeId5
+         |RETURN a.c_custkey AS a_key, b.c_custkey AS b_key, k.k_weight AS w""".stripMargin,
+      """SELECT CAST(5 AS BIGINT) AS a_key, CAST(6 AS BIGINT) AS b_key,
+        |  CAST(7 AS DOUBLE) AS w""".stripMargin)
+  )
+}

@@ -6,7 +6,7 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs ++
       LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs ++
-      CypherMutationQueries.defs
+      CypherMutationQueries.defs ++ FrontendQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(
