@@ -6,7 +6,8 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs ++
       LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs ++
-      CypherMutationQueries.defs ++ FrontendQueries.defs
+      CypherMutationQueries.defs ++ FrontendQueries.defs ++
+      StreamingQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(

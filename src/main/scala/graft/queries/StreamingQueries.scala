@@ -1,0 +1,117 @@
+package graft.queries
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.GraphState
+import graft.operators.Mutations
+import graft.sources.TpchGraphLoader
+import graft.streaming.GraphStream
+import QueryDef.{moneySum, sqlSum}
+
+/** Structured-Streaming + TTL catalog entries (SURVEY.md §2.9). The
+  * streaming entries run a real `readStream → agg → memory sink` query to
+  * completion with `Trigger.AvailableNow` (the bounded equivalent of a
+  * continuous source), so results are deterministic and DuckDB-checkable.
+  */
+object StreamingQueries {
+
+  /** Streaming read of the events table (nanos ts surfaced as timestamp —
+    * same handling as the batch loader). The file source requires a
+    * directory, so the single driver-generated file is staged into one. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val staged = Paths.get(s"/root/repo/target/stream_src/$tag")
+    Files.createDirectories(staged)
+    Files.copy(
+      Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(TpchGraphLoader.schemas("events"))
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = "q_" + UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option(
+        "checkpointLocation",
+        s"/root/repo/target/ckpt/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // Stream-ingested aggregate: the CREATE STREAM … TRANSFORM shape
+    // (ast.hpp:3741) with an aggregation as the per-batch consumer.
+    QueryDef(
+      "stream_agg",
+      (s, dir) =>
+        runToMemory(
+          eventStream(s, dir)
+            .groupBy("event_type")
+            .agg(
+              count(lit(1)).as("n_events"),
+              moneySum(col("value")).as("total_value")),
+          mode = "complete").orderBy("event_type"),
+      Some(s"""SELECT event_type, count(*) AS n_events,
+              |  ${sqlSum("value")} AS total_value
+              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Event-time tumbling window + watermark (beyond the reference's
+    // surface — stream analytics the Spark way).
+    QueryDef(
+      "stream_window",
+      (s, dir) =>
+        runToMemory(
+          eventStream(s, dir)
+            .withWatermark("ts", "1 day")
+            .groupBy(
+              window(col("ts"), "1 day").getField("start").as("day"),
+              col("event_type"))
+            .agg(count(lit(1)).as("n")),
+          mode = "complete")
+          .select(col("day").cast("date").as("day"), col("event_type"), col("n"))
+          .orderBy("day", "event_type"),
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             |  count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
+
+    // TTL sweep (TtlQuery ast.hpp:4357): stamp orders with a ttl from their
+    // order date, expire everything before 1995, count the surviving graph.
+    QueryDef(
+      "ttl_expire",
+      (s, dir) => {
+        val g0 = TpchGraphLoader(s, dir)
+        val g1 = Mutations.setProperty(
+          g0,
+          "Order",
+          "ttl",
+          unix_timestamp(col("o_orderdate")))
+        val cutoff = 788918400L // 1995-01-01 UTC
+        val g2 = GraphStream.expire(g1, "Order", cutoff)
+        val orders = g2.nodes("Order").agg(count(lit(1)).as("n_orders"))
+        val hasLine = g2.edges("HAS_LINE").agg(count(lit(1)).as("n_has_line"))
+        val placed = g2.edges("PLACED").agg(count(lit(1)).as("n_placed"))
+        orders.crossJoin(hasLine).crossJoin(placed)
+      },
+      Some("""WITH surv AS (SELECT * FROM orders
+             |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+             |SELECT (SELECT count(*) FROM surv) AS n_orders,
+             |  (SELECT count(*) FROM lineitem JOIN surv ON l_orderkey = o_orderkey)
+             |    AS n_has_line,
+             |  (SELECT count(*) FROM surv) AS n_placed""".stripMargin))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.core.GraphState
+import graft.operators.Mutations
+
+/** Streaming ingestion, triggers, and TTL (SURVEY.md §2.9).
+  *
+  * The reference's streaming is *transactional ingestion*, not stream
+  * analytics: `CREATE STREAM … TRANSFORM module.fn BATCH_INTERVAL ms
+  * BATCH_SIZE n` (ast.hpp:3741; `CommonStreamInfo` common.hpp:34-40) pulls
+  * message batches and hands them to a transformation that emits write
+  * statements. Our Spark-native contract is the same shape:
+  * `readStream` source → `foreachBatch` → a [[Transformation]] that turns
+  * the batch DataFrame into mutations against the current [[GraphState]]
+  * version — with Structured Streaming supplying exactly-once batch
+  * delivery (checkpointed offsets + idempotent versioned states).
+  *
+  * Triggers (`CREATE TRIGGER … ON CREATE AFTER COMMIT`, trigger.hpp:93,
+  * event set trigger_context.hpp:151-163): after each batch commits, every
+  * registered trigger receives the batch's diff frames (created nodes /
+  * created edges) — the `createdVertices`-style predefined variables — and
+  * may further mutate the state.
+  *
+  * TTL (`TtlQuery` ast.hpp:4357, storage TTL src/storage/v2/ttl.hpp):
+  * [[expire]] drops nodes whose `ttl` property (epoch seconds) is past, as
+  * a scheduled filter job producing a new state version.
+  */
+object GraphStream {
+
+  /** Batch transformation: (current graph, batch) → new graph + diffs. */
+  type Transformation = (GraphState, DataFrame) => IngestResult
+
+  /** `createdNodes`/`createdEdges` mirror the reference's predefined
+    * trigger variables (trigger.hpp:103-116). */
+  final case class IngestResult(
+      graph: GraphState,
+      createdNodes: Map[String, DataFrame] = Map.empty,
+      createdEdges: Map[String, DataFrame] = Map.empty)
+
+  /** AFTER-COMMIT trigger: receives the post-batch state + diffs, returns
+    * the (possibly further-mutated) state. */
+  type TriggerFn = (GraphState, IngestResult) => GraphState
+
+  /** Run a file-source ingestion stream to completion of the available
+    * data (Trigger.AvailableNow — the bounded-test analog of a continuous
+    * Kafka stream; swap `.format("kafka")` at the source for production).
+    * Returns the final graph version after all batches + triggers.
+    */
+  def ingestAvailable(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      format: String, // "json" | "parquet" | "csv"
+      initial: GraphState,
+      transform: Transformation,
+      triggers: Seq[TriggerFn] = Nil,
+      checkpointDir: String): GraphState = {
+    // state evolves batch-serially inside foreachBatch (the reference runs
+    // each transformed batch as one transaction, streams.cpp:520-567)
+    @volatile var state = initial
+    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = transform(state, batch)
+        state = triggers.foldLeft(res.graph)((g, t) => t(g, res))
+      }
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  /** TTL sweep: detach-delete every node of `label` whose `ttl` property
+    * (epoch seconds) is < `cutoff`. Scheduled periodically in production;
+    * one declarative anti-join here. */
+  def expire(g: GraphState, label: String, cutoff: Long): GraphState = {
+    val doomed = g.nodes(label)
+      .filter(col("ttl").isNotNull && col("ttl") < cutoff)
+      .select(GraphState.IdCol)
+    Mutations.deleteNodes(g, doomed, detach = true)
+  }
+}

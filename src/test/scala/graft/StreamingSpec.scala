@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraphState
+import graft.operators.Mutations
+import graft.sources.TpchGraphLoader
+import graft.streaming.GraphStream
+
+/** Ingestion-stream contract test: file source → foreachBatch
+  * transformation → graph mutations, with an AFTER-COMMIT trigger
+  * (reference: streams.cpp batch loop + trigger.hpp). */
+class StreamingSpec extends SparkTestBase {
+
+  test("stream ingestion mutates the graph; trigger sees the diff") {
+    val src = s"/root/repo/target/streamspec/src_${java.util.UUID.randomUUID()}"
+    val ckpt = s"/root/repo/target/streamspec/ckpt_${java.util.UUID.randomUUID()}"
+
+    // stage a small jsonl source from the events table
+    val events = TpchGraphLoader.table(spark, sfDir, "events").limit(40)
+    events.coalesce(2).write.json(src)
+    val nSrc = events.count()
+
+    val schema = events.schema
+    val g0 = TpchGraphLoader(spark, sfDir)
+
+    val transform: GraphStream.Transformation = (g, batch) => {
+      val rows = batch.select(
+        (lit(950L << 48) + col("event_id")).as(GraphState.IdCol),
+        array(lit("Ingested")).as(GraphState.LabelsCol),
+        col("event_id"),
+        col("event_type"),
+        col("value"))
+      val withNodes = Mutations.createNodes(g, "Ingested", rows)
+      GraphStream.IngestResult(
+        withNodes,
+        createdNodes = Map("Ingested" -> rows))
+    }
+
+    // AFTER COMMIT trigger: log one BatchLog node per batch with its size
+    var batches = 0
+    val trigger: GraphStream.TriggerFn = (g, res) => {
+      batches += 1
+      val n = res.createdNodes("Ingested").count()
+      val log = spark.range(1).select(
+        (lit(951L << 48) + lit(batches.toLong)).as(GraphState.IdCol),
+        array(lit("BatchLog")).as(GraphState.LabelsCol),
+        lit(n).as("batch_size"))
+      Mutations.createNodes(g, "BatchLog", log)
+    }
+
+    val gFinal = GraphStream.ingestAvailable(
+      spark, src, schema, "json", g0, transform, Seq(trigger), ckpt)
+
+    assert(gFinal.nodes("Ingested").count() == nSrc)
+    val logged = gFinal.nodes("BatchLog")
+      .agg(sum(col("batch_size"))).collect()(0).getLong(0)
+    assert(logged == nSrc && batches >= 1)
+  }
+
+  test("TTL expiry drops expired nodes and incident edges") {
+    val g0 = TpchGraphLoader(spark, sfDir)
+    val g1 = Mutations.setProperty(
+      g0, "Order", "ttl", unix_timestamp(col("o_orderdate")))
+    val cutoff = 788918400L // 1995-01-01 UTC
+    val g2 = GraphStream.expire(g1, "Order", cutoff)
+    val expectOrders = TpchGraphLoader.table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1995-01-01")))
+      .count()
+    assert(g2.nodes("Order").count() == expectOrders)
+    assert(g2.edges("PLACED").count() == expectOrders)
+  }
+}
