@@ -928,7 +928,8 @@ final class Planner(
         }
         sortCols.foreach { case (n, c) => df = df.withColumn(n, c) }
         val order = body.orderBy.zipWithIndex.map { case ((_, asc), i) =>
-          if (asc) col(s"__sort$i").asc else col(s"__sort$i").desc
+          if (asc) col(s"__sort$i").asc_nulls_last
+          else col(s"__sort$i").desc_nulls_first
         }
         df = df.orderBy(order: _*)
         // keep sort columns until after the final select (select preserves order)
@@ -948,7 +949,7 @@ final class Planner(
         val lowF = new ExprLowering(df, newScope, params)
         val order = body.orderBy.map { case (e, asc) =>
           val c = lowF.lower(resolveAlias(e, items))
-          if (asc) c.asc else c.desc
+          if (asc) c.asc_nulls_last else c.desc_nulls_first
         }
         df = df.orderBy(order: _*)
       }
@@ -958,7 +959,7 @@ final class Planner(
         val lowF = new ExprLowering(df, newScope, params)
         val order = body.orderBy.map { case (e, asc) =>
           val c = lowF.lower(resolveAlias(e, items))
-          if (asc) c.asc else c.desc
+          if (asc) c.asc_nulls_last else c.desc_nulls_first
         }
         df = df.orderBy(order: _*)
       }

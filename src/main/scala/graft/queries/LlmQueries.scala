@@ -372,6 +372,33 @@ object LlmQueries {
              |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))), 4) AS avg_norm
              |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // -------- text search: inverted-index postings + all-terms ranked
+    // query (reference: tantivy text index, text_index.hpp:37-48).
+    QueryDef(
+      "text_search",
+      (s, dir) => {
+        val postings = graft.llm.TextSearch.invertedIndex(
+          docs(s, dir),
+          "doc_id",
+          "text")
+        graft.llm.TextSearch.searchAll(
+          postings,
+          "doc_id",
+          Seq("data", "table", "scan"),
+          limit = 15)
+      },
+      Some(s"""SELECT doc_id, CAST(score AS BIGINT) AS score FROM (
+              |  SELECT doc_id, count(DISTINCT w) AS n_terms, sum(tf) AS score
+              |  FROM (
+              |    SELECT doc_id, w, count(*) AS tf FROM (
+              |      SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w
+              |      FROM documents)
+              |    WHERE w IN ('data', 'table', 'scan')
+              |    GROUP BY doc_id, w)
+              |  GROUP BY doc_id)
+              |WHERE n_terms = 3
+              |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+
     // -------- multimodal column plumbing: text → binary payload column +
     // deterministic stub "decode" features (see LlmOps.stubFeature — the
     // real decode would run here over image/audio bytes).
