@@ -15,11 +15,18 @@ object DebugMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.contains("GRAFT_EXPLAIN")
     names.foreach { n =>
       val t0 = System.nanoTime()
       try {
-        val rows = SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"[debug] $n rows=$rows secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        if (explain) {
+          println(s"===== $n =====")
+          df.explain("formatted")
+        } else {
+          val rows = df.count()
+          println(f"[debug] $n rows=$rows secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
       } catch {
         case e: Throwable =>
           println(s"[debug] $n FAILED after ${(System.nanoTime() - t0) / 1e9}: $e")
