@@ -241,7 +241,7 @@ object CypherParser extends RegexParsers {
       total: Option[String])
 
   private def varSpec: Parser[VarSpec] =
-    "*" ~> opt("""(?i)(BFS|WSHORTEST|ALLSHORTEST)""".r) ~ varBounds ~
+    "*" ~> opt("""(?i)(BFS|WSHORTEST|ALLSHORTEST|KSHORTEST)""".r) ~ varBounds ~
       opt(edgeLambda) ~ opt(ident) ^^ { case m ~ b ~ l ~ t =>
       VarSpec(b, m.map(_.toUpperCase).getOrElse("DFS"), l, t)
     }

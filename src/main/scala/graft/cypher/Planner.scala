@@ -572,6 +572,48 @@ final class Planner(
     val (cur0, srcName) = bindNode(lf, part.start)
     val dstName = node.variable.getOrElse(fresh("n"))
     val dstBound = node.variable.exists(cur0.scope.contains)
+
+    // KShortestPathsCursor (operator.cpp:3716): k shortest paths by hop
+    // count = bounded path enumeration (VarExpand) + per-(source,target)
+    // rank-k. k comes from the relationship map: `*KSHORTEST ..h {k: 3}`.
+    if (rel.mode == "KSHORTEST") {
+      val k = rel.props.collectFirst { case ("k", Lit(n: Long)) => n.toInt }
+        .getOrElse(1)
+      val hiB = hi.getOrElse(
+        throw new IllegalArgumentException(
+          "*KSHORTEST requires an upper hop bound"))
+      val eVar = rel.variable.getOrElse(fresh("e"))
+      val df0 =
+        if (dstBound) {
+          // endpoint already bound: expand to a temp var, then constrain
+          val tmp = fresh("n")
+          val d = VarExpand(
+            cur0.df, state, srcName, eVar, rel.types, dir,
+            math.max(minH, 1), Some(hiB), tmp, None)
+          d.filter(Frames.id(tmp) === Frames.id(dstName))
+            .drop(Frames.colsOf(d, tmp): _*)
+        } else
+          VarExpand(
+            cur0.df, state, srcName, eVar, rel.types, dir,
+            math.max(minH, 1), Some(hiB), dstName, node.labels.headOption)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Frames.id(srcName), Frames.id(dstName))
+        .orderBy(size(Frames.f(eVar, "_ids")).asc)
+      var ranked = df0
+        .withColumn("__ksp_rn", row_number().over(w))
+        .filter(col("__ksp_rn") <= k)
+        .drop("__ksp_rn")
+      var scope = cur0.scope + (eVar -> Binding.EdgeListB) +
+        (dstName -> Binding.NodeB)
+      part.pathVar.foreach { pv =>
+        ranked = ranked.withColumn(
+          s"$pv${Frames.Sep}_len",
+          size(Frames.f(eVar, "_ids")).cast("long"))
+        scope += (pv -> Binding.PathB)
+      }
+      return LF(ranked, scope)
+    }
+
     val seeds = cur0.df
       .select(Frames.id(srcName).as(ShortestPath.SeedCol))
       .distinct()

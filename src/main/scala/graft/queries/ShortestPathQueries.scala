@@ -104,6 +104,32 @@ object ShortestPathQueries {
         |RETURN b.c_custkey AS k, length(p) AS d ORDER BY k, d""".stripMargin,
       bfsOracle(12, allPaths = true)),
 
+    // K shortest paths by hop count (KShortestPathsCursor operator.cpp:3716):
+    // bounded enumeration + per-(source,target) rank-k. The oracle
+    // enumerates the same walks recursively and ranks per target.
+    cq(
+      "kshortest",
+      """MATCH (a:Customer {c_custkey: 0})
+        |      -[e:KNOWS *KSHORTEST ..6 {k: 3}]->(b:Customer)
+        |RETURN b.c_custkey AS kb, size(e) AS hops ORDER BY kb, hops""".stripMargin,
+      """WITH RECURSIVE
+        |  n AS (SELECT max(c_custkey) + 1 AS nn FROM customer),
+        |  e AS (
+        |    SELECT c_custkey AS src,
+        |           (c_custkey + 1) % (SELECT nn FROM n) AS dst FROM customer
+        |    UNION ALL
+        |    SELECT c_custkey, (c_custkey + 7) % (SELECT nn FROM n) FROM customer),
+        |  walk(node, hops) AS (
+        |    SELECT dst, 1 FROM e WHERE src = 0
+        |    UNION ALL
+        |    SELECT e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.node
+        |    WHERE w.hops < 6)
+        |SELECT node AS kb, CAST(hops AS BIGINT) AS hops FROM (
+        |  SELECT node, hops,
+        |         row_number() OVER (PARTITION BY node ORDER BY hops) AS rn
+        |  FROM walk)
+        |WHERE rn <= 3 ORDER BY kb, hops""".stripMargin),
+
     // Weighted shortest path (ExpandWeightedShortestPathCursor
     // operator.cpp:3000): reference syntax `*WSHORTEST (e, n | weight) total`,
     // k_weight edge property, 12 relaxation rounds.
