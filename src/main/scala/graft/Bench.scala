@@ -15,6 +15,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so the alphabetically-first query doesn't absorb
+    // one-time classloading cost into its reported time.
+    spark.range(1000).selectExpr("sum(id)").collect()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -611,7 +611,12 @@ final class Planner(
           size(Frames.f(eVar, "_ids")).cast("long"))
         scope += (pv -> Binding.PathB)
       }
-      return LF(ranked, scope)
+      // endpoint label/prop constraints select which pairs survive; per-pair
+      // ranks are unaffected, so filtering after rank-k is equivalent
+      var out = LF(ranked, scope)
+      if (!dstBound)
+        out = nodeConstraints(out, dstName, node.labels.drop(1), node.props)
+      return out
     }
 
     val seeds = cur0.df

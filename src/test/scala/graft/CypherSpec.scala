@@ -145,4 +145,50 @@ class CypherSpec extends SparkTestBase {
       "MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS seg ORDER BY seg").count()
     assert(n == 5)
   }
+
+  test("undirected expand: (a)-[:KNOWS]-(b) counts both orientations once") {
+    val rows = run(
+      """MATCH (a:Customer {c_custkey: 10})-[:KNOWS]-(b:Customer)
+        |RETURN b.c_custkey AS k ORDER BY k""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // out: 11, 17; in: 9 (ring) and 3 (chord 3+7=10)
+    assert(rows == Seq(3L, 9L, 11L, 17L))
+  }
+
+  test("undirected expand to existing endpoint") {
+    val n = run(
+      """MATCH (a:Customer {c_custkey: 10}), (b:Customer {c_custkey: 11})
+        |MATCH (a)-[e:KNOWS]-(b) RETURN id(e) AS eid""".stripMargin).count()
+    assert(n == 1)
+  }
+
+  test("kShortest returns at most k rows per pair, shortest first") {
+    val rows = run(
+      """MATCH (a:Customer {c_custkey: 0})
+        |      -[e:KNOWS *KSHORTEST ..6 {k: 2}]->(b:Customer {c_custkey: 8})
+        |RETURN size(e) AS hops ORDER BY hops""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // 8 = 1+7 (2 hops, two orders) or 8×1 (8 hops, out of bound)
+    assert(rows == Seq(2L, 2L))
+  }
+
+  test("mutating statement via execute: create then read back") {
+    val r = graft.cypher.Cypher.execute(
+      spark,
+      g,
+      "MATCH (n:Nation) CREATE (x:NTag {nm: toUpper(n.n_name)})")
+    val back = graft.cypher.Cypher.run(
+      spark,
+      r.graph,
+      "MATCH (x:NTag) RETURN count(*) AS n")
+    assert(back.collect()(0).getLong(0) == g.nodes("Nation").count())
+  }
+
+  test("CALL subquery aggregates per imported row") {
+    val rows = run(
+      """MATCH (r:Region)
+        |CALL { WITH r MATCH (r)<-[:IN_REGION]-(n:Nation) RETURN count(*) AS nn }
+        |RETURN r.r_name AS name, nn ORDER BY name""".stripMargin).collect()
+    assert(rows.length == 5 && rows.map(_.getLong(1)).sum == g.nodes("Nation").count())
+  }
 }
