@@ -184,6 +184,9 @@ object Functions {
         if (args.size >= 3) sequence(a(0), a(1), a(2))
         else sequence(a(0), a(1))
       case "toset" => array_distinct(a(0))
+      case "uniformsample" =>
+        // rand-based sample of a list (awesome_memgraph_functions.cpp:2097)
+        slice(shuffle(a(0)), lit(1), a(1).cast("int"))
       case "reverse" =>
         argType(0) match {
           case Some(_: ArrayType) => reverse(a(0))

@@ -326,9 +326,14 @@ final class Planner(
             .groupBy(GraphState.IdCol)
             .agg(max(col("__nv")).as("__nv"))
           state = Mutations.setPropertyByIds(state, updates, key)
+        case Some(Binding.EdgeB) =>
+          val updates = lf.df
+            .select(Frames.id(v).as(GraphState.IdCol), value.as("__nv"))
+            .groupBy(GraphState.IdCol)
+            .agg(max(col("__nv")).as("__nv"))
+          state = Mutations.setEdgePropertyByIds(state, updates, key)
         case other =>
-          throw new UnsupportedOperationException(
-            s"SET on $other binding (only node properties in this version)")
+          throw new UnsupportedOperationException(s"SET on $other binding")
       }
     case SetLabelsItem(v, labels) =>
       state = Mutations.updateLabelsByIds(

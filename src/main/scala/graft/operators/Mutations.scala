@@ -160,6 +160,30 @@ object Mutations {
     out
   }
 
+  /** SET e.prop = value for edge-id-keyed updates, across every type. */
+  def setEdgePropertyByIds(
+      g: GraphState,
+      updates: DataFrame, // columns: _id, __nv
+      prop: String): GraphState = {
+    var out = g
+    g.edgeTypes.foreach { t =>
+      out = out.withEdges(
+        t,
+        () => {
+          val e = g.edges(t)
+          val vtype = updates.schema("__nv").dataType
+          val base =
+            if (e.columns.contains(prop)) e
+            else e.withColumn(prop, lit(null).cast(vtype))
+          base
+            .join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+            .withColumn(prop, coalesce(col("__nv"), col(prop)))
+            .drop("__nv")
+        })
+    }
+    out
+  }
+
   /** REMOVE n.prop for the given ids: property → NULL on matched nodes. */
   def removePropertyByIds(
       g: GraphState,

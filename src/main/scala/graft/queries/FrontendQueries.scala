@@ -100,6 +100,44 @@ object FrontendQueries {
         |  SELECT CAST((c_custkey * 7 + 7) % 10 + 1 AS DOUBLE) FROM customer)
         |WHERE w >= 9""".stripMargin),
 
+    // ScanAllByVertexProperty (operator.hpp:862): global property scan —
+    // unlabeled match, property-existence + range predicate over the union
+    // of all label frames.
+    cq(
+      "cy_scan_vertex_prop",
+      """MATCH (v) WHERE v.o_totalprice IS NOT NULL AND v.o_totalprice > 300000
+        |RETURN count(*) AS n, round(sum(v.o_totalprice), 2) AS total""".stripMargin,
+      """SELECT count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders WHERE o_totalprice > 300000""".stripMargin),
+
+    // SET on an edge binding (SetProperty on edges, operator.hpp:1448).
+    QueryDef(
+      "cy_set_edge_prop",
+      (s, dir) => {
+        val r = Cypher.execute(
+          s,
+          g(s, dir),
+          """MATCH (a:Customer)-[k:KNOWS]->(b:Customer)
+            |WHERE a.c_custkey < 200
+            |SET k.boosted = k.k_weight * 2""".stripMargin)
+        Cypher.run(
+          s,
+          r.graph,
+          """MATCH (a:Customer)-[k:KNOWS]->(b:Customer)
+            |WHERE k.boosted IS NOT NULL
+            |RETURN count(*) AS n, round(sum(k.boosted), 1) AS total""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n,
+             |  round(CAST(sum(CAST(w * 2 AS DECIMAL(38,4))) AS DOUBLE), 1) AS total
+             |FROM (
+             |  SELECT CAST((c_custkey * 7 + 1) % 10 + 1 AS DOUBLE) AS w
+             |  FROM customer WHERE c_custkey < 200
+             |  UNION ALL
+             |  SELECT CAST((c_custkey * 7 + 7) % 10 + 1 AS DOUBLE)
+             |  FROM customer WHERE c_custkey < 200)""".stripMargin)),
+
     // ScanAllByEdgeId (operator.hpp:945): point lookup by edge id.
     cq(
       "cy_edge_scan_id",
