@@ -251,6 +251,30 @@ object Mutations {
     out
   }
 
+  /** `CALL { … } IN TRANSACTIONS OF n ROWS` / `USING PERIODIC COMMIT`
+    * (operator.hpp:3242, :3215): split a driver DataFrame into row batches
+    * and fold a mutation function over them — each batch commits as its own
+    * state version, so a failure loses at most one batch (the reference's
+    * periodic-commit contract). Batch assignment is deterministic
+    * (row_number over the given ordering). */
+  def periodicBatches(
+      g: GraphState,
+      rows: DataFrame,
+      batchSize: Int,
+      orderCols: Seq[String])(
+      apply: (GraphState, DataFrame) => GraphState): GraphState = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val numbered = rows
+      .withColumn("__batch", ((row_number().over(w) - 1) / batchSize).cast("int"))
+      .localCheckpoint(true)
+    val batches = numbered.select("__batch").distinct()
+      .orderBy("__batch").collect().map(_.getInt(0))
+    batches.foldLeft(g) { (state, b) =>
+      apply(state, numbered.filter(col("__batch") === b).drop("__batch"))
+    }
+  }
+
   // Mutation key-sets are usually tiny relative to the frames they prune;
   // broadcasting keeps DELETE from shuffling the whole graph. Spark's AQE
   // does this automatically when sizes are known — the hint covers the

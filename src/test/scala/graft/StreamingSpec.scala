@@ -58,6 +58,23 @@ class StreamingSpec extends SparkTestBase {
     assert(logged == nSrc && batches >= 1)
   }
 
+  test("periodic batched commit: each batch becomes its own state version") {
+    val g0 = TpchGraphLoader(spark, sfDir)
+    val rows = TpchGraphLoader.table(spark, sfDir, "region")
+    var versions = 0
+    val gFinal = Mutations.periodicBatches(g0, rows, batchSize = 2,
+      orderCols = Seq("r_regionkey")) { (g, batch) =>
+      versions += 1
+      val nodes = batch.select(
+        (lit(960L << 48) + col("r_regionkey")).as(GraphState.IdCol),
+        array(lit("PBatch")).as(GraphState.LabelsCol),
+        col("r_name"))
+      Mutations.createNodes(g, "PBatch", nodes)
+    }
+    assert(versions == 3) // 5 regions / batches of 2
+    assert(gFinal.nodes("PBatch").count() == rows.count())
+  }
+
   test("TTL expiry drops expired nodes and incident edges") {
     val g0 = TpchGraphLoader(spark, sfDir)
     val g1 = Mutations.setProperty(
