@@ -74,6 +74,10 @@ object VarExpand {
         reached.reduce(_ unionByName _)
       case bound => // fixpoint loop (unbounded or large bound)
         val limit = bound.getOrElse(HardHopLimit)
+        // the (possibly multi-type union) edge frame is re-joined every
+        // round — cache it for the duration of the loop
+        val e = edges.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         var cur = base.localCheckpoint(true)
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
@@ -81,10 +85,11 @@ object VarExpand {
         var empty = cur.isEmpty
         while (!empty && k < limit) {
           k += 1
-          cur = step(cur, edges, dir).localCheckpoint(true)
+          cur = step(cur, e, dir).localCheckpoint(true)
           empty = cur.isEmpty
           if (!empty && k >= minHops) reached = reached :+ cur
         }
+        e.unpersist(blocking = false)
         if (!empty && bound.isEmpty)
           throw new IllegalStateException(
             s"unbounded variable expansion exceeded $HardHopLimit hops — " +
