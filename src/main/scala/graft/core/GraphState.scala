@@ -37,7 +37,13 @@ import org.apache.spark.sql.DataFrame
   */
 final class GraphState(
     nodeThunks: Map[String, () => DataFrame],
-    edgeThunks: Map[String, () => DataFrame]) {
+    edgeThunks: Map[String, () => DataFrame],
+    /** High-water mark of the id-namespace bases consumed by statements run
+      * against (ancestors of) this version. Each statement's Planner starts
+      * allocating above it, so chained `Cypher.execute` calls never reuse an
+      * id base (ids are `base<<48 + monotonically_increasing_id`). Loader
+      * bases live in 1..899. */
+    val idBase: Long = 900L) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -90,10 +96,14 @@ final class GraphState(
     * `operator.hpp:1870`: writes become visible as a whole new state, never
     * mid-read). */
   def withNodes(label: String, mk: () => DataFrame): GraphState =
-    new GraphState(nodeThunks + (label -> mk), edgeThunks)
+    new GraphState(nodeThunks + (label -> mk), edgeThunks, idBase)
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
-    new GraphState(nodeThunks, edgeThunks + (tpe -> mk))
+    new GraphState(nodeThunks, edgeThunks + (tpe -> mk), idBase)
+
+  /** New version with the id high-water mark advanced (never lowered). */
+  def withIdBase(base: Long): GraphState =
+    new GraphState(nodeThunks, edgeThunks, math.max(base, idBase))
 }
 
 object GraphState {

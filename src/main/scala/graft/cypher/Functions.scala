@@ -57,8 +57,13 @@ object Functions {
         } else if (distinct) sum_distinct(a(0))
         else sum(a(0))
       case "avg" =>
-        if (isFloating(0))
-          sum(a(0).cast(DecimalType(38, 4))).cast("double") / count(a(0))
+        if (isFloating(0)) {
+          val d = a(0).cast(DecimalType(38, 4))
+          if (distinct)
+            sum_distinct(d).cast("double") / count_distinct(a(0))
+          else sum(d).cast("double") / count(a(0))
+        } else if (distinct)
+          sum_distinct(a(0)).cast("double") / count_distinct(a(0))
         else avg(a(0))
       case "min" => min(a(0))
       case "max" => max(a(0))

@@ -36,11 +36,13 @@ final class Planner(
   def currentState: GraphState = state
 
   /** Id namespace for nodes/edges created by this query (outside loader
-    * bases). `monotonically_increasing_id` is partition-parallel (no global
-    * window); created frames are checkpointed so ids are assigned exactly
-    * once. */
-  private var createBase = 900L
+    * bases). Seeded from the graph's high-water mark so chained statements
+    * never collide; `monotonically_increasing_id` is partition-parallel (no
+    * global window); created frames are checkpointed so ids are assigned
+    * exactly once. */
+  private var createBase = g.idBase
   private def nextBase(): Long = { createBase += 1; createBase << 48 }
+  def idHighWater: Long = createBase
 
   final case class LF(df: DataFrame, scope: Scope)
 
@@ -566,7 +568,10 @@ final class Planner(
       part.hops.size == 1,
       "shortest-path pattern must be a single variable-length relationship")
     val (rel, node) = part.hops.head
-    val (lo, hi) = rel.varLength.getOrElse((None, None))
+    // A non-var-length relationship inside shortestPath(...) keeps its
+    // single-edge semantics (exactly one hop), matching the reference's
+    // pattern typing — only `*lo..hi` widens the search.
+    val (lo, hi) = rel.varLength.getOrElse((Some(1), Some(1)))
     val minH = lo.getOrElse(1)
     val maxH = hi.getOrElse(Int.MaxValue) // fixpoint-terminated, not capped
     val dir = rel.direction match {
@@ -1103,6 +1108,6 @@ object Cypher {
       params: Map[String, Any] = Map.empty): ExecResult = {
     val planner = new Planner(spark, g, params)
     val df = planner.plan(CypherParser.parse(query))
-    ExecResult(planner.currentState, df)
+    ExecResult(planner.currentState.withIdBase(planner.idHighWater), df)
   }
 }

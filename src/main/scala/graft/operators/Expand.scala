@@ -44,9 +44,11 @@ object Expand {
   }
 
   /** Expand to an already-bound endpoint: only adds the join predicate.
-    * For BOTH the edge must connect the two bound nodes in either
-    * orientation; a self-loop (src=dst=both nodes) matches exactly once
-    * because this is a filter, not a union. */
+    * For BOTH: an OR-of-equalities join condition cannot hash-partition
+    * (Catalyst falls back to BroadcastNestedLoopJoin — O(frame × edges) at
+    * scale), so each orientation is its own equi-join and the results are
+    * unioned. A self-loop (src=dst=both nodes) matches exactly once: the
+    * reversed branch excludes loops. */
   def toExisting(
       frame: DataFrame,
       g: GraphState,
@@ -54,17 +56,22 @@ object Expand {
       edgeVar: String,
       types: Seq[String],
       dir: Direction,
-      existingVar: String): DataFrame = {
-    val withEdge = joinEdge(frame, g, srcVar, edgeVar, types, dir)
-    dir match {
-      case Both =>
-        withEdge.filter(
-          (Frames.src(edgeVar) === Frames.id(srcVar) &&
-            Frames.dst(edgeVar) === Frames.id(existingVar)) ||
-            (Frames.dst(edgeVar) === Frames.id(srcVar) &&
-              Frames.src(edgeVar) === Frames.id(existingVar)))
-      case d => withEdge.filter(farEnd(edgeVar, d) === Frames.id(existingVar))
-    }
+      existingVar: String): DataFrame = dir match {
+    case Both =>
+      val edges = Frames.bind(edgeVar)(g.edgesOfTypes(types))
+      val fwd = frame.join(
+        edges,
+        Frames.src(edgeVar) === Frames.id(srcVar) &&
+          Frames.dst(edgeVar) === Frames.id(existingVar))
+      val rev = frame.join(
+        edges,
+        Frames.dst(edgeVar) === Frames.id(srcVar) &&
+          Frames.src(edgeVar) === Frames.id(existingVar) &&
+          Frames.src(edgeVar) =!= Frames.dst(edgeVar))
+      fwd.unionByName(rev)
+    case d =>
+      joinEdge(frame, g, srcVar, edgeVar, types, d)
+        .filter(farEnd(edgeVar, d) === Frames.id(existingVar))
   }
 
   private def joinEdge(
@@ -79,8 +86,10 @@ object Expand {
       case Out => Frames.src(edgeVar) === Frames.id(srcVar)
       case In => Frames.dst(edgeVar) === Frames.id(srcVar)
       case Both =>
-        Frames.src(edgeVar) === Frames.id(srcVar) ||
-          Frames.dst(edgeVar) === Frames.id(srcVar)
+        // reachable only via [[apply]], which rejects Both in farEnd;
+        // undirected one-hop goes through expandBoth / toExisting
+        throw new UnsupportedOperationException(
+          "undirected joinEdge: use expandBoth or toExisting")
     }
     frame.join(edges, cond)
   }

@@ -55,8 +55,26 @@ object VarExpand {
       minHops >= 0 && maxHops.forall(_ >= minHops),
       s"bad hop range $minHops..$maxHops")
 
-    val edges = g.edgesOfTypes(types)
+    // Pre-orient once for undirected patterns (the [[ShortestPath.oriented]]
+    // pattern): the per-round frontier⋈edges join must stay a single
+    // equi-join — an OR-of-equalities condition would fall back to
+    // BroadcastNestedLoopJoin on every round. The reversed copy excludes
+    // self-loops so a loop edge traverses once, matching the reference's
+    // BOTH iteration. After orienting, every hop steps Out.
+    val edges0 = g.edgesOfTypes(types)
       .select(col(GraphState.IdCol), col(GraphState.SrcCol), col(GraphState.DstCol))
+    val edges = dir match {
+      case Expand.Both =>
+        edges0.unionByName(
+          edges0
+            .filter(col(GraphState.SrcCol) =!= col(GraphState.DstCol))
+            .select(
+              col(GraphState.IdCol),
+              col(GraphState.DstCol).as(GraphState.SrcCol),
+              col(GraphState.SrcCol).as(GraphState.DstCol)))
+      case _ => edges0
+    }
+    val stepDir = if (dir == Expand.Both) Expand.Out else dir
 
     val base = frame
       .withColumn(CUR, Frames.id(srcVar))
@@ -68,7 +86,7 @@ object VarExpand {
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
         for (k <- 1 to h) {
-          cur = step(cur, edges, dir)
+          cur = step(cur, edges, stepDir)
           if (k >= minHops) reached = reached :+ cur
         }
         reached.reduce(_ unionByName _)
@@ -85,7 +103,7 @@ object VarExpand {
         var empty = cur.isEmpty
         while (!empty && k < limit) {
           k += 1
-          cur = step(cur, e, dir).localCheckpoint(true)
+          cur = step(cur, e, stepDir).localCheckpoint(true)
           empty = cur.isEmpty
           if (!empty && k >= minHops) reached = reached :+ cur
         }
@@ -123,11 +141,9 @@ object VarExpand {
         cur.join(e, col(CUR) === col("__e_dst"))
           .withColumn("__next", col("__e_src"))
       case Expand.Both =>
-        cur.join(e, col(CUR) === col("__e_src") || col(CUR) === col("__e_dst"))
-          .withColumn(
-            "__next",
-            when(col(CUR) === col("__e_src"), col("__e_dst"))
-              .otherwise(col("__e_src")))
+        // never reached: apply() pre-orients the edge frame and steps Out
+        throw new UnsupportedOperationException(
+          "undirected step: pre-orient the edge frame and step Out")
     }
     joined
       .filter(!array_contains(col(PATH), col("__e_id")))

@@ -104,14 +104,23 @@ object Procedures {
     var comp = nodes.withColumn("comp", col("node")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 64) {
+    val maxRounds = 64
+    while (!converged && rounds < maxRounds) {
       rounds += 1
-      val next = comp
+      val prop = comp
         .unionByName(
           comp.join(und, col("node") === col("src"))
             .select(col("dst").as("node"), col("comp")))
         .groupBy("node")
         .agg(min("comp").as("comp"))
+      // Pointer-jumping (path halving): comp(v) ← comp(comp(v)). Component
+      // labels converge in O(log diameter) rounds instead of O(diameter),
+      // so the 64-round cap covers any graph up to diameter ~2^64.
+      val next = prop
+        .join(
+          prop.select(col("node").as("__c"), col("comp").as("__cc")),
+          col("comp") === col("__c"))
+        .select(col("node"), col("__cc").as("comp"))
         .localCheckpoint(true)
       val changed = next
         .join(comp.select(col("node"), col("comp").as("__old")), Seq("node"))
@@ -120,6 +129,9 @@ object Procedures {
       comp = next
     }
     und.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"algo.wcc did not converge within $maxRounds rounds")
     comp
   }
 

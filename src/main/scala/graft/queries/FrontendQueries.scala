@@ -35,7 +35,7 @@ object FrontendQueries {
       """SELECT n_name AS nation,
         |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
         |    AS n_cust,
-        |  (SELECT coalesce(sum(s_suppkey), 0) FROM supplier
+        |  (SELECT CAST(coalesce(sum(s_suppkey), 0) AS BIGINT) FROM supplier
         |   WHERE s_nationkey = n_nationkey) AS supp_key_sum
         |FROM nation ORDER BY nation""".stripMargin),
 

@@ -17,8 +17,17 @@ import graft.operators.Mutations
   * statements. Our Spark-native contract is the same shape:
   * `readStream` source → `foreachBatch` → a [[Transformation]] that turns
   * the batch DataFrame into mutations against the current [[GraphState]]
-  * version — with Structured Streaming supplying exactly-once batch
-  * delivery (checkpointed offsets + idempotent versioned states).
+  * version.
+  *
+  * Delivery semantics: **at-least-once per process lifetime**. Structured
+  * Streaming checkpoints source offsets durably, but the evolved
+  * [[GraphState]] lives only in this JVM (`@volatile var` seeded from
+  * `initial`) — restarting a run against an *existing* `checkpointDir`
+  * would skip batches that committed in the previous process while their
+  * mutations live only in that process's lost state. Use a fresh
+  * `checkpointDir` per run (every call-site here does), or, for true
+  * exactly-once across restarts, persist the state version keyed by
+  * batchId alongside the offsets and make transforms idempotent on replay.
   *
   * Triggers (`CREATE TRIGGER … ON CREATE AFTER COMMIT`, trigger.hpp:93,
   * event set trigger_context.hpp:151-163): after each batch commits, every
