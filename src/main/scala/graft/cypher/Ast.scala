@@ -20,6 +20,15 @@ object Ast {
   final case class Prop(of: Expr, key: String) extends Expr
   final case class Param(name: String) extends Expr
 
+  /** Map projection `n {.k1, key: expr, var, .*}` (reference ast.hpp map
+    * projection nodes) — lowers to a struct over the variable's frame. */
+  sealed trait MapProjItem
+  final case class ProjProp(key: String) extends MapProjItem
+  final case class ProjKV(key: String, value: Expr) extends MapProjItem
+  final case class ProjVar(name: String) extends MapProjItem
+  case object ProjAll extends MapProjItem
+  final case class MapProjection(variable: String, items: Seq[MapProjItem]) extends Expr
+
   final case class BinOp(op: String, l: Expr, r: Expr) extends Expr // + - * / % ^ = <> < <= > >= AND OR XOR IN =~ CONTAINS STARTS ENDS
   final case class Not(e: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
@@ -120,6 +129,10 @@ object Ast {
   sealed trait SetItem
   final case class SetProp(variable: String, key: String, value: Expr) extends SetItem
   final case class SetLabelsItem(variable: String, labels: Seq[String]) extends SetItem
+  /** `SET n = {map}` (REPLACE) / `SET n += {map}` (UPDATE) — the reference's
+    * SetProperties (operator.hpp:1539, Op::REPLACE/UPDATE). A NULL map value
+    * removes the key (gql_behave update_clauses.feature semantics). */
+  final case class SetAllProps(variable: String, value: Expr, update: Boolean) extends SetItem
   /** SET items (`SetProperty` operator.hpp:1448, `SetLabels` :1590). */
   final case class SetCl(items: Seq[SetItem]) extends Clause
   /** [DETACH] DELETE vars (`Delete` operator.hpp:1396). */

@@ -204,10 +204,23 @@ object CypherParser extends RegexParsers {
       PatternComprehension(p, w, proj)
     }
 
+  def mapProjItem: Parser[MapProjItem] =
+    "." ~> "*" ^^ (_ => ProjAll) |
+      "." ~> (ident | identP) ^^ ProjProp.apply |
+      (ident | identP) ~ (":" ~> expr) ^^ { case k ~ e => ProjKV(k, e) } |
+      ident ^^ ProjVar.apply
+
+  /** `n {.name, key: expr, other, .*}` — map projection (ast.hpp). */
+  def mapProjection: Parser[Expr] =
+    ident ~ ("{" ~> repsep(mapProjItem, ",") <~ "}") ^^ { case v ~ items =>
+      MapProjection(v, items)
+    }
+
   def atom: Parser[Expr] =
     literal | caseExpr | countStar | existsFn | quantifier | reduceExpr |
       patternComprehension | listComprehension | listLit | mapLit | param |
-      patternPredicate | fnCall | ident ^^ Var.apply | "(" ~> expr <~ ")"
+      patternPredicate | fnCall | mapProjection | ident ^^ Var.apply |
+      "(" ~> expr <~ ")"
 
   // ---------- patterns ----------
   def nodePattern: Parser[NodePattern] =
@@ -354,7 +367,9 @@ object CypherParser extends RegexParsers {
     } |
       ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
         SetLabelsItem(v, ls)
-      }
+      } |
+      ident ~ ("+=" ~> expr) ^^ { case v ~ e => SetAllProps(v, e, update = true) } |
+      ident ~ ("=" ~> expr) ^^ { case v ~ e => SetAllProps(v, e, update = false) }
 
   def setClause: Parser[Clause] =
     kw("SET") ~> rep1sep(setItem, ",") ^^ SetCl.apply

@@ -138,6 +138,28 @@ final class ExprLowering(
         (a, x) => new ExprLowering(df, scope, params,
           lambdaVars + (acc -> a) + (v -> x)).lower(stepE))
 
+    // Map projection (ast.hpp map-projection nodes): struct over the
+    // variable's promoted property columns — `.*` splices all properties
+    // (meta columns excluded), missing `.k` selectors yield NULL.
+    case MapProjection(v, items) =>
+      val metaKeys = Set("_id", "_labels", "_src", "_dst", "_type")
+      val fields: Seq[Column] = items.flatMap {
+        case ProjAll =>
+          require(isNodeOrEdgeVar(v), s"$v {.*}: $v is not a node/edge")
+          Frames.colsOf(df, v)
+            .map(_.substring(v.length + Frames.Sep.length))
+            .filterNot(metaKeys)
+            .map(k => Frames.f(v, k).as(k))
+        case ProjProp(k) =>
+          val c =
+            if (df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
+            else lit(null)
+          Seq(c.as(k))
+        case ProjKV(k, e) => Seq(lower(e).as(k))
+        case ProjVar(n) => Seq(lower(Var(n)).as(n))
+      }
+      struct(fields: _*)
+
     case CountStar() => count(lit(1))
 
     case FnCall(name, distinct, args) =>
@@ -283,6 +305,8 @@ final class ExprLowering(
         d.exists(hasAgg)
     case ListLit(items) => items.exists(hasAgg)
     case MapLit(items) => items.exists(kv => hasAgg(kv._2))
+    case MapProjection(_, items) =>
+      items.exists { case ProjKV(_, e) => hasAgg(e); case _ => false }
     case ListComprehension(_, l, w, p) =>
       hasAgg(l) || w.exists(hasAgg) || p.exists(hasAgg)
     case Quantifier(_, _, l, p) => hasAgg(l) || hasAgg(p)

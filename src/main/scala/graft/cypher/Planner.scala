@@ -343,6 +343,47 @@ final class Planner(
         lf.df.select(Frames.id(v)).distinct(),
         labels,
         add = true)
+
+    // SetProperties (operator.hpp:1539): SET n = {map} / SET n += {map}.
+    // The map must have statically-known keys (a literal map or a map
+    // parameter) — each key becomes one update column, so the whole item is
+    // a single broadcast-join column rebuild per touched frame.
+    case SetAllProps(v, value, update) =>
+      val entries: Seq[(String, Column)] = value match {
+        case MapLit(items) =>
+          val low = lowering(lf)
+          items.map { case (k, e) => k -> low.lower(e) }
+        case Param(name) =>
+          params.getOrElse(
+            name,
+            throw new IllegalArgumentException(s"missing parameter $$$name")) match {
+            case m: Map[_, _] =>
+              m.toSeq.map { case (k, x) => k.toString -> lit(x) }
+            case other =>
+              throw new IllegalArgumentException(
+                s"SET $v ${if (update) "+=" else "="} $$$name: not a map ($other)")
+          }
+        case other =>
+          throw new UnsupportedOperationException(
+            s"SET $v ${if (update) "+=" else "="} requires a literal or parameter map, got $other")
+      }
+      val keys = entries.map(_._1)
+      val updates = lf.df
+        .select(
+          Frames.id(v).as(GraphState.IdCol) +:
+            entries.map { case (k, c) => c.as(s"__nv_$k") }: _*)
+        .groupBy(GraphState.IdCol)
+        .agg(max(lit(1)).as("__hit"), keys.map(k => max(s"__nv_$k").as(s"__nv_$k")): _*)
+      lf.scope.get(v) match {
+        case Some(Binding.NodeB) =>
+          state = Mutations.setNodePropertiesByIds(
+            state, updates, keys, replace = !update)
+        case Some(Binding.EdgeB) =>
+          state = Mutations.setEdgePropertiesByIds(
+            state, updates, keys, replace = !update)
+        case other =>
+          throw new UnsupportedOperationException(s"SET map on $other binding")
+      }
   }
 
   private def planDelete(lf: LF, detach: Boolean, vars: Seq[String]): Unit =
@@ -378,9 +419,7 @@ final class Planner(
     * Anti-join on the property columns = the reference's match-miss branch.
     */
   private def planMerge(lf: LF, m: MergeCl): Unit = {
-    require(
-      m.pattern.hops.isEmpty,
-      "MERGE supports single-node patterns in this version")
+    if (m.pattern.hops.nonEmpty) { planMergeEdge(lf, m); return }
     val n = m.pattern.start
     require(
       n.labels.nonEmpty && n.props.nonEmpty,
@@ -431,6 +470,85 @@ final class Planner(
             state = Mutations.setPropertyByIds(state, updates, key)
           case _ => ()
         }
+      }
+    }
+  }
+
+  /** Relationship MERGE (`Merge` operator.hpp:2579 run on a one-hop
+    * pattern): `MERGE (a)-[e:T {props}]->(b)` with both endpoints already
+    * bound. Per input row the edge is matched by (src, dst, type, props);
+    * missing combinations are created exactly once (distinct + anti-join —
+    * the reference's match-miss branch), matched ones get ON MATCH SET.
+    * Idempotent: re-running the same MERGE creates nothing. */
+  private def planMergeEdge(lf: LF, m: MergeCl): Unit = {
+    require(
+      m.pattern.hops.size == 1,
+      "MERGE supports single-node or single-relationship patterns")
+    val (rel, endN) = m.pattern.hops.head
+    require(
+      rel.varLength.isEmpty && rel.types.size == 1,
+      "relationship MERGE needs exactly one type and no var-length")
+    val startV = m.pattern.start.variable.getOrElse(
+      throw new UnsupportedOperationException(
+        "relationship MERGE requires bound endpoint variables"))
+    val endV = endN.variable.getOrElse(
+      throw new UnsupportedOperationException(
+        "relationship MERGE requires bound endpoint variables"))
+    require(
+      lf.scope.get(startV).contains(Binding.NodeB) &&
+        lf.scope.get(endV).contains(Binding.NodeB),
+      s"relationship MERGE endpoints must be bound nodes: $startV, $endV")
+    val tpe = rel.types.head
+    val eVar = rel.variable
+    val low = lowering(lf)
+    // orient: (a)-[]->(b) src=a; (a)<-[]-(b) src=b; undirected unsupported
+    val (srcV, dstV) = rel.direction match {
+      case OutDir => (startV, endV)
+      case InDir => (endV, startV)
+      case BothDir =>
+        throw new UnsupportedOperationException(
+          "undirected relationship MERGE is ambiguous; give a direction")
+    }
+    val propNames = rel.props.map(_._1)
+    val want = lf.df
+      .select(
+        Frames.id(srcV).as(GraphState.SrcCol) +:
+          Frames.id(dstV).as(GraphState.DstCol) +:
+          rel.props.map { case (k, e) => low.lower(e).as(k) }: _*)
+      .distinct()
+
+    def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
+      items.foldLeft(base) {
+        case (d, SetProp(v, key, e)) if eVar.contains(v) =>
+          d.withColumn(key, new ExprLowering(d, Scope.empty, params).lower(e))
+        case (d, _) => d
+      }
+
+    val matchCols = GraphState.SrcCol +: GraphState.DstCol +: propNames
+    val existingOpt =
+      if (state.hasType(tpe)) Some(state.edges(tpe)) else None
+    val missing = existingOpt match {
+      case Some(ex) => want.join(ex, matchCols.toSeq, "left_anti")
+      case None => want
+    }
+    val created = setCols(
+      m.onCreate,
+      missing.select(
+        (lit(nextBase()) + monotonically_increasing_id())
+          .as(GraphState.IdCol) +:
+          lit(tpe).as(GraphState.TypeCol) +:
+          matchCols.map(col): _*)).localCheckpoint(true)
+    state = Mutations.createEdges(state, tpe, created)
+    if (m.onMatch.nonEmpty) existingOpt.foreach { ex =>
+      val matchedIds = ex
+        .join(want, matchCols.toSeq, "left_semi")
+        .select(GraphState.IdCol)
+      m.onMatch.foreach {
+        case SetProp(v, key, e) if eVar.contains(v) =>
+          val lowU = new ExprLowering(matchedIds.toDF(), Scope.empty, params)
+          val updates = matchedIds.withColumn("__nv", lowU.lower(e))
+          state = Mutations.setEdgePropertyByIds(state, updates, key)
+        case _ => ()
       }
     }
   }
@@ -652,7 +770,9 @@ final class Planner(
           dir)
         ShortestPath.weighted(state, seeds, oriented, maxRounds = maxH)
       case _ =>
-        ShortestPath.bfs(state, seeds, rel.types, dir, maxH)
+        ShortestPath.bfs(
+          state, seeds, rel.types, dir, maxH,
+          withPaths = part.pathVar.isDefined)
     }
 
     var joined = cur0.df
@@ -688,6 +808,13 @@ final class Planner(
       joined = joined.withColumn(
         s"$pv${Frames.Sep}_len",
         col(ShortestPath.DistCol))
+      // real path values (operator.cpp:2458): nodes(p)/relationships(p)
+      // work on BFS shortest-path bindings, not just DFS named paths
+      if (joined.columns.contains(ShortestPath.PathNodesCol))
+        joined = joined
+          .withColumn(s"$pv${Frames.Sep}_nodes", col(ShortestPath.PathNodesCol))
+          .withColumn(s"$pv${Frames.Sep}_edges", col(ShortestPath.PathEdgesCol))
+          .drop(ShortestPath.PathNodesCol, ShortestPath.PathEdgesCol)
       scope += (pv -> Binding.PathB)
     }
     rel.totalVar.foreach { tv =>

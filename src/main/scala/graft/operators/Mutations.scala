@@ -184,6 +184,67 @@ object Mutations {
     out
   }
 
+  /** SetProperties (operator.hpp:1539): `SET n = {map}` (replace=true) /
+    * `SET n += {map}` (replace=false) for id-keyed update rows. REPLACE
+    * nulls every pre-existing property on matched rows before applying the
+    * map; UPDATE touches only the map's keys. A NULL map value removes the
+    * key in both modes. One broadcast join + column rebuild per frame. */
+  def setNodePropertiesByIds(
+      g: GraphState,
+      updates: DataFrame, // columns: _id, __hit, __nv_<key>…
+      keys: Seq[String],
+      replace: Boolean): GraphState = {
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => applyProps(g.nodes(l), GraphState.nodeMeta, updates, keys, replace))
+    }
+    out
+  }
+
+  def setEdgePropertiesByIds(
+      g: GraphState,
+      updates: DataFrame,
+      keys: Seq[String],
+      replace: Boolean): GraphState = {
+    var out = g
+    g.edgeTypes.foreach { t =>
+      out = out.withEdges(
+        t,
+        () => applyProps(g.edges(t), GraphState.edgeMeta, updates, keys, replace))
+    }
+    out
+  }
+
+  private def applyProps(
+      frame: DataFrame,
+      meta: Seq[String],
+      updates: DataFrame,
+      keys: Seq[String],
+      replace: Boolean): DataFrame = {
+    val joined = frame.join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+    val hit = col("__hit").isNotNull
+    var out = joined
+    if (replace)
+      frame.columns
+        .filterNot(meta.contains)
+        .filterNot(keys.contains)
+        .foreach { p =>
+          out = out.withColumn(
+            p,
+            when(hit, lit(null).cast(frame.schema(p).dataType)).otherwise(col(p)))
+        }
+    keys.foreach { k =>
+      val nv = col(s"__nv_$k")
+      val old =
+        if (frame.columns.contains(k)) col(k)
+        else lit(null).cast(updates.schema(s"__nv_$k").dataType)
+      out = out.withColumn(k, when(hit, nv).otherwise(old))
+    }
+    out.drop("__hit" +: keys.map(k => s"__nv_$k"): _*)
+  }
+
   /** REMOVE n.prop for the given ids: property → NULL on matched nodes. */
   def removePropertyByIds(
       g: GraphState,

@@ -34,6 +34,10 @@ object ShortestPath {
   val WeightCol = "__sp_w"
   /** Column name the caller must use for the edge weight in [[weighted]]. */
   val EdgeWeightCol = "__sp_we"
+  /** One concrete shortest path per (seed, node) — node-id / edge-id arrays
+    * ([[bfs]] with `withPaths = true`). */
+  val PathNodesCol = "__sp_path_nodes"
+  val PathEdgesCol = "__sp_path_edges"
 
   /** Direction-adjusted (src, dst, …) edge view. */
   def oriented(edges: DataFrame, dir: Expand.Direction): DataFrame = {
@@ -55,6 +59,12 @@ object ShortestPath {
   /** Multi-source BFS with shortest-path counting.
     *
     * @param seeds one column [[SeedCol]] of distinct start-node ids
+    * @param withPaths also materialize ONE concrete shortest path per
+    *        (seed, node) as node-id/edge-id arrays ([[PathNodesCol]] /
+    *        [[PathEdgesCol]]) — deterministic (lexicographically smallest
+    *        node sequence), the analog of the reference's path
+    *        reconstruction (`operator.cpp:2458`). Off by default: carrying
+    *        arrays grows frontier rows by O(dist).
     * @return (seed, node, dist, npaths): minimal hop count seed→node and the
     *         number of distinct shortest paths, for every node reachable
     *         within `maxHops` (dist 0 = the seed itself, npaths 1)
@@ -64,10 +74,14 @@ object ShortestPath {
       seeds: DataFrame,
       types: Seq[String],
       dir: Expand.Direction,
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      withPaths: Boolean = false): DataFrame = {
     val edges = oriented(
       g.edgesOfTypes(types)
-        .select(col(GraphState.SrcCol), col(GraphState.DstCol)),
+        .select(
+          col(GraphState.SrcCol),
+          col(GraphState.DstCol),
+          col(GraphState.IdCol).as("__sp_eid")),
       dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -77,12 +91,19 @@ object ShortestPath {
     // re-analyzing it long before any data is large. `localCheckpoint`
     // materializes the round AND cuts the plan to a leaf — on a real cluster
     // the same code runs with `checkpoint` to durable storage.
+    val baseCols = Seq(
+      col(SeedCol),
+      col(SeedCol).as(NodeCol),
+      lit(0L).as(DistCol),
+      lit(1L).as(NPathsCol))
+    val pathCols =
+      if (withPaths)
+        Seq(
+          array(col(SeedCol)).as(PathNodesCol),
+          array().cast("array<long>").as(PathEdgesCol))
+      else Nil
     var visited = seeds
-      .select(
-        col(SeedCol),
-        col(SeedCol).as(NodeCol),
-        lit(0L).as(DistCol),
-        lit(1L).as(NPathsCol))
+      .select(baseCols ++ pathCols: _*)
       .localCheckpoint(true)
     var frontier = visited
     var k = 0L
@@ -92,16 +113,43 @@ object ShortestPath {
       // one BFS level: expand the frontier, fold path counts per node,
       // drop nodes already reached at a smaller depth (first level wins —
       // exactly the BFS layering the reference's cursor maintains)
-      val next = frontier
+      val expanded = frontier
         .join(edges, col(NodeCol) === col(GraphState.SrcCol))
-        .select(
-          col(SeedCol),
-          col(GraphState.DstCol).as(NodeCol),
-          col(NPathsCol))
-        .groupBy(SeedCol, NodeCol)
-        .agg(sum(NPathsCol).as(NPathsCol))
-        .withColumn(DistCol, lit(k))
-        .select(SeedCol, NodeCol, DistCol, NPathsCol)
+      val next =
+        if (withPaths)
+          expanded
+            .select(
+              col(SeedCol),
+              col(GraphState.DstCol).as(NodeCol),
+              col(NPathsCol),
+              concat(col(PathNodesCol), array(col(GraphState.DstCol)))
+                .as(PathNodesCol),
+              concat(col(PathEdgesCol), array(col("__sp_eid")))
+                .as(PathEdgesCol))
+            .groupBy(SeedCol, NodeCol)
+            .agg(
+              sum(NPathsCol).as(NPathsCol),
+              // one deterministic representative path: min over the
+              // (node-seq, edge-seq) struct = lexicographically smallest
+              min(struct(col(PathNodesCol), col(PathEdgesCol))).as("__sp_p"))
+            .withColumn(DistCol, lit(k))
+            .select(
+              col(SeedCol),
+              col(NodeCol),
+              col(DistCol),
+              col(NPathsCol),
+              col("__sp_p")(PathNodesCol).as(PathNodesCol),
+              col("__sp_p")(PathEdgesCol).as(PathEdgesCol))
+        else
+          expanded
+            .select(
+              col(SeedCol),
+              col(GraphState.DstCol).as(NodeCol),
+              col(NPathsCol))
+            .groupBy(SeedCol, NodeCol)
+            .agg(sum(NPathsCol).as(NPathsCol))
+            .withColumn(DistCol, lit(k))
+            .select(SeedCol, NodeCol, DistCol, NPathsCol)
       val t0 = System.nanoTime()
       val fresh = next
         .join(visited, Seq(SeedCol, NodeCol), "left_anti")

@@ -47,6 +47,111 @@ object Round3Queries {
         |  SELECT CAST(1 AS BIGINT) AS hops, node AS k FROM w1
         |  UNION ALL
         |  SELECT CAST(2 AS BIGINT), node FROM w2)
-        |GROUP BY hops, k ORDER BY hops, k""".stripMargin)
+        |GROUP BY hops, k ORDER BY hops, k""".stripMargin),
+
+    // SetProperties UPDATE (operator.hpp:1539 Op::UPDATE): SET n += {map} —
+    // upserts listed keys, NULL value removes the key, others untouched.
+    QueryDef(
+      "cy_set_props_update",
+      (s, dir) => {
+        val r = Cypher.execute(
+          s,
+          g(s, dir),
+          """MATCH (c:Customer) WHERE c.c_custkey < 100
+            |SET c += {score: c.c_acctbal * 2, c_mktsegment: NULL}""".stripMargin)
+        Cypher.run(
+          s,
+          r.graph,
+          """MATCH (c:Customer)
+            |RETURN count(c.score) AS n_scored,
+            |       round(sum(c.score), 2) AS s,
+            |       count(c.c_mktsegment) AS n_seg""".stripMargin)
+      },
+      Some("""SELECT
+             |  (SELECT count(*) FROM customer WHERE c_custkey < 100) AS n_scored,
+             |  (SELECT round(CAST(sum(CAST(c_acctbal * 2 AS DECIMAL(38,4)))
+             |                     AS DOUBLE), 2)
+             |   FROM customer WHERE c_custkey < 100) AS s,
+             |  (SELECT count(*) FROM customer WHERE c_custkey >= 100)
+             |    AS n_seg""".stripMargin)),
+
+    // SetProperties REPLACE (operator.hpp:1539 Op::REPLACE): SET n = {map} —
+    // every pre-existing property not in the map is removed.
+    QueryDef(
+      "cy_set_props_replace",
+      (s, dir) => {
+        val r = Cypher.execute(
+          s,
+          g(s, dir),
+          """MATCH (r:Region)
+            |SET r = {r_name: r.r_name, tier: r.r_regionkey + 1}""".stripMargin)
+        Cypher.run(
+          s,
+          r.graph,
+          """MATCH (r:Region)
+            |RETURN r.r_name AS name, r.tier AS tier, r.r_comment AS comment
+            |ORDER BY name""".stripMargin)
+      },
+      Some("""SELECT r_name AS name, r_regionkey + 1 AS tier,
+             |  CAST(NULL AS VARCHAR) AS comment
+             |FROM region ORDER BY name""".stripMargin)),
+
+    // Relationship MERGE (operator.hpp:2579 over a one-hop pattern): first
+    // pass creates every (a,b) FOLLOWS edge once; second pass matches all of
+    // them (creates nothing — idempotent) and fires ON MATCH SET.
+    QueryDef(
+      "cy_merge_edge",
+      (s, dir) => {
+        val merge =
+          """MATCH (a:Customer)-[:KNOWS]->(b:Customer) WHERE a.c_custkey < 50
+            |MERGE (a)-[f:FOLLOWS]->(b)
+            |ON CREATE SET f.w = 1.0
+            |ON MATCH SET f.w = 3.0""".stripMargin
+        val g1 = Cypher.execute(s, g(s, dir), merge).graph
+        val g2 = Cypher.execute(s, g1, merge).graph
+        Cypher.run(
+          s,
+          g2,
+          """MATCH (a:Customer)-[f:FOLLOWS]->(b:Customer)
+            |RETURN count(*) AS n, round(sum(f.w), 1) AS w""".stripMargin)
+      },
+      Some("""SELECT CAST(2 * count(*) AS BIGINT) AS n,
+             |  CAST(6 * count(*) AS DOUBLE) AS w
+             |FROM customer WHERE c_custkey < 50""".stripMargin)),
+
+    // BFS path values (operator.cpp:2458): nodes(p)/relationships(p) on a
+    // shortestPath binding. Representative path is deterministic (lexico-
+    // graphically smallest node sequence), so the ring(+1)+chord(+7) KNOWS
+    // graph gives closed-form oracles: to 2 = [0,1,2]; to 8 = min([0,1,8],
+    // [0,7,8]) = [0,1,8]; to 14 = [0,7,14]. Ids are base+key (nodes,
+    // 2·key+slot for edges), recovered mod 2^48.
+    cq(
+      "cy_bfs_path_nodes",
+      """MATCH p = shortestPath((a:Customer)-[:KNOWS*..6]->(b:Customer))
+        |WHERE a.c_custkey = 0 AND b.c_custkey IN [2, 8, 14]
+        |RETURN b.c_custkey AS k, length(p) AS len,
+        |       size(nodes(p)) AS n_nodes,
+        |       nodes(p)[1] % 281474976710656 AS second,
+        |       relationships(p)[0] % 281474976710656 AS e0
+        |ORDER BY k""".stripMargin,
+      """SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (8, 2, 3, 1, 0),
+        |  (14, 2, 3, 7, 1)) AS t(k, len, n_nodes, second, e0)
+        |ORDER BY k""".stripMargin),
+
+    // Map projection (ast.hpp map-projection nodes): `.k` selectors, a
+    // computed key, and `.*` splice, consumed through a WITH pipeline.
+    cq(
+      "cy_map_projection",
+      """MATCH (n:Nation)
+        |WITH n {.n_name, dbl: n.n_nationkey * 2} AS m,
+        |     n {.*} AS allp
+        |RETURN m.n_name AS name, m.dbl AS dbl,
+        |       allp.n_regionkey AS rk
+        |ORDER BY name""".stripMargin,
+      """SELECT n_name AS name, n_nationkey * 2 AS dbl, n_regionkey AS rk
+        |FROM nation ORDER BY name""".stripMargin)
   )
 }
