@@ -75,14 +75,30 @@ object ShortestPath {
       types: Seq[String],
       dir: Expand.Direction,
       maxHops: Int,
+      withPaths: Boolean = false): DataFrame =
+    bfsEdges(
+      oriented(
+        g.edgesOfTypes(types)
+          .select(
+            col(GraphState.SrcCol),
+            col(GraphState.DstCol),
+            col(GraphState.IdCol).as("__sp_eid")),
+        dir),
+      seeds,
+      maxHops,
+      withPaths)
+
+  /** [[bfs]] over a caller-supplied pre-oriented edge frame (columns
+    * [[GraphState.SrcCol]], [[GraphState.DstCol]], optionally `__sp_eid`) —
+    * lets procedures run BFS on filtered subgraphs (e.g. weight-thresholded
+    * edges) without routing through `GraphState.edgesOfTypes`. */
+  def bfsEdges(
+      edges0: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
       withPaths: Boolean = false): DataFrame = {
-    val edges = oriented(
-      g.edgesOfTypes(types)
-        .select(
-          col(GraphState.SrcCol),
-          col(GraphState.DstCol),
-          col(GraphState.IdCol).as("__sp_eid")),
-      dir)
+    val edges = (if (edges0.columns.contains("__sp_eid")) edges0
+                 else edges0.withColumn("__sp_eid", lit(0L)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Iterative driver loops MUST truncate lineage every round: the round-k

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.GraphState
+import graft.operators.{Expand, ShortestPath}
 
 /** `CALL name(args) YIELD …` procedure registry — the reference's query
   * modules (`CallProcedure`, `src/query/plan/operator.hpp:2891`; module
@@ -42,7 +43,9 @@ object Procedures {
   val registry: Map[String, Proc] = Map(
     "algo.pagerank" -> pagerank,
     "algo.wcc" -> wcc,
-    "algo.degree" -> degree)
+    "algo.degree" -> degree,
+    "algo.betweenness" -> betweenness,
+    "algo.label_propagation" -> labelPropagation)
 
   import GraphState.{DstCol, IdCol, SrcCol}
 
@@ -98,6 +101,15 @@ object Procedures {
     * component. */
   def wcc(ctx: ProcContext): DataFrame = {
     val (nodes, edges) = selectGraph(ctx)
+    minLabelComponents(nodes, edges)
+  }
+
+  /** Connected components over arbitrary (node) + directed (src, dst)
+    * frames — the WCC core, reusable outside the CALL surface (e.g. the
+    * near-duplicate clustering pipeline composes MinHash candidate pairs
+    * with this). Returns (node, comp), comp = min node id of the component.
+    */
+  def minLabelComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val und = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -150,5 +162,146 @@ object Procedures {
         col("node"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Betweenness centrality, Brandes' algorithm over a bounded-depth BFS
+    * DAG from a deterministic seed set (exact when `maxDepth` ≥ diameter
+    * and `seedMax` ≥ all keys; otherwise the standard sampled /
+    * k-betweenness estimate). Reference analog:
+    * `src/mage/cpp/betweenness_centrality_module`.
+    *
+    * Options: label/type/weightProp/minWeight (graph selection), `seedMax`
+    * (seeds = nodes with id-key < seedMax), `maxDepth` (BFS cap),
+    * `directed` (default true).
+    *
+    * Forward pass: ONE multi-source batched BFS
+    * ([[ShortestPath.bfsEdges]]) — dist + shortest-path counts σ per
+    * (seed, node). Backward pass: dependency accumulation
+    * δ(s,v) = Σ_{w ∈ succ(v)} σ_sv/σ_sw · (1 + δ(s,w)), one equi-join +
+    * aggregate per BFS level from the deepest up (`operator.cpp`'s
+    * per-source stack loop re-expressed as level-synchronous dataflow —
+    * every join keyed on (seed, node), so it shuffles, never broadcasts a
+    * nested loop). Per-(seed,node) δ sums accumulate in DECIMAL(38,12) so
+    * results are bit-stable across partitionings. Yields
+    * (node, centrality) for every selected node (0.0 when off all paths).
+    */
+  def betweenness(ctx: ProcContext): DataFrame = {
+    import ShortestPath.{DistCol, NPathsCol, NodeCol, SeedCol}
+    val maxDepth = ctx.optInt("maxDepth", 8)
+    val seedMax = ctx.optInt("seedMax", 20)
+    val directed = ctx.optString("directed", "true").toBoolean
+    val (nodes, edges) = selectGraph(ctx)
+    val keyOf = col("node").bitwiseAND(lit((1L << 48) - 1))
+    val seeds = nodes.filter(keyOf < seedMax).select(col("node").as(SeedCol))
+    val e = ShortestPath
+      .oriented(
+        edges.select(col("src").as(SrcCol), col("dst").as(DstCol)),
+        if (directed) Expand.Out else Expand.Both)
+      .persist()
+    val vis = ShortestPath
+      .bfsEdges(e, seeds, maxDepth)
+      .persist()
+    // Shortest-path successor DAG: v→w iff edge(v,w) ∧ dist(s,w)=dist(s,v)+1.
+    val wSide = vis.select(
+      col(SeedCol).as("__s2"),
+      col(NodeCol).as("__w"),
+      col(DistCol).as("__dw"),
+      col(NPathsCol).as("__npw"))
+    val dag = vis
+      .select(
+        col(SeedCol),
+        col(NodeCol).as("__v"),
+        col(DistCol).as("__dv"),
+        col(NPathsCol).as("__npv"))
+      .join(e, col("__v") === col(SrcCol))
+      .join(
+        wSide,
+        col(SeedCol) === col("__s2") && col(DstCol) === col("__w") &&
+          col("__dw") === col("__dv") + lit(1L))
+      .select(
+        col(SeedCol), col("__v"), col("__npv"),
+        col("__w"), col("__npw"), col("__dw"))
+      .persist()
+    val maxD = Option(dag.agg(max("__dw")).first().get(0))
+      .map(_.asInstanceOf[Long].toInt)
+      .getOrElse(0)
+    // δ starts empty; each (seed, v) receives contributions from exactly one
+    // level (all DAG successors of v sit at dist(v)+1), so plain unions
+    // accumulate without re-grouping.
+    var delta = vis
+      .select(col(SeedCol), col(NodeCol), lit(0.0).as("__delta"))
+      .limit(0)
+      .localCheckpoint(true)
+    for (l <- maxD to 1 by -1) {
+      val contrib = dag
+        .filter(col("__dw") === l)
+        .join(
+          delta.select(
+            col(SeedCol).as("__s3"),
+            col(NodeCol).as("__n3"),
+            col("__delta").as("__dw_delta")),
+          col(SeedCol) === col("__s3") && col("__w") === col("__n3"),
+          "left_outer")
+        .select(
+          col(SeedCol),
+          col("__v").as(NodeCol),
+          (col("__npv").cast("double") / col("__npw") *
+            (lit(1.0) + coalesce(col("__dw_delta"), lit(0.0)))).as("__c"))
+        .groupBy(SeedCol, NodeCol)
+        .agg(
+          sum(col("__c").cast("decimal(38,12)")).cast("double").as("__delta"))
+      delta = delta.unionByName(contrib).localCheckpoint(true)
+    }
+    val bc = delta
+      .filter(col(NodeCol) =!= col(SeedCol))
+      .groupBy(col(NodeCol).as("node"))
+      .agg(sum(col("__delta").cast("decimal(38,12)")).as("__bc"))
+    val out = nodes
+      .join(bc, Seq("node"), "left_outer")
+      .select(
+        col("node"),
+        coalesce(col("__bc").cast("double"), lit(0.0)).as("centrality"))
+      .localCheckpoint(true)
+    Seq(e, vis, dag).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** Community detection by synchronous label propagation with
+    * deterministic ties (most frequent neighbor label; ties → smallest
+    * label; isolated nodes keep their own). Reference analog:
+    * `src/mage/cpp/community_detection_module` (LabelRankT family) — the
+    * deterministic synchronous variant, so results are reproducible and
+    * oracle-checkable. Options: label/type/weightProp/minWeight,
+    * `iterations` (fixed round count, default 10). Each round is one
+    * shuffle: labels ⋈ undirected edges → per-(node, label) counts →
+    * per-node argmax, all map-side-combinable aggregates. Yields
+    * (node, community).
+    */
+  def labelPropagation(ctx: ProcContext): DataFrame = {
+    val iters = ctx.optInt("iterations", 10)
+    val (nodes, edges) = selectGraph(ctx)
+    val und = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var lab = nodes.withColumn("community", col("node")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val votes = lab
+        .join(und, col("node") === col("src"))
+        .groupBy(col("dst").as("__n"), col("community"))
+        .agg(count(lit(1)).as("__cnt"))
+        // argmax by (count desc, label asc): max over (cnt, -label)
+        .groupBy("__n")
+        .agg(max(struct(col("__cnt"), (-col("community")).as("__neg")))
+          .as("__best"))
+        .select(col("__n").as("node"), (-col("__best")("__neg")).as("__new"))
+      lab = lab
+        .join(votes, Seq("node"), "left_outer")
+        .select(
+          col("node"),
+          coalesce(col("__new"), col("community")).as("community"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(blocking = false)
+    lab
   }
 }

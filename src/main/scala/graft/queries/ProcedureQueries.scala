@@ -84,6 +84,87 @@ object ProcedureQueries {
        |FROM sizes""".stripMargin
   }
 
+  /** Brandes betweenness DP: forward per-seed BFS levels (dist + path
+    * counts), shortest-path successor DAG, then backward dependency
+    * accumulation one CTE per level — mirrors Procedures.betweenness
+    * exactly (incl. the DECIMAL(38,12) sum discipline). */
+  private def betweennessOracle(seedMax: Int, maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT f.s, e.dst AS node, $i AS dist, CAST(sum(f.np) AS BIGINT) AS np
+         |  FROM f${i - 1} f JOIN e ON e.src = f.node
+         |  LEFT JOIN d${i - 1} d ON d.s = f.s AND d.node = e.dst
+         |  WHERE d.node IS NULL
+         |  GROUP BY f.s, e.dst),
+         |d$i AS MATERIALIZED (SELECT * FROM d${i - 1} UNION ALL SELECT * FROM f$i)""".stripMargin
+    }
+    val bwd = (maxDepth to 1 by -1).map { l =>
+      s"""a$l AS MATERIALIZED (
+         |  SELECT s, node, delta FROM a${l + 1}
+         |  UNION ALL
+         |  SELECT g.s, g.v AS node,
+         |    CAST(sum(CAST(g.npv / g.npw * (1 + coalesce(a.delta, 0))
+         |                  AS DECIMAL(38,12))) AS DOUBLE) AS delta
+         |  FROM dag g LEFT JOIN a${l + 1} a ON a.s = g.s AND a.node = g.w
+         |  WHERE g.dw = $l
+         |  GROUP BY g.s, g.v)""".stripMargin
+    }
+    s"""WITH ${knowsEdges(6)},
+       |s0 AS MATERIALIZED (SELECT c_custkey AS s FROM customer
+       |                    WHERE c_custkey < $seedMax),
+       |f0 AS MATERIALIZED (SELECT s, s AS node, 0 AS dist,
+       |                           CAST(1 AS BIGINT) AS np FROM s0),
+       |d0 AS MATERIALIZED (SELECT * FROM f0),
+       |${fwd.mkString(",\n")},
+       |dag AS MATERIALIZED (
+       |  SELECT v.s, v.node AS v, v.np AS npv, w.node AS w, w.np AS npw,
+       |         w.dist AS dw
+       |  FROM d$maxDepth v JOIN e ON e.src = v.node
+       |  JOIN d$maxDepth w ON w.s = v.s AND w.node = e.dst
+       |                   AND w.dist = v.dist + 1),
+       |a${maxDepth + 1} AS MATERIALIZED (
+       |  SELECT s, v AS node, CAST(0 AS DOUBLE) AS delta FROM dag WHERE 1=0),
+       |${bwd.mkString(",\n")},
+       |bc AS (SELECT node, CAST(sum(CAST(delta AS DECIMAL(38,12))) AS DOUBLE) AS bc
+       |       FROM a1 WHERE node <> s GROUP BY node)
+       |SELECT c_custkey AS k,
+       |       floor(coalesce(bc.bc, 0) * 10000) / 10000 AS bc
+       |FROM customer LEFT JOIN bc ON bc.node = c_custkey
+       |WHERE c_custkey < 40 ORDER BY k""".stripMargin
+  }
+
+  /** Synchronous label-propagation DP: one CTE per round — per-(node,label)
+    * neighbor votes, argmax by (count desc, label asc), isolated nodes keep
+    * their label. Mirrors Procedures.labelPropagation exactly. */
+  private def lpaOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT a.node, coalesce(b.community, p.community) AS community
+         |  FROM allp a
+         |  JOIN l${i - 1} p ON p.node = a.node
+         |  LEFT JOIN (
+         |    SELECT node, community FROM (
+         |      SELECT node, community,
+         |             row_number() OVER (PARTITION BY node
+         |                                ORDER BY cnt DESC, community ASC) AS rn
+         |      FROM (SELECT u.dst AS node, p.community, count(*) AS cnt
+         |            FROM l${i - 1} p JOIN und u ON u.src = p.node
+         |            GROUP BY u.dst, p.community))
+         |    WHERE rn = 1) b ON b.node = a.node)""".stripMargin
+    }
+    s"""WITH ${knowsEdges(8)},
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |allp AS MATERIALIZED (SELECT c_custkey AS node FROM customer),
+       |l0 AS MATERIALIZED (SELECT node, node AS community FROM allp),
+       |${rounds.mkString(",\n")},
+       |sizes AS (SELECT community, count(*) AS sz FROM l$iters GROUP BY community)
+       |SELECT count(*) AS n_comm, CAST(sum(sz) AS BIGINT) AS n_nodes,
+       |       max(sz) AS max_sz, min(sz) AS min_sz,
+       |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single
+       |FROM sizes""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // CALL + MAGE pagerank (operator.hpp:2891; src/mage/cpp/pagerank_module)
     // on the weight-filtered KNOWS subgraph (irregular degrees).
@@ -120,6 +201,36 @@ object ProcedureQueries {
         |  CAST(0 AS BIGINT) AS in_deg
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |WHERE c_custkey < 100 GROUP BY c_custkey ORDER BY k""".stripMargin),
+
+    // CALL + Brandes betweenness (src/mage/cpp/betweenness_centrality_module)
+    // on the weight-filtered KNOWS subgraph: 20 seeds, depth-8 DAG, exact
+    // dependency accumulation — per-node values checked at 4dp (floor-
+    // truncated; DECIMAL sums make both engines bit-stable).
+    cq(
+      "call_betweenness",
+      s"""CALL algo.betweenness({label: 'Customer', type: 'KNOWS',
+         |                      weightProp: 'k_weight', minWeight: 6.0,
+         |                      seedMax: 20, maxDepth: 8})
+         |YIELD node, centrality
+         |WITH node - $CustBase AS k, centrality WHERE k < 40
+         |RETURN k, floor(centrality * 10000) / 10000.0 AS bc
+         |ORDER BY k""".stripMargin,
+      betweennessOracle(seedMax = 20, maxDepth = 8)),
+
+    // CALL + label propagation (src/mage/cpp/community_detection_module,
+    // deterministic synchronous variant) on the sparse KNOWS subgraph:
+    // community-size histogram after 10 fixed rounds.
+    cq(
+      "call_lpa",
+      """CALL algo.label_propagation({label: 'Customer', type: 'KNOWS',
+        |                            weightProp: 'k_weight', minWeight: 8.0,
+        |                            iterations: 10})
+        |YIELD node, community
+        |WITH community, count(*) AS sz
+        |RETURN count(*) AS n_comm, sum(sz) AS n_nodes, max(sz) AS max_sz,
+        |       min(sz) AS min_sz,
+        |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single""".stripMargin,
+      lpaOracle(10)),
 
     // COLLECT_MAP (aggregation.hpp:27): collect(k, v) → map; checked via
     // size + element lookup (portable scalars, no cross-engine map codec).
