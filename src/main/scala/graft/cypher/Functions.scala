@@ -132,21 +132,56 @@ object Functions {
             val m = kvs.toMap
             def f(k: String) =
               m.get(k).map(e => ctx.lower(e).cast("double")).getOrElse(lit(null))
+            // longitude/latitude keys imply WGS-84 (x=lon, y=lat, z=height),
+            // matching the reference's CRS inference from map keys
+            // (point.hpp; awesome_memgraph_functions.cpp point ctor).
+            val geo = m.contains("longitude") || m.contains("latitude")
+            val fx = if (geo) f("longitude") else f("x")
+            val fy = if (geo) f("latitude") else f("y")
+            val fz =
+              if (geo && m.contains("height")) f("height") else f("z")
+            val crsDefault = if (geo) "wgs-84" else "cartesian"
             struct(
-              f("x").as("x"),
-              f("y").as("y"),
-              f("z").as("z"),
+              fx.as("x"),
+              fy.as("y"),
+              fz.as("z"),
               lit(m.get("crs").collect { case Lit(s: String) => s }
-                .getOrElse("cartesian")).as("crs"))
+                .getOrElse(crsDefault)).as("crs"))
           case _ =>
             throw new IllegalArgumentException("point() takes a map literal")
         }
       case "point.distance" | "distance" =>
+        // CRS dispatch like the reference (point_functions.cpp:54-73):
+        // cartesian → euclidean; wgs-84 → great-circle haversine on the
+        // mean-radius sphere (R=6371000 m; the reference uses boost's
+        // geographic strategy on the WGS-84 spheroid — same order, ≤0.5%
+        // formula difference documented here), with the 3D height folded in
+        // by Pythagoras exactly as point_functions.cpp:33-52 does.
         val (p1, p2) = (a(0), a(1))
         def d(k: String) = p1.getField(k) - p2.getField(k)
-        sqrt(
+        val eucl = sqrt(
           d("x") * d("x") + d("y") * d("y") +
             coalesce(d("z") * d("z"), lit(0.0)))
+        val sLat = sin(radians(d("y")) / 2)
+        val sLon = sin(radians(d("x")) / 2)
+        val h = sLat * sLat +
+          cos(radians(p1.getField("y"))) * cos(radians(p2.getField("y"))) *
+          sLon * sLon
+        val greatCircle = lit(2.0 * 6371000.0) * asin(sqrt(h))
+        val wgs = sqrt(
+          greatCircle * greatCircle +
+            coalesce(d("z") * d("z"), lit(0.0)))
+        when(p1.getField("crs").startsWith("wgs"), wgs).otherwise(eucl)
+      case "point.bucket" =>
+        // Grid-cell id for spatial bucketing — the shuffle key of the
+        // point-index analog (reference: ScanAllByPointDistance's R-tree,
+        // operator.hpp:973; here buckets co-locate nearby points so
+        // distance joins stay within ±1 cell). Cell width = args(1).
+        val (p, w) = (a(0), a(1).cast("double"))
+        concat(
+          floor(p.getField("x") / w).cast("long").cast("string"),
+          lit(","),
+          floor(p.getField("y") / w).cast("long").cast("string"))
       case "point.withinbbox" =>
         val (p, ll, ur) = (a(0), a(1), a(2))
         p.getField("x") >= ll.getField("x") &&
@@ -268,7 +303,41 @@ object Functions {
           case _ =>
             throw new IllegalArgumentException("text.join separator must be literal")
         })
-      case "text.format" => format_string("%s", a(0))
+      case "text.format" =>
+        // fmt-style template substitution (reference Text::Format,
+        // text_module/algorithm/text.cpp:85: fmt::vformat with every arg
+        // stringified): `{}` auto-indexes, `{i}` selects positionally.
+        // Template must be a literal (it drives compile-time splitting);
+        // the argument list's ELEMENTS are arbitrary expressions.
+        val tmpl = args(0) match {
+          case Lit(s: String) => s
+          case _ =>
+            throw new IllegalArgumentException(
+              "text.format template must be a string literal")
+        }
+        val fmtArgs: Seq[Column] = args(1) match {
+          case ListLit(items) => items.map(e => ctx.lower(e).cast("string"))
+          case _ =>
+            throw new IllegalArgumentException(
+              "text.format arguments must be a list literal")
+        }
+        val token = "\\{(\\d*)\\}".r
+        val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+        var pos = 0
+        var auto = 0
+        for (m <- token.findAllMatchIn(tmpl)) {
+          if (m.start > pos) pieces += lit(tmpl.substring(pos, m.start))
+          val idx =
+            if (m.group(1).isEmpty) { val i = auto; auto += 1; i }
+            else m.group(1).toInt
+          if (idx >= fmtArgs.length)
+            throw new IllegalArgumentException(
+              s"text.format: placeholder {$idx} out of range")
+          pieces += fmtArgs(idx)
+          pos = m.end
+        }
+        if (pos < tmpl.length) pieces += lit(tmpl.substring(pos))
+        if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
 
       case other =>
         throw new UnsupportedOperationException(s"unknown function: $other")

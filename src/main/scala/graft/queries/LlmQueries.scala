@@ -27,6 +27,63 @@ object LlmQueries {
   private val NumHashes = 12
   private val BandSize = 4 // 3 bands of 4 minhashes
 
+  /** MinHash-LSH candidate pairs (doc_id < doc_id_r, est = matching-hash
+    * fraction) — per-band equi-joins, shared by dedup_minhash and
+    * dedup_clusters. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w"))
+    val aggs = (0 until NumHashes)
+      .map(i => minhashAgg(col("w"), i).as(s"m$i"))
+    val mh = w.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val withBands = (0 until NumHashes / BandSize).foldLeft(mh) { (d, b) =>
+      d.withColumn(
+        s"b$b",
+        concat(
+          (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*))
+    }
+    val right = withBands.select(
+      withBands.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
+    val est = ((0 until NumHashes)
+      .map(i => (col(s"m$i") === col(s"m${i}_r")).cast("int"))
+      .reduce(_ + _) / lit(NumHashes.toDouble)).as("est")
+    (0 until NumHashes / BandSize)
+      .map(b =>
+        withBands.join(
+          right,
+          col(s"b$b") === col(s"b${b}_r") &&
+            col("doc_id") < col("doc_id_r")))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), col("doc_id_r"), est)
+      .dropDuplicates("doc_id", "doc_id_r")
+  }
+
+  /** Shared DuckDB prelude reconstructing the same candidate pairs. */
+  private def oracleCandidates: String = {
+    val minhashes = (0 until NumHashes)
+      .map(i => s"min(md5('mh$i:' || w)) AS m$i")
+      .mkString(", ")
+    val bands = (0 until NumHashes / BandSize)
+      .map(b =>
+        (0 until BandSize)
+          .map(j => s"m${b * BandSize + j}")
+          .mkString(" || ") + s" AS b$b")
+      .mkString(", ")
+    val bandCond = (0 until NumHashes / BandSize)
+      .map(b => s"a.b$b = c.b$b")
+      .mkString(" OR ")
+    s"""wx AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w FROM documents)),
+       |mh AS MATERIALIZED (SELECT doc_id, $minhashes FROM wx GROUP BY doc_id),
+       |b AS MATERIALIZED (SELECT *, $bands FROM mh),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+       |  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond))""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // -------- exact dedup: sha-256 of canonical text, hash-group stats.
     QueryDef(
@@ -51,34 +108,7 @@ object LlmQueries {
     QueryDef(
       "dedup_minhash",
       (s, dir) => {
-        val w = docs(s, dir)
-          .select(
-            col("doc_id"),
-            explode(array_distinct(words(col("text")))).as("w"))
-        val aggs = (0 until NumHashes)
-          .map(i => minhashAgg(col("w"), i).as(s"m$i"))
-        val mh = w.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        val withBands = (0 until NumHashes / BandSize).foldLeft(mh) {
-          (d, b) =>
-            d.withColumn(
-              s"b$b",
-              concat(
-                (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*))
-        }
-        val right = withBands.select(
-          withBands.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
-        val est = ((0 until NumHashes)
-          .map(i => (col(s"m$i") === col(s"m${i}_r")).cast("int"))
-          .reduce(_ + _) / lit(NumHashes.toDouble)).as("est")
-        val pairs = (0 until NumHashes / BandSize)
-          .map(b =>
-            withBands.join(
-              right,
-              col(s"b$b") === col(s"b${b}_r") &&
-                col("doc_id") < col("doc_id_r")))
-          .reduce(_ unionByName _)
-          .select(col("doc_id"), col("doc_id_r"), est)
-          .dropDuplicates("doc_id", "doc_id_r")
+        val pairs = minhashCandidates(s, dir)
         pairs.agg(
           count(lit(1)).as("n_cand"),
           count(when(col("est") >= 0.5, 1)).as("n_near"),
@@ -113,6 +143,75 @@ object LlmQueries {
            |  count(CASE WHEN est >= 0.5 THEN 1 END) AS n_near,
            |  round(avg(est), 4) AS avg_est
            |FROM pairs""".stripMargin
+      }),
+
+    // -------- near-dup CLUSTERING — the step a real dedup pipeline ships:
+    // MinHash-LSH candidates → exact shingle-Jaccard verify (≥ 0.6; the
+    // synthetic corpus is bimodal: true near-dups are ≥ 0.9, everything
+    // else ≈ 0) → connected components (min-label + pointer jumping,
+    // [[graft.procedures.Procedures.minLabelComponents]]) → canonical doc
+    // per cluster = min doc_id. All stages are bucketed equi-joins — the
+    // 100 TB shape; only candidate pairs ever materialize.
+    QueryDef(
+      "dedup_clusters",
+      (s, dir) => {
+        val sh = docs(s, dir).select(
+          col("doc_id"),
+          array_distinct(shingles3(words(col("text")))).as("sh"))
+        val verified = minhashCandidates(s, dir)
+          .join(sh, Seq("doc_id"))
+          .join(
+            sh.select(col("doc_id").as("doc_id_r"), col("sh").as("sh_r")),
+            Seq("doc_id_r"))
+          .filter(jaccard(col("sh"), col("sh_r")) >= 0.6)
+          .select(col("doc_id").as("src"), col("doc_id_r").as("dst"))
+        val nodes = docs(s, dir).select(col("doc_id").as("node"))
+        val comp = graft.procedures.Procedures.minLabelComponents(nodes, verified)
+        comp
+          .groupBy("comp")
+          .agg(count(lit(1)).as("sz"))
+          .agg(
+            count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"),
+            (sum(col("sz")) - count(lit(1))).as("n_dupes"),
+            max(col("sz")).as("max_sz"),
+            sum(when(col("sz") > 1, col("comp"))).as("canon_sum"))
+      },
+      Some {
+        val rounds = (1 to 12).map { i =>
+          s"""c$i AS MATERIALIZED (
+             |  SELECT node, min(comp) AS comp FROM (
+             |    SELECT node, comp FROM c${i - 1}
+             |    UNION ALL
+             |    SELECT u.dst AS node, p.comp FROM c${i - 1} p
+             |    JOIN und u ON u.src = p.node)
+             |  GROUP BY node)""".stripMargin
+        }
+        s"""WITH $oracleCandidates,
+           |d AS MATERIALIZED (
+           |  SELECT doc_id, string_split($oNorm, ' ') AS ws FROM documents),
+           |shg AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CASE WHEN len(ws) < 3 THEN [] ELSE
+           |      list_distinct(list_transform(generate_series(1, len(ws) - 2),
+           |                                   i -> array_to_string(ws[i:i+2], ' ')))
+           |    END AS sh
+           |  FROM d),
+           |edges AS MATERIALIZED (
+           |  SELECT ida AS src, idb AS dst FROM cand
+           |  JOIN shg a ON a.doc_id = ida
+           |  JOIN shg c ON c.doc_id = idb
+           |  WHERE CAST(len(list_distinct(list_intersect(a.sh, c.sh))) AS DOUBLE)
+           |          / len(list_distinct(list_concat(a.sh, c.sh))) >= 0.6),
+           |und AS MATERIALIZED (
+           |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+           |c0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS comp FROM documents),
+           |${rounds.mkString(",\n")},
+           |sizes AS (SELECT comp, count(*) AS sz FROM c12 GROUP BY comp)
+           |SELECT count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
+           |  CAST(sum(sz) - count(*) AS BIGINT) AS n_dupes, max(sz) AS max_sz,
+           |  CAST(sum(CASE WHEN sz > 1 THEN comp END) AS BIGINT) AS canon_sum
+           |FROM sizes""".stripMargin
       }),
 
     // -------- exact n-gram Jaccard between consecutive docs (word sets +

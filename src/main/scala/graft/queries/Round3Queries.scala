@@ -141,6 +141,60 @@ object Round3Queries {
         |  (14, 2, 3, 7, 1)) AS t(k, len, n_nodes, second, e0)
         |ORDER BY k""".stripMargin),
 
+    // WGS-84 point.distance (point_functions.cpp:54-73 CRS dispatch):
+    // longitude/latitude keys imply wgs-84; great-circle haversine on the
+    // mean-radius sphere, floor-truncated at 0.1 m (libm sin/cos agree to
+    // ~1e-9 relative across engines — far inside the truncation).
+    cq(
+      "cy_point_wgs84",
+      """MATCH (c:Customer) WHERE c.c_custkey < 12
+        |WITH c.c_custkey AS k,
+        |     point({longitude: (c.c_custkey * 31) % 360 - 180.0,
+        |            latitude: (c.c_custkey * 13) % 170 - 85.0}) AS p
+        |RETURN k,
+        |       floor(point.distance(p, point({longitude: 10.0, latitude: 20.0}))
+        |             * 10) / 10.0 AS d
+        |ORDER BY k""".stripMargin,
+      """SELECT k, floor(sqrt(gc * gc) * 10) / 10 AS d FROM (
+        |  SELECT k, 12742000.0 * asin(sqrt(
+        |    sin(radians(lat - 20.0) / 2) * sin(radians(lat - 20.0) / 2)
+        |    + cos(radians(lat)) * cos(radians(20.0))
+        |      * sin(radians(lon - 10.0) / 2) * sin(radians(lon - 10.0) / 2))) AS gc
+        |  FROM (
+        |    SELECT c_custkey AS k,
+        |           (c_custkey * 31) % 360 - 180.0 AS lon,
+        |           (c_custkey * 13) % 170 - 85.0 AS lat
+        |    FROM customer WHERE c_custkey < 12))
+        |ORDER BY k""".stripMargin),
+
+    // Spatial grid bucketing — the point-index analog's shuffle key
+    // (operator.hpp:973 ScanAllByPointDistance): cell id co-locates nearby
+    // points so distance predicates join bucket-locally at scale.
+    cq(
+      "cy_point_bucket",
+      """MATCH (c:Customer) WHERE c.c_custkey < 200
+        |WITH point({x: c.c_custkey % 97, y: c.c_custkey % 89}) AS p
+        |RETURN point.bucket(p, 10.0) AS cell, count(*) AS n
+        |ORDER BY cell""".stripMargin,
+      """SELECT CAST(CAST(floor((c_custkey % 97) / 10.0) AS BIGINT) AS VARCHAR)
+        |    || ',' ||
+        |    CAST(CAST(floor((c_custkey % 89) / 10.0) AS BIGINT) AS VARCHAR) AS cell,
+        |  count(*) AS n
+        |FROM customer WHERE c_custkey < 200
+        |GROUP BY cell ORDER BY cell""".stripMargin),
+
+    // text.format (text_module/algorithm/text.cpp:85 fmt::vformat): `{}`
+    // auto-indexing and `{i}` positional selection, args stringified.
+    cq(
+      "fn_text_format",
+      """MATCH (n:Nation) WHERE n.n_nationkey < 10
+        |RETURN text.format('nation {} has key {1} in region {2}',
+        |                   [n.n_name, n.n_nationkey, n.n_regionkey]) AS s
+        |ORDER BY s""".stripMargin,
+      """SELECT 'nation ' || n_name || ' has key ' || CAST(n_nationkey AS VARCHAR)
+        |    || ' in region ' || CAST(n_regionkey AS VARCHAR) AS s
+        |FROM nation WHERE n_nationkey < 10 ORDER BY s""".stripMargin),
+
     // Map projection (ast.hpp map-projection nodes): `.k` selectors, a
     // computed key, and `.*` splice, consumed through a WITH pipeline.
     cq(
