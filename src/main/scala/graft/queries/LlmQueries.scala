@@ -454,6 +454,71 @@ object LlmQueries {
            |ORDER BY q""".stripMargin
       }),
 
+    // -------- multi-probe IVF ANN (the recall knob ann_ivf lacks): each
+    // query probes its own bucket plus all 8 Hamming-distance-1 buckets —
+    // 9 bucketed equi-joins' worth of candidates instead of 1, still never
+    // an all-pairs join. Recall strictly dominates single-probe.
+    QueryDef(
+      "ann_multiprobe",
+      (s, dir) => {
+        val n = embs(s, dir)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+          .withColumn("code", signCode(col("v"), 8))
+        val q = n.filter(col("vec_id") < 20).select(
+          col("vec_id").as("q"),
+          col("v").as("qv"),
+          col("nrm").as("qn"),
+          col("code").as("qcode"))
+        def flip(i: Int): Column = concat(
+          substring(col("qcode"), 1, i - 1),
+          when(substring(col("qcode"), i, 1) === "1", "0").otherwise("1"),
+          substring(col("qcode"), i + 1, 8 - i))
+        val probes = q.withColumn(
+          "probe",
+          explode(array(col("qcode") +: (1 to 8).map(flip): _*)))
+        val sim = round(
+          dot(col("qv"), col("v")) / (col("qn") * col("nrm")),
+          6).as("sim")
+        broadcast(probes)
+          .join(n, col("code") === col("probe") && col("vec_id") =!= col("q"))
+          .select(col("q"), col("vec_id").as("c"), sim)
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("q").orderBy(col("sim").desc, col("c"))))
+          .filter(col("rk") === 1)
+          .drop("rk")
+          .orderBy("q")
+      },
+      Some {
+        val code = (1 to 8)
+          .map(i => s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        val flips = (1 to 8).map { i =>
+          s"""SELECT vec_id, v, nrm,
+             |    substr(code, 1, ${i - 1}) ||
+             |    (CASE WHEN substr(code, $i, 1) = '1' THEN '0' ELSE '1' END) ||
+             |    substr(code, ${i + 1}, ${8 - i}) AS probe
+             |  FROM n WHERE vec_id < 20""".stripMargin
+        }
+        s"""WITH n AS MATERIALIZED (
+           |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+           |         $code AS code
+           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+           |probes AS MATERIALIZED (
+           |  SELECT vec_id, v, nrm, code AS probe FROM n WHERE vec_id < 20
+           |  UNION ALL
+           |${flips.mkString("\n  UNION ALL\n")})
+           |SELECT q, c, sim FROM (
+           |  SELECT a.vec_id AS q, b.vec_id AS c,
+           |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+           |  FROM probes a JOIN n b ON b.code = a.probe AND b.vec_id <> a.vec_id
+           |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+           |                             ORDER BY sim DESC, b.vec_id) = 1)
+           |ORDER BY q""".stripMargin
+      }),
+
     // -------- embedding corpus stats per cluster label.
     QueryDef(
       "emb_stats",
@@ -497,6 +562,74 @@ object LlmQueries {
               |  GROUP BY doc_id)
               |WHERE n_terms = 3
               |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)),
+
+    // -------- BM25-ranked OR search (tantivy's ranking,
+    // text_index.hpp:37-48): per-term Okapi BM25 contributions summed in
+    // DECIMAL(38,12); corpus stats via one-row aggregate cross-join.
+    QueryDef(
+      "text_bm25",
+      (s, dir) => {
+        val postings = graft.llm.TextSearch.invertedIndex(
+          docs(s, dir), "doc_id", "text")
+        val lens = docs(s, dir).select(
+          col("doc_id"),
+          size(words(col("text"))).cast("long").as("len"))
+        graft.llm.TextSearch
+          .searchBM25(
+            postings, lens, "doc_id",
+            Seq("hash", "scan", "vector"), limit = 10)
+          .select(
+            col("doc_id"),
+            (floor(col("score") * 10000) / 10000.0).as("score"),
+            col("n_terms"))
+      },
+      Some(s"""WITH wx AS MATERIALIZED (
+              |  SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w
+              |  FROM documents),
+              |p AS MATERIALIZED (
+              |  SELECT doc_id, w AS word, count(*) AS tf FROM wx
+              |  GROUP BY doc_id, w),
+              |lens AS MATERIALIZED (
+              |  SELECT doc_id, len(string_split($oNorm, ' ')) AS len
+              |  FROM documents),
+              |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              |              CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+              |       FROM lens),
+              |dft AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM p
+              |        WHERE word IN ('hash', 'scan', 'vector') GROUP BY word)
+              |SELECT doc_id, floor(score * 10000) / 10000 AS score, n_terms
+              |FROM (
+              |  SELECT p.doc_id,
+              |    CAST(sum(CAST(
+              |      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+              |        * (p.tf * 2.2)
+              |        / (p.tf + 1.2 * (0.25 + 0.75 * lens.len / st.avgdl))
+              |      AS DECIMAL(38,12))) AS DOUBLE) AS score,
+              |    count(*) AS n_terms
+              |  FROM p JOIN dft USING (word) JOIN lens USING (doc_id)
+              |  CROSS JOIN st
+              |  GROUP BY p.doc_id)
+              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // -------- exact phrase search over the positional index: one
+    // (doc, position) equi-join per extra phrase term.
+    QueryDef(
+      "text_phrase",
+      (s, dir) => {
+        val pos = graft.llm.TextSearch.positionalIndex(
+          docs(s, dir), "doc_id", "text")
+        graft.llm.TextSearch.searchPhrase(pos, "doc_id", Seq("table", "hash"))
+      },
+      Some(s"""WITH d AS MATERIALIZED (
+              |  SELECT doc_id, string_split($oNorm, ' ') AS ws FROM documents),
+              |p AS MATERIALIZED (
+              |  SELECT doc_id, i, ws[i] AS w FROM (
+              |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+              |    FROM d))
+              |SELECT p0.doc_id, count(*) AS n_occ
+              |FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+              |WHERE p0.w = 'table' AND p1.w = 'hash'
+              |GROUP BY p0.doc_id ORDER BY p0.doc_id""".stripMargin)),
 
     // -------- multimodal column plumbing: text → binary payload column +
     // deterministic stub "decode" features (see LlmOps.stubFeature — the
