@@ -133,12 +133,18 @@ object Ast {
     * SetProperties (operator.hpp:1539, Op::REPLACE/UPDATE). A NULL map value
     * removes the key (gql_behave update_clauses.feature semantics). */
   final case class SetAllProps(variable: String, value: Expr, update: Boolean) extends SetItem
+  /** `SET n.p.k1.k2 = v` — the reference's SetNestedProperty
+    * (operator.hpp:1490): path into a map-valued property, creating
+    * intermediate maps on demand. */
+  final case class SetNestedProp(variable: String, path: Seq[String], value: Expr) extends SetItem
   /** SET items (`SetProperty` operator.hpp:1448, `SetLabels` :1590). */
   final case class SetCl(items: Seq[SetItem]) extends Clause
   /** [DETACH] DELETE vars (`Delete` operator.hpp:1396). */
   final case class DeleteCl(detach: Boolean, vars: Seq[String]) extends Clause
   sealed trait RemoveItem
   final case class RemoveProp(variable: String, key: String) extends RemoveItem
+  /** `REMOVE n.p.k1.k2` — RemoveNestedProperty (operator.hpp:1671). */
+  final case class RemoveNestedProp(variable: String, path: Seq[String]) extends RemoveItem
   final case class RemoveLabelsItem(variable: String, labels: Seq[String]) extends RemoveItem
   /** REMOVE items (`RemoveProperty` operator.hpp:1630, `RemoveLabels` :1715). */
   final case class RemoveCl(items: Seq[RemoveItem]) extends Clause

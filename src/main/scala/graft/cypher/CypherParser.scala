@@ -362,8 +362,9 @@ object CypherParser extends RegexParsers {
     kw("CREATE") ~> rep1sep(patternPart, ",") ^^ CreateCl.apply
 
   def setItem: Parser[SetItem] =
-    (ident <~ ".") ~ (ident | identP) ~ ("=" ~> expr) ^^ { case v ~ k ~ e =>
-      SetProp(v, k, e)
+    (ident <~ ".") ~ rep1sep(ident | identP, ".") ~ ("=" ~> expr) ^^ {
+      case v ~ Seq(k) ~ e => SetProp(v, k, e)
+      case v ~ path ~ e => SetNestedProp(v, path, e)
     } |
       ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
         SetLabelsItem(v, ls)
@@ -380,7 +381,10 @@ object CypherParser extends RegexParsers {
     }
 
   def removeItem: Parser[RemoveItem] =
-    (ident <~ ".") ~ (ident | identP) ^^ { case v ~ k => RemoveProp(v, k) } |
+    (ident <~ ".") ~ rep1sep(ident | identP, ".") ^^ {
+      case v ~ Seq(k) => RemoveProp(v, k)
+      case v ~ path => RemoveNestedProp(v, path)
+    } |
       ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
         RemoveLabelsItem(v, ls)
       }

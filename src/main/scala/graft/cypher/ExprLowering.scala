@@ -36,7 +36,16 @@ final class ExprLowering(
     case Lit(v) => lit(v)
     case ListLit(items) => array(items.map(lower): _*)
     case MapLit(items) =>
-      map(items.flatMap { case (k, v) => Seq(lit(k), lower(v)) }: _*)
+      // Heterogeneous value types: Spark's CreateMap coercion would pick an
+      // arbitrary common type (silently nulling e.g. strings cast to
+      // bigint); property maps are dynamically typed in the reference, so
+      // normalize mixed-type maps to map<string,string> explicitly.
+      val lowered = items.map { case (k, v) => k -> lower(v) }
+      val types = lowered.flatMap { case (_, c) => typeOf(c) }.distinct
+      val vals =
+        if (types.size <= 1) lowered
+        else lowered.map { case (k, c) => k -> c.cast("string") }
+      map(vals.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
     case Param(name) =>
       lit(params.getOrElse(
         name,

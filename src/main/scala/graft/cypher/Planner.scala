@@ -317,26 +317,48 @@ final class Planner(
     }
   }
 
+  /** One (_id, __nv) row per updated entity — max() picks a deterministic
+    * value when the match yields multiple rows per id; unorderable value
+    * types (maps) fall back to first(). */
+  private def dedupUpdates(
+      lf: LF,
+      low: ExprLowering,
+      v: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    val base = lf.df.select(
+      Frames.id(v).as(GraphState.IdCol),
+      value.as("__nv"))
+    val agg = base.schema("__nv").dataType match {
+      case _: org.apache.spark.sql.types.MapType => first(col("__nv"))
+      case _ => max(col("__nv"))
+    }
+    base.groupBy(GraphState.IdCol).agg(agg.as("__nv"))
+  }
+
   private def planSet(lf: LF, items: Seq[SetItem]): Unit = items.foreach {
     case SetProp(v, key, e) =>
       val low = lowering(lf)
       val value = low.lower(e)
       lf.scope.get(v) match {
         case Some(Binding.NodeB) =>
-          val updates = lf.df
-            .select(Frames.id(v).as(GraphState.IdCol), value.as("__nv"))
-            .groupBy(GraphState.IdCol)
-            .agg(max(col("__nv")).as("__nv"))
-          state = Mutations.setPropertyByIds(state, updates, key)
+          state = Mutations.setPropertyByIds(
+            state, dedupUpdates(lf, low, v, value), key)
         case Some(Binding.EdgeB) =>
-          val updates = lf.df
-            .select(Frames.id(v).as(GraphState.IdCol), value.as("__nv"))
-            .groupBy(GraphState.IdCol)
-            .agg(max(col("__nv")).as("__nv"))
-          state = Mutations.setEdgePropertyByIds(state, updates, key)
+          state = Mutations.setEdgePropertyByIds(
+            state, dedupUpdates(lf, low, v, value), key)
         case other =>
           throw new UnsupportedOperationException(s"SET on $other binding")
       }
+    // SetNestedProperty (operator.hpp:1490): SET n.p.k1…kn = v.
+    case SetNestedProp(v, path, e) =>
+      require(
+        lf.scope.get(v).contains(Binding.NodeB),
+        s"nested SET supported on node bindings only: $v")
+      val low = lowering(lf)
+      val updates = dedupUpdates(lf, low, v, low.lower(e))
+        .withColumn("__hit", lit(1))
+      state = Mutations.setNestedPropertyByIds(
+        state, updates, path.head, path.tail)
     case SetLabelsItem(v, labels) =>
       state = Mutations.updateLabelsByIds(
         state,
@@ -406,6 +428,13 @@ final class Planner(
           state,
           lf.df.select(Frames.id(v)).distinct(),
           key)
+      // RemoveNestedProperty (operator.hpp:1671): REMOVE n.p.k1…kn.
+      case RemoveNestedProp(v, path) =>
+        state = Mutations.removeNestedPropertyByIds(
+          state,
+          lf.df.select(Frames.id(v)).distinct(),
+          path.head,
+          path.tail)
       case RemoveLabelsItem(v, labels) =>
         state = Mutations.updateLabelsByIds(
           state,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
 
 import graft.core.GraphState
 
@@ -243,6 +244,115 @@ object Mutations {
       out = out.withColumn(k, when(hit, nv).otherwise(old))
     }
     out.drop("__hit" +: keys.map(k => s"__nv_$k"): _*)
+  }
+
+  /** `SET n.p.k1…kn = v` (`SetNestedProperty`, operator.hpp:1490): the
+    * top-level property is a MAP column; intermediate maps are created on
+    * demand (including the property itself when absent — synthesized as
+    * nested `map<string, …>` around the value type); the value is cast to
+    * the map's value type. One broadcast join + column rebuild per frame —
+    * same cost shape as a flat SET. */
+  def setNestedPropertyByIds(
+      g: GraphState,
+      updates: DataFrame, // columns: _id, __nv, __hit
+      prop: String,
+      path: Seq[String]): GraphState = {
+    require(path.nonEmpty, "nested SET needs at least two path segments")
+    val vType = updates.schema("__nv").dataType
+    def synth(rest: Seq[String]): DataType =
+      rest.foldRight(vType)((_, t) => MapType(StringType, t))
+    def upsert(m: Column, mType: DataType, p: Seq[String], v: Column): Column = {
+      val valueT = mType match {
+        case MapType(_, vt, _) => vt
+        case other =>
+          throw new IllegalArgumentException(
+            s"nested SET needs a map-typed property, found $other")
+      }
+      val base = coalesce(m, map().cast(mType))
+      p match {
+        case Seq(last) =>
+          map_concat(
+            map_filter(base, (k, _) => k =!= last),
+            map(lit(last), v.cast(valueT)))
+        case head +: rest =>
+          map_concat(
+            map_filter(base, (k, _) => k =!= head),
+            map(lit(head), upsert(element_at(base, lit(head)), valueT, rest, v)))
+      }
+    }
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => {
+          val n = g.nodes(l)
+          val mType: DataType =
+            if (n.columns.contains(prop)) n.schema(prop).dataType
+            else synth(path)
+          val base =
+            if (n.columns.contains(prop)) n
+            else n.withColumn(prop, lit(null).cast(mType))
+          base
+            .join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+            .withColumn(
+              prop,
+              when(
+                col("__hit").isNotNull,
+                upsert(col(prop), mType, path, col("__nv")))
+                .otherwise(col(prop)))
+            .drop("__hit", "__nv")
+        })
+    }
+    out
+  }
+
+  /** `REMOVE n.p.k1…kn` (`RemoveNestedProperty`, operator.hpp:1671):
+    * drops the key at the path's end; missing intermediates are no-ops. */
+  def removeNestedPropertyByIds(
+      g: GraphState,
+      ids: DataFrame,
+      prop: String,
+      path: Seq[String]): GraphState = {
+    require(path.nonEmpty, "nested REMOVE needs at least two path segments")
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+      .withColumn("__rm", lit(1))
+    def dropAt(m: Column, mType: DataType, p: Seq[String]): Column = {
+      val valueT = mType match {
+        case MapType(_, vt, _) => vt
+        case other =>
+          throw new IllegalArgumentException(
+            s"nested REMOVE needs a map-typed property, found $other")
+      }
+      p match {
+        case Seq(last) => map_filter(m, (k, _) => k =!= last)
+        case head +: rest =>
+          when(
+            element_at(m, lit(head)).isNotNull,
+            map_concat(
+              map_filter(m, (k, _) => k =!= head),
+              map(lit(head), dropAt(element_at(m, lit(head)), valueT, rest))))
+            .otherwise(m)
+      }
+    }
+    var out = g
+    g.nodeLabels.foreach { l =>
+      out = out.withNodes(
+        l,
+        () => {
+          val n = g.nodes(l)
+          if (!n.columns.contains(prop)) n
+          else {
+            val mType = n.schema(prop).dataType
+            n.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+              .withColumn(
+                prop,
+                when(col("__rm").isNotNull, dropAt(col(prop), mType, path))
+                  .otherwise(col(prop)))
+              .drop("__rm")
+          }
+        })
+    }
+    out
   }
 
   /** REMOVE n.prop for the given ids: property → NULL on matched nodes. */

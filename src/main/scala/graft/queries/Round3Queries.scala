@@ -141,6 +141,50 @@ object Round3Queries {
         |  (14, 2, 3, 7, 1)) AS t(k, len, n_nodes, second, e0)
         |ORDER BY k""".stripMargin),
 
+    // Nested properties (SetNestedProperty operator.hpp:1490,
+    // RemoveNestedProperty :1671): a map-valued property gets a key set
+    // through a path (intermediate maps created on demand, including the
+    // property itself), another key removed; reads go through element_at
+    // chains. Map literals coerce values to a common Spark type (string
+    // here), mirrored by the oracle casts.
+    QueryDef(
+      "cy_set_nested",
+      (s, dir) => {
+        val g1 = Cypher.execute(
+          s,
+          g(s, dir),
+          "MATCH (r:Region) SET r.meta = {tier: r.r_regionkey + 1, tag: 'seed'}").graph
+        val g2 = Cypher.execute(
+          s,
+          g1,
+          """MATCH (r:Region) WHERE r.r_regionkey < 3
+            |SET r.meta.score = r.r_regionkey * 10""".stripMargin).graph
+        val g3 = Cypher.execute(
+          s,
+          g2,
+          "MATCH (r:Region) WHERE r.r_regionkey = 1 REMOVE r.meta.tag").graph
+        val g4 = Cypher.execute(
+          s,
+          g3,
+          """MATCH (r:Region) WHERE r.r_regionkey = 2
+            |SET r.deep.a.b = r.r_regionkey * 7""".stripMargin).graph
+        Cypher.run(
+          s,
+          g4,
+          """MATCH (r:Region)
+            |RETURN r.r_name AS name, r.meta.tier AS tier,
+            |       r.meta.score AS score, r.meta.tag AS tag,
+            |       r.deep.a.b AS deep
+            |ORDER BY name""".stripMargin)
+      },
+      Some("""SELECT r_name AS name,
+             |  CAST(r_regionkey + 1 AS VARCHAR) AS tier,
+             |  CASE WHEN r_regionkey < 3 THEN CAST(r_regionkey * 10 AS VARCHAR)
+             |       END AS score,
+             |  CASE WHEN r_regionkey = 1 THEN NULL ELSE 'seed' END AS tag,
+             |  CASE WHEN r_regionkey = 2 THEN CAST(14 AS BIGINT) END AS deep
+             |FROM region ORDER BY name""".stripMargin)),
+
     // WGS-84 point.distance (point_functions.cpp:54-73 CRS dispatch):
     // longitude/latitude keys imply wgs-84; great-circle haversine on the
     // mean-radius sphere, floor-truncated at 0.1 m (libm sin/cos agree to
