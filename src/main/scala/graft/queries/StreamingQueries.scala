@@ -89,6 +89,86 @@ object StreamingQueries {
              |  count(*) AS n
              |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)),
 
+    // Full trigger event matrix (trigger_context.hpp:151-163): one ingest
+    // batch creates nodes, deletes the low-value ones, and updates a
+    // Region counter — OnCreate/OnUpdate/OnDelete triggers each audit
+    // their diff; an event class with an empty diff would not fire.
+    // Single staged file → exactly one batch → deterministic audit counts.
+    QueryDef(
+      "stream_triggers",
+      (s, dir) => {
+        val src = s"/root/repo/target/stream_trig/src_${UUID.randomUUID()}"
+        val ckpt = s"/root/repo/target/stream_trig/ckpt_${UUID.randomUUID()}"
+        val ev = TpchGraphLoader.table(s, dir, "events")
+          .filter(col("event_id") < 100)
+          .select("event_id", "event_type", "value")
+        ev.coalesce(1).write.json(src)
+        val g0 = TpchGraphLoader(s, dir)
+        val transform: GraphStream.Transformation = (g, batch) => {
+          val rows = batch.select(
+            (lit(956L << 48) + col("event_id")).as(GraphState.IdCol),
+            array(lit("Ingested")).as(GraphState.LabelsCol),
+            col("value"))
+          val g1 = Mutations.createNodes(g, "Ingested", rows)
+          val doomed = rows.filter(col("value") < 50).select(GraphState.IdCol)
+          val g2 = Mutations.deleteNodes(g1, doomed, detach = false)
+          val updates = g.nodes("Region")
+            .filter(col("r_regionkey") === 0)
+            .select(col(GraphState.IdCol), lit(1L).as("__nv"))
+          val g3 = Mutations.setPropertyByIds(g2, updates, "touched")
+          GraphStream.IngestResult(
+            g3,
+            createdNodes = Map("Ingested" -> rows),
+            updatedNodes = Map("Region" -> updates),
+            deletedNodes = Map("Ingested" -> doomed))
+        }
+        var auditBase = 957L
+        def audit(
+            lbl: String,
+            cnt: GraphStream.IngestResult => Long): GraphStream.TriggerFn =
+          (g, res) => {
+            auditBase += 1
+            val row = s.range(1).select(
+              lit(auditBase << 48).as(GraphState.IdCol),
+              array(lit(lbl)).as(GraphState.LabelsCol),
+              lit(cnt(res)).as("n"))
+            Mutations.createNodes(g, lbl, row)
+          }
+        val gF = GraphStream.ingestAvailable(
+          s, src, ev.schema, "json", g0, transform,
+          Seq(
+            GraphStream.TriggerDef(
+              "c",
+              GraphStream.TriggerEvent.OnCreate,
+              audit("CreateAudit", _.createdNodes.values.map(_.count()).sum)),
+            GraphStream.TriggerDef(
+              "u",
+              GraphStream.TriggerEvent.OnUpdate,
+              audit("UpdateAudit", _.updatedNodes.values.map(_.count()).sum)),
+            GraphStream.TriggerDef(
+              "d",
+              GraphStream.TriggerEvent.OnDelete,
+              audit("DeleteAudit", _.deletedNodes.values.map(_.count()).sum))),
+          ckpt)
+        gF.nodes("Ingested").agg(count(lit(1)).as("n_ingested"))
+          .crossJoin(
+            gF.nodes("CreateAudit").agg(
+              sum(col("n")).cast("long").as("created_n")))
+          .crossJoin(
+            gF.nodes("UpdateAudit").agg(
+              count(lit(1)).as("update_batches")))
+          .crossJoin(
+            gF.nodes("DeleteAudit").agg(
+              sum(col("n")).cast("long").as("deleted_n")))
+      },
+      Some("""WITH e AS (SELECT * FROM events WHERE event_id < 100)
+             |SELECT
+             |  (SELECT count(*) FROM e WHERE value >= 50 OR value IS NULL)
+             |    AS n_ingested,
+             |  (SELECT count(*) FROM e) AS created_n,
+             |  CAST(1 AS BIGINT) AS update_batches,
+             |  (SELECT count(*) FROM e WHERE value < 50) AS deleted_n""".stripMargin)),
+
     // TTL sweep (TtlQuery ast.hpp:4357): stamp orders with a ttl from their
     // order date, expire everything before 1995, count the surviving graph.
     QueryDef(

@@ -44,16 +44,49 @@ object GraphStream {
   /** Batch transformation: (current graph, batch) → new graph + diffs. */
   type Transformation = (GraphState, DataFrame) => IngestResult
 
-  /** `createdNodes`/`createdEdges` mirror the reference's predefined
-    * trigger variables (trigger.hpp:103-116). */
+  /** Trigger event classes — the reference's event matrix
+    * (trigger_context.hpp:151-163: CREATED_VERTEX/EDGE, SET/REMOVED
+    * properties + labels as "update", DELETED_VERTEX/EDGE) collapsed to
+    * entity-level create/update/delete, plus ANY. */
+  sealed trait TriggerEvent
+  object TriggerEvent {
+    case object OnCreate extends TriggerEvent
+    case object OnUpdate extends TriggerEvent
+    case object OnDelete extends TriggerEvent
+    case object Any extends TriggerEvent
+  }
+
+  /** Per-batch diff frames — the reference's predefined trigger variables
+    * (trigger.hpp:103-116: createdVertices/Edges, updated objects with the
+    * touched ids/properties, deletedVertices/Edges). A transformation
+    * reports only what it actually changed; triggers fire on the matching
+    * event class. */
   final case class IngestResult(
       graph: GraphState,
       createdNodes: Map[String, DataFrame] = Map.empty,
-      createdEdges: Map[String, DataFrame] = Map.empty)
+      createdEdges: Map[String, DataFrame] = Map.empty,
+      updatedNodes: Map[String, DataFrame] = Map.empty,
+      updatedEdges: Map[String, DataFrame] = Map.empty,
+      deletedNodes: Map[String, DataFrame] = Map.empty,
+      deletedEdges: Map[String, DataFrame] = Map.empty) {
+    def has(e: TriggerEvent): Boolean = e match {
+      case TriggerEvent.OnCreate =>
+        createdNodes.nonEmpty || createdEdges.nonEmpty
+      case TriggerEvent.OnUpdate =>
+        updatedNodes.nonEmpty || updatedEdges.nonEmpty
+      case TriggerEvent.OnDelete =>
+        deletedNodes.nonEmpty || deletedEdges.nonEmpty
+      case TriggerEvent.Any => true
+    }
+  }
 
   /** AFTER-COMMIT trigger: receives the post-batch state + diffs, returns
     * the (possibly further-mutated) state. */
   type TriggerFn = (GraphState, IngestResult) => GraphState
+
+  /** Registered trigger (`CREATE TRIGGER name ON <event> AFTER COMMIT`,
+    * trigger.hpp:93): fires only when the batch diff contains its event. */
+  final case class TriggerDef(name: String, event: TriggerEvent, fn: TriggerFn)
 
   /** Run a file-source ingestion stream to completion of the available
     * data (Trigger.AvailableNow — the bounded-test analog of a continuous
@@ -67,7 +100,7 @@ object GraphStream {
       format: String, // "json" | "parquet" | "csv"
       initial: GraphState,
       transform: Transformation,
-      triggers: Seq[TriggerFn] = Nil,
+      triggers: Seq[TriggerDef] = Nil,
       checkpointDir: String): GraphState = {
     // state evolves batch-serially inside foreachBatch (the reference runs
     // each transformed batch as one transaction, streams.cpp:520-567)
@@ -78,7 +111,9 @@ object GraphStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = transform(state, batch)
-        state = triggers.foldLeft(res.graph)((g, t) => t(g, res))
+        state = triggers
+          .filter(t => res.has(t.event))
+          .foldLeft(res.graph)((g, t) => t.fn(g, res))
       }
       .start()
     q.awaitTermination()

@@ -50,12 +50,64 @@ class StreamingSpec extends SparkTestBase {
     }
 
     val gFinal = GraphStream.ingestAvailable(
-      spark, src, schema, "json", g0, transform, Seq(trigger), ckpt)
+      spark, src, schema, "json", g0, transform,
+      Seq(GraphStream.TriggerDef(
+        "log", GraphStream.TriggerEvent.OnCreate, trigger)),
+      ckpt)
 
     assert(gFinal.nodes("Ingested").count() == nSrc)
     val logged = gFinal.nodes("BatchLog")
       .agg(sum(col("batch_size"))).collect()(0).getLong(0)
     assert(logged == nSrc && batches >= 1)
+  }
+
+  test("update/delete triggers fire only on their event class") {
+    val src = s"/root/repo/target/streamspec/src_${java.util.UUID.randomUUID()}"
+    val ckpt = s"/root/repo/target/streamspec/ckpt_${java.util.UUID.randomUUID()}"
+    val events = TpchGraphLoader.table(spark, sfDir, "events").limit(20)
+    events.coalesce(1).write.json(src)
+    val g0 = TpchGraphLoader(spark, sfDir)
+
+    // transform: create Ingested nodes, immediately delete low-value ones,
+    // and bump a counter property on Region 0 — reporting all three diffs
+    val transform: GraphStream.Transformation = (g, batch) => {
+      val rows = batch.select(
+        (lit(955L << 48) + col("event_id")).as(GraphState.IdCol),
+        array(lit("Ingested")).as(GraphState.LabelsCol),
+        col("value"))
+      val g1 = Mutations.createNodes(g, "Ingested", rows)
+      val doomed = rows.filter(col("value") < 50).select(GraphState.IdCol)
+      val g2 = Mutations.deleteNodes(g1, doomed, detach = false)
+      val updates = g.nodes("Region")
+        .filter(col("r_regionkey") === 0)
+        .select(col(GraphState.IdCol), lit(1L).as("__nv"))
+      val g3 = Mutations.setPropertyByIds(g2, updates, "touched")
+      GraphStream.IngestResult(
+        g3,
+        createdNodes = Map("Ingested" -> rows),
+        updatedNodes = Map("Region" -> updates),
+        deletedNodes = Map("Ingested" -> doomed))
+    }
+    var fired = Set.empty[String]
+    def logTrigger(name: String): GraphStream.TriggerFn = (g, _) => {
+      fired += name; g
+    }
+    val gFinal = GraphStream.ingestAvailable(
+      spark, src, events.schema, "json", g0, transform,
+      Seq(
+        GraphStream.TriggerDef(
+          "c", GraphStream.TriggerEvent.OnCreate, logTrigger("create")),
+        GraphStream.TriggerDef(
+          "u", GraphStream.TriggerEvent.OnUpdate, logTrigger("update")),
+        GraphStream.TriggerDef(
+          "d", GraphStream.TriggerEvent.OnDelete, logTrigger("delete"))),
+      ckpt)
+    assert(fired == Set("create", "update", "delete"))
+    val kept = TpchGraphLoader.table(spark, sfDir, "events").limit(20)
+      .filter(!(col("value") < 50)).count()
+    assert(gFinal.nodes("Ingested").count() == kept)
+    assert(
+      gFinal.nodes("Region").filter(col("touched") === 1L).count() == 1)
   }
 
   test("periodic batched commit: each batch becomes its own state version") {
