@@ -141,6 +141,38 @@ object Round3Queries {
         |  (14, 2, 3, 7, 1)) AS t(k, len, n_nodes, second, e0)
         |ORDER BY k""".stripMargin),
 
+    // Constraints (src/storage/v2/constraints/): existence + unique +
+    // type validation as set-wide aggregates, run after a mutation that
+    // deliberately breaks the existence constraint (SET += {k: NULL}
+    // removes the key on 10 customers).
+    QueryDef(
+      "constraint_check",
+      (s, dir) => {
+        import graft.core.{ExistsC, TypedC, UniqueC, Constraints}
+        val g1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """MATCH (c:Customer) WHERE c.c_custkey < 10
+            |SET c += {c_mktsegment: NULL}""".stripMargin).graph
+        Constraints.validate(
+          g1,
+          Seq(
+            UniqueC("Customer", Seq("c_custkey")),
+            UniqueC("Supplier", Seq("s_nationkey")),
+            ExistsC("Customer", "c_mktsegment"),
+            TypedC("Customer", "c_acctbal", "double")))
+          .orderBy("cname")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('exists(Customer.c_mktsegment)', CAST(10 AS BIGINT)),
+             |  ('typed(Customer.c_acctbal: double)', 0),
+             |  ('unique(Customer.c_custkey)', 0),
+             |  ('unique(Supplier.s_nationkey)',
+             |   (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+             |      SELECT count(*) AS n FROM supplier
+             |      GROUP BY s_nationkey HAVING count(*) > 1)))
+             |) AS t(cname, n_violations) ORDER BY cname""".stripMargin)),
+
     // Nested properties (SetNestedProperty operator.hpp:1490,
     // RemoveNestedProperty :1671): a map-valued property gets a key set
     // through a path (intermediate maps created on demand, including the
