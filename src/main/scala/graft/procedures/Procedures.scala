@@ -45,7 +45,9 @@ object Procedures {
     "algo.wcc" -> wcc,
     "algo.degree" -> degree,
     "algo.betweenness" -> betweenness,
-    "algo.label_propagation" -> labelPropagation)
+    "algo.label_propagation" -> labelPropagation,
+    "schema.info" -> schemaInfo,
+    "graph.analyze" -> analyze)
 
   import GraphState.{DstCol, IdCol, SrcCol}
 
@@ -162,6 +164,59 @@ object Procedures {
         col("node"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** SHOW SCHEMA INFO analog (`SchemaInfoQuery` ast.hpp:4302): one row per
+    * label / edge type — entity count plus the sorted property list. All
+    * counts are lazy per-frame aggregates unioned into one result; no
+    * driver-side collect. Yields (kind, name, n, props). */
+  def schemaInfo(ctx: ProcContext): DataFrame = {
+    val g = ctx.g
+    val meta = Set(
+      GraphState.IdCol, GraphState.LabelsCol,
+      GraphState.SrcCol, GraphState.DstCol, GraphState.TypeCol)
+    def row(kind: String, name: String, frame: DataFrame): DataFrame = {
+      val props = frame.columns.filterNot(meta.contains).sorted.mkString(",")
+      frame
+        .agg(count(lit(1)).as("n"))
+        .select(
+          lit(kind).as("kind"),
+          lit(name).as("name"),
+          col("n"),
+          lit(props).as("props"))
+    }
+    val rows =
+      g.nodeLabels.toSeq.sorted.map(l => row("node", l, g.nodes(l))) ++
+        g.edgeTypes.toSeq.sorted.map(t => row("edge", t, g.edges(t)))
+    rows.reduce(_ unionByName _)
+  }
+
+  /** ANALYZE GRAPH analog (ast.hpp:3997): per-property statistics for
+    * planning — row / non-null / distinct counts, min/max, and a
+    * DECIMAL-accumulated average (partition-stable). Options: label,
+    * props (list). Yields one row per property. */
+  def analyze(ctx: ProcContext): DataFrame = {
+    val label = ctx.optString("label", "Customer")
+    val props: Seq[String] = ctx.opts.get("props") match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ =>
+        throw new IllegalArgumentException("graph.analyze needs props: [..]")
+    }
+    val n = ctx.g.nodes(label)
+    props.map { p =>
+      n.agg(
+        count(lit(1)).as("n"),
+        count(col(p)).as("n_nonnull"),
+        count_distinct(col(p)).as("n_distinct"),
+        min(col(p)).cast("double").as("min_v"),
+        max(col(p)).cast("double").as("max_v"),
+        (sum(col(p).cast("decimal(38,4)")).cast("double") / count(col(p)))
+          .as("avg_v"))
+        .select(
+          lit(label).as("label"), lit(p).as("prop"),
+          col("n"), col("n_nonnull"), col("n_distinct"),
+          col("min_v"), col("max_v"), col("avg_v"))
+    }.reduce(_ unionByName _)
   }
 
   /** Betweenness centrality, Brandes' algorithm over a bounded-depth BFS

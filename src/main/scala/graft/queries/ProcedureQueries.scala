@@ -232,6 +232,76 @@ object ProcedureQueries {
         |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single""".stripMargin,
       lpaOracle(10)),
 
+    // SHOW SCHEMA INFO analog (SchemaInfoQuery ast.hpp:4302): every label
+    // and edge type with count + sorted property list.
+    cq(
+      "schema_info",
+      """CALL schema.info() YIELD kind, name, n, props
+        |RETURN kind, name, n, props ORDER BY kind, name""".stripMargin,
+      """SELECT * FROM (VALUES
+        |  ('edge', 'BY_SUPPLIER', (SELECT count(*) FROM lineitem), ''),
+        |  ('edge', 'FROM_NATION',
+        |   (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier), ''),
+        |  ('edge', 'HAS_LINE', (SELECT count(*) FROM lineitem), ''),
+        |  ('edge', 'IN_REGION', (SELECT count(*) FROM nation), ''),
+        |  ('edge', 'KNOWS', 2 * (SELECT count(*) FROM customer), 'k_weight'),
+        |  ('edge', 'OF_PART', (SELECT count(*) FROM lineitem), ''),
+        |  ('edge', 'PLACED', (SELECT count(*) FROM orders), ''),
+        |  ('node', 'Customer', (SELECT count(*) FROM customer),
+        |   'c_acctbal,c_custkey,c_mktsegment,c_name,c_nationkey'),
+        |  ('node', 'Document', (SELECT count(*) FROM documents),
+        |   'doc_id,lang,n_chars,source,text'),
+        |  ('node', 'Event', (SELECT count(*) FROM events),
+        |   'event_id,event_type,props,ts,user_id,value'),
+        |  ('node', 'Lineitem', (SELECT count(*) FROM lineitem),
+        |   'l_discount,l_extendedprice,l_linenumber,l_linestatus,l_orderkey,l_partkey,l_quantity,l_returnflag,l_shipdate,l_suppkey,l_tax'),
+        |  ('node', 'Nation', (SELECT count(*) FROM nation),
+        |   'n_name,n_nationkey,n_regionkey'),
+        |  ('node', 'Order', (SELECT count(*) FROM orders),
+        |   'o_custkey,o_orderdate,o_orderkey,o_orderpriority,o_orderstatus,o_totalprice'),
+        |  ('node', 'Part', (SELECT count(*) FROM part),
+        |   'p_brand,p_name,p_partkey,p_retailprice,p_size,p_type'),
+        |  ('node', 'Region', (SELECT count(*) FROM region),
+        |   'r_name,r_regionkey'),
+        |  ('node', 'Supplier', (SELECT count(*) FROM supplier),
+        |   's_acctbal,s_name,s_nationkey,s_suppkey')
+        |) AS t(kind, name, n, props) ORDER BY kind, name""".stripMargin),
+
+    // ANALYZE GRAPH analog (ast.hpp:3997): per-property planner stats —
+    // counts, min/max, DECIMAL-stable average.
+    cq(
+      "call_analyze",
+      """CALL graph.analyze({label: 'Customer',
+        |                    props: ['c_acctbal', 'c_custkey', 'c_nationkey']})
+        |YIELD label, prop, n, n_nonnull, n_distinct, min_v, max_v, avg_v
+        |RETURN label, prop, n, n_nonnull, n_distinct, min_v, max_v, avg_v
+        |ORDER BY prop""".stripMargin,
+      """SELECT 'Customer' AS label, prop, n, n_nonnull, n_distinct,
+        |       min_v, max_v, avg_v
+        |FROM (
+        |  SELECT 'c_acctbal' AS prop, count(*) AS n, count(c_acctbal) AS n_nonnull,
+        |    count(DISTINCT c_acctbal) AS n_distinct,
+        |    CAST(min(c_acctbal) AS DOUBLE) AS min_v,
+        |    CAST(max(c_acctbal) AS DOUBLE) AS max_v,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+        |      / count(c_acctbal) AS avg_v
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_custkey', count(*), count(c_custkey),
+        |    count(DISTINCT c_custkey), CAST(min(c_custkey) AS DOUBLE),
+        |    CAST(max(c_custkey) AS DOUBLE),
+        |    CAST(sum(CAST(c_custkey AS DECIMAL(38,4))) AS DOUBLE)
+        |      / count(c_custkey)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(c_nationkey),
+        |    count(DISTINCT c_nationkey), CAST(min(c_nationkey) AS DOUBLE),
+        |    CAST(max(c_nationkey) AS DOUBLE),
+        |    CAST(sum(CAST(c_nationkey AS DECIMAL(38,4))) AS DOUBLE)
+        |      / count(c_nationkey)
+        |  FROM customer)
+        |ORDER BY prop""".stripMargin),
+
     // COLLECT_MAP (aggregation.hpp:27): collect(k, v) → map; checked via
     // size + element lookup (portable scalars, no cross-engine map codec).
     cq(
