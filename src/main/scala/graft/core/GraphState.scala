@@ -80,16 +80,30 @@ final class GraphState(
     * This is the `ScanAll` path (`operator.hpp:569`) — unavoidable full scan.
     */
   def allNodes: DataFrame =
-    nodeLabels.map(nodes).reduce(_.unionByName(_, allowMissingColumns = true))
+    if (nodeLabels.isEmpty) GraphState.emptyNodeFrame
+    else
+      nodeLabels.map(nodes).reduce(_.unionByName(_, allowMissingColumns = true))
 
   def allEdges: DataFrame =
-    edgeTypes.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+    if (edgeTypes.isEmpty) GraphState.emptyEdgeFrame
+    else
+      edgeTypes.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Scan by label, Cypher-style: a label nothing carries matches nothing
+    * (no error) — the planner's `ScanAllByLabel` entry point. */
+  def nodesOrEmpty(label: String): DataFrame =
+    if (hasLabel(label)) nodes(label) else GraphState.emptyNodeFrame
 
   /** Edge frames for a (possibly empty = all) set of requested types —
     * the `ScanAllByEdgeType` access path (`operator.hpp:667`). */
   def edgesOfTypes(types: Seq[String]): DataFrame =
     if (types.isEmpty) allEdges
-    else types.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val present = types.filter(hasType)
+      if (present.isEmpty) GraphState.emptyEdgeFrame
+      else
+        present.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+    }
 
   /** New graph version with one node frame replaced/added — the snapshot
     * step every mutation funnels through (our Accumulate barrier analog,
@@ -124,4 +138,29 @@ object GraphState {
 
   val nodeMeta: Seq[String] = Seq(IdCol, LabelsCol)
   val edgeMeta: Seq[String] = Seq(IdCol, SrcCol, DstCol, TypeCol)
+
+  import org.apache.spark.sql.{Row, SparkSession}
+  import org.apache.spark.sql.types._
+
+  /** Zero-row node frame (meta columns only) — the scan result for an
+    * empty graph or an unused label. */
+  def emptyNodeFrame: DataFrame = {
+    val s = SparkSession.active
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField(IdCol, LongType),
+        StructField(LabelsCol, ArrayType(StringType)))))
+  }
+
+  def emptyEdgeFrame: DataFrame = {
+    val s = SparkSession.active
+    s.createDataFrame(
+      s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        StructField(IdCol, LongType),
+        StructField(SrcCol, LongType),
+        StructField(DstCol, LongType),
+        StructField(TypeCol, StringType))))
+  }
 }

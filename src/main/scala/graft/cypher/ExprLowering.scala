@@ -221,8 +221,13 @@ final class ExprLowering(
         (typeOf(lc), typeOf(rc)) match {
           case (Some(StringType), _) | (_, Some(StringType)) => concat(lc.cast("string"), rc.cast("string"))
           case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
-          case (Some(_: ArrayType), _) => concat(lc, array(rc))
-          case (_, Some(_: ArrayType)) => concat(array(lc), rc)
+          // list + scalar appends — but list + NULL is NULL (Cypher null
+          // propagation), not an appended null element ([x] + null ≠
+          // [x, null]; the latter is spelled [x] + [null]).
+          case (Some(_: ArrayType), _) =>
+            when(rc.isNull, lit(null)).otherwise(concat(lc, array(rc)))
+          case (_, Some(_: ArrayType)) =>
+            when(lc.isNull, lit(null)).otherwise(concat(array(lc), rc))
           case _ => lc + rc
         }
       case "-" => lc - rc
@@ -247,7 +252,21 @@ final class ExprLowering(
       case "IN" =>
         r match {
           case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
-            lc.isin(items.map { case Lit(v) => v }: _*)
+            // Cypher cross-type equality is false (2 = '2' is not a match),
+            // but Spark's isin coerces — drop list elements whose type
+            // can't equal the left side before building the isin.
+            val vals = items.collect { case Lit(v) => v }
+            val compatible = typeOf(lc) match {
+              case Some(_: NumericType) =>
+                vals.filter(v =>
+                  v.isInstanceOf[Long] || v.isInstanceOf[Double] ||
+                    v.isInstanceOf[Int])
+              case Some(StringType) => vals.filter(_.isInstanceOf[String])
+              case Some(BooleanType) => vals.filter(_.isInstanceOf[Boolean])
+              case _ => vals
+            }
+            if (compatible.isEmpty) lit(false)
+            else lc.isin(compatible: _*)
           case _ => array_contains(rc, lc)
         }
       case "=~" => lc.rlike_(rc)

@@ -50,12 +50,15 @@ object Functions {
       // (float addition is non-associative), so sum/avg over floating input
       // accumulate in DECIMAL(38,4) and surface as DOUBLE — bit-stable for
       // any cluster size, and matching our DuckDB oracle discipline.
+      // sum of no rows (or all-NULL input) is 0, not NULL — openCypher
+      // semantics (reference aggregation.cpp sum init), unlike SQL.
       case "sum" =>
         if (isFloating(0)) {
           val d = a(0).cast(DecimalType(38, 4))
-          (if (distinct) sum_distinct(d) else sum(d)).cast("double")
-        } else if (distinct) sum_distinct(a(0))
-        else sum(a(0))
+          coalesce((if (distinct) sum_distinct(d) else sum(d)).cast("double"),
+            lit(0.0))
+        } else if (distinct) coalesce(sum_distinct(a(0)), lit(0L))
+        else coalesce(sum(a(0)), lit(0L))
       case "avg" =>
         if (isFloating(0)) {
           val d = a(0).cast(DecimalType(38, 4))

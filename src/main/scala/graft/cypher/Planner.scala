@@ -102,9 +102,9 @@ final class Planner(
       LF(df, yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
 
     case CreateCl(patterns) => patterns.foldLeft(lf)(planCreate)
-    case SetCl(items) => { planSet(lf, items); lf }
+    case SetCl(items) => planSet(lf, items)
     case DeleteCl(detach, vars) => { planDelete(lf, detach, vars); lf }
-    case RemoveCl(items) => { planRemove(lf, items); lf }
+    case RemoveCl(items) => planRemove(lf, items)
     case m: MergeCl => { planMerge(lf, m); lf }
     case ForeachCl(v, listE, updates) =>
       // Foreach (operator.hpp:3032): run the update clauses against the
@@ -267,15 +267,20 @@ final class Planner(
     val low = lowering(lf)
     if (part.hops.isEmpty) {
       val n = part.start
-      require(n.labels.nonEmpty, "CREATE node requires a label")
-      val label = n.labels.head
+      // Unlabeled CREATE stores under the internal "_" frame with an empty
+      // label array — visible to unlabeled MATCH (allNodes), invisible to
+      // any label scan, exactly the reference's label-less vertices.
+      val label = n.labels.headOption.getOrElse("_")
+      val labelsArr =
+        if (n.labels.isEmpty) array().cast("array<string>")
+        else array(n.labels.map(lit): _*)
       val props = n.props.map { case (k, e) => low.lower(e).as(k) }
       val rows = oneRow(lf)
         .select(props: _*)
         .select(
           (lit(nextBase()) + monotonically_increasing_id())
             .as(GraphState.IdCol) +:
-            array(n.labels.map(lit): _*).as(GraphState.LabelsCol) +:
+            labelsArr.as(GraphState.LabelsCol) +:
             n.props.map { case (k, _) => col(k) }: _*)
         .localCheckpoint(true)
       state = Mutations.createNodes(state, label, rows)
@@ -335,42 +340,57 @@ final class Planner(
     base.groupBy(GraphState.IdCol).agg(agg.as("__nv"))
   }
 
-  private def planSet(lf: LF, items: Seq[SetItem]): Unit = items.foreach {
-    case SetProp(v, key, e) =>
-      val low = lowering(lf)
+  /** Plans SET items against the state AND reflects the writes into the
+    * current frame's bound columns, so a RETURN later in the same statement
+    * sees them — the reference's Accumulate visibility (operator.hpp:1870).
+    */
+  private def planSet(lf: LF, items: Seq[SetItem]): LF = items.foldLeft(lf) {
+    case (cur, SetProp(v, key, e)) =>
+      val low = lowering(cur)
       val value = low.lower(e)
-      lf.scope.get(v) match {
+      cur.scope.get(v) match {
         case Some(Binding.NodeB) =>
           state = Mutations.setPropertyByIds(
-            state, dedupUpdates(lf, low, v, value), key)
+            state, dedupUpdates(cur, low, v, value), key)
         case Some(Binding.EdgeB) =>
           state = Mutations.setEdgePropertyByIds(
-            state, dedupUpdates(lf, low, v, value), key)
+            state, dedupUpdates(cur, low, v, value), key)
         case other =>
           throw new UnsupportedOperationException(s"SET on $other binding")
       }
+      LF(cur.df.withColumn(s"$v${Frames.Sep}$key", value), cur.scope)
     // SetNestedProperty (operator.hpp:1490): SET n.p.k1…kn = v.
-    case SetNestedProp(v, path, e) =>
+    case (cur, SetNestedProp(v, path, e)) =>
       require(
-        lf.scope.get(v).contains(Binding.NodeB),
+        cur.scope.get(v).contains(Binding.NodeB),
         s"nested SET supported on node bindings only: $v")
-      val low = lowering(lf)
-      val updates = dedupUpdates(lf, low, v, low.lower(e))
+      val low = lowering(cur)
+      val updates = dedupUpdates(cur, low, v, low.lower(e))
         .withColumn("__hit", lit(1))
       state = Mutations.setNestedPropertyByIds(
         state, updates, path.head, path.tail)
-    case SetLabelsItem(v, labels) =>
+      cur // nested in-frame visibility not reflected (reads via new state)
+    case (cur, SetLabelsItem(v, labels)) =>
       state = Mutations.updateLabelsByIds(
         state,
-        lf.df.select(Frames.id(v)).distinct(),
+        cur.df.select(Frames.id(v)).distinct(),
         labels,
         add = true)
+      val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
+      if (cur.df.columns.contains(lcol))
+        LF(
+          cur.df.withColumn(
+            lcol,
+            array_union(col(lcol), array(labels.map(lit): _*))),
+          cur.scope)
+      else cur
 
     // SetProperties (operator.hpp:1539): SET n = {map} / SET n += {map}.
     // The map must have statically-known keys (a literal map or a map
     // parameter) — each key becomes one update column, so the whole item is
     // a single broadcast-join column rebuild per touched frame.
-    case SetAllProps(v, value, update) =>
+    case (cur, SetAllProps(v, value, update)) =>
+      val lf = cur
       val entries: Seq[(String, Column)] = value match {
         case MapLit(items) =>
           val low = lowering(lf)
@@ -406,6 +426,25 @@ final class Planner(
         case other =>
           throw new UnsupportedOperationException(s"SET map on $other binding")
       }
+      // in-frame visibility: write the map's columns first (their
+      // expressions still see pre-SET values), then for REPLACE null out
+      // every other property column of the binding
+      val metaSuffix =
+        Set(GraphState.IdCol, GraphState.LabelsCol, GraphState.TypeCol,
+          GraphState.SrcCol, GraphState.DstCol).map(m => s"$v${Frames.Sep}$m")
+      var df2 = lf.df
+      entries.foreach { case (k, c) =>
+        df2 = df2.withColumn(s"$v${Frames.Sep}$k", c)
+      }
+      if (!update)
+        lf.df.columns
+          .filter(_.startsWith(s"$v${Frames.Sep}"))
+          .filterNot(metaSuffix.contains)
+          .filterNot(c => keys.contains(c.stripPrefix(s"$v${Frames.Sep}")))
+          .foreach { c =>
+            df2 = df2.withColumn(c, lit(null).cast(df2.schema(c).dataType))
+          }
+      LF(df2, lf.scope)
   }
 
   private def planDelete(lf: LF, detach: Boolean, vars: Seq[String]): Unit =
@@ -421,26 +460,43 @@ final class Planner(
       }
     }
 
-  private def planRemove(lf: LF, items: Seq[RemoveItem]): Unit =
-    items.foreach {
-      case RemoveProp(v, key) =>
+  /** Plans REMOVE items; like [[planSet]], writes are reflected into the
+    * frame's bound columns (Accumulate visibility). */
+  private def planRemove(lf: LF, items: Seq[RemoveItem]): LF =
+    items.foldLeft(lf) {
+      case (cur, RemoveProp(v, key)) =>
         state = Mutations.removePropertyByIds(
           state,
-          lf.df.select(Frames.id(v)).distinct(),
+          cur.df.select(Frames.id(v)).distinct(),
           key)
+        val c = s"$v${Frames.Sep}$key"
+        if (cur.df.columns.contains(c))
+          LF(
+            cur.df.withColumn(c, lit(null).cast(cur.df.schema(c).dataType)),
+            cur.scope)
+        else cur
       // RemoveNestedProperty (operator.hpp:1671): REMOVE n.p.k1…kn.
-      case RemoveNestedProp(v, path) =>
+      case (cur, RemoveNestedProp(v, path)) =>
         state = Mutations.removeNestedPropertyByIds(
           state,
-          lf.df.select(Frames.id(v)).distinct(),
+          cur.df.select(Frames.id(v)).distinct(),
           path.head,
           path.tail)
-      case RemoveLabelsItem(v, labels) =>
+        cur
+      case (cur, RemoveLabelsItem(v, labels)) =>
         state = Mutations.updateLabelsByIds(
           state,
-          lf.df.select(Frames.id(v)).distinct(),
+          cur.df.select(Frames.id(v)).distinct(),
           labels,
           add = false)
+        val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
+        if (cur.df.columns.contains(lcol))
+          LF(
+            cur.df.withColumn(
+              lcol,
+              array_except(col(lcol), array(labels.map(lit): _*))),
+            cur.scope)
+        else cur
     }
 
   /** MERGE (v:L {props}) — distinct prop rows; missing ones are created
@@ -815,7 +871,8 @@ final class Planner(
         .filter(col(ShortestPath.NodeCol) === Frames.id(dstName))
         .drop(ShortestPath.NodeCol)
     } else {
-      val nodesDf = node.labels.headOption.map(state.nodes).getOrElse(state.allNodes)
+      val nodesDf =
+        node.labels.headOption.map(state.nodesOrEmpty).getOrElse(state.allNodes)
       joined = joined
         .join(
           Frames.bind(dstName)(nodesDf),
@@ -868,7 +925,7 @@ final class Planner(
       (nodeConstraints(lf, name, n.labels, n.props), name)
     } else {
       val scan = n.labels.headOption match {
-        case Some(l) => state.nodes(l)
+        case Some(l) => state.nodesOrEmpty(l)
         case None => state.allNodes
       }
       val bound = Frames.bind(name)(scan)
