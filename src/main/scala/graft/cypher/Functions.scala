@@ -241,10 +241,14 @@ object Functions {
       case "ceil" => ceil(a(0)).cast("double")
       case "floor" => floor(a(0)).cast("double")
       case "round" =>
-        if (args.size > 1) round(a(0), args(1) match {
-          case Lit(n: Long) => n.toInt
-          case _ => throw new IllegalArgumentException("round scale must be literal")
-        })
+        if (args.size > 1) args(1) match {
+          case Lit(n: Long) => round(a(0), n.toInt)
+          case _ =>
+            // Spark's Round needs a foldable scale; for a dynamic scale use
+            // the HALF_UP formula directly (portable — oracle mirrors it)
+            val p = pow(lit(10.0), a(1).cast("int"))
+            signum(a(0)) * floor(abs(a(0)) * p + 0.5) / p
+        }
         else round(a(0))
       case "sign" => signum(a(0)).cast("long")
       case "sqrt" => sqrt(a(0))
@@ -269,10 +273,11 @@ object Functions {
       case "ltrim" => ltrim(a(0))
       case "rtrim" => rtrim(a(0))
       case "replace" => replace_(a(0), a(1), a(2))
-      case "split" => split(a(0), args(1) match {
-        case Lit(s: String) => java.util.regex.Pattern.quote(s)
-        case _ => throw new IllegalArgumentException("split delimiter must be literal")
-      })
+      case "split" => args(1) match {
+        case Lit(s: String) => split(a(0), java.util.regex.Pattern.quote(s))
+        // dynamic delimiter: \Q…\E-quote it as a regex at runtime
+        case _ => split(a(0), concat(lit("\\Q"), a(1), lit("\\E")), lit(-1))
+      }
       case "substring" =>
         // Cypher substring(s, start[, len]) is 0-based
         if (args.size > 2) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
@@ -301,11 +306,25 @@ object Functions {
       case "collections.sum" => aggregate(a(0), lit(0L), _ + _)
       case "collections.contains" => array_contains(a(0), a(1))
       case "text.join" =>
-        array_join(a(0), args(1) match {
-          case Lit(s: String) => s
+        args(1) match {
+          case Lit(s: String) => array_join(a(0), s)
           case _ =>
-            throw new IllegalArgumentException("text.join separator must be literal")
-        })
+            // dynamic separator: left fold with a (started, text) state so
+            // empty-string elements join correctly (array_join needs a
+            // literal separator)
+            val sep = a(1)
+            aggregate(
+              a(0),
+              struct(lit(false).as("has"), lit("").as("s")),
+              (acc, x) =>
+                struct(
+                  lit(true).as("has"),
+                  when(
+                    acc.getField("has"),
+                    concat(acc.getField("s"), sep, x.cast("string")))
+                    .otherwise(x.cast("string")).as("s")),
+              acc => acc.getField("s"))
+        }
       case "text.format" =>
         // fmt-style template substitution (reference Text::Format,
         // text_module/algorithm/text.cpp:85: fmt::vformat with every arg

@@ -545,13 +545,21 @@ final class Planner(
             propNames.map(col): _*)).localCheckpoint(true)
       state = Mutations.createNodes(state, label, created)
       if (m.onMatch.nonEmpty) {
-        val matchedIds = existing
-          .join(want, propNames, "left_semi")
-          .select(GraphState.IdCol)
+        // bind the FULL matched node frame so ON MATCH SET expressions can
+        // reference the node's properties (reference Merge runs its
+        // on-match branch with the entity in scope, operator.hpp:2579)
+        val v = n.variable.getOrElse(fresh("m"))
+        val matched = Frames.bind(v)(
+          existing.join(want, propNames, "left_semi"))
+        val scope = Scope.empty + (v -> Binding.NodeB)
         m.onMatch.foreach {
-          case SetProp(v, key, e) if n.variable.contains(v) =>
-            val lowU = new ExprLowering(matchedIds.toDF(), Scope.empty, params)
-            val updates = matchedIds.withColumn("__nv", lowU.lower(e))
+          case SetProp(v2, key, e) if v2 == v =>
+            val lowU = new ExprLowering(matched, scope, params)
+            val updates = matched
+              .select(Frames.id(v).as(GraphState.IdCol),
+                lowU.lower(e).as("__nv"))
+              .groupBy(GraphState.IdCol)
+              .agg(max(col("__nv")).as("__nv"))
             state = Mutations.setPropertyByIds(state, updates, key)
           case _ => ()
         }
@@ -625,13 +633,19 @@ final class Planner(
           matchCols.map(col): _*)).localCheckpoint(true)
     state = Mutations.createEdges(state, tpe, created)
     if (m.onMatch.nonEmpty) existingOpt.foreach { ex =>
-      val matchedIds = ex
-        .join(want, matchCols.toSeq, "left_semi")
-        .select(GraphState.IdCol)
+      // full matched edge frame bound, so ON MATCH SET sees edge properties
+      val ev = eVar.getOrElse(fresh("me"))
+      val matched = Frames.bind(ev)(
+        ex.join(want, matchCols.toSeq, "left_semi"))
+      val scope = Scope.empty + (ev -> Binding.EdgeB)
       m.onMatch.foreach {
-        case SetProp(v, key, e) if eVar.contains(v) =>
-          val lowU = new ExprLowering(matchedIds.toDF(), Scope.empty, params)
-          val updates = matchedIds.withColumn("__nv", lowU.lower(e))
+        case SetProp(v, key, e) if v == ev =>
+          val lowU = new ExprLowering(matched, scope, params)
+          val updates = matched
+            .select(Frames.id(ev).as(GraphState.IdCol),
+              lowU.lower(e).as("__nv"))
+            .groupBy(GraphState.IdCol)
+            .agg(max(col("__nv")).as("__nv"))
           state = Mutations.setEdgePropertyByIds(state, updates, key)
         case _ => ()
       }

@@ -141,6 +141,64 @@ object Round3Queries {
         |  (14, 2, 3, 7, 1)) AS t(k, len, n_nodes, second, e0)
         |ORDER BY k""".stripMargin),
 
+    // Dynamic (non-literal) function arguments: split delimiter from a
+    // column (\Q…\E-quoted regex), round scale from an expression (HALF_UP
+    // formula), text.join separator via a stateful left fold.
+    cq(
+      "cy_fn_dynamic_args",
+      """MATCH (n:Nation) WHERE n.n_nationkey < 8
+        |RETURN n.n_name AS name,
+        |       size(split(n.n_name, substring(n.n_name, 0, 1))) AS parts,
+        |       round(n.n_nationkey / 7.0, n.n_nationkey % 3 + 1) AS r,
+        |       text.join([n.n_name, 'x'], toString(n.n_nationkey)) AS j
+        |ORDER BY name""".stripMargin,
+      """SELECT n_name AS name,
+        |  len(string_split(n_name, substr(n_name, 1, 1))) AS parts,
+        |  sign(n_nationkey / 7.0)
+        |    * floor(abs(n_nationkey / 7.0)
+        |            * pow(10.0, n_nationkey % 3 + 1) + 0.5)
+        |    / pow(10.0, n_nationkey % 3 + 1) AS r,
+        |  n_name || CAST(n_nationkey AS VARCHAR) || 'x' AS j
+        |FROM nation WHERE n_nationkey < 8 ORDER BY name""".stripMargin),
+
+    // MERGE ON MATCH SET with expressions over the matched entity
+    // (operator.hpp:2579 runs the on-match branch with the entity in
+    // scope): edge MERGE bumps w from its own value; node MERGE derives a
+    // property from the node's own.
+    QueryDef(
+      "cy_merge_onmatch_expr",
+      (s, dir) => {
+        val merge =
+          """MATCH (a:Customer)-[:KNOWS]->(b:Customer) WHERE a.c_custkey < 30
+            |MERGE (a)-[f:FOLLOWS3]->(b)
+            |ON CREATE SET f.w = 1.0
+            |ON MATCH SET f.w = f.w + 0.5""".stripMargin
+        val g1 = Cypher.execute(s, g(s, dir), merge).graph
+        val g2 = Cypher.execute(s, g1, merge).graph
+        val g3 = Cypher.execute(
+          s,
+          g2,
+          """MERGE (c:Customer {c_custkey: 5})
+            |ON MATCH SET c.bonus = c.c_acctbal + 1""".stripMargin).graph
+        val edges = Cypher.run(
+          s,
+          g3,
+          """MATCH (:Customer)-[f:FOLLOWS3]->(:Customer)
+            |RETURN count(*) AS n, round(sum(f.w), 1) AS w""".stripMargin)
+        val node = Cypher.run(
+          s,
+          g3,
+          """MATCH (c:Customer) WHERE c.c_custkey = 5
+            |RETURN round(c.bonus - c.c_acctbal, 1) AS d""".stripMargin)
+        edges.crossJoin(node)
+      },
+      Some("""SELECT
+             |  2 * (SELECT CAST(count(*) AS BIGINT) FROM customer
+             |       WHERE c_custkey < 30) AS n,
+             |  1.5 * 2 * (SELECT count(*) FROM customer
+             |             WHERE c_custkey < 30) AS w,
+             |  1.0 AS d""".stripMargin)),
+
     // Constraints (src/storage/v2/constraints/): existence + unique +
     // type validation as set-wide aggregates, run after a mutation that
     // deliberately breaks the existence constraint (SET += {k: NULL}
