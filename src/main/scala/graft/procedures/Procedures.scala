@@ -46,6 +46,8 @@ object Procedures {
     "algo.degree" -> degree,
     "algo.betweenness" -> betweenness,
     "algo.label_propagation" -> labelPropagation,
+    "algo.katz" -> katz,
+    "algo.node_similarity" -> nodeSimilarity,
     "schema.info" -> schemaInfo,
     "graph.analyze" -> analyze)
 
@@ -168,6 +170,66 @@ object Procedures {
         col("node"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Katz centrality: c₀ = 0; cᵢ₊₁(v) = β + α·Σ_{u→v} cᵢ(u), fixed
+    * iteration count (converges for α < 1/λ_max). Reference analog:
+    * `src/mage/cpp/katz_centrality_module` (which runs the same
+    * neighbor-sum iteration incrementally). One join + aggregate per
+    * round, localCheckpoint lineage discipline; per-node sums accumulate
+    * in DECIMAL(38,12) so results are partition-stable. Options:
+    * label/type/weightProp/minWeight, alpha (default 0.1), beta (1.0),
+    * iterations (10). Yields (node, centrality). */
+  def katz(ctx: ProcContext): DataFrame = {
+    val alpha = ctx.optDouble("alpha").getOrElse(0.1)
+    val beta = ctx.optDouble("beta").getOrElse(1.0)
+    val iters = ctx.optInt("iterations", 10)
+    val (nodes, edges) = selectGraph(ctx)
+    val e = edges.persist()
+    var c = nodes.withColumn("centrality", lit(0.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val in = c
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("__n"))
+        .agg(
+          sum(col("centrality").cast("decimal(38,12)"))
+            .cast("double").as("__s"))
+      c = nodes
+        .join(in, col("node") === col("__n"), "left_outer")
+        .select(
+          col("node"),
+          (lit(beta) + lit(alpha) * coalesce(col("__s"), lit(0.0)))
+            .as("centrality"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    c
+  }
+
+  /** Neighbor-set Jaccard similarity for node pairs sharing at least one
+    * out-neighbor — reference `src/mage/cpp/node_similarity_module`.
+    * The pair join is keyed on the SHARED NEIGHBOR (bucketed, never
+    * all-pairs): sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|. Yields
+    * (node1, node2, similarity). */
+  def nodeSimilarity(ctx: ProcContext): DataFrame = {
+    val (_, edges) = selectGraph(ctx)
+    val e = edges.persist()
+    val deg = e.groupBy(col("src").as("__n")).agg(count(lit(1)).as("__d"))
+    val common = e
+      .select(col("src").as("node1"), col("dst"))
+      .join(e.select(col("src").as("node2"), col("dst")), Seq("dst"))
+      .filter(col("node1") < col("node2"))
+      .groupBy("node1", "node2")
+      .agg(count(lit(1)).as("__common"))
+    val out = common
+      .join(deg.select(col("__n").as("node1"), col("__d").as("__d1")), Seq("node1"))
+      .join(deg.select(col("__n").as("node2"), col("__d").as("__d2")), Seq("node2"))
+      .select(
+        col("node1"),
+        col("node2"),
+        (col("__common").cast("double") /
+          (col("__d1") + col("__d2") - col("__common"))).as("similarity"))
+    out
   }
 
   /** SHOW SCHEMA INFO analog (`SchemaInfoQuery` ast.hpp:4302): one row per

@@ -165,6 +165,27 @@ object ProcedureQueries {
        |FROM sizes""".stripMargin
   }
 
+  /** Katz DP: c₀=0; cᵢ₊₁(v) = β + α·(DECIMAL-summed in-neighbor cᵢ) —
+    * mirrors Procedures.katz exactly. */
+  private def katzOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT a.node,
+         |    1.0 + 0.1 * coalesce(CAST(t.s AS DOUBLE), 0) AS c
+         |  FROM allp a LEFT JOIN (
+         |    SELECT e.dst, sum(CAST(p.c AS DECIMAL(38,12))) AS s
+         |    FROM e JOIN k${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) t
+         |  ON t.dst = a.node)""".stripMargin
+    }
+    s"""WITH ${knowsEdges(6)},
+       |allp AS MATERIALIZED (SELECT c_custkey AS node FROM customer),
+       |k0 AS MATERIALIZED (SELECT node, CAST(0 AS DOUBLE) AS c FROM allp),
+       |${rounds.mkString(",\n")}
+       |SELECT node AS k, floor(c * 1000000) / 1000000 AS c FROM k$iters
+       |WHERE node < 50 ORDER BY k""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // CALL + MAGE pagerank (operator.hpp:2891; src/mage/cpp/pagerank_module)
     // on the weight-filtered KNOWS subgraph (irregular degrees).
@@ -231,6 +252,49 @@ object ProcedureQueries {
         |       min(sz) AS min_sz,
         |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single""".stripMargin,
       lpaOracle(10)),
+
+    // CALL + Katz centrality (src/mage/cpp/katz_centrality_module):
+    // 10 neighbor-sum rounds on the weight-filtered KNOWS subgraph,
+    // DECIMAL-stable sums, values floor-truncated at 6dp.
+    cq(
+      "call_katz",
+      s"""CALL algo.katz({label: 'Customer', type: 'KNOWS',
+         |               weightProp: 'k_weight', minWeight: 6.0,
+         |               alpha: 0.1, beta: 1.0, iterations: 10})
+         |YIELD node, centrality
+         |WITH node - $CustBase AS k, centrality WHERE k < 50
+         |RETURN k, floor(centrality * 1000000) / 1000000.0 AS c
+         |ORDER BY k""".stripMargin,
+      katzOracle(10)),
+
+    // CALL + neighbor-set Jaccard similarity
+    // (src/mage/cpp/node_similarity_module): pairs keyed on the shared
+    // out-neighbor — never an all-pairs join.
+    cq(
+      "call_node_similarity",
+      s"""CALL algo.node_similarity({label: 'Customer', type: 'KNOWS'})
+         |YIELD node1, node2, similarity
+         |WITH node1 - $CustBase AS a, node2 - $CustBase AS b, similarity
+         |WHERE a < 40 AND b < 40
+         |RETURN a, b, floor(similarity * 10000) / 10000.0 AS sim
+         |ORDER BY a, b""".stripMargin,
+      """WITH nn AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+        |e AS MATERIALIZED (
+        |  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT m FROM nn) AS dst
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, (c_custkey + 7) % (SELECT m FROM nn)
+        |  FROM customer),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |com AS (
+        |  SELECT a.src AS a, b.src AS b, count(*) AS c
+        |  FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY a.src, b.src)
+        |SELECT com.a, com.b,
+        |  floor(CAST(c AS DOUBLE) / (d1.d + d2.d - c) * 10000) / 10000 AS sim
+        |FROM com JOIN deg d1 ON d1.src = com.a JOIN deg d2 ON d2.src = com.b
+        |WHERE com.a < 40 AND com.b < 40
+        |ORDER BY com.a, com.b""".stripMargin),
 
     // SHOW SCHEMA INFO analog (SchemaInfoQuery ast.hpp:4302): every label
     // and edge type with count + sorted property list.
