@@ -43,7 +43,13 @@ final class GraphState(
       * allocating above it, so chained `Cypher.execute` calls never reuse an
       * id base (ids are `base<<48 + monotonically_increasing_id`). Loader
       * bases live in 1..899. */
-    val idBase: Long = 900L) {
+    val idBase: Long = 900L,
+    /** True once a node row may live in MORE than one label frame
+      * (multi-label CREATE or SET :Label across frames): frames act as a
+      * label index — scans re-filter on `_labels`, and [[allNodes]] dedups
+      * by id. False for loader graphs, so the flag costs nothing on the
+      * hot analytical paths. */
+    val mayOverlap: Boolean = false) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -81,8 +87,12 @@ final class GraphState(
     */
   def allNodes: DataFrame =
     if (nodeLabels.isEmpty) GraphState.emptyNodeFrame
-    else
-      nodeLabels.map(nodes).reduce(_.unionByName(_, allowMissingColumns = true))
+    else {
+      val u = nodeLabels
+        .map(nodes)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      if (mayOverlap) u.dropDuplicates(GraphState.IdCol) else u
+    }
 
   def allEdges: DataFrame =
     if (edgeTypes.isEmpty) GraphState.emptyEdgeFrame
@@ -110,14 +120,18 @@ final class GraphState(
     * `operator.hpp:1870`: writes become visible as a whole new state, never
     * mid-read). */
   def withNodes(label: String, mk: () => DataFrame): GraphState =
-    new GraphState(nodeThunks + (label -> mk), edgeThunks, idBase)
+    new GraphState(nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap)
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
-    new GraphState(nodeThunks, edgeThunks + (tpe -> mk), idBase)
+    new GraphState(nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap)
 
   /** New version with the id high-water mark advanced (never lowered). */
   def withIdBase(base: Long): GraphState =
-    new GraphState(nodeThunks, edgeThunks, math.max(base, idBase))
+    new GraphState(nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap)
+
+  /** Mark that node rows may now live in more than one label frame. */
+  def withOverlap: GraphState =
+    new GraphState(nodeThunks, edgeThunks, idBase, mayOverlap = true)
 }
 
 object GraphState {

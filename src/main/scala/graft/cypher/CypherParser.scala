@@ -426,11 +426,13 @@ object CypherParser extends RegexParsers {
       case f ~ us => Query(f, us.map { case a ~ q => (a.isDefined, q) })
     }
 
-  def parse(text: String): Query =
+  def parse(text0: String): Query = {
+    val text = text0.trim.stripSuffix(";") // statement terminator is noise
     parseAll(query, text) match {
       case Success(q, _) => q
       case ns: NoSuccess =>
         throw new IllegalArgumentException(
           s"Cypher parse error at ${ns.next.pos}: ${ns.msg}\n${ns.next.pos.longString}")
     }
+  }
 }

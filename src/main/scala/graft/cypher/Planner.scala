@@ -264,62 +264,95 @@ final class Planner(
     * Created frames are localCheckpoint-ed: ids are assigned exactly once,
     * and the new state version is materialized (Accumulate barrier). */
   private def planCreate(lf: LF, part: PatternPart): LF = {
-    val low = lowering(lf)
-    if (part.hops.isEmpty) {
-      val n = part.start
-      // Unlabeled CREATE stores under the internal "_" frame with an empty
-      // label array — visible to unlabeled MATCH (allNodes), invisible to
-      // any label scan, exactly the reference's label-less vertices.
-      val label = n.labels.headOption.getOrElse("_")
-      val labelsArr =
-        if (n.labels.isEmpty) array().cast("array<string>")
-        else array(n.labels.map(lit): _*)
-      val props = n.props.map { case (k, e) => low.lower(e).as(k) }
-      val rows = oneRow(lf)
-        .select(props: _*)
-        .select(
-          (lit(nextBase()) + monotonically_increasing_id())
+    // General CREATE pattern: each node is bound-or-created (fresh nodes
+    // get one id per input row and are BOUND into the frame, so
+    // CREATE ... RETURN works standalone and correlated), then one edge
+    // per hop — multi-hop chains like CREATE (a)-[:X]->(b)-[:Y]->(c)
+    // compose `CreateNode` (operator.hpp:411) + `CreateExpand` (:494).
+    // Unlabeled nodes store under the internal "_" frame with an empty
+    // label array — visible to unlabeled MATCH, invisible to label scans.
+    def ensureNode(cur: LF, n: NodePattern): (LF, String) = {
+      val name = n.variable.getOrElse(fresh("cn"))
+      if (n.variable.exists(cur.scope.contains)) (cur, name)
+      else {
+        val base =
+          if (cur.df.columns.isEmpty) spark.range(1).toDF().select()
+          else cur.df
+        val low = new ExprLowering(base, cur.scope, params)
+        val labelsArr =
+          if (n.labels.isEmpty) array().cast("array<string>")
+          else array(n.labels.map(lit): _*)
+        var withNew = base
+          .withColumn(
+            s"$name${Frames.Sep}${GraphState.IdCol}",
+            lit(nextBase()) + monotonically_increasing_id())
+          .withColumn(s"$name${Frames.Sep}${GraphState.LabelsCol}", labelsArr)
+        n.props.foreach { case (k, e) =>
+          withNew = withNew.withColumn(s"$name${Frames.Sep}$k", low.lower(e))
+        }
+        withNew = withNew.localCheckpoint(true) // ids assigned exactly once
+        val rows = withNew.select(
+          col(s"$name${Frames.Sep}${GraphState.IdCol}")
             .as(GraphState.IdCol) +:
-            labelsArr.as(GraphState.LabelsCol) +:
-            n.props.map { case (k, _) => col(k) }: _*)
-        .localCheckpoint(true)
-      state = Mutations.createNodes(state, label, rows)
-      // standalone CREATE binds the variable (CREATE ... RETURN v works);
-      // correlated CREATE leaves the frame untouched
-      part.start.variable match {
-        case Some(v) if lf.df.columns.isEmpty =>
-          LF(Frames.bind(v)(rows), lf.scope + (v -> Binding.NodeB))
-        case _ => lf
+            col(s"$name${Frames.Sep}${GraphState.LabelsCol}")
+              .as(GraphState.LabelsCol) +:
+            n.props.map { case (k, _) =>
+              col(s"$name${Frames.Sep}$k").as(k)
+            }: _*)
+        // multi-label create: the row goes into EVERY label frame (frames
+        // are the label index; scans re-filter on _labels, allNodes dedups)
+        val targets = if (n.labels.isEmpty) Seq("_") else n.labels
+        targets.foreach(l => state = Mutations.createNodes(state, l, rows))
+        if (targets.size > 1) state = state.withOverlap
+        (LF(withNew, cur.scope + (name -> Binding.NodeB)), name)
       }
-    } else {
-      require(
-        part.hops.size == 1,
-        "CREATE supports single-edge patterns")
-      val (rel, endNode) = part.hops.head
-      val a = part.start.variable.getOrElse(
-        throw new IllegalArgumentException("CREATE edge: source must be bound"))
-      val b = endNode.variable.getOrElse(
-        throw new IllegalArgumentException("CREATE edge: target must be bound"))
-      require(
-        lf.scope.contains(a) && lf.scope.contains(b),
-        "CREATE edge endpoints must be bound node variables")
+    }
+    def mkEdge(cur: LF, rel: RelPattern, aName: String, bName: String): LF = {
       require(rel.types.size == 1, "CREATE edge requires exactly one type")
+      require(rel.varLength.isEmpty, "CREATE edge cannot be var-length")
+      require(
+        rel.direction != BothDir,
+        "CREATE edge needs a direction")
       val tpe = rel.types.head
       val (src, dst) =
-        if (rel.direction == InDir) (Frames.id(b), Frames.id(a))
-        else (Frames.id(a), Frames.id(b))
-      val rows = lf.df
-        .select(
-          (lit(nextBase()) + monotonically_increasing_id())
-            .as(GraphState.IdCol) +:
-            src.as(GraphState.SrcCol) +:
-            dst.as(GraphState.DstCol) +:
-            lit(tpe).as(GraphState.TypeCol) +:
-            rel.props.map { case (k, e) => low.lower(e).as(k) }: _*)
-        .localCheckpoint(true)
+        if (rel.direction == InDir) (Frames.id(bName), Frames.id(aName))
+        else (Frames.id(aName), Frames.id(bName))
+      val eName = rel.variable.getOrElse(fresh("ce"))
+      val low = new ExprLowering(cur.df, cur.scope, params)
+      var withE = cur.df
+        .withColumn(
+          s"$eName${Frames.Sep}${GraphState.IdCol}",
+          lit(nextBase()) + monotonically_increasing_id())
+        .withColumn(s"$eName${Frames.Sep}${GraphState.SrcCol}", src)
+        .withColumn(s"$eName${Frames.Sep}${GraphState.DstCol}", dst)
+        .withColumn(s"$eName${Frames.Sep}${GraphState.TypeCol}", lit(tpe))
+      rel.props.foreach { case (k, e) =>
+        withE = withE.withColumn(s"$eName${Frames.Sep}$k", low.lower(e))
+      }
+      withE = withE.localCheckpoint(true)
+      val rows = withE.select(
+        col(s"$eName${Frames.Sep}${GraphState.IdCol}").as(GraphState.IdCol) +:
+          col(s"$eName${Frames.Sep}${GraphState.SrcCol}")
+            .as(GraphState.SrcCol) +:
+          col(s"$eName${Frames.Sep}${GraphState.DstCol}")
+            .as(GraphState.DstCol) +:
+          col(s"$eName${Frames.Sep}${GraphState.TypeCol}")
+            .as(GraphState.TypeCol) +:
+          rel.props.map { case (k, _) =>
+            col(s"$eName${Frames.Sep}$k").as(k)
+          }: _*)
       state = Mutations.createEdges(state, tpe, rows)
-      lf
+      LF(withE, cur.scope + (eName -> Binding.EdgeB))
     }
+    val (lf1, startName) = ensureNode(lf, part.start)
+    var cur = lf1
+    var prev = startName
+    part.hops.foreach { case (rel, node) =>
+      val (lf2, name) = ensureNode(cur, node)
+      cur = mkEdge(lf2, rel, prev, name)
+      prev = name
+    }
+    cur
   }
 
   /** One (_id, __nv) row per updated entity — max() picks a deterministic
@@ -711,7 +744,7 @@ final class Planner(
             cur = LF(
               df,
               cur.scope + (eVar -> Binding.EdgeB) + (dstName -> Binding.NodeB))
-            cur = nodeConstraints(cur, dstName, node.labels.drop(1), node.props)
+            cur = nodeConstraints(cur, dstName, node.labels, node.props)
           }
           cur = relConstraints(cur, eVar, rel.props)
           edgeVars :+= eVar
@@ -738,7 +771,7 @@ final class Planner(
             cur = LF(
               df,
               cur.scope + (eVar -> Binding.EdgeListB) + (dstName -> Binding.NodeB))
-            cur = nodeConstraints(cur, dstName, node.labels.drop(1), node.props)
+            cur = nodeConstraints(cur, dstName, node.labels, node.props)
           }
       }
       edgeSeq :+= ((eVar, rel.varLength.isDefined))
@@ -842,7 +875,7 @@ final class Planner(
       // ranks are unaffected, so filtering after rank-k is equivalent
       var out = LF(ranked, scope)
       if (!dstBound)
-        out = nodeConstraints(out, dstName, node.labels.drop(1), node.props)
+        out = nodeConstraints(out, dstName, node.labels, node.props)
       return out
     }
 
@@ -927,7 +960,7 @@ final class Planner(
 
     var out = LF(joined, scope)
     if (!dstBound)
-      out = nodeConstraints(out, dstName, node.labels.drop(1), node.props)
+      out = nodeConstraints(out, dstName, node.labels, node.props)
     out
   }
 
@@ -947,7 +980,7 @@ final class Planner(
         if (lf.df.columns.isEmpty) bound // first scan replaces Once
         else lf.df.crossJoin(bound) // Cartesian (operator.hpp:2797)
       val lf2 = LF(df, lf.scope + (name -> Binding.NodeB))
-      (nodeConstraints(lf2, name, n.labels.drop(1), n.props), name)
+      (nodeConstraints(lf2, name, n.labels, n.props), name)
     }
   }
 

@@ -407,6 +407,42 @@ object Mutations {
             .drop("__hit")
         })
     }
+    // Adding labels must also make the rows visible to scans of the added
+    // labels: frames are the label index, so append the matched rows (with
+    // updated label arrays) into each target frame. Removal needs no row
+    // deletion — scans re-filter on `_labels`, which the in-place update
+    // above already shrank.
+    if (add) {
+      val keyIds = ids.select(col(ids.columns.head).as(IdCol))
+      val matched = g.nodeLabels
+        .map(src =>
+          g.nodes(src)
+            .join(broadcastIfSmall(keyIds), Seq(IdCol), "left_semi"))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .map(
+          _.dropDuplicates(IdCol)
+            .withColumn(
+              LabelsCol,
+              array_union(col(LabelsCol), array(labels.map(lit): _*)))
+            .localCheckpoint(true))
+      matched.foreach { mc =>
+        labels.foreach { l =>
+          val cur = out
+          out = out.withNodes(
+            l,
+            () =>
+              if (cur.hasLabel(l))
+                cur.nodes(l).unionByName(
+                  mc.join(
+                    cur.nodes(l).select(IdCol),
+                    Seq(IdCol),
+                    "left_anti"),
+                  allowMissingColumns = true)
+              else mc)
+        }
+        out = out.withOverlap
+      }
+    }
     out
   }
 
