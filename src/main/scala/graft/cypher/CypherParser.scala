@@ -393,7 +393,7 @@ object CypherParser extends RegexParsers {
     kw("REMOVE") ~> rep1sep(removeItem, ",") ^^ RemoveCl.apply
 
   def mergeClause: Parser[Clause] =
-    kw("MERGE") ~> patternPart ~
+    kw("MERGE") ~> (("(" ~> patternPart <~ ")") ||| patternPart) ~
       rep(
         (kw("ON") ~> kw("CREATE") ~> kw("SET") ~> rep1sep(setItem, ",")) ^^ (
             ("create", _)) |

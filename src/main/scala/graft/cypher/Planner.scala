@@ -105,7 +105,7 @@ final class Planner(
     case SetCl(items) => planSet(lf, items)
     case DeleteCl(detach, vars) => { planDelete(lf, detach, vars); lf }
     case RemoveCl(items) => planRemove(lf, items)
-    case m: MergeCl => { planMerge(lf, m); lf }
+    case m: MergeCl => planMergeAndBind(lf, m)
     case ForeachCl(v, listE, updates) =>
       // Foreach (operator.hpp:3032): run the update clauses against the
       // exploded frame; the outer frame and scope are unchanged.
@@ -539,16 +539,35 @@ final class Planner(
   private def planMerge(lf: LF, m: MergeCl): Unit = {
     if (m.pattern.hops.nonEmpty) { planMergeEdge(lf, m); return }
     val n = m.pattern.start
-    require(
-      n.labels.nonEmpty && n.props.nonEmpty,
-      "MERGE requires a label and a property map")
-    val label = n.labels.head
     val low = lowering(lf)
     val propNames = n.props.map(_._1)
-    val want = oneRow(lf)
-      .select(n.props.map { case (k, e) => low.lower(e).as(k) }: _*)
-      .distinct()
-
+    // label is optional (unlabeled MERGE matches/creates "_"-frame nodes);
+    // props are optional (MERGE (n:L) matches ANY :L node, creates one
+    // when none exists)
+    val storeTargets = if (n.labels.isEmpty) Seq("_") else n.labels
+    val labelsArr =
+      if (n.labels.isEmpty) array().cast("array<string>")
+      else array(n.labels.map(lit): _*)
+    def existingFrame: DataFrame = {
+      val base = n.labels.headOption
+        .map(state.nodesOrEmpty)
+        .getOrElse(state.allNodes)
+      n.labels.foldLeft(base)((d, l) =>
+        d.filter(array_contains(col(GraphState.LabelsCol), l)))
+    }
+    def createRows(fromWant: DataFrame): DataFrame =
+      setCols(
+        m.onCreate,
+        fromWant.select(
+          (lit(nextBase()) + monotonically_increasing_id())
+            .as(GraphState.IdCol) +:
+            labelsArr.as(GraphState.LabelsCol) +:
+            propNames.map(col): _*)).localCheckpoint(true)
+    def createInto(rows: DataFrame): Unit = {
+      storeTargets.foreach(l =>
+        state = Mutations.createNodes(state, l, rows))
+      if (storeTargets.size > 1) state = state.withOverlap
+    }
     def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
       items.foldLeft(base) {
         case (d, SetProp(v, key, e)) if n.variable.contains(v) =>
@@ -556,47 +575,80 @@ final class Planner(
           d.withColumn(key, lowD.lower(e))
         case (d, _) => d
       }
-
-    if (!state.hasLabel(label)) {
-      val created = setCols(
-        m.onCreate,
-        want.select(
-          (lit(nextBase()) + monotonically_increasing_id())
-            .as(GraphState.IdCol) +:
-            array(n.labels.map(lit): _*).as(GraphState.LabelsCol) +:
-            propNames.map(col): _*)).localCheckpoint(true)
-      state = Mutations.createNodes(state, label, created)
-    } else {
-      val existing = state.nodes(label)
-      val missing = want.join(existing, propNames, "left_anti")
-      val created = setCols(
-        m.onCreate,
-        missing.select(
-          (lit(nextBase()) + monotonically_increasing_id())
-            .as(GraphState.IdCol) +:
-            array(n.labels.map(lit): _*).as(GraphState.LabelsCol) +:
-            propNames.map(col): _*)).localCheckpoint(true)
-      state = Mutations.createNodes(state, label, created)
-      if (m.onMatch.nonEmpty) {
-        // bind the FULL matched node frame so ON MATCH SET expressions can
-        // reference the node's properties (reference Merge runs its
-        // on-match branch with the entity in scope, operator.hpp:2579)
-        val v = n.variable.getOrElse(fresh("m"))
-        val matched = Frames.bind(v)(
-          existing.join(want, propNames, "left_semi"))
-        val scope = Scope.empty + (v -> Binding.NodeB)
-        m.onMatch.foreach {
-          case SetProp(v2, key, e) if v2 == v =>
-            val lowU = new ExprLowering(matched, scope, params)
-            val updates = matched
-              .select(Frames.id(v).as(GraphState.IdCol),
-                lowU.lower(e).as("__nv"))
-              .groupBy(GraphState.IdCol)
-              .agg(max(col("__nv")).as("__nv"))
-            state = Mutations.setPropertyByIds(state, updates, key)
-          case _ => ()
-        }
+    def applyOnMatch(matched0: DataFrame): Unit = if (m.onMatch.nonEmpty) {
+      // bind the FULL matched node frame so ON MATCH SET expressions can
+      // reference the node's properties (reference Merge runs its
+      // on-match branch with the entity in scope, operator.hpp:2579)
+      val v = n.variable.getOrElse(fresh("m"))
+      val matched = Frames.bind(v)(matched0)
+      val scope = Scope.empty + (v -> Binding.NodeB)
+      m.onMatch.foreach {
+        case SetProp(v2, key, e) if v2 == v =>
+          val lowU = new ExprLowering(matched, scope, params)
+          val updates = matched
+            .select(
+              Frames.id(v).as(GraphState.IdCol),
+              lowU.lower(e).as("__nv"))
+            .groupBy(GraphState.IdCol)
+            .agg(max(col("__nv")).as("__nv"))
+          state = Mutations.setPropertyByIds(state, updates, key)
+        case _ => ()
       }
+    }
+
+    if (propNames.isEmpty) {
+      // match-anything MERGE: create exactly one node when nothing matches
+      val existing = existingFrame
+      if (existing.isEmpty)
+        createInto(createRows(spark.range(1).toDF().select()))
+      else applyOnMatch(existing)
+      return
+    }
+
+    val want = oneRow(lf)
+      .select(n.props.map { case (k, e) => low.lower(e).as(k) }: _*)
+      .distinct()
+
+    {
+      // the scan may lack some merge-prop columns entirely (e.g. unlabeled
+      // MERGE against frames that never saw the property) — pad with NULLs
+      val existing = propNames.foldLeft(existingFrame)((d, p) =>
+        if (d.columns.contains(p)) d
+        else d.withColumn(p, lit(null).cast(want.schema(p).dataType)))
+      val missing = want.join(existing, propNames, "left_anti")
+      createInto(createRows(missing))
+      applyOnMatch(existing.join(want, propNames, "left_semi"))
+    }
+  }
+
+  /** Node MERGE + variable binding: after the merge mutations, the merged
+    * variable is bound by re-scanning the post-merge state for the pattern
+    * (matched and created rows alike), joined to the input frame on the
+    * merge-property expressions. */
+  private def planMergeAndBind(lf: LF, m: MergeCl): LF = {
+    if (m.pattern.hops.nonEmpty) { planMergeEdge(lf, m); return lf }
+    planMerge(lf, m)
+    val n = m.pattern.start
+    n.variable match {
+      case Some(v) if !lf.scope.contains(v) =>
+        val base = n.labels.headOption
+          .map(state.nodesOrEmpty)
+          .getOrElse(state.allNodes)
+        val scanned = n.labels.foldLeft(base)((d, l) =>
+          d.filter(array_contains(col(GraphState.LabelsCol), l)))
+        val bound = Frames.bind(v)(scanned)
+        val low = lowering(lf)
+        val cond = n.props
+          .map { case (k, e) => Frames.f(v, k) === low.lower(e) }
+          .reduceOption(_ && _)
+        val joined =
+          if (lf.df.columns.isEmpty) cond.map(bound.filter).getOrElse(bound)
+          else
+            cond
+              .map(c => lf.df.join(bound, c))
+              .getOrElse(lf.df.crossJoin(bound))
+        LF(joined, lf.scope + (v -> Binding.NodeB))
+      case _ => lf
     }
   }
 

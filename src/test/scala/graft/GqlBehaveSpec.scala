@@ -40,7 +40,7 @@ class GqlBehaveSpec extends SparkTestBase {
     "nested_property_update.feature" -> 6,
     "match.feature" -> 30,
     "foreach.feature" -> 4,
-    "merge.feature" -> 8)
+    "merge.feature" -> 15)
 
   /** Documented divergences: scenario name → reason. These are known,
     * deliberate or accepted behavior differences, not silent skips. */
@@ -51,7 +51,11 @@ class GqlBehaveSpec extends SparkTestBase {
     "Set test" ->
       ("memgraph applies SET per input row with read-your-writes, so a " +
         "node matched k times accumulates k increments; snapshot batch " +
-        "semantics applies one deterministic update per entity"))
+        "semantics applies one deterministic update per entity"),
+    "Merge followed by Create bounded count (issue #1333)" ->
+      ("memgraph's pipelined per-row execution makes CREATE's nodes " +
+        "visible to an upstream MERGE mid-statement (8); snapshot batch " +
+        "semantics evaluates each clause against one state (6)"))
 
   // ---------- Gherkin subset parser ----------
 
@@ -373,7 +377,8 @@ class GqlBehaveSpec extends SparkTestBase {
           }
           .getOrElse((0 until header.length))
         val gotParsed = rows.toSeq.map(r =>
-          fieldIdx.map(k => sparkV(r.get(k))))
+          fieldIdx.map(k =>
+            if (k >= 0 && k < r.length) sparkV(r.get(k)) else None))
         if (gotParsed.exists(_.exists(_.isEmpty))) { tally.skip += 1; return }
         val got = gotParsed.map(_.flatten.toSeq)
         val ok =
