@@ -159,5 +159,10 @@ object Ast {
 
   // ---------- query ----------
   final case class SingleQuery(clauses: Seq[Clause])
-  final case class Query(first: SingleQuery, unions: Seq[(Boolean, SingleQuery)]) // (all?, query)
+  /** (all?, query) unions; hopsLimit = `USING HOPS LIMIT n` prefix
+    * (ast.hpp:2086) — caps total edge traversals in fixpoint expansions. */
+  final case class Query(
+      first: SingleQuery,
+      unions: Seq[(Boolean, SingleQuery)],
+      hopsLimit: Option[Long] = None)
 }

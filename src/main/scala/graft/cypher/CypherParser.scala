@@ -422,9 +422,14 @@ object CypherParser extends RegexParsers {
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 
   def query: Parser[Query] =
-    singleQuery ~ rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery) ^^ {
-      case f ~ us => Query(f, us.map { case a ~ q => (a.isDefined, q) })
-    }
+    opt(kw("USING") ~> kw("HOPS") ~> kw("LIMIT") ~> """\d+""".r) ~
+      singleQuery ~ rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery) ^^ {
+        case hl ~ f ~ us =>
+          Query(
+            f,
+            us.map { case a ~ q => (a.isDefined, q) },
+            hl.map(_.toLong))
+      }
 
   def parse(text0: String): Query = {
     val text = text0.trim.stripSuffix(";") // statement terminator is noise

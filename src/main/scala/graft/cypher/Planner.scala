@@ -48,7 +48,11 @@ final class Planner(
 
   private def initial: LF = LF(spark.range(1).drop("id"), Scope.empty)
 
+  /** `USING HOPS LIMIT n` for this statement (Query prefix). */
+  private var hopsLimit: Option[Long] = None
+
   def plan(q: Query): DataFrame = {
+    hopsLimit = q.hopsLimit
     val first = planSingle(q.first)
     q.unions.foldLeft(first) { case (acc, (all, sq)) =>
       val u = acc.unionByName(planSingle(sq))
@@ -811,7 +815,7 @@ final class Planner(
             val tmp = fresh("n")
             val df0 = VarExpand(
               cur.df, state, srcVar, eVar, types, dir, minH, maxH, tmp,
-              dstLabel = None)
+              dstLabel = None, hopsLimit = hopsLimit)
             val df = df0
               .filter(Frames.id(tmp) === Frames.id(dstName))
               .drop(Frames.colsOf(df0, tmp): _*)
@@ -819,7 +823,7 @@ final class Planner(
           } else {
             val df = VarExpand(
               cur.df, state, srcVar, eVar, types, dir, minH, maxH, dstName,
-              node.labels.headOption)
+              node.labels.headOption, hopsLimit = hopsLimit)
             cur = LF(
               df,
               cur.scope + (eVar -> Binding.EdgeListB) + (dstName -> Binding.NodeB))

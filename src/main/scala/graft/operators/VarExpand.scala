@@ -50,7 +50,13 @@ object VarExpand {
       minHops: Int,
       maxHops: Option[Int],
       dstVar: String,
-      dstLabel: Option[String]): DataFrame = {
+      dstLabel: Option[String],
+      /** `USING HOPS LIMIT n` (ast.hpp:2086): cap on TOTAL edge traversals
+        * in the fixpoint loop. The reference returns partial results in its
+        * DFS order; a distributed batch engine has no such order, so we
+        * RAISE on breach instead of returning nondeterministic partials —
+        * documented deviation, wrong/partial answers are never silent. */
+      hopsLimit: Option[Long] = None): DataFrame = {
     require(
       minHops >= 0 && maxHops.forall(_ >= minHops),
       s"bad hop range $minHops..$maxHops")
@@ -100,10 +106,20 @@ object VarExpand {
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
         var k = 0
+        var traversed = 0L
         var empty = cur.isEmpty
         while (!empty && k < limit) {
           k += 1
           cur = step(cur, e, stepDir).localCheckpoint(true)
+          hopsLimit.foreach { cap =>
+            traversed += cur.count() // frontier is materialized — cheap
+            if (traversed > cap)
+              throw new IllegalStateException(
+                s"hops limit exceeded: $traversed edge traversals > $cap " +
+                  "(USING HOPS LIMIT; partial traversal order is " +
+                  "engine-specific, so this engine raises instead of " +
+                  "returning nondeterministic partial results)")
+          }
           empty = cur.isEmpty
           if (!empty && k >= minHops) reached = reached :+ cur
         }
@@ -116,7 +132,7 @@ object VarExpand {
         reached.reduce(_ unionByName _)
     }
 
-    val nodesDf = dstLabel.map(g.nodes).getOrElse(g.allNodes)
+    val nodesDf = dstLabel.map(g.nodesOrEmpty).getOrElse(g.allNodes)
     all
       .join(Frames.bind(dstVar)(nodesDf), col(CUR) === Frames.id(dstVar))
       .withColumn(s"$edgeVar${Frames.Sep}_ids", col(PATH))

@@ -141,6 +141,21 @@ object Round3Queries {
         |  (14, 2, 3, 7, 1)) AS t(k, len, n_nodes, second, e0)
         |ORDER BY k""".stripMargin),
 
+    // USING HOPS LIMIT (ast.hpp:2086): caps total edge traversals of the
+    // unbounded fixpoint expansion. Under the cap, results are identical
+    // to the uncapped query (partial results would be nondeterministic in
+    // a batch engine, so breaching the cap raises — see VarExpand).
+    cq(
+      "cy_hops_limit",
+      """USING HOPS LIMIT 500000
+        |MATCH (c:Customer {c_custkey: 1})
+        |      -[:PLACED|HAS_LINE|OF_PART|BY_SUPPLIER*]->(x)
+        |RETURN count(*) AS n_paths""".stripMargin,
+      """SELECT (SELECT count(*) FROM orders WHERE o_custkey = 1)
+        |     + 3 * (SELECT count(*) FROM lineitem
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE o_custkey = 1) AS n_paths""".stripMargin),
+
     // Dynamic (non-literal) function arguments: split delimiter from a
     // column (\Q…\E-quoted regex), round scale from an expression (HALF_UP
     // formula), text.join separator via a stateful left fold.

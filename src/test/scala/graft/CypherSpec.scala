@@ -162,6 +162,17 @@ class CypherSpec extends SparkTestBase {
     assert(n == 1)
   }
 
+  test("USING HOPS LIMIT raises when the traversal cap is breached") {
+    val e = intercept[Exception] {
+      run(
+        """USING HOPS LIMIT 3
+          |MATCH (c:Customer {c_custkey: 1})
+          |      -[:PLACED|HAS_LINE|OF_PART|BY_SUPPLIER*]->(x)
+          |RETURN count(*) AS n""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("hops limit exceeded"))
+  }
+
   test("kShortest returns at most k rows per pair, shortest first") {
     val rows = run(
       """MATCH (a:Customer {c_custkey: 0})
