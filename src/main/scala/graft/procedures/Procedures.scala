@@ -1,6 +1,6 @@
 package graft.procedures
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.GraphState
@@ -48,8 +48,11 @@ object Procedures {
     "algo.label_propagation" -> labelPropagation,
     "algo.katz" -> katz,
     "algo.node_similarity" -> nodeSimilarity,
+    "algo.triangle_count" -> triangleCount,
+    "algo.walks" -> walks,
     "schema.info" -> schemaInfo,
-    "graph.analyze" -> analyze)
+    "graph.analyze" -> analyze,
+    "graph.dump" -> dump)
 
   import GraphState.{DstCol, IdCol, SrcCol}
 
@@ -385,6 +388,144 @@ object Procedures {
       .localCheckpoint(true)
     Seq(e, vis, dag).foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** Per-node triangle counts over the undirected view of one edge type.
+    * Standard compact-forward shape: canonicalize every edge to (a<b),
+    * build wedges a→b→c by one equi-join, close them against the edge set
+    * by a second equi-join — two shuffles on edge endpoints, never an
+    * all-pairs product, so it survives a 100× scale-up (the classic
+    * MapReduce triangle-enumeration plan). Yields (node, triangles),
+    * 0 for nodes on no triangle. */
+  def triangleCount(ctx: ProcContext): DataFrame = {
+    val (nodes, edges) = selectGraph(ctx)
+    val und = edges
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist()
+    val tri = und
+      .join(
+        und.select(col("a").as("b"), col("b").as("c")),
+        Seq("b"))
+      .join(
+        und.select(col("a"), col("b").as("c")).withColumn("__hit", lit(1)),
+        Seq("a", "c"),
+        "inner")
+      .select(col("a"), col("b"), col("c"))
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("__t"))
+    val out = nodes
+      .join(counts, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("__t"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
+    und.unpersist(blocking = false)
+    out
+  }
+
+  /** Deterministic random-walk generation — the sampling stage of
+    * `src/mage/cpp/node2vec_module` with p=q=1 (DeepWalk-uniform), made
+    * reproducible: at step s the walker at v moves to the out-neighbor w
+    * minimizing md5("walkKey:s:wKey") (keys = id low 48 bits). One
+    * equi-join + per-walk argmin aggregate per step — the frontier frame
+    * is (walks × 1) rows, so a million concurrent walks is still one
+    * shuffle per step. Options: label/type, length (4), seedMax (walk
+    * starts = nodes with key < seedMax). Yields (walk, step, node). */
+  def walks(ctx: ProcContext): DataFrame = {
+    val len = ctx.optInt("length", 4)
+    val seedMax = ctx.optInt("seedMax", 20)
+    val (nodes, edges) = selectGraph(ctx)
+    val keyOf = (c: Column) => c.bitwiseAND(lit((1L << 48) - 1))
+    val e = edges.persist()
+    var cur = nodes
+      .filter(keyOf(col("node")) < seedMax)
+      .select(keyOf(col("node")).as("walk"), lit(0).as("step"), col("node"))
+      .localCheckpoint(true)
+    var out = cur
+    for (s <- 1 to len) {
+      cur = cur
+        .join(e, col("node") === col("src"))
+        .select(
+          col("walk"),
+          struct(
+            md5(concat_ws(":", col("walk"), lit(s), keyOf(col("dst"))))
+              .as("h"),
+            col("dst").as("d")).as("__ch"))
+        .groupBy("walk")
+        .agg(min("__ch").as("__ch"))
+        .select(col("walk"), lit(s).as("step"), col("__ch")("d").as("node"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur)
+    }
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** DUMP DATABASE analog (`src/query/dump.cpp`): one recreate-Cypher
+    * statement per node / edge of the selected label/type — nodes as
+    * `CREATE (:L {k: v, …});`, edges as id-matched `MATCH … CREATE`.
+    * Property lists are name-sorted, NULLs skipped, strings quoted with
+    * \'-escaping, timestamps as datetime('ISO') — all pure column
+    * transforms over the frames (no driver-side iteration). Options:
+    * label and/or type. Yields (stmt). */
+  def dump(ctx: ProcContext): DataFrame = {
+    import org.apache.spark.sql.types._
+    val meta = Set(
+      GraphState.IdCol, GraphState.LabelsCol,
+      GraphState.SrcCol, GraphState.DstCol, GraphState.TypeCol)
+    def repr(c: Column, dt: DataType): Column = dt match {
+      case StringType =>
+        concat(lit("'"), regexp_replace(c, "'", "\\\\'"), lit("'"))
+      case TimestampType | TimestampNTZType =>
+        concat(
+          lit("datetime('"),
+          date_format(c, "yyyy-MM-dd'T'HH:mm:ss"),
+          lit("')"))
+      case _ => c.cast("string")
+    }
+    // Braces appear iff the frame has any prop columns — decided at plan
+    // time (a propless frame emits no "{}" at all). Per-row NULL props are
+    // skipped by concat_ws.
+    def propPart(frame: DataFrame): Option[Column] = {
+      val fields = frame.schema.fields
+        .filterNot(f => meta.contains(f.name))
+        .sortBy(_.name)
+      if (fields.isEmpty) None
+      else {
+        val frags = fields.map(f =>
+          when(
+            col(f.name).isNotNull,
+            concat(lit(s"${f.name}: "), repr(col(f.name), f.dataType))))
+        Some(concat(lit(" {"), concat_ws(", ", frags.toSeq: _*), lit("}")))
+      }
+    }
+    val nodeStmts = ctx.opts.get("label").map(_.toString).toSeq.map { l =>
+      val frame = ctx.g.nodes(l)
+      frame.select(
+        concat(
+          Seq(lit(s"CREATE (:$l")) ++ propPart(frame) ++ Seq(lit(");")): _*)
+          .as("stmt"))
+    }
+    val edgeStmts = ctx.opts.get("type").map(_.toString).toSeq.map { t =>
+      val frame = ctx.g.edges(t)
+      frame.select(
+        concat(
+          Seq(
+            lit("MATCH (u), (v) WHERE id(u) = "),
+            col(GraphState.SrcCol).cast("string"),
+            lit(" AND id(v) = "),
+            col(GraphState.DstCol).cast("string"),
+            lit(s" CREATE (u)-[:$t")) ++
+            propPart(frame) ++ Seq(lit("]->(v);")): _*)
+          .as("stmt"))
+    }
+    val all = nodeStmts ++ edgeStmts
+    require(all.nonEmpty, "graph.dump needs label and/or type")
+    all.reduce(_ unionByName _)
   }
 
   /** Community detection by synchronous label propagation with

@@ -309,6 +309,11 @@ object ProcedureQueries {
         |  ('edge', 'HAS_LINE', (SELECT count(*) FROM lineitem), ''),
         |  ('edge', 'IN_REGION', (SELECT count(*) FROM nation), ''),
         |  ('edge', 'KNOWS', 2 * (SELECT count(*) FROM customer), 'k_weight'),
+        |  ('edge', 'NEAR',
+        |   (SELECT count(*) FROM customer WHERE c_custkey % 4 < 3
+        |    AND c_custkey + 1 <= (SELECT max(c_custkey) FROM customer)) +
+        |   (SELECT count(*) FROM customer WHERE c_custkey % 4 < 2
+        |    AND c_custkey + 2 <= (SELECT max(c_custkey) FROM customer)), ''),
         |  ('edge', 'OF_PART', (SELECT count(*) FROM lineitem), ''),
         |  ('edge', 'PLACED', (SELECT count(*) FROM orders), ''),
         |  ('node', 'Customer', (SELECT count(*) FROM customer),
@@ -428,6 +433,92 @@ object ProcedureQueries {
       },
       Some("""SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
              |  array_to_string(list_sort(list(n_name)), ',') AS names
-             |FROM nation""".stripMargin))
+             |FROM nation""".stripMargin)),
+
+    // Triangle counting (compact-forward enumeration over the canonical
+    // a<b edge view) on the NEAR blocks — 2 triangles per full block of 4,
+    // reconstructed exactly by the oracle's two equi-joins.
+    cq(
+      "call_triangles",
+      """CALL algo.triangle_count({type: 'NEAR'}) YIELD node, triangles
+        |RETURN node % 281474976710656 AS k, triangles
+        |ORDER BY k""".stripMargin,
+      """WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+        |e AS MATERIALIZED (
+        |  SELECT c_custkey AS a, c_custkey + 1 AS b FROM customer
+        |  WHERE c_custkey % 4 < 3 AND c_custkey + 1 <= (SELECT m FROM mk)
+        |  UNION ALL
+        |  SELECT c_custkey, c_custkey + 2 FROM customer
+        |  WHERE c_custkey % 4 < 2 AND c_custkey + 2 <= (SELECT m FROM mk)),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |cnt AS (
+        |  SELECT node, count(*) AS t FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY node)
+        |SELECT c_custkey AS k, CAST(coalesce(t, 0) AS BIGINT) AS triangles
+        |FROM customer LEFT JOIN cnt ON node = c_custkey
+        |ORDER BY k""".stripMargin),
+
+    // Deterministic random walks (node2vec sampling, p=q=1): 20 walks of
+    // length 4 over KNOWS; each step's md5-argmin choice is replayed by
+    // the oracle's chained per-step CTEs.
+    cq(
+      "call_walks",
+      """CALL algo.walks({length: 4, seedMax: 20}) YIELD walk, step, node
+        |RETURN walk, step, node % 281474976710656 AS k
+        |ORDER BY walk, step""".stripMargin, {
+        val steps = (1 to 4).map { s =>
+          s"""s$s AS MATERIALIZED (
+             |  SELECT walk, dst AS cur FROM (
+             |    SELECT w.walk, adj.dst,
+             |      row_number() OVER (PARTITION BY w.walk
+             |        ORDER BY md5(CAST(w.walk AS VARCHAR) || ':$s:' ||
+             |                     CAST(adj.dst AS VARCHAR)), adj.dst) AS rk
+             |    FROM s${s - 1} w JOIN adj ON adj.src = w.cur)
+             |  WHERE rk = 1)""".stripMargin
+        }
+        s"""WITH nn AS (SELECT max(c_custkey) + 1 AS m FROM customer),
+           |adj AS MATERIALIZED (
+           |  SELECT c_custkey AS src, (c_custkey + 1) % (SELECT m FROM nn) AS dst
+           |  FROM customer
+           |  UNION ALL
+           |  SELECT c_custkey, (c_custkey + 7) % (SELECT m FROM nn)
+           |  FROM customer),
+           |s0 AS MATERIALIZED (
+           |  SELECT c_custkey AS walk, c_custkey AS cur FROM customer
+           |  WHERE c_custkey < 20),
+           |${steps.mkString(",\n")}
+           |SELECT walk, step, k FROM (
+           |  SELECT walk, 0 AS step, cur AS k FROM s0
+           |  ${(1 to 4).map(s => s"UNION ALL SELECT walk, $s, cur FROM s$s").mkString("\n  ")})
+           |ORDER BY walk, step""".stripMargin
+      }),
+
+    // DUMP DATABASE analog (src/query/dump.cpp): recreate-Cypher text for
+    // Nation nodes + IN_REGION edges, byte-identical to the oracle's
+    // string construction (props name-sorted, strings \'-quoted).
+    cq(
+      "graph_dump",
+      """CALL graph.dump({label: 'Nation', type: 'IN_REGION'}) YIELD stmt
+        |RETURN stmt ORDER BY stmt""".stripMargin,
+      """SELECT stmt FROM (
+        |  SELECT 'CREATE (:Nation {n_name: ''' || n_name ||
+        |         ''', n_nationkey: ' || CAST(n_nationkey AS VARCHAR) ||
+        |         ', n_regionkey: ' || CAST(n_regionkey AS VARCHAR) || '});'
+        |         AS stmt
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'MATCH (u), (v) WHERE id(u) = ' ||
+        |         CAST((2 * 281474976710656) + n_nationkey AS VARCHAR) ||
+        |         ' AND id(v) = ' ||
+        |         CAST((1 * 281474976710656) + n_regionkey AS VARCHAR) ||
+        |         ' CREATE (u)-[:IN_REGION]->(v);'
+        |  FROM nation)
+        |ORDER BY stmt""".stripMargin)
   )
 }

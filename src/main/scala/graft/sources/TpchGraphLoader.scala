@@ -62,7 +62,8 @@ object TpchGraphLoader {
     "HAS_LINE" -> 104L,
     "OF_PART" -> 105L,
     "BY_SUPPLIER" -> 106L,
-    "KNOWS" -> 107L)
+    "KNOWS" -> 107L,
+    "NEAR" -> 108L)
 
   /** Global node id for a label + business key (column form). */
   def nodeId(label: String, key: Column): Column =
@@ -254,6 +255,28 @@ object TpchGraphLoader {
       chord(1, 0).unionByName(chord(7, 1))
     }
 
+    // NEAR: intra-block cliquey edges over customers (block = ⌊c/4⌋):
+    // c→c+1 when c%4<3, c→c+2 when c%4<2, guarded to stay inside the
+    // table. KNOWS (ring+chord) is triangle-free by construction — NEAR
+    // exists so triangle counting / clustering-coefficient algorithms have
+    // a reconstructable graph with actual triangles (2 per full block).
+    def near(): DataFrame = {
+      val customer = tbl("customer")
+      val maxKey =
+        customer.agg(max(col("c_custkey")).cast("long").as("__MAXK"))
+      val custWithMax = customer.crossJoin(broadcast(maxKey))
+      def step(off: Int, slot: Int): DataFrame =
+        edgeFrame(
+          "NEAR",
+          custWithMax.filter(
+            col("c_custkey") % 4 < lit(4 - off) &&
+              col("c_custkey") + off <= col("__MAXK")),
+          col("c_custkey") * 2 + slot,
+          nodeId("Customer", col("c_custkey")),
+          nodeId("Customer", col("c_custkey") + off))
+      step(1, 0).unionByName(step(2, 1))
+    }
+
     val edges: Map[String, () => DataFrame] = Map(
       "IN_REGION" -> (() =>
         edgeFrame(
@@ -304,7 +327,8 @@ object TpchGraphLoader {
           liKey,
           nodeId("Lineitem", liKey),
           nodeId("Supplier", col("l_suppkey")))),
-      "KNOWS" -> (() => knows()))
+      "KNOWS" -> (() => knows()),
+      "NEAR" -> (() => near()))
 
     GraphState(nodes, edges)
   }
