@@ -73,7 +73,8 @@ final class ExprLowering(
       typeOf(c) match {
         case Some(_: MapType) => element_at(c, lit(key))
         case Some(s: StructType) if s.fieldNames.contains(key) => c.getField(key)
-        case Some(t) if isTemporalComponent(key, t) => temporalComponent(c, key)
+        case Some(t) if isTemporalComponent(key, t) =>
+          temporalComponent(c, key, t)
         case Some(_: StructType) => lit(null)
         case _ => element_at(c, lit(key)) // dynamic map access fallback
       }
@@ -292,16 +293,24 @@ final class ExprLowering(
     Set("year", "month", "day", "hour", "minute", "second", "quarter",
       "week", "dayofweek")
 
-  private def isTemporalComponent(key: String, t: DataType): Boolean =
-    temporalKeys(key.toLowerCase) && (t == TimestampType || t == DateType ||
-      t == TimestampNTZType)
+  private def isTemporalComponent(key: String, t: DataType): Boolean = t match {
+    case TimestampType | DateType | TimestampNTZType =>
+      temporalKeys(key.toLowerCase)
+    case _: DayTimeIntervalType =>
+      Set("day", "hour", "minute", "second")(key.toLowerCase)
+    case _ => false
+  }
 
   private def temporalOrSelf(c: Column, key: String, t: Option[DataType]): Column = c
 
   /** Temporal component lookup (`d.year` — PropertyLookup on temporals,
-    * `awesome_memgraph_functions.cpp` temporal accessors). */
-  def temporalComponent(c: Column, key: String): Column =
-    key.toLowerCase match {
+    * `awesome_memgraph_functions.cpp` temporal accessors). Durations
+    * (`utils/temporal.hpp` Duration members) use interval field
+    * extraction — `dur.day` is the days part, not a total. */
+  def temporalComponent(c: Column, key: String, t: DataType): Column = t match {
+    case _: DayTimeIntervalType =>
+      date_part(lit(key.toUpperCase), c).cast("long")
+    case _ => key.toLowerCase match {
       case "year" => year(c).cast("long")
       case "month" => month(c).cast("long")
       case "day" => dayofmonth(c).cast("long")
@@ -314,6 +323,7 @@ final class ExprLowering(
       case other =>
         throw new UnsupportedOperationException(s"temporal component $other")
     }
+  }
 
   /** Does this expression contain an aggregation call? */
   def hasAgg(e: Expr): Boolean = e match {

@@ -113,6 +113,9 @@ object Functions {
             array(props.map(lit): _*)
           case None => map_keys(a(0))
         }
+      // values(map) — awesome_memgraph_functions.cpp:2099; node/edge form
+      // yields the property values in key order (struct field order).
+      case "values" => map_values(a(0))
 
       // ---- paths (ConstructNamedPath, operator.hpp:1255) ----
       case "nodes" =>
@@ -293,7 +296,42 @@ object Functions {
       case "datetime" | "localdatetime" =>
         if (args.isEmpty) current_timestamp() else to_timestamp(a(0))
       case "timestamp" => unix_micros(current_timestamp())
-      case "duration" => a(0).cast("interval day to second")
+      // duration(): reference `utils/temporal.cpp` (DurationParameters map
+      // ctor / ParseDurationParameters ISO-8601) → DayTimeIntervalType.
+      // Map keys are singular like the reference; plural accepted. All
+      // components fold to seconds so fractional values work uniformly.
+      case "duration" =>
+        args(0) match {
+          case MapLit(kvs) =>
+            val m = kvs.toMap
+            def f(ks: String*): Column =
+              ks.collectFirst { case k if m.contains(k) => m(k) }
+                .map(e => ctx.lower(e).cast("double"))
+                .getOrElse(lit(0.0))
+            val total = f("day", "days") * 86400 + f("hour", "hours") * 3600 +
+              f("minute", "minutes") * 60 + f("second", "seconds")
+            make_dt_interval(lit(0), lit(0), lit(0), total.cast("decimal(18,6)"))
+          case Lit(s: String) if s.startsWith("P") =>
+            val Iso =
+              """P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+            s match {
+              case Iso(d, h, mi, se) =>
+                def p(x: String) = Option(x).map(_.toDouble).getOrElse(0.0)
+                val total = p(d) * 86400 + p(h) * 3600 + p(mi) * 60 + p(se)
+                make_dt_interval(
+                  lit(0), lit(0), lit(0),
+                  lit(total).cast("decimal(18,6)"))
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"unparseable ISO-8601 duration: $s (Y/M components are " +
+                    "calendar-dependent and unsupported)")
+            }
+          case _ => a(0).cast("interval day to second")
+        }
+      // duration.between(a, b) = b - a as a day-time interval (reference
+      // temporal difference operator, utils/temporal.cpp operator-).
+      case "duration.between" =>
+        a(1).cast("timestamp") - a(0).cast("timestamp")
 
       // ---- misc ----
       case "randomuuid" => uuid()

@@ -90,6 +90,54 @@ final class Planner(
     case With(body, where) => project(lf, body, where, isReturn = false)
     case Return(body) => project(lf, body, None, isReturn = true)
 
+    case CallProc(name, args, yields) if name == "do.when" || name == "do.case" =>
+      // `do` module (`src/mage/cpp/do_module`, apoc heritage): conditional
+      // execution of a Cypher query. Conditions/query texts are constant
+      // procedure args, so dispatch happens at plan time; the chosen query
+      // may mutate (its new state + id high-water thread through).
+      val cv = args.map(constValue)
+      val chosen: Option[String] = name match {
+        case "do.when" =>
+          val cond = cv.head match { case b: Boolean => b; case x => x != null }
+          (if (cond) cv.lift(1) else cv.lift(2))
+            .map(_.toString).filter(_.nonEmpty)
+        case _ =>
+          cv.head match {
+            case alts: Seq[_] =>
+              alts.grouped(2).collectFirst {
+                case Seq(c: Boolean, q) if c => q.toString
+              }.orElse(cv.lift(1).map(_.toString).filter(_.nonEmpty))
+            case other =>
+              throw new IllegalArgumentException(
+                s"do.case expects [cond, query, …] list, got $other")
+          }
+      }
+      chosen match {
+        case None =>
+          // no condition matched and no else branch: zero rows (apoc
+          // semantics), yield columns present but empty.
+          val zero = yields.foldLeft(lf.df.filter(lit(false)))((d, y) =>
+            d.withColumn(s"$y${Frames.Sep}_val", lit(null).cast("string")))
+          LF(
+            zero,
+            yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+        case Some(q) =>
+          val sub = new Planner(spark, state, params)
+          val out = sub.plan(CypherParser.parse(q))
+          state = sub.currentState
+          createBase = math.max(createBase, sub.idHighWater)
+          val missing = yields.filterNot(out.columns.contains)
+          require(missing.isEmpty, s"$name query does not yield: $missing")
+          val selected = out.select(
+            yields.map(y => col(y).as(s"$y${Frames.Sep}_val")): _*)
+          val df =
+            if (lf.df.columns.isEmpty) selected
+            else lf.df.crossJoin(selected)
+          LF(
+            df,
+            yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+      }
+
     case CallProc(name, args, yields) =>
       val proc = graft.procedures.Procedures.registry.getOrElse(
         name,
@@ -195,6 +243,15 @@ final class Planner(
         val name = fresh("pc")
         cur = planRollUp(cur, name, pc)
         Var(name)
+      // degree/inDegree/outDegree scalars (builtin registry,
+      // awesome_memgraph_functions.cpp:2063-2065): precomputed via one
+      // aggregate over the edge set, equi-joined back on the node id.
+      case FnCall(fn, _, Seq(Var(n)))
+          if Set("degree", "indegree", "outdegree")(fn.toLowerCase) &&
+            cur.scope.get(n).contains(Binding.NodeB) =>
+        val name = fresh("deg")
+        cur = planDegree(cur, name, n, fn.toLowerCase)
+        Var(name)
       case BinOp(o, a, b) => BinOp(o, rw(a), rw(b))
       case Not(x) => Not(rw(x))
       case Neg(x) => Neg(rw(x))
@@ -214,6 +271,32 @@ final class Planner(
     }
     val newItems = items.map { case (a, e) => (a, rw(e)) }
     (cur, newItems)
+  }
+
+  /** degree(n) = in+out over ALL edge types (reference counts the full
+    * incidence list, vertex.hpp in_edges/out_edges). Left join keeps
+    * isolated nodes at 0. */
+  private def planDegree(lf: LF, name: String, v: String, fn: String): LF = {
+    val idc = s"$v${Frames.Sep}${GraphState.IdCol}"
+    val e = state.allEdges
+    def agg(key: String) = e
+      .groupBy(col(key).as("__dn"))
+      .agg(count(lit(1)).as("__dc"))
+    val degf = fn match {
+      case "outdegree" => agg(GraphState.SrcCol)
+      case "indegree" => agg(GraphState.DstCol)
+      case _ =>
+        agg(GraphState.SrcCol)
+          .unionByName(agg(GraphState.DstCol))
+          .groupBy("__dn")
+          .agg(sum("__dc").as("__dc"))
+    }
+    val outCol = s"$name${Frames.Sep}_val"
+    val joined = lf.df
+      .join(degf, col(idc) === col("__dn"), "left_outer")
+      .withColumn(outCol, coalesce(col("__dc"), lit(0L)))
+      .drop("__dn", "__dc")
+    LF(joined, lf.scope + (name -> Binding.ValueB))
   }
 
   /** RollUpApply (operator.hpp:3185): plan the comprehension's pattern from
@@ -1090,7 +1173,11 @@ final class Planner(
     conjuncts(where).foldLeft(lf) {
       case (cur, PatternPredicate(p, _)) => patternJoin(cur, p, anti = false)
       case (cur, Not(PatternPredicate(p, _))) => patternJoin(cur, p, anti = true)
-      case (cur, e) => LF(cur.df.filter(lowering(cur).lower(e)), cur.scope)
+      case (cur, e) =>
+        // frame-dependent rewrites (degree calls, pattern comprehensions)
+        // apply in WHERE too; helper columns wash out at the next projection
+        val (cur2, items) = rewritePatternComprehensions(cur, Seq(("__w", e)))
+        LF(cur2.df.filter(lowering(cur2).lower(items.head._2)), cur2.scope)
     }
 
   /** Decorrelated pattern predicate: seed the sub-pattern from the distinct

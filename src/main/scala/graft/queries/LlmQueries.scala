@@ -668,6 +668,55 @@ object LlmQueries {
               |  ascii(substr(md5(norm), 3, 1)) AS f3,
               |  ascii(substr(md5(norm), 4, 1)) AS f4
               |FROM (SELECT doc_id, $oNorm AS norm FROM documents WHERE doc_id < 100)
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // -------- kNN graph construction (MAGE `node_similarity`/`knn`
+    // analog over the embedding column): top-2 cosine neighbors for EVERY
+    // vector, restricted to sign-code buckets — corpus×corpus, but the
+    // join is per-bucket (the 100 TB plan: shuffle both sides by code,
+    // search bucket-locally; recall is the multi-probe knob of
+    // ann_multiprobe). Yields the directed kNN edge list (q)-[:SIM]->(c).
+    QueryDef(
+      "knn_graph",
+      (s, dir) => {
+        val n = embs(s, dir)
+          .select(col("vec_id"), vecD(col("embedding")).as("v"))
+          .withColumn("nrm", l2norm(col("v")))
+          .withColumn("code", signCode(col("v"), 8))
+        val q = n.select(
+          col("vec_id").as("q"),
+          col("v").as("qv"),
+          col("nrm").as("qn"),
+          col("code"))
+        val sim = round(
+          dot(col("qv"), col("v")) / (col("qn") * col("nrm")),
+          6).as("sim")
+        q.join(n, Seq("code"))
+          .filter(col("vec_id") =!= col("q"))
+          .select(col("q"), col("vec_id").as("c"), sim)
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("q").orderBy(col("sim").desc, col("c"))))
+          .filter(col("rk") <= 2)
+          .drop("rk")
+          .orderBy("q", "c")
+      },
+      Some {
+        val code = (1 to 8)
+          .map(i => s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END")
+          .mkString(" || ")
+        s"""WITH n AS MATERIALIZED (
+           |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+           |         $code AS code
+           |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+           |SELECT q, c, sim FROM (
+           |  SELECT a.vec_id AS q, b.vec_id AS c,
+           |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+           |  FROM n a JOIN n b ON b.code = a.code AND b.vec_id <> a.vec_id
+           |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+           |                             ORDER BY sim DESC, b.vec_id) <= 2)
+           |ORDER BY q, c""".stripMargin
+      })
   )
 }

@@ -499,6 +499,19 @@ object ProcedureQueries {
            |ORDER BY walk, step""".stripMargin
       }),
 
+    // `do` module conditional execution (do.when / do.case, apoc
+    // heritage): constant conditions select a Cypher query at plan time;
+    // both fall through to their else branch here.
+    cq(
+      "call_do",
+      """CALL do.when(false, 'RETURN 1 AS a',
+        |             'MATCH (n:Nation) RETURN count(*) AS a') YIELD a
+        |CALL do.case([false, 'RETURN -1 AS b'],
+        |             'MATCH (r:Region) RETURN count(*) AS b') YIELD b
+        |RETURN a, b""".stripMargin,
+      """SELECT (SELECT count(*) FROM nation) AS a,
+        |       (SELECT count(*) FROM region) AS b""".stripMargin),
+
     // DUMP DATABASE analog (src/query/dump.cpp): recreate-Cypher text for
     // Nation nodes + IN_REGION edges, byte-identical to the oracle's
     // string construction (props name-sorted, strings \'-quoted).

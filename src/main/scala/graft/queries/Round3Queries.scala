@@ -344,6 +344,46 @@ object Round3Queries {
         |    || ' in region ' || CAST(n_regionkey AS VARCHAR) AS s
         |FROM nation WHERE n_nationkey < 10 ORDER BY s""".stripMargin),
 
+    // degree/inDegree/outDegree scalar functions
+    // (awesome_memgraph_functions.cpp:2063-2065) in both WHERE and RETURN:
+    // one aggregate over the edge set per distinct call, equi-joined back.
+    // Nation incidence: 1 out (IN_REGION), customers+suppliers in
+    // (FROM_NATION).
+    cq(
+      "cy_degree_fn",
+      """MATCH (n:Nation) WHERE degree(n) > 0
+        |RETURN n.n_name AS name, degree(n) AS d,
+        |       inDegree(n) AS din, outDegree(n) AS dout
+        |ORDER BY name""".stripMargin,
+      """SELECT n_name AS name,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+        |  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) + 1
+        |    AS d,
+        |  (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) +
+        |  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+        |    AS din,
+        |  CAST(1 AS BIGINT) AS dout
+        |FROM nation ORDER BY name""".stripMargin),
+
+    // Durations (utils/temporal.cpp): map + ISO-8601 constructors,
+    // datetime + duration arithmetic, component access (.hour = broken-
+    // down part), duration.between, toInteger(duration) = total seconds.
+    cq(
+      "cy_duration",
+      """MATCH (o:Order) WHERE o.o_orderkey < 40
+        |WITH o.o_orderkey AS k, o.o_orderdate AS d
+        |RETURN k,
+        |       d + duration({day: k % 5, hour: 12}) AS shifted,
+        |       duration('P3DT4H5M6S').hour AS ph,
+        |       toInteger(duration.between(d, datetime('1998-09-02'))) AS secs
+        |ORDER BY k""".stripMargin,
+      """SELECT o_orderkey AS k,
+        |  o_orderdate + to_seconds((o_orderkey % 5) * 86400 + 43200) AS shifted,
+        |  CAST(4 AS BIGINT) AS ph,
+        |  CAST(date_diff('second', o_orderdate, TIMESTAMP '1998-09-02')
+        |       AS BIGINT) AS secs
+        |FROM orders WHERE o_orderkey < 40 ORDER BY k""".stripMargin),
+
     // Map projection (ast.hpp map-projection nodes): `.k` selectors, a
     // computed key, and `.*` splice, consumed through a WITH pipeline.
     cq(
