@@ -87,6 +87,13 @@ object Relational {
         UNION ALL SELECT 'HAS_LINE', count(*) FROM lineitem
         UNION ALL SELECT 'IN_REGION', count(*) FROM nation
         UNION ALL SELECT 'KNOWS', 2 * (SELECT count(*) FROM customer)
+        UNION ALL SELECT 'NEAR',
+          (SELECT count(*) FROM customer
+            WHERE c_custkey % 4 < 3
+              AND c_custkey + 1 <= (SELECT max(c_custkey) FROM customer))
+          + (SELECT count(*) FROM customer
+            WHERE c_custkey % 4 < 2
+              AND c_custkey + 2 <= (SELECT max(c_custkey) FROM customer))
         UNION ALL SELECT 'OF_PART', count(*) FROM lineitem
         UNION ALL SELECT 'PLACED', count(*) FROM orders
       ) ORDER BY etype""")),
