@@ -273,29 +273,49 @@ final class Planner(
     (cur, newItems)
   }
 
+  /** Memoized (node → out, in) degree frame: ONE aggregation of allEdges
+    * per statement and graph version. A statement like
+    * `WHERE degree(n) > k RETURN degree(n), inDegree(n), outDegree(n)`
+    * used to rebuild the full-edge union + groupBy once per call site
+    * (4× here); now every call site joins the same eagerly-checkpointed
+    * frame. Single pass: each edge contributes (src, out=1, in=0) and
+    * (dst, out=0, in=1) rows, then one shuffle sums both counts. */
+  private var degreeCache: Option[(GraphState, DataFrame)] = None
+  private def degreeFrame: DataFrame = degreeCache match {
+    case Some((s, df)) if s eq state => df
+    case _ =>
+      val df = state.allEdges
+        .select(explode(array(
+          struct(
+            col(GraphState.SrcCol).as("__dn"),
+            lit(1L).as("__do"), lit(0L).as("__di")),
+          struct(
+            col(GraphState.DstCol).as("__dn"),
+            lit(0L).as("__do"), lit(1L).as("__di")))).as("__d"))
+        .select(col("__d.__dn").as("__dn"),
+          col("__d.__do").as("__do"), col("__d.__di").as("__di"))
+        .groupBy("__dn")
+        .agg(sum("__do").as("__dout"), sum("__di").as("__din"))
+        .localCheckpoint(true)
+      degreeCache = Some((state, df))
+      df
+  }
+
   /** degree(n) = in+out over ALL edge types (reference counts the full
     * incidence list, vertex.hpp in_edges/out_edges). Left join keeps
     * isolated nodes at 0. */
   private def planDegree(lf: LF, name: String, v: String, fn: String): LF = {
     val idc = s"$v${Frames.Sep}${GraphState.IdCol}"
-    val e = state.allEdges
-    def agg(key: String) = e
-      .groupBy(col(key).as("__dn"))
-      .agg(count(lit(1)).as("__dc"))
-    val degf = fn match {
-      case "outdegree" => agg(GraphState.SrcCol)
-      case "indegree" => agg(GraphState.DstCol)
-      case _ =>
-        agg(GraphState.SrcCol)
-          .unionByName(agg(GraphState.DstCol))
-          .groupBy("__dn")
-          .agg(sum("__dc").as("__dc"))
+    val dcol = fn match {
+      case "outdegree" => col("__dout")
+      case "indegree" => col("__din")
+      case _ => col("__dout") + col("__din")
     }
     val outCol = s"$name${Frames.Sep}_val"
     val joined = lf.df
-      .join(degf, col(idc) === col("__dn"), "left_outer")
-      .withColumn(outCol, coalesce(col("__dc"), lit(0L)))
-      .drop("__dn", "__dc")
+      .join(degreeFrame, col(idc) === col("__dn"), "left_outer")
+      .withColumn(outCol, coalesce(dcol, lit(0L)))
+      .drop("__dn", "__dout", "__din")
     LF(joined, lf.scope + (name -> Binding.ValueB))
   }
 

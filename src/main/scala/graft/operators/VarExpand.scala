@@ -111,16 +111,22 @@ object VarExpand {
         while (!empty && k < limit) {
           k += 1
           cur = step(cur, e, stepDir).localCheckpoint(true)
-          hopsLimit.foreach { cap =>
-            traversed += cur.count() // frontier is materialized — cheap
-            if (traversed > cap)
-              throw new IllegalStateException(
-                s"hops limit exceeded: $traversed edge traversals > $cap " +
-                  "(USING HOPS LIMIT; partial traversal order is " +
-                  "engine-specific, so this engine raises instead of " +
-                  "returning nondeterministic partial results)")
+          // one action per round: when a hops cap is set the frontier count
+          // serves BOTH the cap check and the loop's emptiness probe
+          hopsLimit match {
+            case Some(cap) =>
+              val n = cur.count()
+              traversed += n
+              if (traversed > cap)
+                throw new IllegalStateException(
+                  s"hops limit exceeded: $traversed edge traversals > $cap " +
+                    "(USING HOPS LIMIT; partial traversal order is " +
+                    "engine-specific, so this engine raises instead of " +
+                    "returning nondeterministic partial results)")
+              empty = n == 0L
+            case None =>
+              empty = cur.isEmpty
           }
-          empty = cur.isEmpty
           if (!empty && k >= minHops) reached = reached :+ cur
         }
         e.unpersist(blocking = false)

@@ -52,18 +52,23 @@ object LlmQueries {
         concat(
           (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*))
     }.localCheckpoint(true)
-    val right = withBands.select(
-      withBands.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
+    // ONE equi-join for ALL bands: explode each signature to one row per
+    // band keyed by a band-id-prefixed band value, then self-join on that
+    // single key. One shuffle per side instead of one full self-join per
+    // band (3 joins + union + dedup before) — at 100 TB that's 3 shuffles
+    // of the signature table collapsed to 1.
+    val bandVals = (0 until NumHashes / BandSize)
+      .map(b => concat(lit(s"$b:"), col(s"b$b")))
+    val exploded = withBands.withColumn("__bv", explode(array(bandVals: _*)))
+    val right = exploded.select(
+      exploded.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
     val est = ((0 until NumHashes)
       .map(i => (col(s"m$i") === col(s"m${i}_r")).cast("int"))
       .reduce(_ + _) / lit(NumHashes.toDouble)).as("est")
-    (0 until NumHashes / BandSize)
-      .map(b =>
-        withBands.join(
-          right,
-          col(s"b$b") === col(s"b${b}_r") &&
-            col("doc_id") < col("doc_id_r")))
-      .reduce(_ unionByName _)
+    exploded
+      .join(
+        right,
+        col("__bv") === col("__bv_r") && col("doc_id") < col("doc_id_r"))
       .select(col("doc_id"), col("doc_id_r"), est)
       .dropDuplicates("doc_id", "doc_id_r")
   }
