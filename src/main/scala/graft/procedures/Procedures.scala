@@ -52,7 +52,11 @@ object Procedures {
     "algo.walks" -> walks,
     "schema.info" -> schemaInfo,
     "graph.analyze" -> analyze,
-    "graph.dump" -> dump)
+    "graph.dump" -> dump,
+    "text.search" -> textSearch,
+    "text.bm25" -> textBm25,
+    "text.phrase" -> textPhrase,
+    "vector.search" -> vectorSearch)
 
   import GraphState.{DstCol, IdCol, SrcCol}
 
@@ -526,6 +530,100 @@ object Procedures {
     val all = nodeStmts ++ edgeStmts
     require(all.nonEmpty, "graph.dump needs label and/or type")
     all.reduce(_ unionByName _)
+  }
+
+  // ---------- text / vector search procedures ----------
+  //
+  // The reference surfaces its tantivy text index and usearch vector index
+  // as procedures (`CALL text_search.search(...)`, vector index queries;
+  // `src/storage/v2/indices/text_index.hpp:37-48`,
+  // `vector_index.hpp:125-129`; e2e `tests/e2e/text_search_*`,
+  // `vector_search_*`). Here the same surface routes to the DataFrame
+  // inverted/positional indexes ([[graft.llm.TextSearch]]) and the
+  // brute-force / bucketed cosine ops — postings bucketed by word, vectors
+  // by sign-code, so a CALL touches only its terms'/buckets' partitions.
+
+  private def docFrame(ctx: ProcContext): DataFrame =
+    ctx.g.nodes(ctx.optString("label", "Document"))
+
+  /** `CALL text.search({terms: 'w1 w2 …', limit: n})` — all-terms (AND)
+    * search ranked by summed term frequency. Yields (doc_id, score). */
+  def textSearch(ctx: ProcContext): DataFrame = {
+    val terms = ctx.optString("terms", "")
+      .trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "text.search needs terms: 'w1 w2 …'")
+    val postings = graft.llm.TextSearch
+      .invertedIndex(docFrame(ctx), "doc_id", "text")
+    graft.llm.TextSearch
+      .searchAll(postings, "doc_id", terms, ctx.optInt("limit", 10))
+  }
+
+  /** `CALL text.bm25({terms: '…', limit: n})` — any-term (OR) search,
+    * Okapi BM25 ranking (tantivy's), DECIMAL-stable scores floored to 4
+    * decimals so results are bit-stable. Yields (doc_id, score, n_terms). */
+  def textBm25(ctx: ProcContext): DataFrame = {
+    val terms = ctx.optString("terms", "")
+      .trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "text.bm25 needs terms: 'w1 w2 …'")
+    val docs = docFrame(ctx)
+    val postings = graft.llm.TextSearch.invertedIndex(docs, "doc_id", "text")
+    val lens = docs.select(
+      col("doc_id"),
+      size(graft.llm.LlmOps.words(col("text"))).cast("long").as("len"))
+    graft.llm.TextSearch
+      .searchBM25(postings, lens, "doc_id", terms, ctx.optInt("limit", 10))
+      .select(
+        col("doc_id"),
+        (floor(col("score") * 10000) / 10000.0).as("score"),
+        col("n_terms"))
+  }
+
+  /** `CALL text.phrase({phrase: 'w1 w2 …'})` — exact phrase search over the
+    * positional index. Yields (doc_id, n_occ). */
+  def textPhrase(ctx: ProcContext): DataFrame = {
+    val phrase = ctx.optString("phrase", "")
+      .trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(phrase.nonEmpty, "text.phrase needs phrase: 'w1 w2 …'")
+    val pos = graft.llm.TextSearch
+      .positionalIndex(docFrame(ctx), "doc_id", "text")
+    graft.llm.TextSearch.searchPhrase(pos, "doc_id", phrase)
+  }
+
+  /** `CALL vector.search({k: n, qmax: m, bucketed: bool})` — cosine top-k
+    * over the Embedding label for every query vector (vec_id < qmax).
+    * bucketed=false is the exact brute-force path (query side broadcast);
+    * bucketed=true restricts candidates to the query's 8-bit sign-code
+    * bucket — the IVF-style scale path where the code is the shuffle key.
+    * Similarities round to 6 decimals (portability). Yields (q, c, sim). */
+  def vectorSearch(ctx: ProcContext): DataFrame = {
+    import graft.llm.LlmOps.{dot, l2norm, signCode, vecD}
+    val k = ctx.optInt("k", 3)
+    val qmax = ctx.optInt("qmax", 5)
+    val bucketed = ctx.optString("bucketed", "false").toBoolean
+    val n = ctx.g.nodes("Embedding")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+      .withColumn("code", signCode(col("v"), 8))
+    val q = n.filter(col("vec_id") < qmax).select(
+      col("vec_id").as("q"),
+      col("v").as("qv"),
+      col("nrm").as("qn"),
+      col("code").as("qcode"))
+    val cond =
+      if (bucketed) col("code") === col("qcode") && col("vec_id") =!= col("q")
+      else col("vec_id") =!= col("q")
+    val sim = round(
+      dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("sim")
+    broadcast(q)
+      .join(n, cond)
+      .select(col("q"), col("vec_id").as("c"), sim)
+      .withColumn(
+        "rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q").orderBy(col("sim").desc, col("c"))))
+      .filter(col("rk") <= k)
+      .drop("rk")
   }
 
   /** Community detection by synchronous label propagation with

@@ -21,6 +21,9 @@ object ProcedureQueries {
 
   private val CustBase = TpchGraphLoader.nodeId("Customer", 0L)
 
+  /** DuckDB-side text normalization, same as the LLM area's. */
+  private val oNormDoc = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
   /** Reconstructed KNOWS edges with weights, filtered at `minW`. */
   private def knowsEdges(minW: Int): String =
     s"""nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n,
@@ -320,6 +323,8 @@ object ProcedureQueries {
         |   'c_acctbal,c_custkey,c_mktsegment,c_name,c_nationkey'),
         |  ('node', 'Document', (SELECT count(*) FROM documents),
         |   'doc_id,lang,n_chars,source,text'),
+        |  ('node', 'Embedding', (SELECT count(*) FROM embeddings),
+        |   'embedding,label,vec_id'),
         |  ('node', 'Event', (SELECT count(*) FROM events),
         |   'event_id,event_type,props,ts,user_id,value'),
         |  ('node', 'Lineitem', (SELECT count(*) FROM lineitem),
@@ -532,6 +537,96 @@ object ProcedureQueries {
         |         CAST((1 * 281474976710656) + n_regionkey AS VARCHAR) ||
         |         ' CREATE (u)-[:IN_REGION]->(v);'
         |  FROM nation)
-        |ORDER BY stmt""".stripMargin)
+        |ORDER BY stmt""".stripMargin),
+
+    // ---- text / vector search through the Cypher CALL surface ----
+    // (reference: `CALL text_search.search(...)` over the tantivy index,
+    // text_index.hpp:37-48; vector queries over usearch,
+    // vector_index.hpp:125-129; e2e tests/e2e/text_search_*,
+    // vector_search_*). Oracles are the proven inverted-index /
+    // brute-force-cosine DuckDB programs from the LLM query area — the
+    // point of these gates is the full parse→CALL→DataFrame path.
+
+    cq(
+      "cy_call_text",
+      """CALL text.search({terms: 'data table scan', limit: 15})
+        |YIELD doc_id, score
+        |RETURN doc_id, score ORDER BY score DESC, doc_id""".stripMargin,
+      s"""SELECT doc_id, CAST(score AS BIGINT) AS score FROM (
+         |  SELECT doc_id, count(DISTINCT w) AS n_terms, sum(tf) AS score
+         |  FROM (
+         |    SELECT doc_id, w, count(*) AS tf FROM (
+         |      SELECT doc_id, unnest(string_split($oNormDoc, ' ')) AS w
+         |      FROM documents)
+         |    WHERE w IN ('data', 'table', 'scan')
+         |    GROUP BY doc_id, w)
+         |  GROUP BY doc_id)
+         |WHERE n_terms = 3
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+
+    cq(
+      "cy_call_bm25",
+      """CALL text.bm25({terms: 'hash scan vector', limit: 10})
+        |YIELD doc_id, score, n_terms
+        |RETURN doc_id, score, n_terms ORDER BY score DESC, doc_id""".stripMargin,
+      s"""WITH wx AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split($oNormDoc, ' ')) AS w
+         |  FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, w AS word, count(*) AS tf FROM wx
+         |  GROUP BY doc_id, w),
+         |lens AS MATERIALIZED (
+         |  SELECT doc_id, len(string_split($oNormDoc, ' ')) AS len
+         |  FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+         |       FROM lens),
+         |dft AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM p
+         |        WHERE word IN ('hash', 'scan', 'vector') GROUP BY word)
+         |SELECT doc_id, floor(score * 10000) / 10000 AS score, n_terms
+         |FROM (
+         |  SELECT p.doc_id,
+         |    CAST(sum(CAST(
+         |      ln(1.0 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         |        * (p.tf * 2.2)
+         |        / (p.tf + 1.2 * (0.25 + 0.75 * lens.len / st.avgdl))
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS score,
+         |    count(*) AS n_terms
+         |  FROM p JOIN dft USING (word) JOIN lens USING (doc_id)
+         |  CROSS JOIN st
+         |  GROUP BY p.doc_id)
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+    cq(
+      "cy_call_phrase",
+      """CALL text.phrase({phrase: 'table hash'}) YIELD doc_id, n_occ
+        |RETURN doc_id, n_occ ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT doc_id, string_split($oNormDoc, ' ') AS ws FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, i, ws[i] AS w FROM (
+         |    SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+         |    FROM d))
+         |SELECT p0.doc_id, count(*) AS n_occ
+         |FROM p p0 JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+         |WHERE p0.w = 'table' AND p1.w = 'hash'
+         |GROUP BY p0.doc_id ORDER BY p0.doc_id""".stripMargin),
+
+
+    cq(
+      "cy_call_vector",
+      """CALL vector.search({k: 3, qmax: 5}) YIELD q, c, sim
+        |RETURN q, c, sim ORDER BY q, c""".stripMargin,
+      """WITH n AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+        |  FROM embeddings)
+        |SELECT q, c, sim FROM (
+        |  SELECT a.vec_id AS q, b.vec_id AS c,
+        |         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |                             ORDER BY sim DESC, b.vec_id) <= 3)
+        |ORDER BY q, c""".stripMargin)
   )
 }

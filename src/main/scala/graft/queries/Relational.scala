@@ -35,6 +35,7 @@ object Relational {
       Some("""SELECT label, cnt FROM (
         SELECT 'Customer' AS label, count(*) AS cnt FROM customer
         UNION ALL SELECT 'Document', count(*) FROM documents
+        UNION ALL SELECT 'Embedding', count(*) FROM embeddings
         UNION ALL SELECT 'Event', count(*) FROM events
         UNION ALL SELECT 'Lineitem', count(*) FROM lineitem
         UNION ALL SELECT 'Nation', count(*) FROM nation

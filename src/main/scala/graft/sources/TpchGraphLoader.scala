@@ -53,7 +53,8 @@ object TpchGraphLoader {
     "Order" -> 6L,
     "Lineitem" -> 7L,
     "Document" -> 8L,
-    "Event" -> 9L)
+    "Event" -> 9L,
+    "Embedding" -> 10L)
 
   val edgeBases: Map[String, Long] = Map(
     "IN_REGION" -> 101L,
@@ -229,7 +230,8 @@ object TpchGraphLoader {
       "Order" -> (() => nodeFrame("Order", tbl("orders"), col("o_orderkey"))),
       "Lineitem" -> (() => nodeFrame("Lineitem", li(), liKey)),
       "Document" -> (() => nodeFrame("Document", tbl("documents"), col("doc_id"))),
-      "Event" -> (() => nodeFrame("Event", tbl("events"), col("event_id"))))
+      "Event" -> (() => nodeFrame("Event", tbl("events"), col("event_id"))),
+      "Embedding" -> (() => nodeFrame("Embedding", tbl("embeddings"), col("vec_id"))))
 
     // KNOWS: ring + chord over customers; N via a broadcast 1-row aggregate
     // (lazy, no driver-side action; at scale this is a metadata-cheap job).
