@@ -82,6 +82,13 @@ final class ExprLowering(
     case BinOp(op, l, r) => binOp(op, l, r)
     case Not(x) => !lower(x)
     case Neg(x) => -lower(x)
+    // An entity variable is NULL iff it didn't bind (OPTIONAL MATCH miss):
+    // its columns lower to a struct, which is never null itself — test the
+    // id column instead.
+    case IsNull(Var(n), neg)
+        if scope.get(n).exists(b =>
+          b == Binding.NodeB || b == Binding.EdgeB) =>
+      if (neg) Frames.id(n).isNotNull else Frames.id(n).isNull
     case IsNull(x, false) => lower(x).isNull
     case IsNull(x, true) => lower(x).isNotNull
 

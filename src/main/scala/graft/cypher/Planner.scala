@@ -1061,9 +1061,16 @@ final class Planner(
           dir)
         ShortestPath.weighted(state, seeds, oriented, maxRounds = maxH)
       case _ =>
-        ShortestPath.bfs(
-          state, seeds, rel.types, dir, maxH,
-          withPaths = part.pathVar.isDefined)
+        // allShortestPaths with a bound path variable needs every distinct
+        // path's own vertex/edge chain (operator.cpp:3309) — the DAG
+        // enumeration. Without a path var the multiplicity explode below is
+        // equivalent and cheaper (no arrays carried through the rounds).
+        if (all && part.pathVar.isDefined)
+          ShortestPath.bfsAllPaths(state, seeds, rel.types, dir, maxH)
+        else
+          ShortestPath.bfs(
+            state, seeds, rel.types, dir, maxH,
+            withPaths = part.pathVar.isDefined)
     }
 
     var joined = cur0.df
@@ -1218,7 +1225,10 @@ final class Planner(
       Scope(lf.scope.vars.filter { case (n, _) => shared.contains(n) })
     val seed = LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
 
-    val (sub, _) = planPattern(seed, part)
+    val (sub0, subEdges) = planPattern(seed, part)
+    // Cyphermorphism applies inside the predicate's own pattern too:
+    // exists(()-[]->(n)<-[]-()) needs two DISTINCT edges (operator.hpp:1768)
+    val sub = edgeUniqueness(sub0, subEdges)
     val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
     val matched = sub.df
       .select(keyCols.map(col): _*)

@@ -183,6 +183,87 @@ object ShortestPath {
     visited
   }
 
+  /** ALL distinct shortest paths per (seed, node), each with its own
+    * vertex/edge chain — the full `ExpandAllShortestPathsCursor` semantics
+    * (`operator.cpp:3309`): where [[bfs]] returns one representative path
+    * plus a multiplicity count, this enumerates every path.
+    *
+    * Two phases, both level-synchronous:
+    *   1. [[bfsEdges]] computes the BFS layering (seed, node, dist).
+    *   2. The shortest-path DAG (edge u→w kept iff dist(w) = dist(u)+1,
+    *      per seed) is walked level by level; a path row at level l extends
+    *      to every DAG successor at l+1 — one equi-join on (seed, node) per
+    *      level, so path explosion is data parallelism, never a driver loop.
+    *
+    * The output size is the true number of shortest paths (worst-case
+    * exponential in depth — same as the reference, which enumerates too).
+    * @return (seed, node, dist, pathNodes, pathEdges), one row per path
+    */
+  def bfsAllPaths(
+      g: GraphState,
+      seeds: DataFrame,
+      types: Seq[String],
+      dir: Expand.Direction,
+      maxHops: Int): DataFrame = {
+    val edges = oriented(
+      g.edgesOfTypes(types)
+        .select(
+          col(GraphState.SrcCol),
+          col(GraphState.DstCol),
+          col(GraphState.IdCol).as("__sp_eid")),
+      dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val vis = bfsEdges(edges, seeds, maxHops)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Per-seed shortest-path DAG: u→w survives iff w sits exactly one BFS
+    // level below u for that seed.
+    val dag = vis
+      .select(col(SeedCol), col(NodeCol).as("__v"), col(DistCol).as("__dv"))
+      .join(edges, col("__v") === col(GraphState.SrcCol))
+      .join(
+        vis.select(
+          col(SeedCol).as("__s2"),
+          col(NodeCol).as("__w"),
+          col(DistCol).as("__dw")),
+        col(SeedCol) === col("__s2") &&
+          col(GraphState.DstCol) === col("__w") &&
+          col("__dw") === col("__dv") + lit(1L))
+      .select(col(SeedCol), col("__v"), col("__w"),
+        col("__sp_eid"), col("__dw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxD = Option(vis.agg(max(DistCol)).first().get(0))
+      .map(_.asInstanceOf[Long].toInt)
+      .getOrElse(0)
+    var frontier = seeds
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        array(col(SeedCol)).as(PathNodesCol),
+        array().cast("array<long>").as(PathEdgesCol))
+      .localCheckpoint(true)
+    var out = frontier
+    for (l <- 1 to maxD) {
+      frontier = frontier
+        .join(
+          dag
+            .filter(col("__dw") === l)
+            .select(
+              col(SeedCol).as("__ps"), col("__v"), col("__w"),
+              col("__sp_eid")),
+          col(SeedCol) === col("__ps") && col(NodeCol) === col("__v"))
+        .select(
+          col(SeedCol),
+          col("__w").as(NodeCol),
+          lit(l.toLong).as(DistCol),
+          concat(col(PathNodesCol), array(col("__w"))).as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
+        .localCheckpoint(true)
+      out = out.unionByName(frontier).localCheckpoint(true)
+    }
+    Seq(edges, vis, dag).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Weighted shortest path (Dijkstra-by-rounds ≈ Bellman–Ford with early
     * stop): each round relaxes every edge once; converges when no distance
     * improves or after `maxRounds` (the hops-limit analog). Weights must be

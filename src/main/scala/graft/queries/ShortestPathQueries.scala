@@ -104,6 +104,30 @@ object ShortestPathQueries {
         |RETURN b.c_custkey AS k, length(p) AS d ORDER BY k, d""".stripMargin,
       bfsOracle(12, allPaths = true)),
 
+    // Full per-path enumeration (operator.cpp:3309): every distinct
+    // shortest path carries its OWN vertex chain. On the ring(+1)+chord(+7)
+    // KNOWS graph the paths are closed-form: target 8 = one +1 and one +7
+    // in either order (2 paths), target 9 = two +1s and one +7 (3
+    // orderings), target 14 = two +7s (1 path). Node ids recover their
+    // keys mod 2^48.
+    cq(
+      "cy_allshortest_paths",
+      """MATCH (a:Customer {c_custkey: 0}),
+        |      p = allShortestPaths((a)-[:KNOWS*..6]->(b:Customer))
+        |WHERE b.c_custkey IN [8, 9, 14]
+        |RETURN b.c_custkey AS k, length(p) AS len,
+        |       text.join([x IN nodes(p) | toString(x % 281474976710656)],
+        |                 '-') AS seq
+        |ORDER BY k, seq""".stripMargin,
+      """SELECT * FROM (VALUES
+        |  (CAST(8 AS BIGINT), CAST(2 AS BIGINT), '0-1-8'),
+        |  (8, 2, '0-7-8'),
+        |  (9, 3, '0-1-2-9'),
+        |  (9, 3, '0-1-8-9'),
+        |  (9, 3, '0-7-8-9'),
+        |  (14, 2, '0-7-14')) AS t(k, len, seq)
+        |ORDER BY k, seq""".stripMargin),
+
     // K shortest paths by hop count (KShortestPathsCursor operator.cpp:3716):
     // bounded enumeration + per-(source,target) rank-k. The oracle
     // enumerates the same walks recursively and ranks per target.

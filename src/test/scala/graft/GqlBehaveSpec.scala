@@ -40,7 +40,21 @@ class GqlBehaveSpec extends SparkTestBase {
     "nested_property_update.feature" -> 6,
     "match.feature" -> 30,
     "foreach.feature" -> 4,
-    "merge.feature" -> 15)
+    "merge.feature" -> 15,
+    "functions.feature" -> 0,
+    "list_comprehension.feature" -> 0,
+    "map_operations.feature" -> 0,
+    "map.feature" -> 0,
+    "patterns.feature" -> 0,
+    "subqueries.feature" -> 0,
+    "parameters.feature" -> 0,
+    "pattern_comprehensions.feature" -> 0,
+    "cartesian.feature" -> 0,
+    "memgraph_bfs.feature" -> 0,
+    "memgraph_wshortest.feature" -> 0,
+    "memgraph_allshortest.feature" -> 0,
+    "memgraph_exists.feature" -> 0,
+    "hops_limit.feature" -> 0)
 
   /** Documented divergences: scenario name → reason. These are known,
     * deliberate or accepted behavior differences, not silent skips. */
