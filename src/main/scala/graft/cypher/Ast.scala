@@ -85,7 +85,12 @@ object Ast {
         * `weight_lambda_`). */
       weight: Option[(String, String, Expr)] = None,
       /** Symbol receiving the accumulated weight (`total_weight_`). */
-      totalVar: Option[String] = None)
+      totalVar: Option[String] = None,
+      /** `(e, n [, p] | pred)` per-step filter lambda (ast.hpp:1899
+        * `filter_lambda_`): an expansion into node n over edge e survives
+        * iff pred holds. The optional third var binds the accumulated
+        * path (unsupported — the planner raises, never ignores). */
+      filterLambda: Option[(String, String, Option[String], Expr)] = None)
 
   /** node (rel node)* chain; optionally named (p = (...)). */
   final case class PatternPart(

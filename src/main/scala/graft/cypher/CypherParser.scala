@@ -238,40 +238,52 @@ object CypherParser extends RegexParsers {
       case lo ~ Some(hi) => (lo.map(_.toInt), hi.map(_.toInt))
     }
 
-  /** `(e, n | expr)` — per-edge lambda (weight for wShortest). */
-  def edgeLambda: Parser[(String, String, Expr)] =
-    "(" ~> ident ~ ("," ~> ident) ~ ("|" ~> expr) <~ ")" ^^ { case e ~ n ~ x =>
-      (e, n, x)
-    }
+  /** `(e, n [, p] | expr)` — per-edge lambda (weight or filter); the
+    * optional third var binds the accumulated path (ast.hpp Lambda). */
+  def edgeLambda: Parser[(String, String, Option[String], Expr)] =
+    "(" ~> ident ~ ("," ~> ident) ~ opt("," ~> ident) ~
+      ("|" ~> expr) <~ ")" ^^ { case e ~ n ~ p ~ x => (e, n, p, x) }
 
-  /** `*[BFS|WSHORTEST|ALLSHORTEST] [lo][..hi] [(e,n|expr)] [total]` — the
-    * reference's variable-expansion spec (`EdgeAtom::Type`,
-    * ast.hpp:1809-1813, e.g. `-[e:T *WSHORTEST (e,n | e.w) total]->`). */
+  /** `*[BFS|WSHORTEST|ALLSHORTEST] [lo][..hi] [(e,n|expr)] [total]
+    * [(e,n,p|pred)]` — the reference's variable-expansion spec
+    * (`EdgeAtom::Type`, ast.hpp:1809-1813). For WSHORTEST the first lambda
+    * is the weight and the second the filter; for every other mode a single
+    * lambda is the filter (`filter_lambda_`, ast.hpp:1899). */
   private case class VarSpec(
       bounds: (Option[Int], Option[Int]),
       mode: String,
-      lambda: Option[(String, String, Expr)],
-      total: Option[String])
+      lambda1: Option[(String, String, Option[String], Expr)],
+      total: Option[String],
+      lambda2: Option[(String, String, Option[String], Expr)])
 
   private def varSpec: Parser[VarSpec] =
     "*" ~> opt("""(?i)(BFS|WSHORTEST|ALLSHORTEST|KSHORTEST)""".r) ~ varBounds ~
-      opt(edgeLambda) ~ opt(ident) ^^ { case m ~ b ~ l ~ t =>
-      VarSpec(b, m.map(_.toUpperCase).getOrElse("DFS"), l, t)
+      opt(edgeLambda) ~ opt(ident) ~ opt(edgeLambda) ^^ {
+      case m ~ b ~ l1 ~ t ~ l2 =>
+        VarSpec(b, m.map(_.toUpperCase).getOrElse("DFS"), l1, t, l2)
     }
 
   def relDetail: Parser[RelPattern] =
     "[" ~> opt(ident) ~
       opt(":" ~> rep1sep(opt(":") ~> (ident | identP), "|")) ~
       opt(varSpec) ~ opt(mapLit) <~ "]" ^^ { case v ~ ts ~ vs ~ props =>
+      val mode = vs.map(_.mode).getOrElse("DFS")
+      val (weightL, filterL) =
+        if (mode == "WSHORTEST") (vs.flatMap(_.lambda1), vs.flatMap(_.lambda2))
+        else (None, vs.flatMap(_.lambda1))
       RelPattern(
         v,
         ts.getOrElse(Nil),
         props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
         OutDir, // direction patched by caller
         vs.map(_.bounds),
-        vs.map(_.mode).getOrElse("DFS"),
-        vs.flatMap(_.lambda),
-        vs.flatMap(_.total))
+        mode,
+        weightL.map { case (e, n, p, x) =>
+          require(p.isEmpty, "weight lambda takes (e, n | expr)")
+          (e, n, x)
+        },
+        vs.flatMap(_.total),
+        filterL)
     }
 
   def relPattern: Parser[RelPattern] =

@@ -139,14 +139,48 @@ final class ExprLowering(
       }
 
     case Quantifier(kind, v, listE, predE) =>
-      val listC = lower(listE)
-      def pred(x: Column) = withLambda(v, x).lower(predE)
-      kind match {
-        case "all" => forall(listC, pred)
-        case "any" => exists(listC, pred)
-        case "none" => !exists(listC, pred)
-        case "single" => size(filter(listC, pred(_))) === 1
+      // Ternary NULL logic per the reference evaluator (eval.hpp:928-1084):
+      // count true/false/null predicate outcomes, then
+      //   all    = F>0 → false; N>0 → null; else true
+      //   any    = T>0 → true;  N>0 → null; else false
+      //   none   = T>0 → false; N>0 → null; else true
+      //   single = T≥2 → false; T=0 ∧ N>0 → null; else T=1
+      // (empty list falls out naturally: all counts 0).
+      //
+      // A LITERAL list is unrolled element-by-element so each element keeps
+      // its own static type — Spark's array() would coerce [1, 2, '3'] to
+      // array<string>, silently changing 1 < 3 into '1' < 3; Cypher instead
+      // makes the cross-type comparison NULL (see binOp orderable check).
+      val nullB = lit(null).cast("boolean")
+      val (tCnt, nCnt, fCnt, listNull) = listE match {
+        case ListLit(items) =>
+          val preds = items.map(e => withLambda(v, lower(e)).lower(predE))
+          def cnt(f: Column => Column): Column =
+            preds.map(p => when(f(p), 1).otherwise(0)).reduceOption(_ + _)
+              .getOrElse(lit(0))
+          (cnt(_ <=> lit(true)), cnt(_.isNull), cnt(_ <=> lit(false)),
+            lit(false))
+        case _ =>
+          val listC = lower(listE)
+          def pred(x: Column) = withLambda(v, x).lower(predE)
+          (size(filter(listC, x => pred(x) <=> lit(true))),
+            size(filter(listC, x => pred(x).isNull)),
+            size(filter(listC, x => pred(x) <=> lit(false))),
+            listC.isNull)
       }
+      val res = kind match {
+        case "all" =>
+          when(fCnt > 0, lit(false)).when(nCnt > 0, nullB).otherwise(lit(true))
+        case "any" =>
+          when(tCnt > 0, lit(true)).when(nCnt > 0, nullB).otherwise(lit(false))
+        case "none" =>
+          when(tCnt > 0, lit(false)).when(nCnt > 0, nullB).otherwise(lit(true))
+        case "single" =>
+          when(tCnt >= 2, lit(false))
+            .when(tCnt === 0 && nCnt > 0, nullB)
+            .otherwise(tCnt === 1)
+      }
+      when(listNull, nullB).otherwise(res)
 
     case Reduce(acc, initE, v, listE, stepE) =>
       aggregate(
@@ -198,11 +232,14 @@ final class ExprLowering(
   def isPathVar(n: String): Boolean =
     scope.get(n).contains(Binding.PathB)
 
-  /** Whole node/edge value as a struct (for RETURN n, n = m, properties(n)). */
+  /** Whole node/edge value as a struct (for RETURN n, n = m, properties(n)).
+    * An unbound entity (OPTIONAL MATCH miss) is NULL, not a struct of NULL
+    * fields — its id column is the bind witness. */
   def varStruct(n: String): Column = {
     val cols = Frames.colsOf(df, n)
-    struct(cols.map(c =>
+    val s = struct(cols.map(c =>
       col(c).as(c.substring(n.length + Frames.Sep.length))): _*)
+    when(Frames.id(n).isNull, lit(null)).otherwise(s)
   }
 
   def varCols(n: String): Seq[String] = Frames.colsOf(df, n)
@@ -250,10 +287,21 @@ final class ExprLowering(
       case "^" => pow(lc, rc)
       case "=" => lc === rc
       case "<>" => lc =!= rc
-      case "<" => lc < rc
-      case "<=" => lc <= rc
-      case ">" => lc > rc
-      case ">=" => lc >= rc
+      // Ordering across type families is NULL in Cypher ('3' < 3 is NULL,
+      // typed_value.cpp operator< — "Invalid 'less' operand types" surfaces
+      // as NULL through the ternary logic); Spark would coerce instead.
+      case "<" | "<=" | ">" | ">=" =>
+        (typeOf(lc), typeOf(rc)) match {
+          case (Some(a), Some(b)) if !orderable(a, b) =>
+            lit(null).cast("boolean")
+          case _ =>
+            op match {
+              case "<" => lc < rc
+              case "<=" => lc <= rc
+              case ">" => lc > rc
+              case _ => lc >= rc
+            }
+        }
       case "AND" => lc && rc
       case "OR" => lc || rc
       case "XOR" => lc =!= rc
@@ -294,6 +342,22 @@ final class ExprLowering(
   private def integral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
+  }
+
+  /** Can values of these two static types be ordered against each other in
+    * Cypher? Same family only: number↔number, string↔string, bool↔bool,
+    * temporal↔temporal. NullType is vacuously orderable (NULL propagates). */
+  private def orderable(a: DataType, b: DataType): Boolean = {
+    def fam(t: DataType): Int = t match {
+      case _: NumericType => 1
+      case StringType => 2
+      case BooleanType => 3
+      case DateType | TimestampType | TimestampNTZType => 4
+      case _: DayTimeIntervalType => 5
+      case _ => 0 // arrays/structs/null — leave to Spark
+    }
+    val (fa, fb) = (fam(a), fam(b))
+    fa == 0 || fb == 0 || fa == fb
   }
 
   private val temporalKeys =

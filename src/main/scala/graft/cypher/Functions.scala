@@ -118,14 +118,22 @@ object Functions {
       case "values" => map_values(a(0))
 
       // ---- paths (ConstructNamedPath, operator.hpp:1255) ----
+      // Entity-struct arrays when the path carries them (fixed-length
+      // named paths); id arrays otherwise (BFS-family paths).
       case "nodes" =>
         args.lift(0) match {
-          case Some(Var(n)) if ctx.isPathVar(n) => Frames.f(n, "_nodes")
+          case Some(Var(n)) if ctx.isPathVar(n) =>
+            if (ctx.varCols(n).contains(s"$n${Frames.Sep}_nodestructs"))
+              Frames.f(n, "_nodestructs")
+            else Frames.f(n, "_nodes")
           case _ => a(0).getField("_nodes")
         }
       case "relationships" =>
         args.lift(0) match {
-          case Some(Var(n)) if ctx.isPathVar(n) => Frames.f(n, "_edges")
+          case Some(Var(n)) if ctx.isPathVar(n) =>
+            if (ctx.varCols(n).contains(s"$n${Frames.Sep}_edgestructs"))
+              Frames.f(n, "_edgestructs")
+            else Frames.f(n, "_edges")
           case _ => a(0).getField("_edges")
         }
 
@@ -227,8 +235,16 @@ object Functions {
       case "last" => element_at(a(0), -1)
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "range" =>
-        if (args.size >= 3) sequence(a(0), a(1), a(2))
-        else sequence(a(0), a(1))
+        // Cypher range(a,b[,step]) is EMPTY when the step's sign can't reach
+        // b from a (range(1,-1) = []); Spark's `sequence` instead auto-picks
+        // a descending step — guard it (awesome_memgraph_functions.cpp Range).
+        val (lo, hi) = (a(0).cast("long"), a(1).cast("long"))
+        val empty = array().cast("array<long>")
+        if (args.size >= 3) {
+          val st = a(2).cast("long")
+          when((st > 0 && lo <= hi) || (st < 0 && lo >= hi),
+            sequence(lo, hi, st)).otherwise(empty)
+        } else when(lo <= hi, sequence(lo, hi)).otherwise(empty)
       case "toset" => array_distinct(a(0))
       case "uniformsample" =>
         // rand-based sample of a list (awesome_memgraph_functions.cpp:2097)

@@ -35,14 +35,39 @@ final class Planner(
   private var state: GraphState = g
   def currentState: GraphState = state
 
-  /** Id namespace for nodes/edges created by this query (outside loader
-    * bases). Seeded from the graph's high-water mark so chained statements
-    * never collide; `monotonically_increasing_id` is partition-parallel (no
-    * global window); created frames are checkpointed so ids are assigned
-    * exactly once. */
-  private var createBase = g.idBase
-  private def nextBase(): Long = { createBase += 1; createBase << 48 }
-  def idHighWater: Long = createBase
+  /** Id allocation: ONE namespace base per statement (`myBase<<48`), with
+    * SEQUENTIAL offsets — nodes count up from 0, edges from 2^47 — so ids
+    * are consecutive in creation order per entity kind (the reference's
+    * sequential allocators, storage.hpp `vertex_id_`/`edge_id_`; the gql
+    * corpus observes `id(n) - first` = 0,1,2…) while staying globally
+    * unique across statements. Offsets are assigned by zipWithIndex
+    * (per-partition counts + driver prefix-sum — scale-safe, no
+    * single-partition shuffle) and pinned by an eager localCheckpoint, so
+    * ids exist exactly once. Sub-planners (do.when, CALL subqueries) get a
+    * re-based state so they allocate strictly above this statement. */
+  private val myBase: Long = g.idBase + 1
+  private var nodeCursor = 0L
+  private var edgeCursor = 0L
+  private var subHigh: Long = g.idBase
+  def idHighWater: Long =
+    math.max(
+      if (nodeCursor > 0 || edgeCursor > 0) myBase else g.idBase,
+      subHigh)
+
+  /** State snapshot for a sub-planner: allocates above everything so far. */
+  private def rebased: GraphState =
+    state.withIdBase(math.max(idHighWater, myBase))
+
+  /** Append a sequential id column `start, start+1, …` in row order. */
+  private def withSeqId(df: DataFrame, idCol: String, start: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(
+      df.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   final case class LF(df: DataFrame, scope: Scope)
 
@@ -122,10 +147,10 @@ final class Planner(
             zero,
             yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
         case Some(q) =>
-          val sub = new Planner(spark, state, params)
+          val sub = new Planner(spark, rebased, params)
           val out = sub.plan(CypherParser.parse(q))
           state = sub.currentState
-          createBase = math.max(createBase, sub.idHighWater)
+          subHigh = math.max(subHigh, sub.idHighWater)
           val missing = yields.filterNot(out.columns.contains)
           require(missing.isEmpty, s"$name query does not yield: $missing")
           val selected = out.select(
@@ -165,7 +190,81 @@ final class Planner(
       updates.foldLeft(exploded)(planClause)
       lf
 
-    case CallSubquery(inner) => planCallSubquery(lf, inner)
+    case CallSubquery(inner) =>
+      // An UNCORRELATED subquery that WRITES must still run once per input
+      // row (the reference's Apply pipelines rows through it — a counter
+      // pattern observes 1,2,3, operator.hpp:3061); decorrelation would
+      // collapse those N executions into one. Correlated subqueries keep
+      // the decorrelated join (per-distinct-binding ≡ per-row for them).
+      if (inner.clauses.exists(mutatesClause) && callImports(inner).isEmpty)
+        planCallSubqueryPerRow(lf, inner)
+      else planCallSubquery(lf, inner)
+  }
+
+  private def mutatesClause(c: Clause): Boolean = c match {
+    case _: CreateCl | _: SetCl | _: DeleteCl | _: RemoveCl | _: MergeCl =>
+      true
+    case ForeachCl(_, _, us) => us.exists(mutatesClause)
+    case CallSubquery(inner) => inner.clauses.exists(mutatesClause)
+    case _ => false
+  }
+
+  /** Leading `WITH a, b` import prefix of a CALL { } body. */
+  private def callImports(inner: SingleQuery): Seq[String] =
+    inner.clauses.headOption match {
+      case Some(With(body, None))
+          if body.items.nonEmpty &&
+            body.items.forall(i => i.expr.isInstanceOf[Var] && i.as.isEmpty) =>
+        body.items.map(_.expr.asInstanceOf[Var].name)
+      case _ => Nil
+    }
+
+  /** Pipelined per-row CALL { } for uncorrelated mutating subqueries: the
+    * i-th input row's execution sees the writes of rows 0..i-1 — inherently
+    * driver-sequenced (the reference's single-node cursor pipeline is too);
+    * bounded so a scale misuse fails loudly instead of looping forever. */
+  private def planCallSubqueryPerRow(lf: LF, inner: SingleQuery): LF = {
+    val hasFrame = lf.df.columns.nonEmpty
+    val outer =
+      if (hasFrame) withSeqId(lf.df, "__cs_row", 0L).localCheckpoint(true)
+      else lf.df
+    val n = if (hasFrame) outer.count() else 1L
+    require(
+      n <= 1000,
+      s"mutating CALL subquery over $n input rows — per-row write semantics " +
+        "is driver-sequenced; restructure the query for batch execution")
+    val returning = inner.clauses.lastOption.exists(_.isInstanceOf[Return])
+    val rets = (0L until n).map { i =>
+      val sub = new Planner(spark, rebased, params)
+      val out = sub.planSingle(inner)
+      state = sub.currentState
+      subHigh = math.max(subHigh, sub.idHighWater)
+      out.withColumn("__cs_row", lit(i))
+    }
+    if (!returning) return LF(if (hasFrame) outer.drop("__cs_row") else lf.df, lf.scope)
+    val retsAll =
+      if (rets.nonEmpty) rets
+      else {
+        // zero input rows: no executions, but the result schema must still
+        // resolve — plan a throwaway (its state/effects are discarded)
+        val sub = new Planner(spark, rebased, params)
+        Seq(sub.planSingle(inner).limit(0).withColumn("__cs_row", lit(0L)))
+      }
+    val renamed = retsAll
+      .map { d =>
+        d.select(d.columns.map(c =>
+          if (c == "__cs_row") col(c)
+          else col(c).as(s"$c${Frames.Sep}_val")): _*)
+      }
+      .reduce(_ unionByName _)
+    val newVars = renamed.columns.filterNot(_ == "__cs_row")
+      .map(_.stripSuffix(s"${Frames.Sep}_val"))
+    val joined =
+      if (hasFrame) outer.join(renamed, Seq("__cs_row")).drop("__cs_row")
+      else renamed.drop("__cs_row")
+    LF(
+      joined,
+      newVars.foldLeft(lf.scope)((sc, v) => sc + (v -> Binding.ValueB)))
   }
 
   /** CALL { [WITH imports] … RETURN items } — the reference's `Apply`
@@ -390,14 +489,16 @@ final class Planner(
           if (n.labels.isEmpty) array().cast("array<string>")
           else array(n.labels.map(lit): _*)
         var withNew = base
-          .withColumn(
-            s"$name${Frames.Sep}${GraphState.IdCol}",
-            lit(nextBase()) + monotonically_increasing_id())
           .withColumn(s"$name${Frames.Sep}${GraphState.LabelsCol}", labelsArr)
         n.props.foreach { case (k, e) =>
           withNew = withNew.withColumn(s"$name${Frames.Sep}$k", low.lower(e))
         }
-        withNew = withNew.localCheckpoint(true) // ids assigned exactly once
+        withNew = withSeqId(
+          withNew,
+          s"$name${Frames.Sep}${GraphState.IdCol}",
+          (myBase << 48) + nodeCursor)
+          .localCheckpoint(true) // ids assigned exactly once
+        nodeCursor += withNew.count()
         val rows = withNew.select(
           col(s"$name${Frames.Sep}${GraphState.IdCol}")
             .as(GraphState.IdCol) +:
@@ -427,16 +528,18 @@ final class Planner(
       val eName = rel.variable.getOrElse(fresh("ce"))
       val low = new ExprLowering(cur.df, cur.scope, params)
       var withE = cur.df
-        .withColumn(
-          s"$eName${Frames.Sep}${GraphState.IdCol}",
-          lit(nextBase()) + monotonically_increasing_id())
         .withColumn(s"$eName${Frames.Sep}${GraphState.SrcCol}", src)
         .withColumn(s"$eName${Frames.Sep}${GraphState.DstCol}", dst)
         .withColumn(s"$eName${Frames.Sep}${GraphState.TypeCol}", lit(tpe))
       rel.props.foreach { case (k, e) =>
         withE = withE.withColumn(s"$eName${Frames.Sep}$k", low.lower(e))
       }
-      withE = withE.localCheckpoint(true)
+      withE = withSeqId(
+        withE,
+        s"$eName${Frames.Sep}${GraphState.IdCol}",
+        (myBase << 48) + (1L << 47) + edgeCursor)
+        .localCheckpoint(true)
+      edgeCursor += withE.count()
       val rows = withE.select(
         col(s"$eName${Frames.Sep}${GraphState.IdCol}").as(GraphState.IdCol) +:
           col(s"$eName${Frames.Sep}${GraphState.SrcCol}")
@@ -662,14 +765,16 @@ final class Planner(
       n.labels.foldLeft(base)((d, l) =>
         d.filter(array_contains(col(GraphState.LabelsCol), l)))
     }
-    def createRows(fromWant: DataFrame): DataFrame =
-      setCols(
-        m.onCreate,
+    def createRows(fromWant: DataFrame): DataFrame = {
+      val withId = withSeqId(
         fromWant.select(
-          (lit(nextBase()) + monotonically_increasing_id())
-            .as(GraphState.IdCol) +:
-            labelsArr.as(GraphState.LabelsCol) +:
-            propNames.map(col): _*)).localCheckpoint(true)
+          labelsArr.as(GraphState.LabelsCol) +: propNames.map(col): _*),
+        GraphState.IdCol,
+        (myBase << 48) + nodeCursor)
+      val out = setCols(m.onCreate, withId).localCheckpoint(true)
+      nodeCursor += out.count()
+      out
+    }
     def createInto(rows: DataFrame): Unit = {
       storeTargets.foreach(l =>
         state = Mutations.createNodes(state, l, rows))
@@ -818,11 +923,12 @@ final class Planner(
     }
     val created = setCols(
       m.onCreate,
-      missing.select(
-        (lit(nextBase()) + monotonically_increasing_id())
-          .as(GraphState.IdCol) +:
-          lit(tpe).as(GraphState.TypeCol) +:
-          matchCols.map(col): _*)).localCheckpoint(true)
+      withSeqId(
+        missing.select(
+          lit(tpe).as(GraphState.TypeCol) +: matchCols.map(col): _*),
+        GraphState.IdCol,
+        (myBase << 48) + (1L << 47) + edgeCursor)).localCheckpoint(true)
+    edgeCursor += created.count()
     state = Mutations.createEdges(state, tpe, created)
     if (m.onMatch.nonEmpty) existingOpt.foreach { ex =>
       // full matched edge frame bound, so ON MATCH SET sees edge properties
@@ -887,6 +993,11 @@ final class Planner(
         case BothDir => Expand.Both
       }
 
+      // per-step filter lambda: pre-filter the oriented edge set (RAISES on
+      // the unsupported accumulated-path form — never silently dropped)
+      val edgesOv = rel.filterLambda.map(l =>
+        filteredOrientedEdges(types, dir, l))
+
       rel.varLength match {
         case None =>
           if (dstBound) {
@@ -918,7 +1029,8 @@ final class Planner(
             val tmp = fresh("n")
             val df0 = VarExpand(
               cur.df, state, srcVar, eVar, types, dir, minH, maxH, tmp,
-              dstLabel = None, hopsLimit = hopsLimit)
+              dstLabel = None, hopsLimit = hopsLimit,
+              edgesOverride = edgesOv)
             val df = df0
               .filter(Frames.id(tmp) === Frames.id(dstName))
               .drop(Frames.colsOf(df0, tmp): _*)
@@ -926,7 +1038,8 @@ final class Planner(
           } else {
             val df = VarExpand(
               cur.df, state, srcVar, eVar, types, dir, minH, maxH, dstName,
-              node.labels.headOption, hopsLimit = hopsLimit)
+              node.labels.headOption, hopsLimit = hopsLimit,
+              edgesOverride = edgesOv)
             cur = LF(
               df,
               cur.scope + (eVar -> Binding.EdgeListB) + (dstName -> Binding.NodeB))
@@ -939,7 +1052,9 @@ final class Planner(
     }
 
     // ConstructNamedPath (operator.hpp:1255): p = (a)-[e]->(b)… binds
-    // p@_nodes / p@_edges (id arrays) + p@_len.
+    // p@_nodes / p@_edges (id arrays) + p@_len. Fixed-length paths also
+    // carry full entity-struct arrays so nodes(p)/relationships(p) return
+    // VALUES, not ids (the reference's Path holds whole accessors).
     part.pathVar.foreach { pv =>
       val nodesArr = array(nodeSeq.map(Frames.id): _*)
       val edgesArr =
@@ -950,15 +1065,94 @@ final class Planner(
               if (isList) Frames.f(e, "_ids") else array(Frames.id(e))
             }
             .reduce(concat(_, _))
-      val df = cur.df
+      var df = cur.df
         .withColumn(s"$pv${Frames.Sep}_nodes", nodesArr)
         .withColumn(s"$pv${Frames.Sep}_edges", edgesArr)
         .withColumn(
           s"$pv${Frames.Sep}_len",
           size(col(s"$pv${Frames.Sep}_edges")).cast("long"))
+      if (edgeSeq.forall(!_._2)) {
+        // entity arrays need a homogeneous struct schema — union the
+        // constituents' property columns, NULL-padding the gaps; a prop
+        // name colliding at two incompatible types falls back to ids only
+        scala.util.Try {
+          df = df.withColumn(
+            s"$pv${Frames.Sep}_nodestructs",
+            entityArray(cur.df, nodeSeq))
+          if (edgeSeq.nonEmpty)
+            df = df.withColumn(
+              s"$pv${Frames.Sep}_edgestructs",
+              entityArray(cur.df, edgeSeq.map(_._1)))
+          df.schema // force analysis so a coercion error lands in the Try
+        }.recover { case _ =>
+          df = df.drop(
+            s"$pv${Frames.Sep}_nodestructs", s"$pv${Frames.Sep}_edgestructs")
+        }
+      }
       cur = LF(df, cur.scope + (pv -> Binding.PathB))
     }
     (cur, edgeVars)
+  }
+
+  /** Array of homogeneous entity structs over bound vars: the field set is
+    * the union of every var's promoted columns, NULL where a var lacks one. */
+  private def entityArray(df: DataFrame, vars: Seq[String]): Column = {
+    val suffixes = scala.collection.mutable.LinkedHashSet.empty[String]
+    vars.foreach(v =>
+      Frames.colsOf(df, v).foreach(c =>
+        suffixes += c.substring(v.length + Frames.Sep.length)))
+    val fields = suffixes.toSeq
+    array(vars.map { v =>
+      struct(fields.map { f =>
+        val cn = s"$v${Frames.Sep}$f"
+        (if (df.columns.contains(cn)) col(cn) else lit(null)).as(f)
+      }: _*)
+    }: _*)
+  }
+
+  /** Per-step filter lambda (`filter_lambda_`, ast.hpp:1899; applied per
+    * expansion in `operator.cpp:2458` region): the 2-var form `(e, n |
+    * pred)` only sees the traversed edge and its target node — path-
+    * independent — so it lowers to ONE pre-filter of the oriented edge set
+    * instead of a per-step re-evaluation: same semantics, no per-round
+    * filtering cost, and the BFS/DFS loops stay single-equi-join rounds.
+    * Returns (id, src, dst) with src→dst in TRAVERSAL orientation.
+    * The 3-var accumulated-path form raises (unsupported — an accepted-but-
+    * ignored lambda would be a silent wrong answer). */
+  private def filteredOrientedEdges(
+      types: Seq[String],
+      dir: Expand.Direction,
+      lam: (String, String, Option[String], Expr)): DataFrame = {
+    val (ev, nv, pv, pred) = lam
+    if (pv.isDefined)
+      throw new UnsupportedOperationException(
+        "filter lambdas over the accumulated path (e, n, p | …) are not " +
+          "supported; 2-var (edge, node) filters are")
+    val eframe = Frames.bind(ev)(state.edgesOfTypes(types))
+    val srcC = Frames.src(ev)
+    val dstC = Frames.dst(ev)
+    def orientAs(s: Column, d: Column) = eframe
+      .withColumn("__fo_src", s)
+      .withColumn("__fo_dst", d)
+    val orientedE = dir match {
+      case Expand.Out => orientAs(srcC, dstC)
+      case Expand.In => orientAs(dstC, srcC)
+      case Expand.Both =>
+        orientAs(srcC, dstC).unionByName(
+          orientAs(dstC, srcC).filter(srcC =!= dstC))
+    }
+    val nframe = Frames.bind(nv)(state.allNodes)
+    val joined = orientedE.join(nframe, col("__fo_dst") === Frames.id(nv))
+    val low = new ExprLowering(
+      joined,
+      Scope.empty + (ev -> Binding.EdgeB) + (nv -> Binding.NodeB),
+      params)
+    joined
+      .filter(low.lower(pred))
+      .select(
+        Frames.id(ev).as(GraphState.IdCol),
+        col("__fo_src").as(GraphState.SrcCol),
+        col("__fo_dst").as(GraphState.DstCol))
   }
 
   /** Shortest-path pattern — `p = shortestPath((a)-[:T*..h]->(b))`,
@@ -968,9 +1162,11 @@ final class Planner(
     * Lowered to the multi-source batched BFS / weighted-rounds operators in
     * [[graft.operators.ShortestPath]]: seeds = distinct bound source ids,
     * one shuffle per level, result re-joined to the frame. `allShortestPaths`
-    * multiplies rows by the shortest-path count (`npaths`) instead of
-    * enumerating concrete paths — same cardinality and lengths as the
-    * reference's per-path rows, without materializing vertex lists.
+    * has two lowerings: WITHOUT a bound path variable, rows are multiplied
+    * by the shortest-path count (`npaths` explode) — same cardinality and
+    * lengths as the reference's per-path rows, no vertex lists materialized;
+    * WITH one, [[graft.operators.ShortestPath.bfsAllPaths]] enumerates each
+    * path's own vertex/edge chain by walking the shortest-path DAG.
     */
   private def planShortest(lf: LF, part: PatternPart): LF = {
     require(
@@ -991,10 +1187,17 @@ final class Planner(
     val (cur0, srcName) = bindNode(lf, part.start)
     val dstName = node.variable.getOrElse(fresh("n"))
     val dstBound = node.variable.exists(cur0.scope.contains)
+    // per-step filter lambda → pre-filtered traversal edge set (raises on
+    // the unsupported 3-var form instead of ignoring it)
+    val edgesOv = rel.filterLambda.map(l =>
+      filteredOrientedEdges(rel.types, dir, l))
 
     // KShortestPathsCursor (operator.cpp:3716): k shortest paths by hop
-    // count = bounded path enumeration (VarExpand) + per-(source,target)
-    // rank-k. k comes from the relationship map: `*KSHORTEST ..h {k: 3}`.
+    // count, via [[ShortestPath.kShortest]] — a k-truncated BFS whose
+    // frontier is bounded by k per (seed, node) (the distributed Yen
+    // analog; the pre-r6 plan enumerated EVERY path up to the bound and
+    // ranked afterwards — exponential on hub graphs). k comes from the
+    // relationship map: `*KSHORTEST ..h {k: 3}`.
     if (rel.mode == "KSHORTEST") {
       val k = rel.props.collectFirst { case ("k", Lit(n: Long)) => n.toInt }
         .getOrElse(1)
@@ -1002,37 +1205,65 @@ final class Planner(
         throw new IllegalArgumentException(
           "*KSHORTEST requires an upper hop bound"))
       val eVar = rel.variable.getOrElse(fresh("e"))
-      val df0 =
-        if (dstBound) {
-          // endpoint already bound: expand to a temp var, then constrain
-          val tmp = fresh("n")
-          val d = VarExpand(
-            cur0.df, state, srcName, eVar, rel.types, dir,
-            math.max(minH, 1), Some(hiB), tmp, None)
-          d.filter(Frames.id(tmp) === Frames.id(dstName))
-            .drop(Frames.colsOf(d, tmp): _*)
-        } else
-          VarExpand(
-            cur0.df, state, srcName, eVar, rel.types, dir,
-            math.max(minH, 1), Some(hiB), dstName, node.labels.headOption)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Frames.id(srcName), Frames.id(dstName))
-        .orderBy(size(Frames.f(eVar, "_ids")).asc)
-      var ranked = df0
-        .withColumn("__ksp_rn", row_number().over(w))
-        .filter(col("__ksp_rn") <= k)
-        .drop("__ksp_rn")
-      var scope = cur0.scope + (eVar -> Binding.EdgeListB) +
-        (dstName -> Binding.NodeB)
+      val kSeeds = cur0.df
+        .select(Frames.id(srcName).as(ShortestPath.SeedCol))
+        .distinct()
+      val kTargets =
+        if (dstBound)
+          Some(cur0.df
+            .select(
+              Frames.id(srcName).as(ShortestPath.SeedCol),
+              Frames.id(dstName).as(ShortestPath.NodeCol))
+            .distinct())
+        else None
+      val kEdges = edgesOv
+        .map(e =>
+          e.select(
+            col(GraphState.SrcCol),
+            col(GraphState.DstCol),
+            col(GraphState.IdCol).as("__sp_eid")))
+        .getOrElse(
+          ShortestPath.oriented(
+            state.edgesOfTypes(rel.types)
+              .select(
+                col(GraphState.SrcCol),
+                col(GraphState.DstCol),
+                col(GraphState.IdCol).as("__sp_eid")),
+            dir))
+      val walks = ShortestPath.kShortest(
+        kEdges, kSeeds, k, math.max(minH, 1), hiB, kTargets)
+      var joined = cur0.df
+        .join(walks, Frames.id(srcName) === col(ShortestPath.SeedCol))
+        .drop(ShortestPath.SeedCol)
+      var scope = cur0.scope + (eVar -> Binding.EdgeListB)
+      if (dstBound)
+        joined = joined
+          .filter(col(ShortestPath.NodeCol) === Frames.id(dstName))
+          .drop(ShortestPath.NodeCol)
+      else {
+        val nodesDf = node.labels.headOption
+          .map(state.nodesOrEmpty)
+          .getOrElse(state.allNodes)
+        joined = joined
+          .join(
+            Frames.bind(dstName)(nodesDf),
+            col(ShortestPath.NodeCol) === Frames.id(dstName))
+          .drop(ShortestPath.NodeCol)
+        scope += (dstName -> Binding.NodeB)
+      }
+      joined = joined
+        .withColumn(
+          s"$eVar${Frames.Sep}_ids", col(ShortestPath.PathEdgesCol))
+        .drop(ShortestPath.PathNodesCol, ShortestPath.PathEdgesCol)
       part.pathVar.foreach { pv =>
-        ranked = ranked.withColumn(
-          s"$pv${Frames.Sep}_len",
-          size(Frames.f(eVar, "_ids")).cast("long"))
+        joined = joined.withColumn(
+          s"$pv${Frames.Sep}_len", col(ShortestPath.DistCol))
         scope += (pv -> Binding.PathB)
       }
+      joined = joined.drop(ShortestPath.DistCol)
       // endpoint label/prop constraints select which pairs survive; per-pair
       // ranks are unaffected, so filtering after rank-k is equivalent
-      var out = LF(ranked, scope)
+      var out = LF(joined, scope)
       if (!dstBound)
         out = nodeConstraints(out, dstName, node.labels, node.props)
       return out
@@ -1053,24 +1284,51 @@ final class Planner(
           eframe,
           Scope.empty + (ev -> Binding.EdgeB),
           params).lower(wexpr)
-        val oriented = ShortestPath.oriented(
+        var oriented = ShortestPath.oriented(
           eframe.select(
+            Frames.id(ev).as("__w_eid"),
             Frames.src(ev).as(GraphState.SrcCol),
             Frames.dst(ev).as(GraphState.DstCol),
             wcol.cast("double").as(ShortestPath.EdgeWeightCol)),
           dir)
-        ShortestPath.weighted(state, seeds, oriented, maxRounds = maxH)
+        // optional second (filter) lambda: keep only allowed traversals
+        edgesOv.foreach { allowed =>
+          oriented = oriented.join(
+            allowed.select(
+              col(GraphState.IdCol).as("__w_eid"),
+              col(GraphState.SrcCol),
+              col(GraphState.DstCol)),
+            Seq("__w_eid", GraphState.SrcCol, GraphState.DstCol),
+            "left_semi")
+        }
+        ShortestPath.weighted(
+          state, seeds, oriented.drop("__w_eid"), maxRounds = maxH)
       case _ =>
         // allShortestPaths with a bound path variable needs every distinct
         // path's own vertex/edge chain (operator.cpp:3309) — the DAG
         // enumeration. Without a path var the multiplicity explode below is
         // equivalent and cheaper (no arrays carried through the rounds).
+        def bfsE = edgesOv.map(e =>
+          e.select(
+            col(GraphState.SrcCol),
+            col(GraphState.DstCol),
+            col(GraphState.IdCol).as("__sp_eid")))
         if (all && part.pathVar.isDefined)
-          ShortestPath.bfsAllPaths(state, seeds, rel.types, dir, maxH)
+          bfsE match {
+            case Some(e) => ShortestPath.bfsAllPathsEdges(e, seeds, maxH)
+            case None =>
+              ShortestPath.bfsAllPaths(state, seeds, rel.types, dir, maxH)
+          }
         else
-          ShortestPath.bfs(
-            state, seeds, rel.types, dir, maxH,
-            withPaths = part.pathVar.isDefined)
+          bfsE match {
+            case Some(e) =>
+              ShortestPath.bfsEdges(
+                e, seeds, maxH, withPaths = part.pathVar.isDefined)
+            case None =>
+              ShortestPath.bfs(
+                state, seeds, rel.types, dir, maxH,
+                withPaths = part.pathVar.isDefined)
+          }
     }
 
     var joined = cur0.df
@@ -1479,7 +1737,12 @@ final class Planner(
 
   private def structOf(df: DataFrame, v: String): Column = {
     val cols = Frames.colsOf(df, v)
-    struct(cols.map(c => col(c).as(c.substring(v.length + Frames.Sep.length))): _*)
+    val s =
+      struct(cols.map(c => col(c).as(c.substring(v.length + Frames.Sep.length))): _*)
+    // unbound entity (OPTIONAL MATCH miss) surfaces as NULL, not a struct
+    // of NULL fields — the id column witnesses the bind
+    when(col(s"$v${Frames.Sep}${GraphState.IdCol}").isNull, lit(null))
+      .otherwise(s)
   }
 
   private def renameVar(df: DataFrame, from: String, to: String): DataFrame =

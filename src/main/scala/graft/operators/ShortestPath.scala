@@ -97,9 +97,14 @@ object ShortestPath {
       seeds: DataFrame,
       maxHops: Int,
       withPaths: Boolean = false): DataFrame = {
-    val edges = (if (edges0.columns.contains("__sp_eid")) edges0
+    // only unpersist a cache THIS call created — a caller-persisted edge
+    // frame (bfsAllPaths reuses it for the DAG join) must stay cached
+    val hadEid = edges0.columns.contains("__sp_eid")
+    val callerPersisted =
+      hadEid && edges0.storageLevel != StorageLevel.NONE
+    val edges = (if (hadEid) edges0
                  else edges0.withColumn("__sp_eid", lit(0L)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (!callerPersisted) edges.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Iterative driver loops MUST truncate lineage every round: the round-k
     // plan references round-(k-1) twice (expand + anti-join), so without
@@ -179,7 +184,7 @@ object ShortestPath {
         System.err.println(
           f"[bfs] level $k%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    edges.unpersist(blocking = false)
+    if (!callerPersisted) edges.unpersist(blocking = false)
     visited
   }
 
@@ -204,14 +209,25 @@ object ShortestPath {
       seeds: DataFrame,
       types: Seq[String],
       dir: Expand.Direction,
+      maxHops: Int): DataFrame =
+    bfsAllPathsEdges(
+      oriented(
+        g.edgesOfTypes(types)
+          .select(
+            col(GraphState.SrcCol),
+            col(GraphState.DstCol),
+            col(GraphState.IdCol).as("__sp_eid")),
+        dir),
+      seeds,
+      maxHops)
+
+  /** [[bfsAllPaths]] over a caller-supplied pre-oriented edge frame
+    * (src, dst, `__sp_eid`) — the filter-lambda path. */
+  def bfsAllPathsEdges(
+      edges0: DataFrame,
+      seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    val edges = oriented(
-      g.edgesOfTypes(types)
-        .select(
-          col(GraphState.SrcCol),
-          col(GraphState.DstCol),
-          col(GraphState.IdCol).as("__sp_eid")),
-      dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
     val vis = bfsEdges(edges, seeds, maxHops)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Per-seed shortest-path DAG: u→w survives iff w sits exactly one BFS
@@ -264,6 +280,100 @@ object ShortestPath {
     out
   }
 
+  /** K shortest paths by hop count — the reference's lazily-evaluated Yen
+    * (`KShortestPathsCursor`, operator.cpp:3716). Yen's loop is inherently
+    * per-(source,target) sequential (each spur iteration re-runs a BFS on a
+    * pair-specific blocked subgraph), so the distributed analog is a
+    * **k-truncated level-synchronous BFS**: every round extends simple
+    * paths one hop, then keeps at most the k best (by hop count, then
+    * lexicographic edge list — deterministic) per (seed, node), counting
+    * paths already finished in earlier rounds against the k budget. The
+    * frontier is therefore bounded by k × |reached nodes| — the property
+    * Yen's k-bounded work gives on one pair, delivered for every pair at
+    * once; the old exhaustive-enumeration plan blew up exponentially on
+    * hub graphs (see KShortestSpec).
+    *
+    * Exactness: for walks the k-prefix property makes per-node truncation
+    * exact (the i-th shortest walk to w extends a ≤i-th shortest walk to
+    * its predecessor). Node-simple paths (Yen's) can in principle need a
+    * (k+j)-th prefix when all k best prefixes already visit the target —
+    * the spur edge case; at the hop horizons KSHORTEST is used with this
+    * requires a cycle shorter than the horizon through the pair.
+    *
+    * @param edges0 pre-oriented (src, dst, `__sp_eid`) traversal edges
+    * @param targets optional (SeedCol, NodeCol) pairs of interest: once
+    *        every pair has k paths the loop stops early (future paths are
+    *        strictly longer, so they cannot enter any top-k)
+    * @return (seed, node, dist, pathNodes, pathEdges) — at most k rows per
+    *         (seed, node) with dist in [minHops, maxHops]
+    */
+  def kShortest(
+      edges0: DataFrame,
+      seeds: DataFrame,
+      k: Int,
+      minHops: Int,
+      maxHops: Int,
+      targets: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        array(col(SeedCol)).as(PathNodesCol),
+        array().cast("array<long>").as(PathEdgesCol))
+      .localCheckpoint(true)
+    var out: Option[DataFrame] = None
+    def outCounts: DataFrame = out match {
+      case Some(o) =>
+        o.groupBy(SeedCol, NodeCol).agg(count(lit(1)).as("__k_cnt"))
+      case None =>
+        seeds.limit(0).select(
+          col(SeedCol), col(SeedCol).as(NodeCol), lit(0L).as("__k_cnt"))
+    }
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done && round < maxHops) {
+      round += 1
+      val expanded = frontier
+        .join(edges, col(NodeCol) === col(GraphState.SrcCol))
+        .filter(!array_contains(col(PathNodesCol), col(GraphState.DstCol)))
+        .select(
+          col(SeedCol),
+          col(GraphState.DstCol).as(NodeCol),
+          (col(DistCol) + 1L).as(DistCol),
+          concat(col(PathNodesCol), array(col(GraphState.DstCol)))
+            .as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
+      // keep only rows still inside their pair's k budget: rank within the
+      // round (shorter rounds ran earlier, so prior finds always outrank)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(SeedCol, NodeCol)
+        .orderBy(col(PathEdgesCol).asc)
+      frontier = expanded
+        .withColumn("__k_rn", row_number().over(w))
+        .join(outCounts, Seq(SeedCol, NodeCol), "left_outer")
+        .filter(col("__k_rn") + coalesce(col("__k_cnt"), lit(0L)) <= k)
+        .drop("__k_rn", "__k_cnt")
+        .localCheckpoint(true)
+      if (round >= minHops)
+        out = Some(out.map(_.unionByName(frontier).localCheckpoint(true))
+          .getOrElse(frontier))
+      done = frontier.isEmpty
+      if (!done) targets.foreach { t =>
+        // saturated when no target pair still needs paths
+        val needy = t.join(
+          outCounts.filter(col("__k_cnt") >= k),
+          Seq(SeedCol, NodeCol),
+          "left_anti")
+        done = needy.isEmpty
+      }
+    }
+    edges.unpersist(blocking = false)
+    out.getOrElse(frontier.limit(0))
+  }
+
   /** Weighted shortest path (Dijkstra-by-rounds ≈ Bellman–Ford with early
     * stop): each round relaxes every edge once; converges when no distance
     * improves or after `maxRounds` (the hops-limit analog). Weights must be
@@ -279,7 +389,13 @@ object ShortestPath {
       edges: DataFrame,
       maxRounds: Int): DataFrame = {
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    // Same lineage discipline as [[bfs]]: one localCheckpoint per round.
+    // DELTA relaxation: only rows improved last round join the edge frame
+    // (classic frontier Bellman–Ford), so per-round relax work scales with
+    // the frontier, not |visited| — at 100× data the steady-state frontier
+    // is a small fraction of the reached set. One action per round (the
+    // improved-delta checkpoint doubles as the convergence probe); the
+    // union+min merge only runs on non-final rounds.
+    // Same lineage discipline as [[bfs]]: localCheckpoint per round.
     var dist = seeds
       .select(
         col(SeedCol),
@@ -287,20 +403,19 @@ object ShortestPath {
         lit(0.0).as(WeightCol),
         lit(0L).as(DistCol))
       .localCheckpoint(true)
+    var frontier = dist
     var r = 0
-    var converged = false
+    var converged = frontier.isEmpty
     while (!converged && r < maxRounds) {
       r += 1
       val t0 = System.nanoTime()
-      val relaxed = dist
+      val cand = frontier
         .join(e, col(NodeCol) === col(GraphState.SrcCol))
         .select(
           col(SeedCol),
           col(GraphState.DstCol).as(NodeCol),
           (col(WeightCol) + col(EdgeWeightCol)).as(WeightCol),
           (col(DistCol) + 1L).as(DistCol))
-      val merged = dist
-        .unionByName(relaxed)
         .groupBy(SeedCol, NodeCol)
         .agg(min(struct(col(WeightCol), col(DistCol))).as("__m"))
         .select(
@@ -308,20 +423,37 @@ object ShortestPath {
           col(NodeCol),
           col("__m")(WeightCol).as(WeightCol),
           col("__m")(DistCol).as(DistCol))
-        .localCheckpoint(true)
-      // converged when no (seed,node) gained a strictly better weight and no
-      // new node appeared — checked with one anti/inequality join
-      val improved = merged
+      // strict improvements only — (weight, dist) lexicographic, matching
+      // the reference's total_weight-then-depth ordering
+      val improved = cand
         .join(
           dist.select(
             col(SeedCol),
             col(NodeCol),
-            col(WeightCol).as("__old_w")),
+            col(WeightCol).as("__old_w"),
+            col(DistCol).as("__old_d")),
           Seq(SeedCol, NodeCol),
           "left_outer")
-        .filter(col("__old_w").isNull || col(WeightCol) < col("__old_w"))
+        .filter(
+          col("__old_w").isNull || col(WeightCol) < col("__old_w") ||
+            (col(WeightCol) === col("__old_w") &&
+              col(DistCol) < col("__old_d")))
+        .drop("__old_w", "__old_d")
+        .localCheckpoint(true)
       converged = improved.isEmpty
-      dist = merged
+      if (!converged) {
+        dist = dist
+          .unionByName(improved)
+          .groupBy(SeedCol, NodeCol)
+          .agg(min(struct(col(WeightCol), col(DistCol))).as("__m"))
+          .select(
+            col(SeedCol),
+            col(NodeCol),
+            col("__m")(WeightCol).as(WeightCol),
+            col("__m")(DistCol).as(DistCol))
+          .localCheckpoint(true)
+        frontier = improved
+      }
       if (sys.env.contains("GRAFT_SP_DEBUG"))
         System.err.println(
           f"[wsp] round $r%d ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -56,7 +56,11 @@ object VarExpand {
         * DFS order; a distributed batch engine has no such order, so we
         * RAISE on breach instead of returning nondeterministic partials —
         * documented deviation, wrong/partial answers are never silent. */
-      hopsLimit: Option[Long] = None): DataFrame = {
+      hopsLimit: Option[Long] = None,
+      /** Pre-oriented (id, src, dst) edge frame override — the planner's
+        * filter-lambda path supplies traversal-ready edges; stepping is
+        * always Out against it. */
+      edgesOverride: Option[DataFrame] = None): DataFrame = {
     require(
       minHops >= 0 && maxHops.forall(_ >= minHops),
       s"bad hop range $minHops..$maxHops")
@@ -67,20 +71,23 @@ object VarExpand {
     // BroadcastNestedLoopJoin on every round. The reversed copy excludes
     // self-loops so a loop edge traverses once, matching the reference's
     // BOTH iteration. After orienting, every hop steps Out.
-    val edges0 = g.edgesOfTypes(types)
-      .select(col(GraphState.IdCol), col(GraphState.SrcCol), col(GraphState.DstCol))
-    val edges = dir match {
-      case Expand.Both =>
-        edges0.unionByName(
-          edges0
-            .filter(col(GraphState.SrcCol) =!= col(GraphState.DstCol))
-            .select(
-              col(GraphState.IdCol),
-              col(GraphState.DstCol).as(GraphState.SrcCol),
-              col(GraphState.SrcCol).as(GraphState.DstCol)))
-      case _ => edges0
+    val edges = edgesOverride.getOrElse {
+      val edges0 = g.edgesOfTypes(types)
+        .select(col(GraphState.IdCol), col(GraphState.SrcCol), col(GraphState.DstCol))
+      dir match {
+        case Expand.Both =>
+          edges0.unionByName(
+            edges0
+              .filter(col(GraphState.SrcCol) =!= col(GraphState.DstCol))
+              .select(
+                col(GraphState.IdCol),
+                col(GraphState.DstCol).as(GraphState.SrcCol),
+                col(GraphState.SrcCol).as(GraphState.DstCol)))
+        case _ => edges0
+      }
     }
-    val stepDir = if (dir == Expand.Both) Expand.Out else dir
+    val stepDir =
+      if (edgesOverride.isDefined || dir == Expand.Both) Expand.Out else dir
 
     val base = frame
       .withColumn(CUR, Frames.id(srcVar))

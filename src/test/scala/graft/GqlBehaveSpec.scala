@@ -23,38 +23,40 @@ class GqlBehaveSpec extends SparkTestBase {
   private val FeatureDir =
     "/root/reference/tests/gql_behave/tests/memgraph_V1/features"
 
-  // feature file → minimum scenarios that must PASS (floor catches
-  // accidental mass-skips; actual numbers run higher)
+  // feature file → minimum scenarios that must PASS, pinned to the count
+  // observed when the file went green (round 6) — a regression that turns
+  // passes into skips fails the floor, not just wrong answers.
+  // map_operations.feature is all map-valued cells (not comparable here).
   private val targets: Seq[(String, Int)] = Seq(
-    "aggregations.feature" -> 40,
-    "case.feature" -> 9,
-    "with.feature" -> 9,
-    "union.feature" -> 9,
-    "list_operations.feature" -> 20,
+    "aggregations.feature" -> 42,
+    "case.feature" -> 10,
+    "with.feature" -> 21,
+    "union.feature" -> 14,
+    "list_operations.feature" -> 25,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
-    "create.feature" -> 18,
+    "create.feature" -> 22,
     "delete.feature" -> 10,
-    "update_clauses.feature" -> 9,
+    "update_clauses.feature" -> 10,
     "map_projection.feature" -> 1,
     "nested_property_update.feature" -> 6,
-    "match.feature" -> 30,
-    "foreach.feature" -> 4,
-    "merge.feature" -> 15,
-    "functions.feature" -> 0,
-    "list_comprehension.feature" -> 0,
+    "match.feature" -> 33,
+    "foreach.feature" -> 6,
+    "merge.feature" -> 16,
+    "functions.feature" -> 79,
+    "list_comprehension.feature" -> 10,
     "map_operations.feature" -> 0,
-    "map.feature" -> 0,
-    "patterns.feature" -> 0,
-    "subqueries.feature" -> 0,
-    "parameters.feature" -> 0,
-    "pattern_comprehensions.feature" -> 0,
-    "cartesian.feature" -> 0,
-    "memgraph_bfs.feature" -> 0,
-    "memgraph_wshortest.feature" -> 0,
-    "memgraph_allshortest.feature" -> 0,
-    "memgraph_exists.feature" -> 0,
-    "hops_limit.feature" -> 0)
+    "map.feature" -> 1,
+    "patterns.feature" -> 15,
+    "subqueries.feature" -> 23,
+    "parameters.feature" -> 3,
+    "pattern_comprehensions.feature" -> 8,
+    "cartesian.feature" -> 31,
+    "memgraph_bfs.feature" -> 3,
+    "memgraph_wshortest.feature" -> 6,
+    "memgraph_allshortest.feature" -> 4,
+    "memgraph_exists.feature" -> 37,
+    "hops_limit.feature" -> 1)
 
   /** Documented divergences: scenario name → reason. These are known,
     * deliberate or accepted behavior differences, not silent skips. */
@@ -89,8 +91,24 @@ class GqlBehaveSpec extends SparkTestBase {
       expect: Option[Expect],
       unsupported: Option[String])
 
+  /** Feature files are mostly UTF-8, but a few carry Latin-1 bytes
+    * (list_comprehension.feature) — fall back instead of crashing the
+    * whole file's tally. */
+  private def readLines(path: String): Vector[String] = {
+    def read(codec: scala.io.Codec): Vector[String] = {
+      val s = scala.io.Source.fromFile(path)(codec)
+      try s.getLines().toVector
+      finally s.close()
+    }
+    try read(scala.io.Codec.UTF8)
+    catch {
+      case _: java.nio.charset.MalformedInputException =>
+        read(scala.io.Codec.ISO8859)
+    }
+  }
+
   private def parseFeature(path: String): Seq[Scenario] = {
-    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val lines = readLines(path)
     val out = Seq.newBuilder[Scenario]
     var i = 0
     var cur: Option[Scenario] = None
