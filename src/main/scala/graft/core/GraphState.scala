@@ -49,7 +49,11 @@ final class GraphState(
       * label index — scans re-filter on `_labels`, and [[allNodes]] dedups
       * by id. False for loader graphs, so the flag costs nothing on the
       * hot analytical paths. */
-    val mayOverlap: Boolean = false) {
+    val mayOverlap: Boolean = false,
+    /** Enum registry (`CREATE ENUM`, reference enum_store.hpp): name →
+      * ordered member list. Values are represented as `Name::Member`
+      * strings — orderable, oracle-friendly, validated at plan time. */
+    val enums: Map[String, Seq[String]] = Map.empty) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -120,18 +124,27 @@ final class GraphState(
     * `operator.hpp:1870`: writes become visible as a whole new state, never
     * mid-read). */
   def withNodes(label: String, mk: () => DataFrame): GraphState =
-    new GraphState(nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap)
+    new GraphState(
+      nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums)
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
-    new GraphState(nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap)
+    new GraphState(
+      nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums)
 
   /** New version with the id high-water mark advanced (never lowered). */
   def withIdBase(base: Long): GraphState =
-    new GraphState(nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap)
+    new GraphState(
+      nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums)
 
   /** Mark that node rows may now live in more than one label frame. */
   def withOverlap: GraphState =
-    new GraphState(nodeThunks, edgeThunks, idBase, mayOverlap = true)
+    new GraphState(nodeThunks, edgeThunks, idBase, mayOverlap = true, enums)
+
+  /** Register (or replace) an enum type (`CREATE ENUM`). */
+  def withEnum(name: String, values: Seq[String]): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap,
+      enums + (name -> values))
 }
 
 object GraphState {

@@ -67,6 +67,10 @@ object Ast {
   case object InDir extends Direction
   case object BothDir extends Direction
 
+  /** `Name::Value` enum literal (EnumValueAccess; validated against the
+    * graph's enum store at lowering time). */
+  final case class EnumLit(enum: String, value: String) extends Expr
+
   final case class NodePattern(
       variable: Option[String],
       labels: Seq[String],
@@ -106,6 +110,20 @@ object Ast {
       patterns: Seq[PatternPart],
       where: Option[Expr]) extends Clause
   final case class Unwind(list: Expr, as: String) extends Clause
+  /** `LOAD CSV FROM file (WITH|NO) HEADER [IGNORE BAD] [DELIMITER d]
+    * [QUOTE q] [NULLIF n] AS row` (reference LoadCsv, ast.hpp:3431). */
+  final case class LoadCsvCl(
+      file: Expr,
+      withHeader: Boolean,
+      ignoreBad: Boolean,
+      delimiter: Option[Expr],
+      quote: Option[Expr],
+      nullif: Option[Expr],
+      rowVar: String) extends Clause
+  /** `CREATE ENUM Name VALUES { A, B, … }` (CreateEnumQuery,
+    * ast.hpp:4131; storage enum_store.hpp). */
+  final case class CreateEnumCl(name: String, values: Seq[String])
+      extends Clause
   final case class ReturnItem(expr: Expr, as: Option[String])
   final case class ProjectionBody(
       distinct: Boolean,

@@ -216,11 +216,15 @@ object CypherParser extends RegexParsers {
       MapProjection(v, items)
     }
 
+  /** `Name::Value` enum literal (EnumValueAccess). */
+  def enumAccess: Parser[Expr] =
+    ident ~ ("::" ~> (ident | identP)) ^^ { case n ~ v => EnumLit(n, v) }
+
   def atom: Parser[Expr] =
     literal | caseExpr | countStar | existsFn | quantifier | reduceExpr |
       patternComprehension | listComprehension | listLit | mapLit | param |
-      patternPredicate | fnCall | mapProjection | ident ^^ Var.apply |
-      "(" ~> expr <~ ")"
+      patternPredicate | fnCall | mapProjection | enumAccess |
+      ident ^^ Var.apply | "(" ~> expr <~ ")"
 
   // ---------- patterns ----------
   def nodePattern: Parser[NodePattern] =
@@ -328,6 +332,27 @@ object CypherParser extends RegexParsers {
   def unwindClause: Parser[Clause] =
     kw("UNWIND") ~> expr ~ (kw("AS") ~> ident) ^^ { case e ~ v => Unwind(e, v) }
 
+  /** `LOAD CSV FROM file (WITH|NO) HEADER [IGNORE BAD] [DELIMITER d]
+    * [QUOTE q] [NULLIF n] AS row` (reference grammar, ast.hpp:3431). */
+  def loadCsvClause: Parser[Clause] =
+    kw("LOAD") ~> kw("CSV") ~> kw("FROM") ~> expr ~
+      ((kw("WITH") ~ kw("HEADER")) ^^^ true |
+        (kw("NO") ~ kw("HEADER")) ^^^ false) ~
+      opt(kw("IGNORE") ~ kw("BAD")) ~
+      opt(kw("DELIMITER") ~> expr) ~
+      opt(kw("QUOTE") ~> expr) ~
+      opt(kw("NULLIF") ~> expr) ~
+      (kw("AS") ~> ident) ^^ { case f ~ h ~ ib ~ d ~ q ~ n ~ v =>
+      LoadCsvCl(f, h, ib.isDefined, d, q, n, v)
+    }
+
+  /** `CREATE ENUM Name VALUES { A, B, … }` (ast.hpp:4131). */
+  def createEnumClause: Parser[Clause] =
+    kw("CREATE") ~> kw("ENUM") ~> (ident | identP) ~
+      (kw("VALUES") ~> "{" ~> rep1sep(ident | identP, ",") <~ "}") ^^ {
+      case n ~ vs => CreateEnumCl(n, vs)
+    }
+
   def returnItem: Parser[ReturnItem] =
     expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
 
@@ -424,12 +449,12 @@ object CypherParser extends RegexParsers {
     }
 
   def updateClause: Parser[Clause] =
-    createClause | mergeClause | setClause | deleteClause | removeClause |
-      foreachClause
+    createEnumClause | createClause | mergeClause | setClause |
+      deleteClause | removeClause | foreachClause
 
   def clause: Parser[Clause] =
-    matchClause | unwindClause | withClause | returnClause | callSubquery |
-      callClause | updateClause
+    matchClause | unwindClause | loadCsvClause | withClause | returnClause |
+      callSubquery | callClause | updateClause
 
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 

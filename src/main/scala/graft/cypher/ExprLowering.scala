@@ -22,10 +22,13 @@ final class ExprLowering(
     df: DataFrame,
     scope: Scope,
     params: Map[String, Any],
-    lambdaVars: Map[String, Column] = Map.empty) {
+    lambdaVars: Map[String, Column] = Map.empty,
+    /** Enum registry for `Name::Value` literals / toEnum (GraphState
+      * enums; empty where no graph is in scope). */
+    val enums: Map[String, Seq[String]] = Map.empty) {
 
   private def withLambda(name: String, c: Column) =
-    new ExprLowering(df, scope, params, lambdaVars + (name -> c))
+    new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums)
 
   /** Best-effort static type of a lowered column (None inside lambdas). */
   def typeOf(c: Column): Option[DataType] =
@@ -187,7 +190,19 @@ final class ExprLowering(
         lower(listE),
         lower(initE),
         (a, x) => new ExprLowering(df, scope, params,
-          lambdaVars + (acc -> a) + (v -> x)).lower(stepE))
+          lambdaVars + (acc -> a) + (v -> x), enums).lower(stepE))
+
+    // `Name::Value` — resolved against the enum store at plan time
+    // (enum_store.hpp ToEnum): unknown name/member is a plan error, the
+    // value itself is the stable `Name::Value` string.
+    case EnumLit(name, value) =>
+      val members = enums.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"unknown enum '$name'"))
+      require(
+        members.contains(value),
+        s"enum '$name' has no member '$value' (members: ${members.mkString(", ")})")
+      lit(s"$name::$value")
 
     // Map projection (ast.hpp map-projection nodes): struct over the
     // variable's promoted property columns — `.*` splices all properties

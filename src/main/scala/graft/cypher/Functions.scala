@@ -349,6 +349,39 @@ object Functions {
       case "duration.between" =>
         a(1).cast("timestamp") - a(0).cast("timestamp")
 
+      // ---- enums (awesome_memgraph_functions.cpp:1816 ToEnum;
+      // enum_store.hpp) ----
+      case "toenum" =>
+        if (ctx.enums.isEmpty)
+          throw new IllegalArgumentException("no enums defined (CREATE ENUM)")
+        if (args.size >= 2) {
+          // toEnum('Name', valueExpr): name must be a literal; the value
+          // validates per row against the member list (broadcast literal
+          // array — enum domains are tiny by definition)
+          val name = args(0) match {
+            case Lit(s: String) => s
+            case _ =>
+              throw new IllegalArgumentException(
+                "toEnum(name, value): name must be a string literal")
+          }
+          val members = ctx.enums.getOrElse(
+            name,
+            throw new IllegalArgumentException(s"unknown enum '$name'"))
+          val v = a(1)
+          when(v.isin(members: _*), concat(lit(s"$name::"), v))
+            .otherwise(raise_error(concat(
+              lit(s"invalid member for enum '$name': "), v.cast("string"))))
+        } else {
+          // toEnum('Name::Value') — validate against the full store
+          val all = ctx.enums.toSeq.flatMap { case (n, vs) =>
+            vs.map(v => s"$n::$v")
+          }
+          val v = a(0)
+          when(v.isin(all: _*), v)
+            .otherwise(raise_error(concat(
+              lit("invalid enum value: "), v.cast("string"))))
+        }
+
       // ---- misc ----
       case "randomuuid" => uuid()
       case "tobytestring" => unhex(a(0))

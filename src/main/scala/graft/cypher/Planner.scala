@@ -88,7 +88,7 @@ final class Planner(
   def planSingle(sq: SingleQuery): DataFrame =
     sq.clauses.foldLeft(initial)(planClause).df
 
-  private def lowering(lf: LF) = new ExprLowering(lf.df, lf.scope, params)
+  private def lowering(lf: LF) = new ExprLowering(lf.df, lf.scope, params, enums = state.enums)
 
   private def planClause(lf: LF, c: Clause): LF = c match {
     case Match(false, patterns, where) =>
@@ -177,6 +177,37 @@ final class Planner(
         if (lf.df.columns.isEmpty) selected
         else lf.df.crossJoin(selected)
       LF(df, yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+
+    case CreateEnumCl(name, values) =>
+      // enum_store.hpp: register the domain on the graph version; reads
+      // planned after this clause validate Name::Value literals against it
+      state = state.withEnum(name, values)
+      lf
+
+    case LoadCsvCl(file, withHeader, ignoreBad, delim, quote, nullif, v) =>
+      // LoadCsv (operator.hpp:2935): schema-on-read, all-string columns —
+      // the reference's row values are strings too; no inference pass.
+      // WITH HEADER binds the row as map<string,string> (row.field /
+      // row['field']); NO HEADER binds an array<string> (row[i]).
+      val path = constValue(file).toString
+      var reader = spark.read
+        .option("header", withHeader.toString)
+        .option("delimiter", delim.map(constValue(_).toString).getOrElse(","))
+        .option("quote", quote.map(constValue(_).toString).getOrElse("\""))
+      nullif.foreach(n =>
+        reader = reader.option("nullValue", constValue(n).toString))
+      if (ignoreBad) reader = reader.option("mode", "DROPMALFORMED")
+      val raw = reader.csv(path)
+      val rowCol =
+        if (withHeader)
+          map_from_arrays(
+            array(raw.columns.map(lit).toSeq: _*),
+            array(raw.columns.map(col).toSeq: _*))
+        else array(raw.columns.map(col).toSeq: _*)
+      val csvDf = raw.select(rowCol.as(s"$v${Frames.Sep}_val"))
+      val df =
+        if (lf.df.columns.isEmpty) csvDf else lf.df.crossJoin(csvDf)
+      LF(df, lf.scope + (v -> Binding.ValueB))
 
     case CreateCl(patterns) => patterns.foldLeft(lf)(planCreate)
     case SetCl(items) => planSet(lf, items)
@@ -437,7 +468,7 @@ final class Planner(
     var (sub, subEdges) = planPattern(seed, pc.pattern)
     sub = edgeUniqueness(sub, subEdges)
     pc.where.foreach { w => sub = planWhere(sub, w) }
-    val low = new ExprLowering(sub.df, sub.scope, params)
+    val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
     val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
     val outCol = s"$name${Frames.Sep}_val"
     val grouped = sub.df
@@ -484,7 +515,7 @@ final class Planner(
         val base =
           if (cur.df.columns.isEmpty) spark.range(1).toDF().select()
           else cur.df
-        val low = new ExprLowering(base, cur.scope, params)
+        val low = new ExprLowering(base, cur.scope, params, enums = state.enums)
         val labelsArr =
           if (n.labels.isEmpty) array().cast("array<string>")
           else array(n.labels.map(lit): _*)
@@ -526,7 +557,7 @@ final class Planner(
         if (rel.direction == InDir) (Frames.id(bName), Frames.id(aName))
         else (Frames.id(aName), Frames.id(bName))
       val eName = rel.variable.getOrElse(fresh("ce"))
-      val low = new ExprLowering(cur.df, cur.scope, params)
+      val low = new ExprLowering(cur.df, cur.scope, params, enums = state.enums)
       var withE = cur.df
         .withColumn(s"$eName${Frames.Sep}${GraphState.SrcCol}", src)
         .withColumn(s"$eName${Frames.Sep}${GraphState.DstCol}", dst)
@@ -783,7 +814,7 @@ final class Planner(
     def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
       items.foldLeft(base) {
         case (d, SetProp(v, key, e)) if n.variable.contains(v) =>
-          val lowD = new ExprLowering(d, Scope.empty, params)
+          val lowD = new ExprLowering(d, Scope.empty, params, enums = state.enums)
           d.withColumn(key, lowD.lower(e))
         case (d, _) => d
       }
@@ -796,7 +827,7 @@ final class Planner(
       val scope = Scope.empty + (v -> Binding.NodeB)
       m.onMatch.foreach {
         case SetProp(v2, key, e) if v2 == v =>
-          val lowU = new ExprLowering(matched, scope, params)
+          val lowU = new ExprLowering(matched, scope, params, enums = state.enums)
           val updates = matched
             .select(
               Frames.id(v).as(GraphState.IdCol),
@@ -910,7 +941,7 @@ final class Planner(
     def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
       items.foldLeft(base) {
         case (d, SetProp(v, key, e)) if eVar.contains(v) =>
-          d.withColumn(key, new ExprLowering(d, Scope.empty, params).lower(e))
+          d.withColumn(key, new ExprLowering(d, Scope.empty, params, enums = state.enums).lower(e))
         case (d, _) => d
       }
 
@@ -938,7 +969,7 @@ final class Planner(
       val scope = Scope.empty + (ev -> Binding.EdgeB)
       m.onMatch.foreach {
         case SetProp(v, key, e) if v == ev =>
-          val lowU = new ExprLowering(matched, scope, params)
+          val lowU = new ExprLowering(matched, scope, params, enums = state.enums)
           val updates = matched
             .select(Frames.id(ev).as(GraphState.IdCol),
               lowU.lower(e).as("__nv"))
@@ -1146,7 +1177,7 @@ final class Planner(
     val low = new ExprLowering(
       joined,
       Scope.empty + (ev -> Binding.EdgeB) + (nv -> Binding.NodeB),
-      params)
+      params, enums = state.enums)
     joined
       .filter(low.lower(pred))
       .select(
@@ -1283,7 +1314,7 @@ final class Planner(
         val wcol = new ExprLowering(
           eframe,
           Scope.empty + (ev -> Binding.EdgeB),
-          params).lower(wexpr)
+          params, enums = state.enums).lower(wexpr)
         var oriented = ShortestPath.oriented(
           eframe.select(
             Frames.id(ev).as("__w_eid"),
@@ -1418,7 +1449,7 @@ final class Planner(
       df = df.filter(array_contains(Frames.f(v, GraphState.LabelsCol), l))
     }
     if (props.nonEmpty) {
-      val low = new ExprLowering(df, lf.scope, params)
+      val low = new ExprLowering(df, lf.scope, params, enums = state.enums)
       props.foreach { case (k, e) =>
         val c =
           if (df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
@@ -1634,7 +1665,7 @@ final class Planner(
       }
       val groupCols: Seq[String] = keyCols.result()
       // 2) aggregate (partial+final handled by Spark)
-      val lowPre = new ExprLowering(pre, lf.scope, params)
+      val lowPre = new ExprLowering(pre, lf.scope, params, enums = state.enums)
       val aggCols = aggSide.map { case ((alias, _), (_, e)) =>
         lowPre.lower(e).as(s"$alias${Frames.Sep}_val")
       } ++ carryCols.result().map(c => first(col(c)).as(c))
@@ -1666,11 +1697,11 @@ final class Planner(
       // WHERE / ORDER BY may reference both old vars and new aliases
       val mergedScope =
         newScope.vars.foldLeft(lf.scope)(_ + _)
-      val lowM = new ExprLowering(df, mergedScope, params)
+      val lowM = new ExprLowering(df, mergedScope, params, enums = state.enums)
       whereAfter.foreach { w => df = df.filter(lowM.lower(w)) }
 
       if (body.orderBy.nonEmpty && !body.distinct) {
-        val lowS = new ExprLowering(df, mergedScope, params)
+        val lowS = new ExprLowering(df, mergedScope, params, enums = state.enums)
         val sortCols = body.orderBy.zipWithIndex.map { case ((e, _), i) =>
           (s"__sort$i", lowS.lower(resolveAlias(e, items)))
         }
@@ -1690,11 +1721,11 @@ final class Planner(
 
     if (hasAgg) {
       // HAVING-style WHERE + ORDER BY on the aggregated frame
-      val lowA = new ExprLowering(df, newScope, params)
+      val lowA = new ExprLowering(df, newScope, params, enums = state.enums)
       whereAfter.foreach { w => df = df.filter(lowA.lower(resolveAlias(w, items))) }
       df = selectFinal(df, lowered, keep = Nil)
       if (body.orderBy.nonEmpty) {
-        val lowF = new ExprLowering(df, newScope, params)
+        val lowF = new ExprLowering(df, newScope, params, enums = state.enums)
         val order = body.orderBy.map { case (e, asc) =>
           val c = lowF.lower(resolveAlias(e, items))
           if (asc) c.asc_nulls_last else c.desc_nulls_first
@@ -1704,7 +1735,7 @@ final class Planner(
     } else if (body.distinct) {
       df = df.dropDuplicates()
       if (body.orderBy.nonEmpty) {
-        val lowF = new ExprLowering(df, newScope, params)
+        val lowF = new ExprLowering(df, newScope, params, enums = state.enums)
         val order = body.orderBy.map { case (e, asc) =>
           val c = lowF.lower(resolveAlias(e, items))
           if (asc) c.asc_nulls_last else c.desc_nulls_first

@@ -62,7 +62,12 @@ object TextSearch {
       terms: Seq[String],
       limit: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      /** Floor scores to 1/scale BEFORE ranking/limiting, so the top-limit
+        * cut uses the same key as any floored oracle — ranking on the raw
+        * double and flooring after can pick different docs at the boundary
+        * when cross-engine ULPs differ. */
+      floorScale: Option[Long] = None): DataFrame = {
     val stats = docLens.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avgdl"))
@@ -75,7 +80,7 @@ object TextSearch {
     val norm = col("tf") + lit(k1) *
       (lit(1 - b) + lit(b) * col("len") / col("avgdl"))
     val termScore = idf * (col("tf") * lit(k1 + 1)) / norm
-    postings
+    val agg = postings
       .filter(col("word").isin(terms: _*))
       .join(broadcast(dfT), "word")
       .join(docLens, idCol)
@@ -85,6 +90,9 @@ object TextSearch {
       .agg(
         sum(col("s").cast("decimal(38,12)")).cast("double").as("score"),
         count(lit(1)).as("n_terms"))
+    floorScale
+      .map(s => agg.withColumn("score", floor(col("score") * s) / s.toDouble))
+      .getOrElse(agg)
       .orderBy(col("score").desc, col(idCol))
       .limit(limit)
   }

@@ -46,6 +46,8 @@ object Procedures {
     "algo.degree" -> degree,
     "algo.betweenness" -> betweenness,
     "algo.label_propagation" -> labelPropagation,
+    "algo.louvain" -> louvain,
+    "algo.bridges" -> bridgesProc,
     "algo.katz" -> katz,
     "algo.node_similarity" -> nodeSimilarity,
     "algo.triangle_count" -> triangleCount,
@@ -546,36 +548,65 @@ object Procedures {
   private def docFrame(ctx: ProcContext): DataFrame =
     ctx.g.nodes(ctx.optString("label", "Document"))
 
+  /** Per-(graph version, label, kind) memo of built text indexes — the
+    * `degreeFrame` pattern (Planner): an index rebuilt from the corpus on
+    * every CALL is not an index. Keyed weakly on GraphState identity so
+    * superseded versions free theirs; built frames are eagerly
+    * `localCheckpoint`ed, so a second CALL against the same version plans
+    * a leaf scan instead of the scan+explode+groupBy build (see
+    * ExplainCheck). At 100 TB this memo is the in-session stand-in for a
+    * persisted index table (the reference persists tantivy indexes,
+    * text_index.hpp:37-48). */
+  private val textIndexCache =
+    new java.util.WeakHashMap[
+      GraphState,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def memoIndex(g: GraphState, key: String)(
+      build: => DataFrame): DataFrame = {
+    val perState = textIndexCache.synchronized {
+      var inner = textIndexCache.get(g)
+      if (inner == null) {
+        inner = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        textIndexCache.put(g, inner)
+      }
+      inner
+    }
+    perState.getOrElseUpdate(key, build.localCheckpoint(true))
+  }
+
   /** `CALL text.search({terms: 'w1 w2 …', limit: n})` — all-terms (AND)
     * search ranked by summed term frequency. Yields (doc_id, score). */
   def textSearch(ctx: ProcContext): DataFrame = {
     val terms = ctx.optString("terms", "")
       .trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "text.search needs terms: 'w1 w2 …'")
-    val postings = graft.llm.TextSearch
-      .invertedIndex(docFrame(ctx), "doc_id", "text")
+    val label = ctx.optString("label", "Document")
+    val postings = memoIndex(ctx.g, s"inv:$label")(
+      graft.llm.TextSearch.invertedIndex(docFrame(ctx), "doc_id", "text"))
     graft.llm.TextSearch
       .searchAll(postings, "doc_id", terms, ctx.optInt("limit", 10))
   }
 
   /** `CALL text.bm25({terms: '…', limit: n})` — any-term (OR) search,
     * Okapi BM25 ranking (tantivy's), DECIMAL-stable scores floored to 4
-    * decimals so results are bit-stable. Yields (doc_id, score, n_terms). */
+    * decimals BEFORE the top-limit cut so ranking is bit-stable too.
+    * Yields (doc_id, score, n_terms). */
   def textBm25(ctx: ProcContext): DataFrame = {
     val terms = ctx.optString("terms", "")
       .trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "text.bm25 needs terms: 'w1 w2 …'")
-    val docs = docFrame(ctx)
-    val postings = graft.llm.TextSearch.invertedIndex(docs, "doc_id", "text")
-    val lens = docs.select(
-      col("doc_id"),
-      size(graft.llm.LlmOps.words(col("text"))).cast("long").as("len"))
-    graft.llm.TextSearch
-      .searchBM25(postings, lens, "doc_id", terms, ctx.optInt("limit", 10))
-      .select(
+    val label = ctx.optString("label", "Document")
+    val postings = memoIndex(ctx.g, s"inv:$label")(
+      graft.llm.TextSearch.invertedIndex(docFrame(ctx), "doc_id", "text"))
+    val lens = memoIndex(ctx.g, s"lens:$label")(
+      docFrame(ctx).select(
         col("doc_id"),
-        (floor(col("score") * 10000) / 10000.0).as("score"),
-        col("n_terms"))
+        size(graft.llm.LlmOps.words(col("text"))).cast("long").as("len")))
+    graft.llm.TextSearch
+      .searchBM25(
+        postings, lens, "doc_id", terms, ctx.optInt("limit", 10),
+        floorScale = Some(10000L))
   }
 
   /** `CALL text.phrase({phrase: 'w1 w2 …'})` — exact phrase search over the
@@ -584,8 +615,9 @@ object Procedures {
     val phrase = ctx.optString("phrase", "")
       .trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(phrase.nonEmpty, "text.phrase needs phrase: 'w1 w2 …'")
-    val pos = graft.llm.TextSearch
-      .positionalIndex(docFrame(ctx), "doc_id", "text")
+    val label = ctx.optString("label", "Document")
+    val pos = memoIndex(ctx.g, s"pos:$label")(
+      graft.llm.TextSearch.positionalIndex(docFrame(ctx), "doc_id", "text"))
     graft.llm.TextSearch.searchPhrase(pos, "doc_id", phrase)
   }
 
@@ -609,13 +641,20 @@ object Procedures {
       col("v").as("qv"),
       col("nrm").as("qn"),
       col("code").as("qcode"))
-    val cond =
-      if (bucketed) col("code") === col("qcode") && col("vec_id") =!= col("q")
-      else col("vec_id") =!= col("q")
     val sim = round(
       dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("sim")
-    broadcast(q)
-      .join(n, cond)
+    // bucketed: EQUI-join keyed on the sign code (shuffle-hash hinted) —
+    // both sides partition by code, so a large query set scales instead of
+    // riding an unconditional broadcast; brute-force keeps the broadcast
+    // (the query side is small by construction, vec_id < qmax).
+    val joined =
+      if (bucketed)
+        q.join(
+          n.hint("shuffle_hash"),
+          col("qcode") === col("code") && col("vec_id") =!= col("q"))
+      else
+        broadcast(q).join(n, col("vec_id") =!= col("q"))
+    joined
       .select(col("q"), col("vec_id").as("c"), sim)
       .withColumn(
         "rk",
@@ -637,6 +676,96 @@ object Procedures {
     * per-node argmax, all map-side-combinable aggregates. Yields
     * (node, community).
     */
+  /** Louvain-class modularity communities — the deterministic synchronous
+    * local-move variant (one level, no hierarchy contraction) of the
+    * reference's `leiden_community_detection_module`. Each round every
+    * node considers joining a neighbor community; comparisons use the
+    * INTEGER-exact gain score `2m·w(v,C) − deg(v)·vol(C∖v)` (∝ modularity
+    * gain at fixed v, unweighted), so results are bit-stable and the
+    * DuckDB oracle mirrors them exactly. Ties → smaller community id;
+    * fixed `iterations` (default 6). Per round: two aggregations + one
+    * argmax, all map-side combinable — one shuffle family each, no
+    * all-pairs work. Yields (node, community). */
+  def louvain(ctx: ProcContext): DataFrame = {
+    val iters = ctx.optInt("iterations", 6)
+    val (nodes, edges0) = selectGraph(ctx)
+    val simple = edges0.filter(col("src") =!= col("dst"))
+    val und = simple
+      .unionByName(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nd = nodes
+      .join(deg, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .localCheckpoint(true)
+    val m2 = math.max(und.count(), 1L) // = 2m (each edge counted twice)
+    var comm = nd
+      .select(col("node"), col("deg"), col("node").as("community"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val vol = comm.groupBy("community").agg(sum("deg").as("vol"))
+      val wvc = und
+        .join(
+          comm.select(col("node").as("dst"), col("community").as("cand")),
+          Seq("dst"))
+        .groupBy(col("src").as("node"), col("cand"))
+        .agg(count(lit(1)).as("w"))
+      val own = comm.select(
+        col("node"), col("community").as("cand"), lit(0L).as("w"))
+      val best = wvc
+        .unionByName(own)
+        .groupBy("node", "cand")
+        .agg(max("w").as("w"))
+        .join(comm.select(col("node"), col("deg"), col("community")), Seq("node"))
+        .join(
+          vol.select(col("community").as("cand"), col("vol")),
+          Seq("cand"))
+        .withColumn(
+          "volx",
+          col("vol") - when(col("cand") === col("community"), col("deg"))
+            .otherwise(lit(0L)))
+        .withColumn("score", lit(m2) * col("w") - col("deg") * col("volx"))
+        .groupBy("node")
+        .agg(max(struct(col("score"), (-col("cand")).as("__neg"))).as("__b"))
+        .select(col("node"), (-col("__b")("__neg")).as("community"))
+      comm = nd
+        .join(best, Seq("node"), "left_outer")
+        .select(
+          col("node"),
+          col("deg"),
+          coalesce(col("community"), col("node")).as("community"))
+        .localCheckpoint(true)
+    }
+    und.unpersist(blocking = false)
+    comm.select(col("node"), col("community"))
+  }
+
+  /** `CALL algo.bridges({type, weightProp, minWeight})` — exact bridges of
+    * the undirected selected edge set via [[graft.operators.Bridges]]
+    * (cycle contraction + tree pruning, O(log n) rounds). Yields
+    * (src, dst) per bridge edge, canonical src < dst. */
+  def bridgesProc(ctx: ProcContext): DataFrame = {
+    val tpe = ctx.optString("type", "KNOWS")
+    val e0 = ctx.g.edges(tpe)
+    val filtered =
+      (ctx.opts.get("weightProp"), ctx.optDouble("minWeight")) match {
+        case (Some(p), Some(w)) => e0.filter(col(p.toString) >= w)
+        case _ => e0
+      }
+    val edges = filtered
+      .select(
+        col(IdCol).as("edge_id"),
+        col(SrcCol).as("src"),
+        col(DstCol).as("dst"))
+      .localCheckpoint(true)
+    val flags = graft.operators.Bridges(ctx.spark, edges)
+    edges
+      .join(flags.filter(col("is_bridge")), Seq("edge_id"), "left_semi")
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+  }
+
   def labelPropagation(ctx: ProcContext): DataFrame = {
     val iters = ctx.optInt("iterations", 10)
     val (nodes, edges) = selectGraph(ctx)

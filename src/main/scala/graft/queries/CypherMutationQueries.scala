@@ -128,6 +128,33 @@ object CypherMutationQueries {
       },
       Some("""SELECT (SELECT count(*) FROM supplier WHERE s_acctbal < 0) AS n_nulled,
              |  CAST(5 AS BIGINT) AS n_counters,
-             |  CAST(150 AS BIGINT) AS v_sum""".stripMargin))
+             |  CAST(150 AS BIGINT) AS v_sum""".stripMargin)),
+
+    // CREATE ENUM + Name::Value literals + toEnum validation
+    // (CreateEnumQuery ast.hpp:4131; enum_store.hpp; ToEnum
+    // awesome_memgraph_functions.cpp:1816). Values surface as stable
+    // `Name::Value` strings — orderable and oracle-comparable.
+    QueryDef(
+      "cy_enum",
+      (s, dir) => {
+        val r = Cypher.execute(
+          s,
+          g(s, dir),
+          "CREATE ENUM Tier VALUES { Bronze, Silver, Gold }")
+        Cypher.run(
+          s,
+          r.graph,
+          """MATCH (c:Customer) WHERE c.c_custkey < 60
+            |WITH c, CASE WHEN c.c_acctbal < 0 THEN toEnum('Tier', 'Bronze')
+            |             WHEN c.c_acctbal < 5000 THEN Tier::Silver
+            |             ELSE Tier::Gold END AS tier
+            |RETURN tier, count(*) AS n ORDER BY tier""".stripMargin)
+      },
+      Some("""SELECT tier, count(*) AS n FROM (
+             |  SELECT CASE WHEN c_acctbal < 0 THEN 'Tier::Bronze'
+             |              WHEN c_acctbal < 5000 THEN 'Tier::Silver'
+             |              ELSE 'Tier::Gold' END AS tier
+             |  FROM customer WHERE c_custkey < 60)
+             |GROUP BY tier ORDER BY tier""".stripMargin))
   )
 }

@@ -592,14 +592,13 @@ object LlmQueries {
         val lens = docs(s, dir).select(
           col("doc_id"),
           size(words(col("text"))).cast("long").as("len"))
+        // floor BEFORE rank/limit so the top-10 cut matches the oracle's
+        // floored ordering key exactly
         graft.llm.TextSearch
           .searchBM25(
             postings, lens, "doc_id",
-            Seq("hash", "scan", "vector"), limit = 10)
-          .select(
-            col("doc_id"),
-            (floor(col("score") * 10000) / 10000.0).as("score"),
-            col("n_terms"))
+            Seq("hash", "scan", "vector"), limit = 10,
+            floorScale = Some(10000L))
       },
       Some(s"""WITH wx AS MATERIALIZED (
               |  SELECT doc_id, unnest(string_split($oNorm, ' ')) AS w

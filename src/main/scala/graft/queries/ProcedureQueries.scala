@@ -421,6 +421,31 @@ object ProcedureQueries {
              |  array_to_string(list_sort(list(r_name)), ',') AS names
              |FROM region""".stripMargin)),
 
+    // LOAD CSV as a Cypher CLAUSE (LoadCsv ast.hpp:3431 → the parser's
+    // loadCsvClause → schema-on-read string columns, row bound as a
+    // map<string,string>): export → LOAD CSV … WITH HEADER AS row →
+    // aggregate row fields.
+    QueryDef(
+      "cy_load_csv",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val out = s"/root/repo/target/roundtrip/cycsv_$tag"
+        TpchGraphLoader.table(s, dir, "region")
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(out)
+        Cypher.run(
+          s,
+          g(s, dir),
+          s"""LOAD CSV FROM '$out' WITH HEADER AS row
+             |RETURN count(*) AS n,
+             |       sum(toInteger(row.r_regionkey)) AS key_sum,
+             |       text.join(collections.sort(collect(row.r_name)), ',')
+             |         AS names""".stripMargin)
+      },
+      Some("""SELECT count(*) AS n, CAST(sum(r_regionkey) AS BIGINT) AS key_sum,
+             |  array_to_string(list_sort(list(r_name)), ',') AS names
+             |FROM region""".stripMargin)),
+
     // LOAD JSONL roundtrip (operator.hpp:3000).
     QueryDef(
       "load_jsonl_roundtrip",
@@ -627,6 +652,91 @@ object ProcedureQueries {
         |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
         |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
         |                             ORDER BY sim DESC, b.vec_id) <= 3)
-        |ORDER BY q, c""".stripMargin)
+        |ORDER BY q, c""".stripMargin),
+
+    // CALL + Louvain-class modularity communities
+    // (src/mage/cpp/leiden_community_detection_module): deterministic
+    // synchronous local-move rounds with the integer-exact gain score
+    // 2m·w(v,C) − deg(v)·vol(C∖v); community-size histogram after 6
+    // rounds on the weight-thresholded KNOWS subgraph.
+    cq(
+      "call_louvain",
+      """CALL algo.louvain({label: 'Customer', type: 'KNOWS',
+        |                   weightProp: 'k_weight', minWeight: 6.0,
+        |                   iterations: 6})
+        |YIELD node, community
+        |WITH community, count(*) AS sz
+        |RETURN count(*) AS n_comm, sum(sz) AS n_nodes, max(sz) AS max_sz,
+        |       min(sz) AS min_sz,
+        |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single""".stripMargin,
+      louvainOracle(6)),
+
+    // CALL + bridges (src/mage/cpp/bridges_module): cycle-contraction +
+    // tree-pruning exact bridges. At minWeight 8 the thresholded KNOWS
+    // subgraph is a forest (periodic weight pattern → components of ≤ 4
+    // nodes at ANY scale factor), so every edge is a bridge; the operator
+    // still has to prove that by full contraction. Cyclic-graph behavior
+    // is covered by BridgesSpec.
+    cq(
+      "call_bridges",
+      s"""CALL algo.bridges({type: 'KNOWS',
+         |                   weightProp: 'k_weight', minWeight: 8.0})
+         |YIELD src, dst
+         |RETURN src - $CustBase AS a, dst - $CustBase AS b
+         |ORDER BY a, b""".stripMargin,
+      s"""WITH ${knowsEdges(8)}
+         |SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+         |ORDER BY a, b""".stripMargin)
   )
+
+  /** Louvain DP: one CTE chain per round — community volumes, per-(node,
+    * candidate-community) edge counts (own community always a candidate at
+    * w ≥ 0), integer gain score, argmax by (score desc, community asc).
+    * Mirrors Procedures.louvain exactly. */
+  private def louvainOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"""vol$i AS MATERIALIZED (
+         |  SELECT community, sum(deg) AS vol FROM $p GROUP BY community),
+         |cd$i AS MATERIALIZED (
+         |  SELECT node, cand, max(w) AS w FROM (
+         |    SELECT u.src AS node, q.community AS cand, count(*) AS w
+         |    FROM und u JOIN $p q ON q.node = u.dst
+         |    GROUP BY u.src, q.community
+         |    UNION ALL
+         |    SELECT node, community, 0 FROM $p)
+         |  GROUP BY node, cand),
+         |c$i AS MATERIALIZED (
+         |  SELECT node, deg, community FROM (
+         |    SELECT d.node, q.deg, d.cand AS community,
+         |      row_number() OVER (PARTITION BY d.node ORDER BY
+         |        (SELECT m2 FROM mm) * d.w
+         |          - q.deg * (v.vol - CASE WHEN d.cand = q.community
+         |                                  THEN q.deg ELSE 0 END) DESC,
+         |        d.cand ASC) AS rn
+         |    FROM cd$i d
+         |    JOIN $p q ON q.node = d.node
+         |    JOIN vol$i v ON v.community = d.cand)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH ${knowsEdges(6)},
+       |und AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+       |  WHERE src <> dst),
+       |mm AS (SELECT greatest(count(*), 1) AS m2 FROM und),
+       |allp AS MATERIALIZED (SELECT c_custkey AS node FROM customer),
+       |degs AS MATERIALIZED (
+       |  SELECT a.node, coalesce(d.deg, 0) AS deg FROM allp a
+       |  LEFT JOIN (SELECT src AS node, count(*) AS deg FROM und
+       |             GROUP BY src) d ON d.node = a.node),
+       |c0 AS MATERIALIZED (SELECT node, deg, node AS community FROM degs),
+       |${rounds.mkString(",\n")},
+       |sizes AS (
+       |  SELECT community, count(*) AS sz FROM c$iters GROUP BY community)
+       |SELECT count(*) AS n_comm, CAST(sum(sz) AS BIGINT) AS n_nodes,
+       |       max(sz) AS max_sz, min(sz) AS min_sz,
+       |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single
+       |FROM sizes""".stripMargin
+  }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraphState
+import graft.procedures.{ProcContext, Procedures}
+
+/** Text index memoization: one build per (graph version, label) — a CALL's
+  * own plan must not contain the scan+explode+groupBy index construction
+  * (it runs once inside the memo and is checkpointed to a leaf). */
+class TextIndexMemoSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docGraph(): GraphState = {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the lazy dog naps"),
+      (3L, "quick dog quick fox"))
+      .toDF("doc_id", "text")
+      .withColumn("_id", col("doc_id"))
+      .withColumn("_labels", array(lit("Document")))
+      .cache()
+    GraphState(Map("Document" -> (() => docs)), Map.empty)
+  }
+
+  test("second text.search CALL against one version plans no index build") {
+    val g = docGraph()
+    val ctx = ProcContext(spark, g, Seq(Map("terms" -> "quick fox")))
+    Procedures.textSearch(ctx).collect() // first call builds + memoizes
+    val plan2 =
+      Procedures.textSearch(ctx).queryExecution.executedPlan.toString
+    assert(
+      !plan2.contains("Generate"),
+      s"second CALL still inlines the posting-list explode:\n$plan2")
+    val rows = Procedures.textSearch(ctx).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("a new graph version gets its own index") {
+    val g1 = docGraph()
+    val g2 = docGraph()
+    val r1 = Procedures
+      .textSearch(ProcContext(spark, g1, Seq(Map("terms" -> "dog"))))
+      .collect()
+    val r2 = Procedures
+      .textSearch(ProcContext(spark, g2, Seq(Map("terms" -> "dog"))))
+      .collect()
+    assert(r1.map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(r2.map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+}
