@@ -39,16 +39,12 @@ final class ExprLowering(
     case Lit(v) => lit(v)
     case ListLit(items) => array(items.map(lower): _*)
     case MapLit(items) =>
-      // Heterogeneous value types: Spark's CreateMap coercion would pick an
-      // arbitrary common type (silently nulling e.g. strings cast to
-      // bigint); property maps are dynamically typed in the reference, so
-      // normalize mixed-type maps to map<string,string> explicitly.
-      val lowered = items.map { case (k, v) => k -> lower(v) }
-      val types = lowered.flatMap { case (_, c) => typeOf(c) }.distinct
-      val vals =
-        if (types.size <= 1) lowered
-        else lowered.map { case (k, c) => k -> c.cast("string") }
-      map(vals.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
+      // Cypher maps are heterogeneous RECORDS — lower to a named struct so
+      // every value keeps its own type ({a: 1, b: 'x'} must yield a LONG
+      // and a STRING; the earlier map<string,string> normalization
+      // stringified mixed-type values). Empty {} stays an empty map.
+      if (items.isEmpty) map()
+      else struct(items.map { case (k, v) => lower(v).as(k) }: _*)
     case Param(name) =>
       lit(params.getOrElse(
         name,
@@ -113,6 +109,14 @@ final class ExprLowering(
       val i = lower(idx)
       typeOf(c) match {
         case Some(_: MapType) => element_at(c, i)
+        case Some(s: StructType) =>
+          idx match {
+            case Lit(k: String) if s.fieldNames.contains(k) => c.getField(k)
+            case Lit(_: String) => lit(null)
+            case _ =>
+              throw new UnsupportedOperationException(
+                "dynamic key access on a record-typed map")
+          }
         case _ =>
           // Cypher lists are 0-based, element_at is 1-based; negatives from end.
           element_at(c, when(i >= 0, i + 1).otherwise(i).cast("int"))
@@ -206,7 +210,8 @@ final class ExprLowering(
 
     // Map projection (ast.hpp map-projection nodes): struct over the
     // variable's promoted property columns — `.*` splices all properties
-    // (meta columns excluded), missing `.k` selectors yield NULL.
+    // (meta columns excluded), missing `.k` selectors yield NULL. A NULL
+    // subject (OPTIONAL MATCH miss) projects to NULL, not a record.
     case MapProjection(v, items) =>
       val metaKeys = Set("_id", "_labels", "_src", "_dst", "_type")
       val fields: Seq[Column] = items.flatMap {
@@ -224,7 +229,7 @@ final class ExprLowering(
         case ProjKV(k, e) => Seq(lower(e).as(k))
         case ProjVar(n) => Seq(lower(Var(n)).as(n))
       }
-      struct(fields: _*)
+      when(lower(Var(v)).isNull, lit(null)).otherwise(struct(fields: _*))
 
     case CountStar() => count(lit(1))
 
@@ -247,13 +252,27 @@ final class ExprLowering(
   def isPathVar(n: String): Boolean =
     scope.get(n).contains(Binding.PathB)
 
-  /** Whole node/edge value as a struct (for RETURN n, n = m, properties(n)).
+  /** Whole node/edge value as a struct (for RETURN n, n = m).
     * An unbound entity (OPTIONAL MATCH miss) is NULL, not a struct of NULL
     * fields — its id column is the bind witness. */
   def varStruct(n: String): Column = {
     val cols = Frames.colsOf(df, n)
     val s = struct(cols.map(c =>
       col(c).as(c.substring(n.length + Frames.Sep.length))): _*)
+    when(Frames.id(n).isNull, lit(null)).otherwise(s)
+  }
+
+  /** PROPERTY map of an entity (`properties(n)`) — meta columns excluded
+    * (the reference returns only the property store, not id/labels);
+    * NULL when unbound, empty map when the entity has no properties. */
+  def varPropsStruct(n: String): Column = {
+    val meta = Set("_id", "_labels", "_src", "_dst", "_type")
+    val cols = Frames.colsOf(df, n).filterNot(c =>
+      meta(c.substring(n.length + Frames.Sep.length)))
+    val s =
+      if (cols.isEmpty) map()
+      else struct(cols.map(c =>
+        col(c).as(c.substring(n.length + Frames.Sep.length))): _*)
     when(Frames.id(n).isNull, lit(null)).otherwise(s)
   }
 

@@ -102,7 +102,8 @@ object Functions {
           .getOrElse(a(0).getField(GraphState.TypeCol))
       case "startnode" => nodeEdgeVar(0).map(Frames.src).getOrElse(a(0).getField(GraphState.SrcCol))
       case "endnode" => nodeEdgeVar(0).map(Frames.dst).getOrElse(a(0).getField(GraphState.DstCol))
-      case "properties" => nodeEdgeVar(0).map(ctx.varStruct).getOrElse(a(0))
+      case "properties" =>
+        nodeEdgeVar(0).map(ctx.varPropsStruct).getOrElse(a(0))
       case "keys" =>
         nodeEdgeVar(0) match {
           case Some(n) =>
@@ -111,11 +112,25 @@ object Functions {
               .map(_.split(Frames.Sep, 2)(1))
               .filterNot(_.startsWith("_"))
             array(props.map(lit): _*)
-          case None => map_keys(a(0))
+          case None =>
+            argType(0) match {
+              case Some(s: StructType) =>
+                array(s.fieldNames.toSeq.map(lit): _*)
+              case _ => map_keys(a(0))
+            }
         }
-      // values(map) — awesome_memgraph_functions.cpp:2099; node/edge form
-      // yields the property values in key order (struct field order).
-      case "values" => map_values(a(0))
+      // values(map) — awesome_memgraph_functions.cpp:2099; record-typed
+      // maps yield values in field order (string-normalized when the
+      // field types are mixed — arrays are monomorphic).
+      case "values" =>
+        argType(0) match {
+          case Some(s: StructType) =>
+            val fields = s.fieldNames.toSeq.map(f => a(0).getField(f))
+            val types = s.fields.map(_.dataType).distinct
+            if (types.length <= 1) array(fields: _*)
+            else array(fields.map(_.cast("string")): _*)
+          case _ => map_values(a(0))
+        }
 
       // ---- paths (ConstructNamedPath, operator.hpp:1255) ----
       // Entity-struct arrays when the path carries them (fixed-length
@@ -228,6 +243,7 @@ object Functions {
           case _ =>
             argType(0) match {
               case Some(StringType) => length(a(0)).cast("long")
+              case Some(s: StructType) => lit(s.size.toLong)
               case _ => size(a(0)).cast("long")
             }
         }

@@ -458,9 +458,19 @@ final class Planner(
         r.variable.toSeq ++ n.variable.toSeq
       }
     val shared = patVars.filter(lf.scope.contains).distinct
-    require(
-      shared.nonEmpty,
-      "pattern comprehension must reference an outer variable")
+    if (shared.isEmpty) {
+      // UNCORRELATED comprehension: one list over the whole pattern match,
+      // cross-joined in (a single row either way — empty match gives [])
+      var (sub, subEdges) = planPattern(initial, pc.pattern)
+      sub = edgeUniqueness(sub, subEdges)
+      pc.where.foreach { w => sub = planWhere(sub, w) }
+      val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
+      val outCol = s"$name${Frames.Sep}_val"
+      val listDf = sub.df.agg(collect_list(low.lower(pc.proj)).as(outCol))
+      val df =
+        if (lf.df.columns.isEmpty) listDf else lf.df.crossJoin(listDf)
+      return LF(df, lf.scope + (name -> Binding.ValueB))
+    }
     val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
     val seedScope =
       Scope(lf.scope.vars.filter { case (nm, _) => shared.contains(nm) })
@@ -635,15 +645,30 @@ final class Planner(
       LF(cur.df.withColumn(s"$v${Frames.Sep}$key", value), cur.scope)
     // SetNestedProperty (operator.hpp:1490): SET n.p.k1…kn = v.
     case (cur, SetNestedProp(v, path, e)) =>
-      require(
-        cur.scope.get(v).contains(Binding.NodeB),
-        s"nested SET supported on node bindings only: $v")
       val low = lowering(cur)
-      val updates = dedupUpdates(cur, low, v, low.lower(e))
+      val value = low.lower(e)
+      val updates = dedupUpdates(cur, low, v, value)
         .withColumn("__hit", lit(1))
-      state = Mutations.setNestedPropertyByIds(
-        state, updates, path.head, path.tail)
-      cur // nested in-frame visibility not reflected (reads via new state)
+      cur.scope.get(v) match {
+        case Some(Binding.NodeB) =>
+          state = Mutations.setNestedPropertyByIds(
+            state, updates, path.head, path.tail)
+        case Some(Binding.EdgeB) =>
+          state = Mutations.setEdgeNestedPropertyByIds(
+            state, updates, path.head, path.tail)
+        case other =>
+          throw new UnsupportedOperationException(s"nested SET on $other")
+      }
+      // in-frame visibility (Accumulate): rebuild the bound record column
+      val colName = s"$v${Frames.Sep}${path.head}"
+      val (curCol, t) =
+        if (cur.df.columns.contains(colName))
+          (col(colName), cur.df.schema(colName).dataType)
+        else (lit(null), org.apache.spark.sql.types.NullType: org.apache.spark.sql.types.DataType)
+      LF(
+        cur.df.withColumn(
+          colName, Mutations.nestedSet(curCol, t, path.tail, value)),
+        cur.scope)
     case (cur, SetLabelsItem(v, labels)) =>
       state = Mutations.updateLabelsByIds(
         state,
@@ -751,12 +776,28 @@ final class Planner(
         else cur
       // RemoveNestedProperty (operator.hpp:1671): REMOVE n.p.k1…kn.
       case (cur, RemoveNestedProp(v, path)) =>
-        state = Mutations.removeNestedPropertyByIds(
-          state,
-          cur.df.select(Frames.id(v)).distinct(),
-          path.head,
-          path.tail)
-        cur
+        val ids = cur.df.select(Frames.id(v)).distinct()
+        cur.scope.get(v) match {
+          case Some(Binding.EdgeB) =>
+            state = Mutations.removeEdgeNestedPropertyByIds(
+              state, ids, path.head, path.tail)
+          case _ =>
+            state = Mutations.removeNestedPropertyByIds(
+              state, ids, path.head, path.tail)
+        }
+        // in-frame visibility: NULL the field on the bound record column
+        val colName = s"$v${Frames.Sep}${path.head}"
+        if (cur.df.columns.contains(colName))
+          LF(
+            cur.df.withColumn(
+              colName,
+              Mutations.nestedSet(
+                col(colName),
+                cur.df.schema(colName).dataType,
+                path.tail,
+                lit(null))),
+            cur.scope)
+        else cur
       case (cur, RemoveLabelsItem(v, labels)) =>
         state = Mutations.updateLabelsByIds(
           state,
@@ -1594,6 +1635,54 @@ final class Planner(
     case _ => s"col$i"
   }
 
+  /** Rename free variable references (including pattern-bound positions
+    * inside comprehensions/predicates) through `m` — used to resolve
+    * projection aliases back to their source vars. Variables locally
+    * bound by a construct (lambda/comprehension vars) shadow naturally
+    * because they are never alias keys. */
+  private def substVars(e: Expr, m: Map[String, String]): Expr = {
+    if (m.isEmpty) return e
+    def s(x: Expr): Expr = substVars(x, m)
+    def sPart(p: PatternPart): PatternPart = p.copy(
+      start = sNode(p.start),
+      hops = p.hops.map { case (r, n) => (sRel(r), sNode(n)) })
+    def sNode(n: NodePattern): NodePattern = n.copy(
+      variable = n.variable.map(v => m.getOrElse(v, v)),
+      props = n.props.map { case (k, v) => (k, s(v)) })
+    def sRel(r: RelPattern): RelPattern = r.copy(
+      variable = r.variable.map(v => m.getOrElse(v, v)),
+      props = r.props.map { case (k, v) => (k, s(v)) })
+    e match {
+      case Var(n) => Var(m.getOrElse(n, n))
+      case Prop(x, k) => Prop(s(x), k)
+      case BinOp(o, a, b) => BinOp(o, s(a), s(b))
+      case Not(x) => Not(s(x))
+      case Neg(x) => Neg(s(x))
+      case IsNull(x, n) => IsNull(s(x), n)
+      case FnCall(n, d, as) => FnCall(n, d, as.map(s))
+      case CaseExpr(subj, ws, d) =>
+        CaseExpr(subj.map(s), ws.map { case (a, b) => (s(a), s(b)) }, d.map(s))
+      case Subscript(a, b) => Subscript(s(a), s(b))
+      case Slice(a, b, c) => Slice(s(a), b.map(s), c.map(s))
+      case ListLit(is) => ListLit(is.map(s))
+      case MapLit(is) => MapLit(is.map { case (k, v) => (k, s(v)) })
+      case MapProjection(v, items) =>
+        MapProjection(m.getOrElse(v, v), items.map {
+          case ProjKV(k, x) => ProjKV(k, s(x))
+          case ProjVar(n) => ProjVar(m.getOrElse(n, n))
+          case other => other
+        })
+      case Reduce(acc, i, v, l, st) => Reduce(acc, s(i), v, s(l), s(st))
+      case ListComprehension(v, l, w, p) =>
+        ListComprehension(v, s(l), w.map(s), p.map(s))
+      case Quantifier(k, v, l, p) => Quantifier(k, v, s(l), s(p))
+      case PatternPredicate(p, neg) => PatternPredicate(sPart(p), neg)
+      case PatternComprehension(p, w, proj) =>
+        PatternComprehension(sPart(p), w.map(s), s(proj))
+      case other => other
+    }
+  }
+
   private def project(
       lf0: LF,
       body: ProjectionBody,
@@ -1608,8 +1697,33 @@ final class Planner(
         body.items.zipWithIndex.map { case (ReturnItem(e, as), i) =>
           (as.getOrElse(deriveAlias(e, i)), e)
         }
-    // RollUpApply pre-pass: pattern comprehensions become computed columns
-    val (lf, items) = rewritePatternComprehensions(lf0, itemsRaw)
+    // RollUpApply pre-pass: pattern comprehensions (and degree() calls)
+    // become computed columns — covering the projection items AND the
+    // trailing WHERE / ORDER BY expressions (the reference plans one
+    // RollUpApply wherever the comprehension appears). WHERE/ORDER BY see
+    // the projection's ALIASES, but the pre-pass runs on the
+    // PRE-projection frame — substitute entity-passthrough aliases back
+    // to their source vars (`WITH p AS q WHERE …q…` evaluates against p's
+    // still-unrenamed columns; without this, `(q)` inside a comprehension
+    // looks unbound and would mis-plan as uncorrelated).
+    val aliasBack: Map[String, String] = itemsRaw.collect {
+      case (alias, Var(n)) if alias != n && lf0.scope.contains(n) => alias -> n
+    }.toMap
+    val obRaw = body.orderBy
+    val waRaw = whereAfter.toSeq.map(e => ("__wa", substVars(e, aliasBack)))
+    val obItems = obRaw.zipWithIndex.map { case ((e, _), i) =>
+      (s"__ob$i", substVars(e, aliasBack))
+    }
+    val (lf, rewrittenAll) =
+      rewritePatternComprehensions(lf0, itemsRaw ++ waRaw ++ obItems)
+    val items = rewrittenAll.take(itemsRaw.size)
+    val whereAfter2: Option[Expr] = rewrittenAll
+      .slice(itemsRaw.size, itemsRaw.size + waRaw.size)
+      .headOption.map(_._2)
+    val orderBy2: Seq[(Expr, Boolean)] = rewrittenAll
+      .drop(itemsRaw.size + waRaw.size)
+      .map(_._2)
+      .zip(obRaw.map(_._2))
     val low0 = lowering(lf)
 
     val hasAgg = items.exists { case (_, e) => low0.hasAgg(e) }
@@ -1698,35 +1812,46 @@ final class Planner(
       val mergedScope =
         newScope.vars.foldLeft(lf.scope)(_ + _)
       val lowM = new ExprLowering(df, mergedScope, params, enums = state.enums)
-      whereAfter.foreach { w => df = df.filter(lowM.lower(w)) }
+      // WHERE applies to the WITH's OUTPUT stream — i.e. AFTER ORDER BY /
+      // SKIP / LIMIT (the reference stacks Filter on top of the whole WITH
+      // pipeline); evaluate the predicate here (pre-rename columns), carry
+      // it as a flag, filter after the limit.
+      whereAfter2.foreach { w =>
+        df = df.withColumn("__waflag", lowM.lower(w))
+      }
+      val keepWa = if (whereAfter2.isDefined) Seq("__waflag") else Nil
 
-      if (body.orderBy.nonEmpty && !body.distinct) {
+      if (orderBy2.nonEmpty && !body.distinct) {
         val lowS = new ExprLowering(df, mergedScope, params, enums = state.enums)
-        val sortCols = body.orderBy.zipWithIndex.map { case ((e, _), i) =>
+        val sortCols = orderBy2.zipWithIndex.map { case ((e, _), i) =>
           (s"__sort$i", lowS.lower(resolveAlias(e, items)))
         }
         sortCols.foreach { case (n, c) => df = df.withColumn(n, c) }
-        val order = body.orderBy.zipWithIndex.map { case ((_, asc), i) =>
+        val order = orderBy2.zipWithIndex.map { case ((_, asc), i) =>
           if (asc) col(s"__sort$i").asc_nulls_last
           else col(s"__sort$i").desc_nulls_first
         }
         df = df.orderBy(order: _*)
         // keep sort columns until after the final select (select preserves order)
-        df = selectFinal(df, lowered, keep = sortCols.map(_._1))
+        df = selectFinal(df, lowered, keep = sortCols.map(_._1) ++ keepWa)
         df = df.drop(sortCols.map(_._1): _*)
       } else {
-        df = selectFinal(df, lowered, keep = Nil)
+        df = selectFinal(df, lowered, keep = keepWa)
       }
     }
 
     if (hasAgg) {
       // HAVING-style WHERE + ORDER BY on the aggregated frame
       val lowA = new ExprLowering(df, newScope, params, enums = state.enums)
-      whereAfter.foreach { w => df = df.filter(lowA.lower(resolveAlias(w, items))) }
-      df = selectFinal(df, lowered, keep = Nil)
-      if (body.orderBy.nonEmpty) {
+      whereAfter2.foreach { w =>
+        df = df.withColumn("__waflag", lowA.lower(resolveAlias(w, items)))
+      }
+      df = selectFinal(
+        df, lowered,
+        keep = if (whereAfter2.isDefined) Seq("__waflag") else Nil)
+      if (orderBy2.nonEmpty) {
         val lowF = new ExprLowering(df, newScope, params, enums = state.enums)
-        val order = body.orderBy.map { case (e, asc) =>
+        val order = orderBy2.map { case (e, asc) =>
           val c = lowF.lower(resolveAlias(e, items))
           if (asc) c.asc_nulls_last else c.desc_nulls_first
         }
@@ -1734,9 +1859,9 @@ final class Planner(
       }
     } else if (body.distinct) {
       df = df.dropDuplicates()
-      if (body.orderBy.nonEmpty) {
+      if (orderBy2.nonEmpty) {
         val lowF = new ExprLowering(df, newScope, params, enums = state.enums)
-        val order = body.orderBy.map { case (e, asc) =>
+        val order = orderBy2.map { case (e, asc) =>
           val c = lowF.lower(resolveAlias(e, items))
           if (asc) c.asc_nulls_last else c.desc_nulls_first
         }
@@ -1748,6 +1873,8 @@ final class Planner(
 
     body.skip.foreach { e => df = df.offset(constInt(e, "SKIP")) }
     body.limit.foreach { e => df = df.limit(constInt(e, "LIMIT")) }
+    if (df.columns.contains("__waflag"))
+      df = df.filter(col("__waflag")).drop("__waflag")
 
     if (isReturn) {
       val outCols = lowered.map {

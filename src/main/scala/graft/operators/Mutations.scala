@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, MapType, StringType}
+import org.apache.spark.sql.types.{DataType, MapType, NullType, StringType, StructType}
 
 import graft.core.GraphState
 
@@ -252,107 +252,218 @@ object Mutations {
     * nested `map<string, …>` around the value type); the value is cast to
     * the map's value type. One broadcast join + column rebuild per frame —
     * same cost shape as a flat SET. */
+  /** Null-safe value access along a nested `path` (missing segment or
+    * non-record intermediate → NULL of NullType). */
+  def nestedGet(
+      cur: Column,
+      t: DataType,
+      path: Seq[String]): (Column, DataType) =
+    path.foldLeft((cur, t)) {
+      case ((c, s: StructType), k) =>
+        s.fields.find(_.name == k) match {
+          case Some(f) => (c.getField(k), f.dataType)
+          case None => (lit(null), NullType)
+        }
+      case ((c, m: MapType), k) => (element_at(c, lit(k)), m.valueType)
+      case _ => (lit(null), NullType)
+    }
+
+  /** Rebuild a RECORD column with `path` set to `v`: sibling fields carry
+    * over, missing intermediates are created, and — unlike
+    * `Column.withField` — a NULL struct still yields a populated record
+    * (getField on NULL is NULL per field), which is what `SET n.p.k`
+    * against an absent property needs. Maps literals lower to structs
+    * (ExprLowering MapLit), so records are the canonical nested shape. */
+  def nestedSet(
+      cur: Column,
+      t: DataType,
+      path: Seq[String],
+      v: Column): Column = path match {
+    case Seq(last) =>
+      t match {
+        case s: StructType =>
+          val others = s.fields.toSeq.filter(_.name != last)
+            .map(f => cur.getField(f.name).as(f.name))
+          struct(others :+ v.as(last): _*)
+        case _ => struct(v.as(last))
+      }
+    case head +: rest =>
+      t match {
+        case s: StructType =>
+          val subT = s.fields.find(_.name == head)
+            .map(_.dataType).getOrElse(NullType)
+          val sub =
+            if (s.fieldNames.contains(head)) cur.getField(head) else lit(null)
+          val others = s.fields.toSeq.filter(_.name != head)
+            .map(f => cur.getField(f.name).as(f.name))
+          struct(others :+ nestedSet(sub, subT, rest, v).as(head): _*)
+        case _ =>
+          struct(nestedSet(lit(null), NullType, rest, v).as(head))
+      }
+  }
+
+  /** One frame's nested-path update: hit rows get `__nv` at `path`,
+    * others keep their value — the record is rebuilt uniformly (column
+    * schemas are per-frame, not per-row), with never-set NULL rows kept
+    * NULL. Legacy map-typed properties keep map upsert semantics. */
+  private def nestedApply(
+      frame: DataFrame,
+      updates: DataFrame, // columns: _id, __nv, __hit
+      prop: String,
+      path: Seq[String]): DataFrame = {
+    val joined = frame.join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+    val t: DataType =
+      if (frame.columns.contains(prop)) frame.schema(prop).dataType
+      else NullType
+    t match {
+      case m: MapType =>
+        def upsert(c: Column, mt: DataType, p: Seq[String], v: Column): Column = {
+          val valueT = mt match {
+            case MapType(_, vt, _) => vt
+            case other =>
+              throw new IllegalArgumentException(
+                s"nested SET on non-map intermediate: $other")
+          }
+          val base = coalesce(c, map().cast(mt))
+          p match {
+            case Seq(last) =>
+              map_concat(
+                map_filter(base, (k, _) => k =!= last),
+                map(lit(last), v.cast(valueT)))
+            case head +: rest =>
+              map_concat(
+                map_filter(base, (k, _) => k =!= head),
+                map(
+                  lit(head),
+                  upsert(element_at(base, lit(head)), valueT, rest, v)))
+          }
+        }
+        joined
+          .withColumn(
+            prop,
+            when(
+              col("__hit").isNotNull,
+              upsert(col(prop), m, path, col("__nv")))
+              .otherwise(col(prop)))
+          .drop("__hit", "__nv")
+      case _ =>
+        val cur =
+          if (frame.columns.contains(prop)) col(prop) else lit(null)
+        val (oldV, _) = nestedGet(cur, t, path)
+        val perRow =
+          when(col("__hit").isNotNull, col("__nv")).otherwise(oldV)
+        val merged = nestedSet(cur, t, path, perRow)
+        val mergedT = joined.select(merged.as("__m")).schema.head.dataType
+        joined
+          .withColumn(
+            prop,
+            when(cur.isNull && col("__hit").isNull, lit(null).cast(mergedT))
+              .otherwise(merged))
+          .drop("__hit", "__nv")
+    }
+  }
+
   def setNestedPropertyByIds(
       g: GraphState,
       updates: DataFrame, // columns: _id, __nv, __hit
       prop: String,
       path: Seq[String]): GraphState = {
     require(path.nonEmpty, "nested SET needs at least two path segments")
-    val vType = updates.schema("__nv").dataType
-    def synth(rest: Seq[String]): DataType =
-      rest.foldRight(vType)((_, t) => MapType(StringType, t))
-    def upsert(m: Column, mType: DataType, p: Seq[String], v: Column): Column = {
-      val valueT = mType match {
-        case MapType(_, vt, _) => vt
-        case other =>
-          throw new IllegalArgumentException(
-            s"nested SET needs a map-typed property, found $other")
-      }
-      val base = coalesce(m, map().cast(mType))
-      p match {
-        case Seq(last) =>
-          map_concat(
-            map_filter(base, (k, _) => k =!= last),
-            map(lit(last), v.cast(valueT)))
-        case head +: rest =>
-          map_concat(
-            map_filter(base, (k, _) => k =!= head),
-            map(lit(head), upsert(element_at(base, lit(head)), valueT, rest, v)))
-      }
-    }
     var out = g
     g.nodeLabels.foreach { l =>
-      out = out.withNodes(
-        l,
-        () => {
-          val n = g.nodes(l)
-          val mType: DataType =
-            if (n.columns.contains(prop)) n.schema(prop).dataType
-            else synth(path)
-          val base =
-            if (n.columns.contains(prop)) n
-            else n.withColumn(prop, lit(null).cast(mType))
-          base
-            .join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
-            .withColumn(
-              prop,
-              when(
-                col("__hit").isNotNull,
-                upsert(col(prop), mType, path, col("__nv")))
-                .otherwise(col(prop)))
-            .drop("__hit", "__nv")
-        })
+      out = out.withNodes(l, () => nestedApply(g.nodes(l), updates, prop, path))
+    }
+    out
+  }
+
+  /** SET e.p.k1…kn on edge frames (same semantics as the node form). */
+  def setEdgeNestedPropertyByIds(
+      g: GraphState,
+      updates: DataFrame, // columns: _id, __nv, __hit
+      prop: String,
+      path: Seq[String]): GraphState = {
+    require(path.nonEmpty, "nested SET needs at least two path segments")
+    var out = g
+    g.edgeTypes.foreach { t =>
+      out = out.withEdges(t, () => nestedApply(g.edges(t), updates, prop, path))
     }
     out
   }
 
   /** `REMOVE n.p.k1…kn` (`RemoveNestedProperty`, operator.hpp:1671):
-    * drops the key at the path's end; missing intermediates are no-ops. */
+    * record-typed properties NULL the field (column schemas are per-frame,
+    * so true key removal is a per-row schema change — NULL ≡ absent in the
+    * value model); map-typed properties drop the key. Missing
+    * intermediates are no-ops. */
   def removeNestedPropertyByIds(
       g: GraphState,
       ids: DataFrame,
       prop: String,
       path: Seq[String]): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
-    val key = ids.select(col(ids.columns.head).as(IdCol))
-      .withColumn("__rm", lit(1))
-    def dropAt(m: Column, mType: DataType, p: Seq[String]): Column = {
-      val valueT = mType match {
-        case MapType(_, vt, _) => vt
-        case other =>
-          throw new IllegalArgumentException(
-            s"nested REMOVE needs a map-typed property, found $other")
-      }
-      p match {
-        case Seq(last) => map_filter(m, (k, _) => k =!= last)
-        case head +: rest =>
-          when(
-            element_at(m, lit(head)).isNotNull,
-            map_concat(
-              map_filter(m, (k, _) => k =!= head),
-              map(lit(head), dropAt(element_at(m, lit(head)), valueT, rest))))
-            .otherwise(m)
-      }
-    }
     var out = g
     g.nodeLabels.foreach { l =>
-      out = out.withNodes(
-        l,
-        () => {
-          val n = g.nodes(l)
-          if (!n.columns.contains(prop)) n
-          else {
-            val mType = n.schema(prop).dataType
-            n.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
-              .withColumn(
-                prop,
-                when(col("__rm").isNotNull, dropAt(col(prop), mType, path))
-                  .otherwise(col(prop)))
-              .drop("__rm")
-          }
-        })
+      out = out.withNodes(l, () => nestedRemove(g.nodes(l), ids, prop, path))
     }
     out
+  }
+
+  /** REMOVE e.p.k1…kn on edge frames. */
+  def removeEdgeNestedPropertyByIds(
+      g: GraphState,
+      ids: DataFrame,
+      prop: String,
+      path: Seq[String]): GraphState = {
+    require(path.nonEmpty, "nested REMOVE needs at least two path segments")
+    var out = g
+    g.edgeTypes.foreach { t =>
+      out = out.withEdges(t, () => nestedRemove(g.edges(t), ids, prop, path))
+    }
+    out
+  }
+
+  private def nestedRemove(
+      frame: DataFrame,
+      ids: DataFrame,
+      prop: String,
+      path: Seq[String]): DataFrame = {
+    if (!frame.columns.contains(prop)) return frame
+    frame.schema(prop).dataType match {
+      case mType: MapType =>
+        val key = ids.select(col(ids.columns.head).as(IdCol))
+          .withColumn("__rm", lit(1))
+        def dropAt(m: Column, mt: DataType, p: Seq[String]): Column = {
+          val valueT = mt match {
+            case MapType(_, vt, _) => vt
+            case other =>
+              throw new IllegalArgumentException(
+                s"nested REMOVE on non-map intermediate: $other")
+          }
+          p match {
+            case Seq(last) => map_filter(m, (k, _) => k =!= last)
+            case head +: rest =>
+              when(
+                element_at(m, lit(head)).isNotNull,
+                map_concat(
+                  map_filter(m, (k, _) => k =!= head),
+                  map(
+                    lit(head),
+                    dropAt(element_at(m, lit(head)), valueT, rest))))
+                .otherwise(m)
+          }
+        }
+        frame.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+          .withColumn(
+            prop,
+            when(col("__rm").isNotNull, dropAt(col(prop), mType, path))
+              .otherwise(col(prop)))
+          .drop("__rm")
+      case _ =>
+        val updates = ids.select(col(ids.columns.head).as(IdCol))
+          .withColumn("__nv", lit(null))
+          .withColumn("__hit", lit(1))
+        nestedApply(frame, updates, prop, path)
+    }
   }
 
   /** REMOVE n.prop for the given ids: property → NULL on matched nodes. */

@@ -249,9 +249,9 @@ object Round3Queries {
     // Nested properties (SetNestedProperty operator.hpp:1490,
     // RemoveNestedProperty :1671): a map-valued property gets a key set
     // through a path (intermediate maps created on demand, including the
-    // property itself), another key removed; reads go through element_at
-    // chains. Map literals coerce values to a common Spark type (string
-    // here), mirrored by the oracle casts.
+    // property itself), another key removed; reads go through record
+    // field chains. Map literals lower to named structs, so every value
+    // keeps its own type (tier/score stay BIGINT).
     QueryDef(
       "cy_set_nested",
       (s, dir) => {
@@ -283,8 +283,8 @@ object Round3Queries {
             |ORDER BY name""".stripMargin)
       },
       Some("""SELECT r_name AS name,
-             |  CAST(r_regionkey + 1 AS VARCHAR) AS tier,
-             |  CASE WHEN r_regionkey < 3 THEN CAST(r_regionkey * 10 AS VARCHAR)
+             |  CAST(r_regionkey + 1 AS BIGINT) AS tier,
+             |  CASE WHEN r_regionkey < 3 THEN CAST(r_regionkey * 10 AS BIGINT)
              |       END AS score,
              |  CASE WHEN r_regionkey = 1 THEN NULL ELSE 'seed' END AS tag,
              |  CASE WHEN r_regionkey = 2 THEN CAST(14 AS BIGINT) END AS deep

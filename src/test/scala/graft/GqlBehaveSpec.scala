@@ -28,7 +28,7 @@ class GqlBehaveSpec extends SparkTestBase {
   // passes into skips fails the floor, not just wrong answers.
   // map_operations.feature is all map-valued cells (not comparable here).
   private val targets: Seq[(String, Int)] = Seq(
-    "aggregations.feature" -> 42,
+    "aggregations.feature" -> 44,
     "case.feature" -> 10,
     "with.feature" -> 21,
     "union.feature" -> 14,
@@ -38,19 +38,19 @@ class GqlBehaveSpec extends SparkTestBase {
     "create.feature" -> 22,
     "delete.feature" -> 10,
     "update_clauses.feature" -> 10,
-    "map_projection.feature" -> 1,
-    "nested_property_update.feature" -> 6,
+    "map_projection.feature" -> 4,
+    "nested_property_update.feature" -> 28,
     "match.feature" -> 33,
     "foreach.feature" -> 6,
     "merge.feature" -> 16,
-    "functions.feature" -> 79,
-    "list_comprehension.feature" -> 10,
-    "map_operations.feature" -> 0,
-    "map.feature" -> 1,
+    "functions.feature" -> 81,
+    "list_comprehension.feature" -> 12,
+    "map_operations.feature" -> 4,
+    "map.feature" -> 11,
     "patterns.feature" -> 15,
-    "subqueries.feature" -> 23,
+    "subqueries.feature" -> 24,
     "parameters.feature" -> 3,
-    "pattern_comprehensions.feature" -> 8,
+    "pattern_comprehensions.feature" -> 24,
     "cartesian.feature" -> 31,
     "memgraph_bfs.feature" -> 3,
     "memgraph_wshortest.feature" -> 6,
@@ -201,6 +201,8 @@ class GqlBehaveSpec extends SparkTestBase {
   private case class BV(b: Boolean) extends V
   private case object NullV extends V
   private case class LV(items: Seq[V]) extends V
+  /** Map value — `{k: v, …}` cells and map/struct results. */
+  private case class MV(entries: Map[String, V]) extends V
   /** Graph entity: node (labels) or relationship (type), with non-null
     * properties — the gherkin `(:L {k: v})` / `[:T {k: v}]` notation. */
   private case class EV(
@@ -263,7 +265,21 @@ class GqlBehaveSpec extends SparkTestBase {
           val vs = parts.map(parseCell)
           if (vs.forall(_.isDefined)) Some(LV(vs.flatten)) else None
         }
-      case _ => None // maps, paths
+      case c if c.startsWith("{") && c.endsWith("}") =>
+        val inner = c.substring(1, c.length - 1).trim
+        if (inner.isEmpty) Some(MV(Map.empty))
+        else {
+          val kvs = splitTop(inner).map { part =>
+            val idx = part.indexOf(':')
+            if (idx < 0) None
+            else
+              parseCell(part.substring(idx + 1)).map(v =>
+                part.substring(0, idx).trim
+                  .stripPrefix("'").stripSuffix("'") -> v)
+          }
+          if (kvs.forall(_.isDefined)) Some(MV(kvs.flatten.toMap)) else None
+        }
+      case _ => None // paths
     }
   }
 
@@ -291,6 +307,8 @@ class GqlBehaveSpec extends SparkTestBase {
     case BV(b) => b
     case NullV => null
     case LV(items) => items.map(fromV)
+    case MV(m) => m.map { case (k, x) => k -> fromV(x) }
+    case e: EV => e // entities are never parameter values
   }
 
   private def sparkV(a: Any): Option[V] = a match {
@@ -307,6 +325,11 @@ class GqlBehaveSpec extends SparkTestBase {
     case xs: scala.collection.Seq[_] =>
       val vs = xs.map(sparkV)
       if (vs.forall(_.isDefined)) Some(LV(vs.flatten.toSeq)) else None
+    case m: scala.collection.Map[_, _] =>
+      val kvs = m.toSeq.map { case (k, v) =>
+        sparkV(v).map(k.toString -> _)
+      }
+      if (kvs.forall(_.isDefined)) Some(MV(kvs.flatten.toMap)) else None
     case r: org.apache.spark.sql.Row if r.schema != null =>
       val fields = r.schema.fieldNames.toSeq
       def props(meta: Set[String]): Option[Map[String, V]] = {
@@ -324,7 +347,18 @@ class GqlBehaveSpec extends SparkTestBase {
       else if (fields.contains("_type"))
         props(Set("_id", "_src", "_dst", "_type")).map(ps =>
           EV(edge = true, Set(r.getAs[String]("_type")), ps))
-      else None // plain struct/map values — not comparable here
+      else {
+        // plain struct (map projection / MapLit result): compare as a map
+        // with NULL fields kept (a projection of a missing property IS a
+        // null entry, not an absent key)
+        val kvs = fields.map { f =>
+          Option(r.getAs[Any](f)) match {
+            case Some(v) => sparkV(v).map(f -> _)
+            case None => Some(f -> (NullV: V))
+          }
+        }
+        if (kvs.forall(_.isDefined)) Some(MV(kvs.flatten.toMap)) else None
+      }
     case _ => None
   }
 
@@ -337,6 +371,13 @@ class GqlBehaveSpec extends SparkTestBase {
     case (EV(e1, l1, p1), EV(e2, l2, p2)) =>
       e1 == e2 && l1 == l2 && p1.keySet == p2.keySet &&
         p1.forall { case (k, v) => vEq(v, p2(k)) }
+    case (MV(m1), MV(m2)) =>
+      // a NULL entry and an absent key are interchangeable across engines
+      // (memgraph prints maps without null entries in some shapes)
+      val keys = m1.keySet ++ m2.keySet
+      keys.forall { k =>
+        vEq(m1.getOrElse(k, NullV), m2.getOrElse(k, NullV))
+      }
     case _ => a == b
   }
 
