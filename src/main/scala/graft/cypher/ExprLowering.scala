@@ -278,6 +278,25 @@ final class ExprLowering(
 
   def varCols(n: String): Seq[String] = Frames.colsOf(df, n)
 
+  /** Array of entity structs over a set of bound vars with a UNIFIED
+    * schema (field union, NULL-padded) — `project([x, z], …)` needs
+    * heterogeneous entities in one array. Unbound entities (OPTIONAL
+    * MATCH misses) become NULL elements. */
+  def entityValuesArray(vars: Seq[String]): Column = {
+    val suffixes = scala.collection.mutable.LinkedHashSet.empty[String]
+    vars.foreach(v =>
+      Frames.colsOf(df, v).foreach(c =>
+        suffixes += c.substring(v.length + Frames.Sep.length)))
+    val fields = suffixes.toSeq
+    array(vars.map { v =>
+      val s = struct(fields.map { f =>
+        val cn = s"$v${Frames.Sep}$f"
+        (if (df.columns.contains(cn)) col(cn) else lit(null)).as(f)
+      }: _*)
+      when(Frames.id(v).isNull, lit(null)).otherwise(s)
+    }: _*)
+  }
+
   private def isNodeOrEdge(e: Expr): Option[String] = e match {
     case Var(n)
         if scope.get(n).exists(b => b == Binding.NodeB || b == Binding.EdgeB) =>

@@ -16,7 +16,7 @@ object Functions {
 
   private val aggregates =
     Set("count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
-      "percentilecont", "percentiledisc")
+      "percentilecont", "percentiledisc", "project", "derive")
 
   def isAggregate(name: String): Boolean = aggregates(name.toLowerCase)
 
@@ -87,6 +87,171 @@ object Functions {
           sort_array(collect_list(a(0))),
           greatest(ceil(a(1) * count(a(0))), lit(1)).cast("int"))
 
+      // ---- graph-valued aggregates (aggregation.hpp Op::PROJECT_PATH /
+      // PROJECT_LISTS / DERIVE): {nodes, edges} subgraph values ----
+      case "project" =>
+        if (args.size == 1) {
+          val pVar = args(0) match {
+            case Var(n) if ctx.isPathVar(n) => n
+            case _ =>
+              throw new IllegalArgumentException(
+                "project(p): argument must be a path")
+          }
+          val ns = s"$pVar${Frames.Sep}_nodestructs"
+          val es = s"$pVar${Frames.Sep}_edgestructs"
+          require(
+            ctx.varCols(pVar).contains(ns) && ctx.varCols(pVar).contains(es),
+            "project(p): entity values unavailable for this path shape")
+          struct(
+            array_distinct(flatten(collect_list(col(ns)))).as("nodes"),
+            array_distinct(flatten(collect_list(col(es)))).as("edges"))
+        } else {
+          def entityList(e: Expr): Column = e match {
+            case ListLit(items)
+                if items.nonEmpty && items.forall {
+                  case Var(n) => ctx.isNodeOrEdgeVar(n)
+                  case _ => false
+                } =>
+              ctx.entityValuesArray(items.collect { case Var(n) => n })
+            case other => ctx.lower(other)
+          }
+          // OPTIONAL-MATCH misses are NULL elements — ignored
+          val nodesRow = filter(entityList(args(0)), x => x.isNotNull)
+          val edgesRow = filter(entityList(args(1)), x => x.isNotNull)
+          val nodes =
+            array_distinct(flatten(collect_list(nodesRow)))
+          val edges =
+            array_distinct(flatten(collect_list(edgesRow)))
+          // every projected edge must have both endpoints projected
+          // (reference raises); assert_true surfaces it at materialization
+          val valid = forall(
+            edges,
+            e =>
+              exists(nodes, n =>
+                n.getField(GraphState.IdCol) ===
+                  e.getField(GraphState.SrcCol)) &&
+                exists(nodes, n =>
+                  n.getField(GraphState.IdCol) ===
+                    e.getField(GraphState.DstCol)))
+          struct(
+            nodes.as("nodes"),
+            edges.as("edges"),
+            assert_true(
+              valid,
+              lit("project: an edge's endpoint is not in the node list"))
+              .as("_chk"))
+        }
+
+      case "derive" =>
+        val pVar = args(0) match {
+          case Var(n) if ctx.isPathVar(n) => n
+          case _ =>
+            throw new IllegalArgumentException(
+              "derive: first argument must be a path")
+        }
+        val epCol = s"$pVar${Frames.Sep}_endpoints"
+        require(
+          ctx.varCols(pVar).contains(epCol),
+          "derive: path endpoint values unavailable for this path shape")
+        val om: Map[String, Expr] = args.lift(1) match {
+          case Some(MapLit(kvs)) => kvs.toMap
+          case _ =>
+            throw new IllegalArgumentException(
+              "derive: second argument must be an options map")
+        }
+        val vtypeC = ctx
+          .lower(om.getOrElse(
+            "virtualEdgeType",
+            throw new IllegalArgumentException(
+              "derive: virtualEdgeType option is required")))
+          .cast("string")
+        val undirected: Option[Seq[String]] =
+          om.get("undirectedEdgeTypes").map {
+            case ListLit(items) =>
+              items.map {
+                case Lit(s2: String) => s2
+                case _ =>
+                  throw new IllegalArgumentException(
+                    "derive: undirectedEdgeTypes entries must be strings")
+              }
+            case _ =>
+              throw new IllegalArgumentException(
+                "derive: undirectedEdgeTypes must be a list of strings")
+          }
+        val isUnd = undirected
+          .map(l =>
+            if (l.contains("*")) lit(true)
+            else if (l.isEmpty) lit(false)
+            else vtypeC.isin(l: _*))
+          .getOrElse(lit(false))
+        def propEntries(key: String): Seq[(String, Column)] =
+          om.get(key) match {
+            case Some(MapLit(kvs)) =>
+              kvs.map { case (k, e) => k -> ctx.lower(e) }
+            case Some(_) =>
+              throw new IllegalArgumentException(
+                s"derive: $key must be a map literal")
+            case None => Nil
+          }
+        val srcProps = propEntries("sourceNodeProperties")
+        val dstProps = propEntries("targetNodeProperties")
+        val relProps = propEntries("relationshipProperties")
+        // one unified node schema: endpoint fields + the union of the two
+        // override-prop sets (NULL where the override doesn't apply)
+        val epFields: Seq[String] = ctx.typeOf(col(epCol)) match {
+          case Some(ArrayType(s: StructType, _)) => s.fieldNames.toSeq
+          case other =>
+            throw new IllegalArgumentException(
+              s"derive: unexpected endpoints type $other")
+        }
+        val extraNames =
+          (srcProps.map(_._1) ++ dstProps.map(_._1)).distinct
+        def nodeOf(
+            idx: Int,
+            lblKey: String,
+            props: Seq[(String, Column)]): Column = {
+          val base = element_at(col(epCol), idx)
+          val lblOverride = om.get(lblKey).map(e =>
+            ctx.lower(e).cast("array<string>"))
+          val pm = props.toMap
+          val kept = epFields.filterNot(extraNames.contains).map { f =>
+            if (f == GraphState.LabelsCol && lblOverride.isDefined)
+              lblOverride.get.as(f)
+            else base.getField(f).as(f)
+          }
+          val extras = extraNames.map { k =>
+            pm.get(k)
+              .orElse(
+                if (epFields.contains(k)) Some(base.getField(k)) else None)
+              .getOrElse(lit(null))
+              .as(k)
+          }
+          struct(kept ++ extras: _*)
+        }
+        val srcNode = nodeOf(1, "sourceNodeLabels", srcProps)
+        val dstNode = nodeOf(2, "targetNodeLabels", dstProps)
+        def edgeOf(s2: Column, d: Column): Column = struct(
+          Seq(
+            xxhash64(
+              s2.getField(GraphState.IdCol),
+              d.getField(GraphState.IdCol),
+              vtypeC).as(GraphState.IdCol),
+            s2.getField(GraphState.IdCol).as(GraphState.SrcCol),
+            d.getField(GraphState.IdCol).as(GraphState.DstCol),
+            vtypeC.as(GraphState.TypeCol)) ++
+            relProps.map { case (k, c) => c.as(k) } ++
+            Seq(s2.as("_startNode"), d.as("_endNode")): _*)
+        // undirected types double the virtual edge; a self-loop's two
+        // orientations are identical, so array_distinct keeps one
+        val perRow = when(
+          isUnd,
+          array(edgeOf(srcNode, dstNode), edgeOf(dstNode, srcNode)))
+          .otherwise(array(edgeOf(srcNode, dstNode)))
+        struct(
+          array_distinct(
+            flatten(collect_list(array(srcNode, dstNode)))).as("nodes"),
+          array_distinct(flatten(collect_list(perRow))).as("edges"))
+
       // ---- graph scalars (awesome_memgraph_functions.cpp:2063-2099) ----
       case "id" | "elementid" =>
         nodeEdgeVar(0)
@@ -100,8 +265,24 @@ object Functions {
         nodeEdgeVar(0)
           .map(n => Frames.f(n, GraphState.TypeCol))
           .getOrElse(a(0).getField(GraphState.TypeCol))
-      case "startnode" => nodeEdgeVar(0).map(Frames.src).getOrElse(a(0).getField(GraphState.SrcCol))
-      case "endnode" => nodeEdgeVar(0).map(Frames.dst).getOrElse(a(0).getField(GraphState.DstCol))
+      // virtual edges (derive()) embed their endpoint node VALUES —
+      // prefer those over an id field
+      case "startnode" =>
+        nodeEdgeVar(0).map(Frames.src).getOrElse {
+          argType(0) match {
+            case Some(s: StructType) if s.fieldNames.contains("_startNode") =>
+              a(0).getField("_startNode")
+            case _ => a(0).getField(GraphState.SrcCol)
+          }
+        }
+      case "endnode" =>
+        nodeEdgeVar(0).map(Frames.dst).getOrElse {
+          argType(0) match {
+            case Some(s: StructType) if s.fieldNames.contains("_endNode") =>
+              a(0).getField("_endNode")
+            case _ => a(0).getField(GraphState.DstCol)
+          }
+        }
       case "properties" =>
         nodeEdgeVar(0).map(ctx.varPropsStruct).getOrElse(a(0))
       case "keys" =>

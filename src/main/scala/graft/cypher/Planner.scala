@@ -1161,6 +1161,17 @@ final class Planner(
             s"$pv${Frames.Sep}_nodestructs", s"$pv${Frames.Sep}_edgestructs")
         }
       }
+      // endpoint entity pair for ALL path shapes (derive() collapses a
+      // path to its endpoints — first/last nodes are always frame vars,
+      // var-length included)
+      scala.util.Try {
+        df = df.withColumn(
+          s"$pv${Frames.Sep}_endpoints",
+          entityArray(cur.df, Seq(nodeSeq.head, nodeSeq.last)))
+        df.schema
+      }.recover { case _ =>
+        df = df.drop(s"$pv${Frames.Sep}_endpoints")
+      }
       cur = LF(df, cur.scope + (pv -> Binding.PathB))
     }
     (cur, edgeVars)

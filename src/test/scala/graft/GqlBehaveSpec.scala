@@ -28,7 +28,7 @@ class GqlBehaveSpec extends SparkTestBase {
   // passes into skips fails the floor, not just wrong answers.
   // map_operations.feature is all map-valued cells (not comparable here).
   private val targets: Seq[(String, Int)] = Seq(
-    "aggregations.feature" -> 44,
+    "aggregations.feature" -> 66,
     "case.feature" -> 10,
     "with.feature" -> 21,
     "union.feature" -> 14,
