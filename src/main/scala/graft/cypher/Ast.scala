@@ -71,6 +71,9 @@ object Ast {
     * graph's enum store at lowering time). */
   final case class EnumLit(enum: String, value: String) extends Expr
 
+  /** `n:Label` label-test expression (LabelsTest, ast.hpp). */
+  final case class HasLabel(e: Expr, label: String) extends Expr
+
   final case class NodePattern(
       variable: Option[String],
       labels: Seq[String],

@@ -141,6 +141,7 @@ object CypherParser extends RegexParsers {
   private case class PSub(i: Expr) extends Post
   private case class PSlice(a: Option[Expr], b: Option[Expr]) extends Post
   private case class PIsNull(neg: Boolean) extends Post
+  private case class PLabel(l: String) extends Post
 
   def postfixExpr: Parser[Expr] =
     atom ~ rep(
@@ -150,13 +151,17 @@ object CypherParser extends RegexParsers {
         } |
         "[" ~> expr <~ "]" ^^ PSub.apply |
         kw("IS") ~> kw("NOT") ~> kw("NULL") ^^ (_ => PIsNull(true)) |
-        kw("IS") ~> kw("NULL") ^^ (_ => PIsNull(false))) ^^ { case a ~ posts =>
-      posts.foldLeft(a) {
-        case (e, PProp(k)) => Prop(e, k)
-        case (e, PSub(i)) => Subscript(e, i)
-        case (e, PSlice(x, y)) => Slice(e, x, y)
-        case (e, PIsNull(n)) => IsNull(e, n)
-      }
+        kw("IS") ~> kw("NULL") ^^ (_ => PIsNull(false)) |
+        // `n:Label` label test (expression position; `::` is enum access)
+        not("::") ~> ":" ~> (ident | identP) ^^ PLabel.apply) ^^ {
+      case a ~ posts =>
+        posts.foldLeft(a) {
+          case (e, PProp(k)) => Prop(e, k)
+          case (e, PSub(i)) => Subscript(e, i)
+          case (e, PSlice(x, y)) => Slice(e, x, y)
+          case (e, PIsNull(n)) => IsNull(e, n)
+          case (e, PLabel(l)) => HasLabel(e, l)
+        }
     }
 
   def caseExpr: Parser[Expr] =

@@ -196,6 +196,16 @@ final class ExprLowering(
         (a, x) => new ExprLowering(df, scope, params,
           lambdaVars + (acc -> a) + (v -> x), enums).lower(stepE))
 
+    // `n:Label` label test (LabelsTest): membership in the entity's
+    // label array; NULL entity -> NULL (ternary logic via array_contains)
+    case HasLabel(x, l) =>
+      x match {
+        case Var(n) if isNodeOrEdgeVar(n) =>
+          when(Frames.id(n).isNull, lit(null).cast("boolean"))
+            .otherwise(array_contains(Frames.f(n, "_labels"), l))
+        case _ => array_contains(lower(x).getField("_labels"), l)
+      }
+
     // `Name::Value` — resolved against the enum store at plan time
     // (enum_store.hpp ToEnum): unknown name/member is a plan error, the
     // value itself is the stable `Name::Value` string.
@@ -472,6 +482,7 @@ final class ExprLowering(
     case ListComprehension(_, l, w, p) =>
       hasAgg(l) || w.exists(hasAgg) || p.exists(hasAgg)
     case Quantifier(_, _, l, p) => hasAgg(l) || hasAgg(p)
+    case HasLabel(x, _) => hasAgg(x)
     case Reduce(_, i, _, l, s) => hasAgg(i) || hasAgg(l) || hasAgg(s)
     case _: PatternComprehension => false // rolled up before lowering
     case _ => false

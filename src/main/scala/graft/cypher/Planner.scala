@@ -397,6 +397,7 @@ final class Planner(
       case ListComprehension(v, l, w, p) =>
         ListComprehension(v, rw(l), w.map(rw), p.map(rw))
       case Quantifier(k, v, l, p) => Quantifier(k, v, rw(l), rw(p))
+      case HasLabel(x, l) => HasLabel(rw(x), l)
       case other => other
     }
     val newItems = items.map { case (a, e) => (a, rw(e)) }
@@ -1687,6 +1688,7 @@ final class Planner(
       case ListComprehension(v, l, w, p) =>
         ListComprehension(v, s(l), w.map(s), p.map(s))
       case Quantifier(k, v, l, p) => Quantifier(k, v, s(l), s(p))
+      case HasLabel(x, l) => HasLabel(s(x), l)
       case PatternPredicate(p, neg) => PatternPredicate(sPart(p), neg)
       case PatternComprehension(p, w, proj) =>
         PatternComprehension(sPart(p), w.map(s), s(proj))

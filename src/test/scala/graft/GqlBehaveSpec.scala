@@ -40,7 +40,7 @@ class GqlBehaveSpec extends SparkTestBase {
     "update_clauses.feature" -> 10,
     "map_projection.feature" -> 4,
     "nested_property_update.feature" -> 28,
-    "match.feature" -> 33,
+    "match.feature" -> 38,
     "foreach.feature" -> 6,
     "merge.feature" -> 16,
     "functions.feature" -> 81,
