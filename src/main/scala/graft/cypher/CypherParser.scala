@@ -261,15 +261,16 @@ object CypherParser extends RegexParsers {
   private case class VarSpec(
       bounds: (Option[Int], Option[Int]),
       mode: String,
+      props: Option[Expr],
       lambda1: Option[(String, String, Option[String], Expr)],
       total: Option[String],
       lambda2: Option[(String, String, Option[String], Expr)])
 
   private def varSpec: Parser[VarSpec] =
     "*" ~> opt("""(?i)(BFS|WSHORTEST|ALLSHORTEST|KSHORTEST)""".r) ~ varBounds ~
-      opt(edgeLambda) ~ opt(ident) ~ opt(edgeLambda) ^^ {
-      case m ~ b ~ l1 ~ t ~ l2 =>
-        VarSpec(b, m.map(_.toUpperCase).getOrElse("DFS"), l1, t, l2)
+      opt(mapLit) ~ opt(edgeLambda) ~ opt(ident) ~ opt(edgeLambda) ^^ {
+      case m ~ b ~ p ~ l1 ~ t ~ l2 =>
+        VarSpec(b, m.map(_.toUpperCase).getOrElse("DFS"), p, l1, t, l2)
     }
 
   def relDetail: Parser[RelPattern] =
@@ -277,13 +278,22 @@ object CypherParser extends RegexParsers {
       opt(":" ~> rep1sep(opt(":") ~> (ident | identP), "|")) ~
       opt(varSpec) ~ opt(mapLit) <~ "]" ^^ { case v ~ ts ~ vs ~ props =>
       val mode = vs.map(_.mode).getOrElse("DFS")
+      // WSHORTEST and ALLSHORTEST minimize a weight: first lambda is the
+      // weight, second the filter; BFS/DFS/KSHORTEST have only a filter
       val (weightL, filterL) =
-        if (mode == "WSHORTEST") (vs.flatMap(_.lambda1), vs.flatMap(_.lambda2))
+        if (mode == "WSHORTEST" || mode == "ALLSHORTEST")
+          (vs.flatMap(_.lambda1), vs.flatMap(_.lambda2))
         else (None, vs.flatMap(_.lambda1))
+      // edge property maps may sit after the bounds inside the var spec
+      // (`-[le *allShortest 10 {w: 1} (e, n | e.w) total]->`) or after it
+      val specProps = vs.flatMap(_.props)
+        .map { case MapLit(kvs) => kvs; case _ => Nil }
+        .getOrElse(Nil)
       RelPattern(
         v,
         ts.getOrElse(Nil),
-        props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
+        specProps ++
+          props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
         OutDir, // direction patched by caller
         vs.map(_.bounds),
         mode,

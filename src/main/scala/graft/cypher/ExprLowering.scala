@@ -55,7 +55,16 @@ final class ExprLowering(
       scope.get(n) match {
         case Some(Binding.ValueB) => Frames.f(n, "_val")
         case Some(Binding.EdgeListB) => Frames.f(n, "_ids")
-        case Some(Binding.PathB) => Frames.f(n, "_len")
+        case Some(Binding.PathB) =>
+          // path VALUE {nodes, edges} when the entity arrays exist;
+          // the length otherwise (id-array paths are materialized by the
+          // planner at projection time, not in expression position)
+          if (df.columns.contains(s"$n${Frames.Sep}_nodestructs") &&
+            df.columns.contains(s"$n${Frames.Sep}_edgestructs"))
+            struct(
+              Frames.f(n, "_nodestructs").as("nodes"),
+              Frames.f(n, "_edgestructs").as("edges"))
+          else Frames.f(n, "_len")
         case Some(Binding.NodeB) | Some(Binding.EdgeB) => varStruct(n)
         case None =>
           throw new IllegalArgumentException(s"unbound variable: $n")

@@ -1156,6 +1156,11 @@ final class Planner(
             df = df.withColumn(
               s"$pv${Frames.Sep}_edgestructs",
               entityArray(cur.df, edgeSeq.map(_._1)))
+          else
+            df = df.withColumn(
+              s"$pv${Frames.Sep}_edgestructs",
+              array().cast(
+                "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>"))
           df.schema // force analysis so a coercion error lands in the Try
         }.recover { case _ =>
           df = df.drop(
@@ -1260,7 +1265,12 @@ final class Planner(
     // A non-var-length relationship inside shortestPath(...) keeps its
     // single-edge semantics (exactly one hop), matching the reference's
     // pattern typing — only `*lo..hi` widens the search.
-    val (lo, hi) = rel.varLength.getOrElse((Some(1), Some(1)))
+    val (lo0, hi0) = rel.varLength.getOrElse((Some(1), Some(1)))
+    // inline shortest modes read a bare `*allShortest n` as an UPPER
+    // bound (reference grammar), unlike DFS's exactly-n
+    val (lo, hi) =
+      if (rel.mode != "DFS" && lo0.isDefined && lo0 == hi0) (None, hi0)
+      else (lo0, hi0)
     val minH = lo.getOrElse(1)
     val maxH = hi.getOrElse(Int.MaxValue) // fixpoint-terminated, not capped
     val dir = rel.direction match {
@@ -1272,9 +1282,24 @@ final class Planner(
     val dstName = node.variable.getOrElse(fresh("n"))
     val dstBound = node.variable.exists(cur0.scope.contains)
     // per-step filter lambda → pre-filtered traversal edge set (raises on
-    // the unsupported 3-var form instead of ignoring it)
-    val edgesOv = rel.filterLambda.map(l =>
-      filteredOrientedEdges(rel.types, dir, l))
+    // the unsupported 3-var form instead of ignoring it). An edge property
+    // map on the relationship (`-[*allShortest {w: 1} …]->`) is the same
+    // kind of per-edge filter — synthesized as a lambda and intersected.
+    val propsPred: Option[(String, String, Option[String], Expr)] =
+      if (rel.props.nonEmpty && rel.mode != "KSHORTEST") {
+        val ev = fresh("pe")
+        Some((ev, fresh("pn"), None,
+          rel.props
+            .map { case (k, e) => BinOp("=", Prop(Var(ev), k), e): Expr }
+            .reduce(BinOp("AND", _, _))))
+      } else None
+    val edgesOv = Seq(rel.filterLambda, propsPred).flatten
+      .map(l => filteredOrientedEdges(rel.types, dir, l))
+      .reduceOption((a, b) =>
+        a.join(
+          b,
+          Seq(GraphState.IdCol, GraphState.SrcCol, GraphState.DstCol),
+          "left_semi"))
 
     // KShortestPathsCursor (operator.cpp:3716): k shortest paths by hop
     // count, via [[ShortestPath.kShortest]] — a k-truncated BFS whose
@@ -1359,6 +1384,32 @@ final class Planner(
 
     val all = part.shortest.contains("all") || rel.mode == "ALLSHORTEST"
     val res: DataFrame = rel.mode match {
+      // inline `*allShortest (e, n | w) total`: ALL minimum-WEIGHT paths
+      // (the reference's ExpandAllShortestPathsCursor is weighted)
+      case "ALLSHORTEST" if rel.weight.isDefined =>
+        val (ev, _, wexpr) = rel.weight.get
+        val eframe = Frames.bind(ev)(state.edgesOfTypes(rel.types))
+        val wcol = new ExprLowering(
+          eframe,
+          Scope.empty + (ev -> Binding.EdgeB),
+          params, enums = state.enums).lower(wexpr)
+        var orientedW = ShortestPath.oriented(
+          eframe.select(
+            Frames.id(ev).as("__sp_eid"),
+            Frames.src(ev).as(GraphState.SrcCol),
+            Frames.dst(ev).as(GraphState.DstCol),
+            wcol.cast("double").as(ShortestPath.EdgeWeightCol)),
+          dir)
+        edgesOv.foreach { allowed =>
+          orientedW = orientedW.join(
+            allowed.select(
+              col(GraphState.IdCol).as("__sp_eid"),
+              col(GraphState.SrcCol),
+              col(GraphState.DstCol)),
+            Seq("__sp_eid", GraphState.SrcCol, GraphState.DstCol),
+            "left_semi")
+        }
+        ShortestPath.weightedAllPaths(orientedW, seeds, maxH)
       case "WSHORTEST" =>
         val (ev, _, wexpr) = rel.weight.getOrElse(
           throw new IllegalArgumentException(
@@ -1397,7 +1448,8 @@ final class Planner(
             col(GraphState.SrcCol),
             col(GraphState.DstCol),
             col(GraphState.IdCol).as("__sp_eid")))
-        if (all && part.pathVar.isDefined)
+        val wantPaths = part.pathVar.isDefined || rel.variable.isDefined
+        if (all && wantPaths)
           bfsE match {
             case Some(e) => ShortestPath.bfsAllPathsEdges(e, seeds, maxH)
             case None =>
@@ -1406,12 +1458,10 @@ final class Planner(
         else
           bfsE match {
             case Some(e) =>
-              ShortestPath.bfsEdges(
-                e, seeds, maxH, withPaths = part.pathVar.isDefined)
+              ShortestPath.bfsEdges(e, seeds, maxH, withPaths = wantPaths)
             case None =>
               ShortestPath.bfs(
-                state, seeds, rel.types, dir, maxH,
-                withPaths = part.pathVar.isDefined)
+                state, seeds, rel.types, dir, maxH, withPaths = wantPaths)
           }
     }
 
@@ -1445,6 +1495,15 @@ final class Planner(
     if (joined.columns.contains(ShortestPath.NPathsCol))
       joined = joined.drop(ShortestPath.NPathsCol)
 
+    // bind the relationship's edge-list variable (`-[le *bfs..]->`:
+    // le = traversed edge ids, EdgeUniquenessFilter-compatible)
+    rel.variable.foreach { ev2 =>
+      if (joined.columns.contains(ShortestPath.PathEdgesCol)) {
+        joined = joined.withColumn(
+          s"$ev2${Frames.Sep}_ids", col(ShortestPath.PathEdgesCol))
+        scope += (ev2 -> Binding.EdgeListB)
+      }
+    }
     part.pathVar.foreach { pv =>
       joined = joined.withColumn(
         s"$pv${Frames.Sep}_len",
@@ -1455,9 +1514,9 @@ final class Planner(
         joined = joined
           .withColumn(s"$pv${Frames.Sep}_nodes", col(ShortestPath.PathNodesCol))
           .withColumn(s"$pv${Frames.Sep}_edges", col(ShortestPath.PathEdgesCol))
-          .drop(ShortestPath.PathNodesCol, ShortestPath.PathEdgesCol)
       scope += (pv -> Binding.PathB)
     }
+    joined = joined.drop(ShortestPath.PathNodesCol, ShortestPath.PathEdgesCol)
     rel.totalVar.foreach { tv =>
       joined = joined.withColumn(
         s"$tv${Frames.Sep}_val",
@@ -1647,6 +1706,45 @@ final class Planner(
     case _ => s"col$i"
   }
 
+  /** Join a path's node/edge ID arrays to their entity frames and rebuild
+    * them as ordered entity-struct arrays (`_nodestructs`/`_edgestructs`).
+    * posexplode → equi-join → per-row ordered re-collect: three shuffles,
+    * only paid when a path is projected as a VALUE — the reference's
+    * output path reconstruction does equivalent work per row. */
+  private def materializePathEntities(lf: LF, pv: String): LF = {
+    val nsCol = s"$pv${Frames.Sep}_nodestructs"
+    val esCol = s"$pv${Frames.Sep}_edgestructs"
+    val idsN = s"$pv${Frames.Sep}_nodes"
+    val idsE = s"$pv${Frames.Sep}_edges"
+    if (lf.df.columns.contains(nsCol) || !lf.df.columns.contains(idsN))
+      return lf
+    val keyed = withSeqId(lf.df, "__pm_row", 0L).localCheckpoint(true)
+    def entsOf(frame: DataFrame): DataFrame =
+      frame.select(
+        col(GraphState.IdCol).as("__ent_id"),
+        struct(frame.columns.map(col).toSeq: _*).as("__ent"))
+    def collected(idsCol: String, entFrame: DataFrame, out: String): DataFrame =
+      keyed
+        .select(
+          col("__pm_row"),
+          posexplode(col(idsCol)).as(Seq("__pm_pos", "__pm_id")))
+        .join(entsOf(entFrame), col("__pm_id") === col("__ent_id"))
+        .groupBy("__pm_row")
+        .agg(
+          transform(
+            array_sort(collect_list(
+              struct(col("__pm_pos").as("p"), col("__ent").as("e")))),
+            x => x.getField("e")).as(out))
+    var out = keyed
+      .join(collected(idsN, state.allNodes, nsCol), Seq("__pm_row"), "left_outer")
+      .join(collected(idsE, state.allEdges, esCol), Seq("__pm_row"), "left_outer")
+    // a zero-edge path has no exploded edge rows: empty array, not NULL
+    out = out.withColumn(
+      esCol,
+      coalesce(col(esCol), array().cast(out.schema(esCol).dataType)))
+    LF(out.drop("__pm_row"), lf.scope)
+  }
+
   /** Rename free variable references (including pattern-bound positions
     * inside comprehensions/predicates) through `m` — used to resolve
     * projection aliases back to their source vars. Variables locally
@@ -1727,9 +1825,18 @@ final class Planner(
     val obItems = obRaw.zipWithIndex.map { case ((e, _), i) =>
       (s"__ob$i", substVars(e, aliasBack))
     }
-    val (lf, rewrittenAll) =
+    val (lfR, rewrittenAll) =
       rewritePatternComprehensions(lf0, itemsRaw ++ waRaw ++ obItems)
     val items = rewrittenAll.take(itemsRaw.size)
+    // id-array paths (BFS / var-length) projected as VALUES get their
+    // entity arrays materialized here — the reference reconstructs Path
+    // values at output too; paths merely carried through WITH stay ids
+    var lf = lfR
+    if (isReturn) items.foreach {
+      case (_, Var(n)) if lf.scope.get(n).contains(Binding.PathB) =>
+        lf = materializePathEntities(lf, n)
+      case _ => ()
+    }
     val whereAfter2: Option[Expr] = rewrittenAll
       .slice(itemsRaw.size, itemsRaw.size + waRaw.size)
       .headOption.map(_._2)
@@ -1746,7 +1853,8 @@ final class Planner(
       case Var(n) =>
         lf.scope.get(n) match {
           case Some(b)
-              if b == Binding.NodeB || b == Binding.EdgeB || b == Binding.EdgeListB =>
+              if b == Binding.NodeB || b == Binding.EdgeB ||
+                b == Binding.EdgeListB || b == Binding.PathB =>
             Some((n, b))
           case _ => None
         }
@@ -1893,6 +2001,19 @@ final class Planner(
       val outCols = lowered.map {
         case (alias, Left((n, Binding.EdgeListB))) =>
           col(s"$alias${Frames.Sep}_ids").as(alias)
+        case (alias, Left((n, Binding.PathB))) =>
+          // path VALUE: {nodes, edges} entity arrays (materialized by the
+          // pre-pass when the path carried only id arrays); paths that
+          // carry no id arrays at all (weighted/k-shortest) RAISE rather
+          // than surface a wrong shape
+          if (df.columns.contains(s"$alias${Frames.Sep}_nodestructs"))
+            struct(
+              col(s"$alias${Frames.Sep}_nodestructs").as("nodes"),
+              col(s"$alias${Frames.Sep}_edgestructs").as("edges")).as(alias)
+          else
+            throw new UnsupportedOperationException(
+              "path value unavailable for this path shape (weighted " +
+                "shortest paths carry length/weight only)")
         case (alias, Left((n, _))) =>
           structOf(df, alias).as(alias)
         case (alias, Right(_)) => col(s"$alias${Frames.Sep}_val").as(alias)

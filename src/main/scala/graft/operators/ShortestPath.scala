@@ -280,6 +280,77 @@ object ShortestPath {
     out
   }
 
+  /** ALL minimum-WEIGHT paths per (seed, node) — the inline
+    * `*allShortest (e, n | w) total` form (ExpandAllShortestPathsCursor,
+    * operator.cpp:3309, which is weighted). Same two-phase shape as
+    * [[bfsAllPathsEdges]]: (1) hop-bounded weighted distances via
+    * [[weighted]]; (2) the weighted shortest-path DAG (u→w kept iff
+    * dist(u) + w(u,w) = dist(w), per seed) walked level-synchronously —
+    * any DAG walk from the seed realizes the minimum weight by
+    * construction (non-negative weights; prefix-optimality).
+    *
+    * @param edges0 pre-oriented (src, dst, `__sp_eid`, [[EdgeWeightCol]])
+    * @return (seed, node, dist=hops, weight, pathNodes, pathEdges), one
+    *         row per minimum-weight path
+    */
+  def weightedAllPaths(
+      edges0: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val dist = weighted(null, seeds, edges, maxRounds = maxHops)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eps = 1e-9
+    val dag = dist
+      .select(col(SeedCol), col(NodeCol).as("__v"), col(WeightCol).as("__wv"))
+      .join(edges, col("__v") === col(GraphState.SrcCol))
+      .join(
+        dist.select(
+          col(SeedCol).as("__s2"),
+          col(NodeCol).as("__w"),
+          col(WeightCol).as("__ww")),
+        col(SeedCol) === col("__s2") &&
+          col(GraphState.DstCol) === col("__w") &&
+          abs(col("__wv") + col(EdgeWeightCol) - col("__ww")) < eps)
+      .select(
+        col(SeedCol), col("__v"), col("__w"),
+        col("__sp_eid"), col(EdgeWeightCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = seeds
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        lit(0.0).as(WeightCol),
+        array(col(SeedCol)).as(PathNodesCol),
+        array().cast("array<long>").as(PathEdgesCol))
+      .localCheckpoint(true)
+    var out = frontier
+    var l = 0
+    var done = frontier.isEmpty
+    while (!done && l < maxHops) {
+      l += 1
+      frontier = frontier
+        .join(
+          dag.select(
+            col(SeedCol).as("__ps"), col("__v"), col("__w"),
+            col("__sp_eid"), col(EdgeWeightCol)),
+          col(SeedCol) === col("__ps") && col(NodeCol) === col("__v"))
+        .select(
+          col(SeedCol),
+          col("__w").as(NodeCol),
+          lit(l.toLong).as(DistCol),
+          (col(WeightCol) + col(EdgeWeightCol)).as(WeightCol),
+          concat(col(PathNodesCol), array(col("__w"))).as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
+        .localCheckpoint(true)
+      done = frontier.isEmpty
+      if (!done) out = out.unionByName(frontier).localCheckpoint(true)
+    }
+    Seq(edges, dist, dag).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** K shortest paths by hop count — the reference's lazily-evaluated Yen
     * (`KShortestPathsCursor`, operator.cpp:3716). Yen's loop is inherently
     * per-(source,target) sequential (each spur iteration re-runs a BFS on a

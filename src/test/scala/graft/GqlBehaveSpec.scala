@@ -51,12 +51,12 @@ class GqlBehaveSpec extends SparkTestBase {
     "subqueries.feature" -> 24,
     "parameters.feature" -> 3,
     "pattern_comprehensions.feature" -> 24,
-    "cartesian.feature" -> 31,
+    "cartesian.feature" -> 32,
     "memgraph_bfs.feature" -> 3,
     "memgraph_wshortest.feature" -> 6,
-    "memgraph_allshortest.feature" -> 4,
+    "memgraph_allshortest.feature" -> 10,
     "memgraph_exists.feature" -> 37,
-    "hops_limit.feature" -> 1)
+    "hops_limit.feature" -> 2)
 
   /** Documented divergences: scenario name → reason. These are known,
     * deliberate or accepted behavior differences, not silent skips. */
@@ -203,6 +203,12 @@ class GqlBehaveSpec extends SparkTestBase {
   private case class LV(items: Seq[V]) extends V
   /** Map value — `{k: v, …}` cells and map/struct results. */
   private case class MV(entries: Map[String, V]) extends V
+  /** Path value: nodes, edges, and per-edge direction (true = the i-th
+    * edge runs nodes(i) → nodes(i+1)). */
+  private case class PV(
+      nodes: Seq[V],
+      edges: Seq[V],
+      forward: Seq[Boolean]) extends V
   /** Graph entity: node (labels) or relationship (type), with non-null
     * properties — the gherkin `(:L {k: v})` / `[:T {k: v}]` notation. */
   private case class EV(
@@ -265,6 +271,8 @@ class GqlBehaveSpec extends SparkTestBase {
           val vs = parts.map(parseCell)
           if (vs.forall(_.isDefined)) Some(LV(vs.flatten)) else None
         }
+      case c if c.startsWith("<") && c.endsWith(">") =>
+        parsePath(c.substring(1, c.length - 1).trim)
       case c if c.startsWith("{") && c.endsWith("}") =>
         val inner = c.substring(1, c.length - 1).trim
         if (inner.isEmpty) Some(MV(Map.empty))
@@ -281,6 +289,64 @@ class GqlBehaveSpec extends SparkTestBase {
         }
       case _ => None // paths
     }
+  }
+
+  /** `(:A {..})-[:T {..}]->(:B)…` path cell → [[PV]] (None on any
+    * unparseable element). */
+  private def parsePath(s0: String): Option[V] = {
+    var s = s0.trim
+    val nodes = Seq.newBuilder[V]
+    val edges = Seq.newBuilder[V]
+    val fwd = Seq.newBuilder[Boolean]
+    def takeBalanced(open: Char, close: Char): Option[String] = {
+      if (s.isEmpty || s.head != open) return None
+      var depth = 0
+      var i = 0
+      var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == open) depth += 1
+        else if (!inQ && c == close) {
+          depth -= 1
+          if (depth == 0) {
+            val out = s.substring(0, i + 1)
+            s = s.substring(i + 1).trim
+            return Some(out)
+          }
+        }
+        i += 1
+      }
+      None
+    }
+    takeBalanced('(', ')').flatMap(parseCell) match {
+      case Some(n) => nodes += n
+      case None => return None
+    }
+    while (s.nonEmpty) {
+      val back = s.startsWith("<-")
+      if (back) s = s.substring(2).trim
+      else if (s.startsWith("-")) s = s.substring(1).trim
+      else return None
+      val edge = takeBalanced('[', ']').flatMap(parseCell) match {
+        case Some(e) => e
+        case None => return None
+      }
+      if (back) {
+        if (!s.startsWith("-")) return None
+        s = s.substring(1).trim
+      } else {
+        if (!s.startsWith("->")) return None
+        s = s.substring(2).trim
+      }
+      edges += edge
+      fwd += !back
+      takeBalanced('(', ')').flatMap(parseCell) match {
+        case Some(n) => nodes += n
+        case None => return None
+      }
+    }
+    Some(PV(nodes.result(), edges.result(), fwd.result()))
   }
 
   /** Split on commas at bracket/quote depth 0. */
@@ -308,7 +374,8 @@ class GqlBehaveSpec extends SparkTestBase {
     case NullV => null
     case LV(items) => items.map(fromV)
     case MV(m) => m.map { case (k, x) => k -> fromV(x) }
-    case e: EV => e // entities are never parameter values
+    case e: EV => e // entities/paths are never parameter values
+    case p: PV => p
   }
 
   private def sparkV(a: Any): Option[V] = a match {
@@ -347,6 +414,7 @@ class GqlBehaveSpec extends SparkTestBase {
       else if (fields.contains("_type"))
         props(Set("_id", "_src", "_dst", "_type")).map(ps =>
           EV(edge = true, Set(r.getAs[String]("_type")), ps))
+      else if (fields == Seq("nodes", "edges")) pathSparkV(r)
       else {
         // plain struct (map projection / MapLit result): compare as a map
         // with NULL fields kept (a projection of a missing property IS a
@@ -362,6 +430,31 @@ class GqlBehaveSpec extends SparkTestBase {
     case _ => None
   }
 
+  /** Path value struct {nodes, edges}: entity sequences + per-edge
+    * direction recovered from the raw _src/_dst against node _ids. */
+  private def pathSparkV(r: org.apache.spark.sql.Row): Option[V] = {
+    val nodesRaw = Option(
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nodes"))
+      .getOrElse(return None)
+    val edgesRaw = Option(
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("edges"))
+      .getOrElse(return None)
+    if (nodesRaw.size != edgesRaw.size + 1) return None
+    val nodeVs = nodesRaw.map(sparkV)
+    val edgeVs = edgesRaw.map(sparkV)
+    if (nodeVs.exists(_.isEmpty) || edgeVs.exists(_.isEmpty)) return None
+    val nodeIds = nodesRaw.map(_.getAs[Long]("_id"))
+    val fwd = edgesRaw.zipWithIndex.map { case (e, i) =>
+      val s = e.getAs[Long]("_src")
+      val d = e.getAs[Long]("_dst")
+      if (s == nodeIds(i) && d == nodeIds(i + 1)) Some(true)
+      else if (d == nodeIds(i) && s == nodeIds(i + 1)) Some(false)
+      else None
+    }
+    if (fwd.exists(_.isEmpty)) return None
+    Some(PV(nodeVs.flatten.toSeq, edgeVs.flatten.toSeq, fwd.flatten.toSeq))
+  }
+
   private def vEq(a: V, b: V): Boolean = (a, b) match {
     case (NV(x), NV(y)) =>
       x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(
@@ -371,6 +464,10 @@ class GqlBehaveSpec extends SparkTestBase {
     case (EV(e1, l1, p1), EV(e2, l2, p2)) =>
       e1 == e2 && l1 == l2 && p1.keySet == p2.keySet &&
         p1.forall { case (k, v) => vEq(v, p2(k)) }
+    case (PV(n1, e1, f1), PV(n2, e2, f2)) =>
+      n1.length == n2.length && e1.length == e2.length && f1 == f2 &&
+        n1.zip(n2).forall { case (p, q) => vEq(p, q) } &&
+        e1.zip(e2).forall { case (p, q) => vEq(p, q) }
     case (MV(m1), MV(m2)) =>
       // a NULL entry and an absent key are interchangeable across engines
       // (memgraph prints maps without null entries in some shapes)
