@@ -41,8 +41,10 @@ final class GraphState(
     /** High-water mark of the id-namespace bases consumed by statements run
       * against (ancestors of) this version. Each statement's Planner starts
       * allocating above it, so chained `Cypher.execute` calls never reuse an
-      * id base (ids are `base<<48 + monotonically_increasing_id`). Loader
-      * bases live in 1..899. */
+      * id base (ids are `base<<48 + sequential offset` — nodes from 0,
+      * edges from 2^47, zipWithIndex-assigned so creation order gives
+      * consecutive ids like the reference's allocators). Loader bases live
+      * in 1..899. */
     val idBase: Long = 900L,
     /** True once a node row may live in MORE than one label frame
       * (multi-label CREATE or SET :Label across frames): frames act as a
