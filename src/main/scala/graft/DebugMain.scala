@@ -24,8 +24,11 @@ object DebugMain {
           println(s"===== $n =====")
           df.explain("formatted")
         } else {
+          val tPlan = (System.nanoTime() - t0) / 1e9
           val rows = df.count()
-          println(f"[debug] $n rows=$rows secs=${(System.nanoTime() - t0) / 1e9}%.2f")
+          val tAll = (System.nanoTime() - t0) / 1e9
+          println(
+            f"[debug] $n rows=$rows secs=$tAll%.2f (build=$tPlan%.2f exec=${tAll - tPlan}%.2f)")
         }
       } catch {
         case e: Throwable =>

@@ -85,6 +85,11 @@ object Ast {
       props: Seq[(String, Expr)],
       direction: Direction,
       varLength: Option[(Option[Int], Option[Int])], // Some((min,max)) for *
+      /** True when the bounds came from the bare `*n` form (no `..`):
+        * shortest modes read that as an UPPER bound, while an explicit
+        * `*n..n` stays exactly-n (the reference honors lower bounds on
+        * BFS/shortest expansions). */
+      bareBound: Boolean = false,
       /** Expansion mode after `*`: DFS (plain), BFS, WSHORTEST, ALLSHORTEST
         * (reference `EdgeAtom::Type`, ast.hpp:1809-1813). */
       mode: String = "DFS",

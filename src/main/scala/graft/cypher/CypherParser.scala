@@ -241,10 +241,13 @@ object CypherParser extends RegexParsers {
         props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil))
     }
 
-  private def varBounds: Parser[(Option[Int], Option[Int])] =
+  /** (lo, hi, bare): `bare` marks the single-number `*n` form — shortest
+    * modes reinterpret THAT as an upper bound, but an explicit `*n..n`
+    * stays exactly-n. */
+  private def varBounds: Parser[(Option[Int], Option[Int], Boolean)] =
     opt("""\d+""".r) ~ opt(".." ~> opt("""\d+""".r)) ^^ {
-      case lo ~ None => (lo.map(_.toInt), lo.map(_.toInt)) // *n = exactly n; * = unbounded
-      case lo ~ Some(hi) => (lo.map(_.toInt), hi.map(_.toInt))
+      case lo ~ None => (lo.map(_.toInt), lo.map(_.toInt), lo.isDefined) // *n = exactly n; * = unbounded
+      case lo ~ Some(hi) => (lo.map(_.toInt), hi.map(_.toInt), false)
     }
 
   /** `(e, n [, p] | expr)` — per-edge lambda (weight or filter); the
@@ -259,7 +262,7 @@ object CypherParser extends RegexParsers {
     * is the weight and the second the filter; for every other mode a single
     * lambda is the filter (`filter_lambda_`, ast.hpp:1899). */
   private case class VarSpec(
-      bounds: (Option[Int], Option[Int]),
+      bounds: (Option[Int], Option[Int], Boolean),
       mode: String,
       props: Option[Expr],
       lambda1: Option[(String, String, Option[String], Expr)],
@@ -295,7 +298,8 @@ object CypherParser extends RegexParsers {
         specProps ++
           props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
         OutDir, // direction patched by caller
-        vs.map(_.bounds),
+        vs.map(b => (b.bounds._1, b.bounds._2)),
+        vs.exists(_.bounds._3),
         mode,
         weightL.map { case (e, n, p, x) =>
           require(p.isEmpty, "weight lambda takes (e, n | expr)")

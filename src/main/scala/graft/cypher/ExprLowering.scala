@@ -30,9 +30,18 @@ final class ExprLowering(
   private def withLambda(name: String, c: Column) =
     new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums)
 
+  /** Zero-row frame with `df`'s schema: resolving a column against this
+    * LocalRelation costs a constant-size analyzer pass instead of
+    * re-analyzing the statement's whole operator tree — `typeOf` runs on
+    * every comparison/arithmetic lowering, so probing the real `df` made
+    * plan time grow with plan size (measured 3-6× statement overhead). */
+  private lazy val typeProbe: DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), df.schema)
+
   /** Best-effort static type of a lowered column (None inside lambdas). */
   def typeOf(c: Column): Option[DataType] =
-    Try(df.select(c).schema.head.dataType).toOption
+    Try(typeProbe.select(c).schema.head.dataType).toOption
 
   def lower(e: Expr): Column = e match {
     case Lit(null) => lit(null)
@@ -363,16 +372,27 @@ final class ExprLowering(
       // typed_value.cpp operator< — "Invalid 'less' operand types" surfaces
       // as NULL through the ternary logic); Spark would coerce instead.
       case "<" | "<=" | ">" | ">=" =>
+        def cmp(a: Column, b: Column): Column = op match {
+          case "<" => a < b
+          case "<=" => a <= b
+          case ">" => a > b
+          case _ => a >= b
+        }
+        def temporal(t: DataType): Boolean = t match {
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
         (typeOf(lc), typeOf(rc)) match {
+          // string literal vs temporal column: cast the string side (the
+          // reference parses the literal into the temporal type; silently
+          // NULLing would drop all rows of a valid date predicate)
+          case (Some(StringType), Some(t)) if temporal(t) =>
+            cmp(lc.cast(t), rc)
+          case (Some(t), Some(StringType)) if temporal(t) =>
+            cmp(lc, rc.cast(t))
           case (Some(a), Some(b)) if !orderable(a, b) =>
             lit(null).cast("boolean")
-          case _ =>
-            op match {
-              case "<" => lc < rc
-              case "<=" => lc <= rc
-              case ">" => lc > rc
-              case _ => lc >= rc
-            }
+          case _ => cmp(lc, rc)
         }
       case "AND" => lc && rc
       case "OR" => lc || rc

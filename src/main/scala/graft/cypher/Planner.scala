@@ -58,12 +58,18 @@ final class Planner(
   private def rebased: GraphState =
     state.withIdBase(math.max(idHighWater, myBase))
 
-  /** Append a sequential id column `start, start+1, …` in row order. */
+  /** Append a sequential id column `start, start+1, …` in row order.
+    * The input is localCheckpoint-ed FIRST: `zipWithIndex` submits a
+    * partition-count job at construction, so without the checkpoint the
+    * upstream plan ran twice per CREATE (once for the count, once when the
+    * result is pinned) — now it runs once and the count job reads cached
+    * partitions. */
   private def withSeqId(df: DataFrame, idCol: String, start: Long): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cp = df.localCheckpoint(true)
     val schema = StructType(
-      df.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      cp.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val rdd = cp.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i))
     }
     spark.createDataFrame(rdd, schema)
@@ -75,6 +81,24 @@ final class Planner(
 
   /** `USING HOPS LIMIT n` for this statement (Query prefix). */
   private var hopsLimit: Option[Long] = None
+
+  /** Owning-frame hints: which label frames (node vars) / type frames
+    * (edge vars) a bound variable's rows can live in. A by-id mutation
+    * (SET/REMOVE/DELETE) then only rewrites those frames instead of
+    * looping every frame of the graph — the other frames cannot contain
+    * the matched ids. Absent entry = unknown = all frames (always safe);
+    * node hints are disabled wholesale on `mayOverlap` graphs, where one
+    * row may live in several label frames. */
+  private var frameHints: Map[String, Set[String]] = Map.empty
+  private def setHint(v: String, frames: Option[Set[String]]): Unit =
+    frames match {
+      case Some(f) if f.nonEmpty => frameHints += (v -> f)
+      case _ => frameHints -= v // re-bound without a label: clear stale hint
+    }
+  private def nodeHint(v: String): Option[Seq[String]] =
+    if (state.mayOverlap) None else frameHints.get(v).map(_.toSeq.sorted)
+  private def edgeHint(v: String): Option[Seq[String]] =
+    frameHints.get(v).map(_.toSeq.sorted)
 
   def plan(q: Query): DataFrame = {
     hopsLimit = q.hopsLimit
@@ -95,7 +119,7 @@ final class Planner(
       var cur = lf
       var newEdges = Vector.empty[String]
       patterns.foreach { p =>
-        val (next, edges) = planPattern(cur, p)
+        val (next, edges) = planPattern(cur, p, where)
         cur = next
         newEdges ++= edges
       }
@@ -303,6 +327,10 @@ final class Planner(
     * the distinct imported bindings and joined back, instead of being
     * pulled per input row. */
   private def planCallSubquery(lf: LF, inner: SingleQuery): LF = {
+    // the subquery plans with this planner instance; its variable names may
+    // shadow outer ones, so restore the outer hints afterwards (plus hints
+    // for the vars the subquery returns)
+    val savedHints = frameHints
     val imports: Seq[String] = inner.clauses.headOption match {
       case Some(With(body, None))
           if body.items.nonEmpty &&
@@ -316,6 +344,7 @@ final class Planner(
         subDf.columns.map(c => col(c).as(s"$c${Frames.Sep}_val")).toSeq: _*)
       val df =
         if (lf.df.columns.isEmpty) renamed else lf.df.crossJoin(renamed)
+      frameHints = savedHints // subquery outputs re-enter as values
       LF(
         df,
         subDf.columns.foldLeft(lf.scope)((sc, c) => sc + (c -> Binding.ValueB)))
@@ -355,6 +384,9 @@ final class Planner(
         lf.df.join(cleaned, cond).drop(keyCols.map(c => s"__cs_$c"): _*)
       val newVars = subP.scope.vars.filterNot { case (nm, _) =>
         imports.contains(nm)
+      }
+      frameHints = savedHints ++ frameHints.filter { case (k, _) =>
+        newVars.exists(_._1 == k)
       }
       LF(joined, newVars.foldLeft(lf.scope)(_ + _))
     }
@@ -554,6 +586,7 @@ final class Planner(
         val targets = if (n.labels.isEmpty) Seq("_") else n.labels
         targets.foreach(l => state = Mutations.createNodes(state, l, rows))
         if (targets.size > 1) state = state.withOverlap
+        setHint(name, Some(targets.toSet))
         (LF(withNew, cur.scope + (name -> Binding.NodeB)), name)
       }
     }
@@ -594,6 +627,7 @@ final class Planner(
             col(s"$eName${Frames.Sep}$k").as(k)
           }: _*)
       state = Mutations.createEdges(state, tpe, rows)
+      setHint(eName, Some(Set(tpe)))
       LF(withE, cur.scope + (eName -> Binding.EdgeB))
     }
     val (lf1, startName) = ensureNode(lf, part.start)
@@ -636,10 +670,10 @@ final class Planner(
       cur.scope.get(v) match {
         case Some(Binding.NodeB) =>
           state = Mutations.setPropertyByIds(
-            state, dedupUpdates(cur, low, v, value), key)
+            state, dedupUpdates(cur, low, v, value), key, nodeHint(v))
         case Some(Binding.EdgeB) =>
           state = Mutations.setEdgePropertyByIds(
-            state, dedupUpdates(cur, low, v, value), key)
+            state, dedupUpdates(cur, low, v, value), key, edgeHint(v))
         case other =>
           throw new UnsupportedOperationException(s"SET on $other binding")
       }
@@ -653,10 +687,10 @@ final class Planner(
       cur.scope.get(v) match {
         case Some(Binding.NodeB) =>
           state = Mutations.setNestedPropertyByIds(
-            state, updates, path.head, path.tail)
+            state, updates, path.head, path.tail, nodeHint(v))
         case Some(Binding.EdgeB) =>
           state = Mutations.setEdgeNestedPropertyByIds(
-            state, updates, path.head, path.tail)
+            state, updates, path.head, path.tail, edgeHint(v))
         case other =>
           throw new UnsupportedOperationException(s"nested SET on $other")
       }
@@ -675,7 +709,8 @@ final class Planner(
         state,
         cur.df.select(Frames.id(v)).distinct(),
         labels,
-        add = true)
+        add = true,
+        only = nodeHint(v))
       val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
       if (cur.df.columns.contains(lcol))
         LF(
@@ -719,10 +754,10 @@ final class Planner(
       lf.scope.get(v) match {
         case Some(Binding.NodeB) =>
           state = Mutations.setNodePropertiesByIds(
-            state, updates, keys, replace = !update)
+            state, updates, keys, replace = !update, only = nodeHint(v))
         case Some(Binding.EdgeB) =>
           state = Mutations.setEdgePropertiesByIds(
-            state, updates, keys, replace = !update)
+            state, updates, keys, replace = !update, only = edgeHint(v))
         case other =>
           throw new UnsupportedOperationException(s"SET map on $other binding")
       }
@@ -752,9 +787,9 @@ final class Planner(
       val ids = lf.df.select(Frames.id(v)).distinct()
       lf.scope.get(v) match {
         case Some(Binding.NodeB) =>
-          state = Mutations.deleteNodes(state, ids, detach)
+          state = Mutations.deleteNodes(state, ids, detach, nodeHint(v))
         case Some(Binding.EdgeB) =>
-          state = Mutations.deleteEdgesAllTypes(state, ids)
+          state = Mutations.deleteEdgesAllTypes(state, ids, edgeHint(v))
         case other =>
           throw new UnsupportedOperationException(s"DELETE on $other binding")
       }
@@ -765,10 +800,19 @@ final class Planner(
   private def planRemove(lf: LF, items: Seq[RemoveItem]): LF =
     items.foldLeft(lf) {
       case (cur, RemoveProp(v, key)) =>
-        state = Mutations.removePropertyByIds(
-          state,
-          cur.df.select(Frames.id(v)).distinct(),
-          key)
+        state =
+          if (cur.scope.get(v).contains(Binding.EdgeB))
+            Mutations.removeEdgePropertyByIds(
+              state,
+              cur.df.select(Frames.id(v)).distinct(),
+              key,
+              edgeHint(v))
+          else
+            Mutations.removePropertyByIds(
+              state,
+              cur.df.select(Frames.id(v)).distinct(),
+              key,
+              nodeHint(v))
         val c = s"$v${Frames.Sep}$key"
         if (cur.df.columns.contains(c))
           LF(
@@ -781,10 +825,10 @@ final class Planner(
         cur.scope.get(v) match {
           case Some(Binding.EdgeB) =>
             state = Mutations.removeEdgeNestedPropertyByIds(
-              state, ids, path.head, path.tail)
+              state, ids, path.head, path.tail, edgeHint(v))
           case _ =>
             state = Mutations.removeNestedPropertyByIds(
-              state, ids, path.head, path.tail)
+              state, ids, path.head, path.tail, nodeHint(v))
         }
         // in-frame visibility: NULL the field on the bound record column
         val colName = s"$v${Frames.Sep}${path.head}"
@@ -804,7 +848,8 @@ final class Planner(
           state,
           cur.df.select(Frames.id(v)).distinct(),
           labels,
-          add = false)
+          add = false,
+          only = nodeHint(v))
         val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
         if (cur.df.columns.contains(lcol))
           LF(
@@ -876,7 +921,9 @@ final class Planner(
               lowU.lower(e).as("__nv"))
             .groupBy(GraphState.IdCol)
             .agg(max(col("__nv")).as("__nv"))
-          state = Mutations.setPropertyByIds(state, updates, key)
+          state = Mutations.setPropertyByIds(
+            state, updates, key,
+            if (state.mayOverlap) None else n.labels.headOption.map(Seq(_)))
         case _ => ()
       }
     }
@@ -932,6 +979,7 @@ final class Planner(
             cond
               .map(c => lf.df.join(bound, c))
               .getOrElse(lf.df.crossJoin(bound))
+        setHint(v, n.labels.headOption.map(Set(_)))
         LF(joined, lf.scope + (v -> Binding.NodeB))
       case _ => lf
     }
@@ -1017,7 +1065,8 @@ final class Planner(
               lowU.lower(e).as("__nv"))
             .groupBy(GraphState.IdCol)
             .agg(max(col("__nv")).as("__nv"))
-          state = Mutations.setEdgePropertyByIds(state, updates, key)
+          state = Mutations.setEdgePropertyByIds(
+            state, updates, key, Some(Seq(tpe)))
         case _ => ()
       }
     }
@@ -1045,9 +1094,12 @@ final class Planner(
 
   /** Plans one comma-separated pattern part; returns new single-edge vars
     * bound in it (for the cyphermorphism filter). */
-  private def planPattern(lf: LF, part: PatternPart): (LF, Seq[String]) = {
+  private def planPattern(
+      lf: LF,
+      part: PatternPart,
+      pushWhere: Option[Expr] = None): (LF, Seq[String]) = {
     if (part.shortest.isDefined || part.hops.exists(_._1.mode != "DFS"))
-      return (planShortest(lf, part), Nil)
+      return (planShortest(lf, part, pushWhere), Nil)
     val (cur0, startName) = bindNode(lf, part.start)
     var cur = cur0
     var srcVar = startName
@@ -1076,6 +1128,7 @@ final class Planner(
           if (dstBound) {
             val df = Expand.toExisting(cur.df, state, srcVar, eVar, types, dir, dstName)
             cur = LF(df, cur.scope + (eVar -> Binding.EdgeB))
+            setHint(eVar, if (types.nonEmpty) Some(types.toSet) else None)
           } else {
             val dstLabel = node.labels.headOption
             val df = dir match {
@@ -1087,6 +1140,8 @@ final class Planner(
             cur = LF(
               df,
               cur.scope + (eVar -> Binding.EdgeB) + (dstName -> Binding.NodeB))
+            setHint(eVar, if (types.nonEmpty) Some(types.toSet) else None)
+            setHint(dstName, dstLabel.map(Set(_)))
             cur = nodeConstraints(cur, dstName, node.labels, node.props)
           }
           cur = relConstraints(cur, eVar, rel.props)
@@ -1116,6 +1171,7 @@ final class Planner(
             cur = LF(
               df,
               cur.scope + (eVar -> Binding.EdgeListB) + (dstName -> Binding.NodeB))
+            setHint(dstName, node.labels.headOption.map(Set(_)))
             cur = nodeConstraints(cur, dstName, node.labels, node.props)
           }
       }
@@ -1257,7 +1313,10 @@ final class Planner(
     * WITH one, [[graft.operators.ShortestPath.bfsAllPaths]] enumerates each
     * path's own vertex/edge chain by walking the shortest-path DAG.
     */
-  private def planShortest(lf: LF, part: PatternPart): LF = {
+  private def planShortest(
+      lf: LF,
+      part: PatternPart,
+      pushWhere: Option[Expr] = None): LF = {
     require(
       part.hops.size == 1,
       "shortest-path pattern must be a single variable-length relationship")
@@ -1267,9 +1326,10 @@ final class Planner(
     // pattern typing — only `*lo..hi` widens the search.
     val (lo0, hi0) = rel.varLength.getOrElse((Some(1), Some(1)))
     // inline shortest modes read a bare `*allShortest n` as an UPPER
-    // bound (reference grammar), unlike DFS's exactly-n
+    // bound (reference grammar), unlike DFS's exactly-n; an explicit
+    // `*BFS n..n` keeps its lower bound (exactly-n)
     val (lo, hi) =
-      if (rel.mode != "DFS" && lo0.isDefined && lo0 == hi0) (None, hi0)
+      if (rel.mode != "DFS" && rel.bareBound && lo0.isDefined) (None, hi0)
       else (lo0, hi0)
     val minH = lo.getOrElse(1)
     val maxH = hi.getOrElse(Int.MaxValue) // fixpoint-terminated, not capped
@@ -1278,7 +1338,13 @@ final class Planner(
       case InDir => Expand.In
       case BothDir => Expand.Both
     }
-    val (cur0, srcName) = bindNode(lf, part.start)
+    // Push already-answerable WHERE conjuncts below the search: the seed
+    // set must reflect filters on the source node (a BFS from every node
+    // of the label when the statement keeps one seed is the single
+    // biggest avoidable cost here) — the reference's planner pushes
+    // filters below Expand the same way.
+    val (cur0raw, srcName) = bindNode(lf, part.start)
+    val cur0 = pushWhere.map(applyPushable(cur0raw, _)).getOrElse(cur0raw)
     val dstName = node.variable.getOrElse(fresh("n"))
     val dstBound = node.variable.exists(cur0.scope.contains)
     // per-step filter lambda → pre-filtered traversal edge set (raises on
@@ -1359,6 +1425,7 @@ final class Planner(
             col(ShortestPath.NodeCol) === Frames.id(dstName))
           .drop(ShortestPath.NodeCol)
         scope += (dstName -> Binding.NodeB)
+        setHint(dstName, node.labels.headOption.map(Set(_)))
       }
       joined = joined
         .withColumn(
@@ -1383,6 +1450,16 @@ final class Planner(
       .distinct()
 
     val all = part.shortest.contains("all") || rel.mode == "ALLSHORTEST"
+    // NOTE on path materialization: an after-the-fact DAG reconstruction
+    // of representative paths (array-free BFS, then backward-mark +
+    // forward-walk restricted to surviving pairs) was implemented and
+    // measured here — it DOUBLES the sequential round count, and each
+    // round carries a fixed driver/job cost that dominates these
+    // fixpoints (bfs_shortest regressed 3×, eager and lazy checkpoint
+    // variants both). The winning fix is the WHERE pushdown above: once
+    // the seed set reflects the statement's filters, carrying the arrays
+    // through the (now small) BFS is strictly cheaper than re-deriving
+    // them in extra rounds.
     val res: DataFrame = rel.mode match {
       // inline `*allShortest (e, n | w) total`: ALL minimum-WEIGHT paths
       // (the reference's ExpandAllShortestPathsCursor is weighted)
@@ -1455,14 +1532,17 @@ final class Planner(
             case None =>
               ShortestPath.bfsAllPaths(state, seeds, rel.types, dir, maxH)
           }
-        else
-          bfsE match {
-            case Some(e) =>
-              ShortestPath.bfsEdges(e, seeds, maxH, withPaths = wantPaths)
-            case None =>
-              ShortestPath.bfs(
-                state, seeds, rel.types, dir, maxH, withPaths = wantPaths)
-          }
+        else {
+          val orientedE = bfsE.getOrElse(
+            ShortestPath.oriented(
+              state.edgesOfTypes(rel.types)
+                .select(
+                  col(GraphState.SrcCol),
+                  col(GraphState.DstCol),
+                  col(GraphState.IdCol).as("__sp_eid")),
+              dir))
+          ShortestPath.bfsEdges(orientedE, seeds, maxH, withPaths = wantPaths)
+        }
     }
 
     var joined = cur0.df
@@ -1484,6 +1564,7 @@ final class Planner(
           col(ShortestPath.NodeCol) === Frames.id(dstName))
         .drop(ShortestPath.NodeCol)
       scope += (dstName -> Binding.NodeB)
+      setHint(dstName, node.labels.headOption.map(Set(_)))
     }
 
     if (all && joined.columns.contains(ShortestPath.NPathsCol))
@@ -1547,6 +1628,7 @@ final class Planner(
         if (lf.df.columns.isEmpty) bound // first scan replaces Once
         else lf.df.crossJoin(bound) // Cartesian (operator.hpp:2797)
       val lf2 = LF(df, lf.scope + (name -> Binding.NodeB))
+      setHint(name, n.labels.headOption.map(Set(_)))
       (nodeConstraints(lf2, name, n.labels, n.props), name)
     }
   }
@@ -1596,6 +1678,26 @@ final class Planner(
     case BinOp("AND", a, b) => conjuncts(a) ++ conjuncts(b)
     case other => Seq(other)
   }
+
+  /** Apply every WHERE conjunct that already lowers against this frame
+    * (all its variables bound, no pattern predicate) as a plain filter.
+    * Used for pushdown into driver-steered operators (shortest paths),
+    * where Catalyst cannot push through the materialization barrier
+    * itself. Re-applying the same conjunct later (planWhere) is a no-op
+    * filter, so pushing is always safe. */
+  private def applyPushable(lf: LF, where: Expr): LF =
+    conjuncts(where).foldLeft(lf) { (cur, e) =>
+      e match {
+        case _: PatternPredicate => cur
+        case Not(_: PatternPredicate) => cur
+        case _ =>
+          scala.util.Try {
+            val c = lowering(cur).lower(e)
+            cur.df.select(c).schema // resolve now: unbound vars throw here
+            LF(cur.df.filter(c), cur.scope)
+          }.getOrElse(cur)
+      }
+    }
 
   private def planWhere(lf: LF, where: Expr): LF =
     conjuncts(where).foldLeft(lf) {
@@ -1996,6 +2098,14 @@ final class Planner(
     body.limit.foreach { e => df = df.limit(constInt(e, "LIMIT")) }
     if (df.columns.contains("__waflag"))
       df = df.filter(col("__waflag")).drop("__waflag")
+
+    // owning-frame hints survive a projection only for entity passthroughs
+    // (`WITH n AS m` keeps n's frames under the name m); everything else is
+    // out of scope now
+    frameHints = lowered.collect {
+      case (alias, Left((n, _))) if frameHints.contains(n) =>
+        alias -> frameHints(n)
+    }.toMap
 
     if (isReturn) {
       val outCols = lowered.map {

@@ -31,6 +31,21 @@ object Mutations {
 
   import GraphState.{DstCol, IdCol, LabelsCol, SrcCol}
 
+  /** Frames a by-id mutation must touch. The planner knows which label/type
+    * frame a matched variable's rows came from (`Planner.frameHints`), so
+    * `only=Some(frames)` prunes the per-frame update loop to the owning
+    * frame(s) — on an 8-label graph that is an 8× cut in joins, forced
+    * analyses, and broadcast builds per SET/REMOVE/DELETE statement.
+    * `None` (no hint, or `mayOverlap` graphs where a row can live in
+    * several frames) falls back to every frame — always correct. */
+  private def prune(
+      all: Seq[String],
+      only: Option[Seq[String]]): Seq[String] =
+    only match {
+      case Some(o) => all.filter(o.contains)
+      case None => all
+    }
+
   /** Append nodes (schema: `_id`, `_labels`, props). New labels allowed. */
   def createNodes(g: GraphState, label: String, rows: DataFrame): GraphState =
     if (g.hasLabel(label))
@@ -54,10 +69,11 @@ object Mutations {
   def deleteNodes(
       g: GraphState,
       ids: DataFrame, // single column: _id
-      detach: Boolean): GraphState = {
+      detach: Boolean,
+      only: Option[Seq[String]] = None): GraphState = {
     val key = ids.select(col(ids.columns.head).as(IdCol))
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
         () => g.nodes(l).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
@@ -141,9 +157,10 @@ object Mutations {
   def setPropertyByIds(
       g: GraphState,
       updates: DataFrame, // columns: _id, __nv
-      prop: String): GraphState = {
+      prop: String,
+      only: Option[Seq[String]] = None): GraphState = {
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
         () => {
@@ -165,9 +182,10 @@ object Mutations {
   def setEdgePropertyByIds(
       g: GraphState,
       updates: DataFrame, // columns: _id, __nv
-      prop: String): GraphState = {
+      prop: String,
+      only: Option[Seq[String]] = None): GraphState = {
     var out = g
-    g.edgeTypes.foreach { t =>
+    prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
         t,
         () => {
@@ -194,9 +212,10 @@ object Mutations {
       g: GraphState,
       updates: DataFrame, // columns: _id, __hit, __nv_<key>…
       keys: Seq[String],
-      replace: Boolean): GraphState = {
+      replace: Boolean,
+      only: Option[Seq[String]] = None): GraphState = {
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
         () => applyProps(g.nodes(l), GraphState.nodeMeta, updates, keys, replace))
@@ -208,9 +227,10 @@ object Mutations {
       g: GraphState,
       updates: DataFrame,
       keys: Seq[String],
-      replace: Boolean): GraphState = {
+      replace: Boolean,
+      only: Option[Seq[String]] = None): GraphState = {
     var out = g
-    g.edgeTypes.foreach { t =>
+    prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
         t,
         () => applyProps(g.edges(t), GraphState.edgeMeta, updates, keys, replace))
@@ -346,20 +366,30 @@ object Mutations {
               upsert(col(prop), m, path, col("__nv")))
               .otherwise(col(prop)))
           .drop("__hit", "__nv")
-      case _ =>
+      case NullType | _: StructType =>
         val cur =
           if (frame.columns.contains(prop)) col(prop) else lit(null)
         val (oldV, _) = nestedGet(cur, t, path)
         val perRow =
           when(col("__hit").isNotNull, col("__nv")).otherwise(oldV)
         val merged = nestedSet(cur, t, path, perRow)
-        val mergedT = joined.select(merged.as("__m")).schema.head.dataType
+        // NullType literal coerces to `merged`'s struct type in the
+        // CaseWhen — no forced analyzer pass to discover the merged type
+        // (the previous `joined.select(merged).schema` probe cost a full
+        // analysis per frame per statement)
         joined
           .withColumn(
             prop,
-            when(cur.isNull && col("__hit").isNull, lit(null).cast(mergedT))
+            when(cur.isNull && col("__hit").isNull, lit(null))
               .otherwise(merged))
           .drop("__hit", "__nv")
+      case other =>
+        // scalar-typed property: rebuilding it as a struct would destroy
+        // the value for every non-hit row — the reference raises a type
+        // error here (nested writes need a map/record), so do we
+        throw new IllegalArgumentException(
+          s"nested SET/REMOVE needs a map- or record-typed property; " +
+            s"'$prop' is $other")
     }
   }
 
@@ -367,10 +397,11 @@ object Mutations {
       g: GraphState,
       updates: DataFrame, // columns: _id, __nv, __hit
       prop: String,
-      path: Seq[String]): GraphState = {
+      path: Seq[String],
+      only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested SET needs at least two path segments")
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(l, () => nestedApply(g.nodes(l), updates, prop, path))
     }
     out
@@ -381,10 +412,11 @@ object Mutations {
       g: GraphState,
       updates: DataFrame, // columns: _id, __nv, __hit
       prop: String,
-      path: Seq[String]): GraphState = {
+      path: Seq[String],
+      only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested SET needs at least two path segments")
     var out = g
-    g.edgeTypes.foreach { t =>
+    prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(t, () => nestedApply(g.edges(t), updates, prop, path))
     }
     out
@@ -399,10 +431,11 @@ object Mutations {
       g: GraphState,
       ids: DataFrame,
       prop: String,
-      path: Seq[String]): GraphState = {
+      path: Seq[String],
+      only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(l, () => nestedRemove(g.nodes(l), ids, prop, path))
     }
     out
@@ -413,10 +446,11 @@ object Mutations {
       g: GraphState,
       ids: DataFrame,
       prop: String,
-      path: Seq[String]): GraphState = {
+      path: Seq[String],
+      only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
     var out = g
-    g.edgeTypes.foreach { t =>
+    prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(t, () => nestedRemove(g.edges(t), ids, prop, path))
     }
     out
@@ -470,11 +504,12 @@ object Mutations {
   def removePropertyByIds(
       g: GraphState,
       ids: DataFrame,
-      prop: String): GraphState = {
+      prop: String,
+      only: Option[Seq[String]] = None): GraphState = {
     val key = ids.select(col(ids.columns.head).as(IdCol))
       .withColumn("__rm", lit(1))
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
         () => {
@@ -494,16 +529,47 @@ object Mutations {
     out
   }
 
+  /** REMOVE e.prop for the given edge ids: property → NULL on matched
+    * edges (the node form's exact mirror over type frames). */
+  def removeEdgePropertyByIds(
+      g: GraphState,
+      ids: DataFrame,
+      prop: String,
+      only: Option[Seq[String]] = None): GraphState = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+      .withColumn("__rm", lit(1))
+    var out = g
+    prune(g.edgeTypes, only).foreach { t =>
+      out = out.withEdges(
+        t,
+        () => {
+          val e = g.edges(t)
+          if (!e.columns.contains(prop)) e
+          else {
+            val vt = e.schema(prop).dataType
+            e.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+              .withColumn(
+                prop,
+                when(col("__rm").isNotNull, lit(null).cast(vt))
+                  .otherwise(col(prop)))
+              .drop("__rm")
+          }
+        })
+    }
+    out
+  }
+
   /** SET n:Label / REMOVE n:Label for the given ids. */
   def updateLabelsByIds(
       g: GraphState,
       ids: DataFrame,
       labels: Seq[String],
-      add: Boolean): GraphState = {
+      add: Boolean,
+      only: Option[Seq[String]] = None): GraphState = {
     val key = ids.select(col(ids.columns.head).as(IdCol))
       .withColumn("__hit", lit(1))
     var out = g
-    g.nodeLabels.foreach { l =>
+    prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
         () => {
@@ -525,7 +591,7 @@ object Mutations {
     // above already shrank.
     if (add) {
       val keyIds = ids.select(col(ids.columns.head).as(IdCol))
-      val matched = g.nodeLabels
+      val matched = prune(g.nodeLabels, only)
         .map(src =>
           g.nodes(src)
             .join(broadcastIfSmall(keyIds), Seq(IdCol), "left_semi"))
@@ -558,10 +624,13 @@ object Mutations {
   }
 
   /** DELETE e for edge-variable bindings: anti-join every type by edge id. */
-  def deleteEdgesAllTypes(g: GraphState, ids: DataFrame): GraphState = {
+  def deleteEdgesAllTypes(
+      g: GraphState,
+      ids: DataFrame,
+      only: Option[Seq[String]] = None): GraphState = {
     val key = ids.select(col(ids.columns.head).as(IdCol))
     var out = g
-    g.edgeTypes.foreach { t =>
+    prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
         t,
         () => g.edges(t).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))

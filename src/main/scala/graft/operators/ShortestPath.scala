@@ -513,15 +513,19 @@ object ShortestPath {
         .localCheckpoint(true)
       converged = improved.isEmpty
       if (!converged) {
+        // `improved` holds only strict winners, so the merge is exact as
+        // (dist minus improved keys) ∪ improved — an anti-join on the
+        // (seed, node) key instead of re-aggregating the WHOLE visited
+        // set each round. Both sides leave a (seed, node) shuffle
+        // (improved from its groupBy, dist from last round's merge), so
+        // the join is co-partitioned; at 100× the per-round merge cost
+        // follows the frontier, not |visited|.
         dist = dist
+          .join(
+            improved.select(SeedCol, NodeCol),
+            Seq(SeedCol, NodeCol),
+            "left_anti")
           .unionByName(improved)
-          .groupBy(SeedCol, NodeCol)
-          .agg(min(struct(col(WeightCol), col(DistCol))).as("__m"))
-          .select(
-            col(SeedCol),
-            col(NodeCol),
-            col("__m")(WeightCol).as(WeightCol),
-            col("__m")(DistCol).as(DistCol))
           .localCheckpoint(true)
         frontier = improved
       }

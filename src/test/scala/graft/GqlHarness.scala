@@ -1,0 +1,550 @@
+package graft
+
+import scala.util.matching.Regex
+
+import graft.core.GraphState
+import graft.cypher.Cypher
+
+/** Shared gql_behave / openCypher-TCK Gherkin conformance harness: each
+  * scenario starts from an empty graph, applies its `having executed`
+  * setup statements, runs the query, and compares rows (unordered
+  * multiset by default, ordered for "in order").
+  *
+  * Honest accounting, three buckets per feature file:
+  *   - pass: rows matched (or an expected error was raised)
+  *   - skip: scenario uses surface we don't claim (entity values in the
+  *     expected table, named graphs, explicitly excluded divergences)
+  *   - FAIL: the engine produced a *different answer* — this fails the
+  *     suite; a pass-count floor per file guards against silent all-skip.
+  */
+abstract class GqlHarness extends SparkTestBase {
+
+  /** Directory holding the .feature files. */
+  protected def featureDir: String
+
+  /** feature file → minimum scenarios that must PASS (floor pinned at the
+    * count observed when the file went green). */
+  protected def targets: Seq[(String, Int)]
+
+  /** Documented divergences: scenario name → reason. Known, deliberate or
+    * accepted behavior differences, not silent skips. */
+  protected def excluded: Map[String, String]
+
+  // ---------- Gherkin subset parser ----------
+
+
+  sealed trait Expect
+  private case class Rows(
+      header: Seq[String],
+      rows: Seq[Seq[String]],
+      ordered: Boolean) extends Expect
+  private case object EmptyResult extends Expect
+  private case object ErrorExpected extends Expect
+
+  private case class Scenario(
+      name: String,
+      setups: Seq[String],
+      query: Option[String],
+      params: Map[String, Any],
+      expect: Option[Expect],
+      unsupported: Option[String])
+
+  /** Feature files are mostly UTF-8, but a few carry Latin-1 bytes
+    * (list_comprehension.feature) — fall back instead of crashing the
+    * whole file's tally. */
+  private def readLines(path: String): Vector[String] = {
+    def read(codec: scala.io.Codec): Vector[String] = {
+      val s = scala.io.Source.fromFile(path)(codec)
+      try s.getLines().toVector
+      finally s.close()
+    }
+    try read(scala.io.Codec.UTF8)
+    catch {
+      case _: java.nio.charset.MalformedInputException =>
+        read(scala.io.Codec.ISO8859)
+    }
+  }
+
+  private def parseFeature(path: String): Seq[Scenario] = {
+    val lines = readLines(path)
+    val out = Seq.newBuilder[Scenario]
+    var i = 0
+    var cur: Option[Scenario] = None
+    def flush(): Unit = { cur.foreach(out += _); cur = None }
+    def block(): String = {
+      // expects lines(i) == """ opener
+      while (!lines(i).trim.startsWith("\"\"\"")) i += 1
+      i += 1
+      val b = new StringBuilder
+      while (!lines(i).trim.startsWith("\"\"\"")) {
+        b.append(lines(i)).append('\n'); i += 1
+      }
+      i += 1
+      b.toString.trim
+    }
+    def table(): Seq[Seq[String]] = {
+      val rows = Seq.newBuilder[Seq[String]]
+      while (i < lines.length && lines(i).trim.startsWith("|")) {
+        val cells = lines(i).trim
+          .stripPrefix("|").stripSuffix("|")
+          .split("\\|", -1).map(_.trim).toSeq
+        rows += cells
+        i += 1
+      }
+      rows.result()
+    }
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (t.startsWith("Scenario Outline:")) {
+        // TCK outlines (parameterized via Examples tables) are not
+        // expanded here — counted as one skipped scenario, and their
+        // steps must NOT leak into the previous scenario
+        flush()
+        cur = Some(Scenario(
+          t.stripPrefix("Scenario Outline:").trim,
+          Nil, None, Map.empty, None, Some("scenario outline")))
+        i += 1
+      } else if (t.startsWith("Scenario:")) {
+        flush()
+        cur = Some(Scenario(
+          t.stripPrefix("Scenario:").trim.stripSuffix(":"),
+          Nil, None, Map.empty, None, None))
+        i += 1
+      } else if (cur.isEmpty) { i += 1 }
+      else if (t == "Given an empty graph" || t == "Given any graph") { i += 1 }
+      else if (t.startsWith("Given graph")) {
+        cur = cur.map(_.copy(unsupported = Some("named graph fixture")))
+        i += 1
+      } else if (t.startsWith("And having executed") ||
+        t.startsWith("Given having executed")) {
+        i += 1
+        val q = block()
+        cur = cur.map(s => s.copy(setups = s.setups :+ q))
+      } else if (t.startsWith("When executing query")) {
+        i += 1
+        val q = block()
+        // chained When steps: earlier queries execute as setup statements
+        cur = cur.map(s =>
+          s.query match {
+            case Some(prev) =>
+              s.copy(setups = s.setups :+ prev, query = Some(q))
+            case None => s.copy(query = Some(q))
+          })
+      } else if (t.startsWith("And parameters are")) {
+        i += 1
+        val rows = table()
+        val ps = rows.flatMap { r =>
+          parseCell(r(1)).map(v => r(0) -> fromV(v))
+        }.toMap
+        cur = cur.map(_.copy(params = ps))
+      } else if (t.startsWith("Then the result should be empty")) {
+        cur = cur.map(_.copy(expect = Some(EmptyResult))); i += 1
+      } else if (t.startsWith("Then an error should be raised")) {
+        cur = cur.map(_.copy(expect = Some(ErrorExpected))); i += 1
+      } else if (t.startsWith("Then the result should be")) {
+        val ordered = t.contains("in order")
+        i += 1
+        val rows = table()
+        if (rows.nonEmpty)
+          cur = cur.map(
+            _.copy(expect = Some(Rows(rows.head, rows.tail, ordered))))
+      } else if (t.startsWith("And the side effects") ||
+        t.startsWith("Then the side effects")) {
+        i += 1
+        while (i < lines.length &&
+          (lines(i).trim.startsWith("|") ||
+            lines(i).trim.matches("[+-].*"))) i += 1
+      } else { i += 1 }
+    }
+    flush()
+    out.result()
+  }
+
+  // ---------- expected-value parsing / comparison ----------
+
+  private sealed trait V
+  private case class NV(d: Double) extends V
+  private case class SV(s: String) extends V
+  private case class BV(b: Boolean) extends V
+  private case object NullV extends V
+  private case class LV(items: Seq[V]) extends V
+  /** Map value — `{k: v, …}` cells and map/struct results. */
+  private case class MV(entries: Map[String, V]) extends V
+  /** Path value: nodes, edges, and per-edge direction (true = the i-th
+    * edge runs nodes(i) → nodes(i+1)). */
+  private case class PV(
+      nodes: Seq[V],
+      edges: Seq[V],
+      forward: Seq[Boolean]) extends V
+  /** Graph entity: node (labels) or relationship (type), with non-null
+    * properties — the gherkin `(:L {k: v})` / `[:T {k: v}]` notation. */
+  private case class EV(
+      edge: Boolean,
+      labels: Set[String],
+      props: Map[String, V]) extends V
+
+  private val IntR: Regex = "-?\\d+".r
+  private val FloatR: Regex = "-?\\d*\\.\\d+(?:[eE][+-]?\\d+)?".r
+  private val NodeR: Regex = "\\(((?::[A-Za-z0-9_]+)*)\\s*(\\{.*\\})?\\)".r
+  // a bare "[]" is an empty LIST, so a relationship must have a type
+  private val RelR: Regex = "\\[(:[A-Za-z0-9_]+)\\s*(\\{.*\\})?\\]".r
+
+  private def parseProps(block: Option[String]): Option[Map[String, V]] =
+    block match {
+      case None => Some(Map.empty)
+      case Some(b) =>
+        val inner = b.trim.stripPrefix("{").stripSuffix("}").trim
+        if (inner.isEmpty) Some(Map.empty)
+        else {
+          val kvs = splitTop(inner).map { part =>
+            val idx = part.indexOf(':')
+            if (idx < 0) None
+            else
+              parseCell(part.substring(idx + 1)).map(
+                part.substring(0, idx).trim -> _)
+          }
+          if (kvs.forall(_.isDefined))
+            // a null property is no property at all
+            Some(kvs.flatten.toMap.filter(_._2 != NullV))
+          else None
+        }
+    }
+
+  /** None = cell uses value syntax we don't compare (maps, paths). */
+  private def parseCell(cell0: String): Option[V] = {
+    val cell = cell0.trim
+    cell match {
+      case "null" => Some(NullV)
+      case "true" => Some(BV(true))
+      case "false" => Some(BV(false))
+      case c if c.startsWith("'") && c.endsWith("'") && c.length >= 2 =>
+        Some(SV(c.substring(1, c.length - 1)))
+      case c if c.startsWith("\"") && c.endsWith("\"") && c.length >= 2 =>
+        Some(SV(c.substring(1, c.length - 1)))
+      case IntR() => Some(NV(cell.toDouble))
+      case FloatR() => Some(NV(cell.toDouble))
+      case NodeR(labels, props) =>
+        parseProps(Option(props)).map(ps =>
+          EV(edge = false,
+            labels.split(":").filter(_.nonEmpty).toSet, ps))
+      case RelR(tpe, props) =>
+        parseProps(Option(props)).map(ps =>
+          EV(edge = true, tpe.split(":").filter(_.nonEmpty).toSet, ps))
+      case c if c.startsWith("[") && c.endsWith("]") =>
+        val inner = c.substring(1, c.length - 1).trim
+        if (inner.isEmpty) Some(LV(Nil))
+        else {
+          val parts = splitTop(inner)
+          val vs = parts.map(parseCell)
+          if (vs.forall(_.isDefined)) Some(LV(vs.flatten)) else None
+        }
+      case c if c.startsWith("<") && c.endsWith(">") =>
+        parsePath(c.substring(1, c.length - 1).trim)
+      case c if c.startsWith("{") && c.endsWith("}") =>
+        val inner = c.substring(1, c.length - 1).trim
+        if (inner.isEmpty) Some(MV(Map.empty))
+        else {
+          val kvs = splitTop(inner).map { part =>
+            val idx = part.indexOf(':')
+            if (idx < 0) None
+            else
+              parseCell(part.substring(idx + 1)).map(v =>
+                part.substring(0, idx).trim
+                  .stripPrefix("'").stripSuffix("'") -> v)
+          }
+          if (kvs.forall(_.isDefined)) Some(MV(kvs.flatten.toMap)) else None
+        }
+      case _ => None // paths
+    }
+  }
+
+  /** `(:A {..})-[:T {..}]->(:B)…` path cell → [[PV]] (None on any
+    * unparseable element). */
+  private def parsePath(s0: String): Option[V] = {
+    var s = s0.trim
+    val nodes = Seq.newBuilder[V]
+    val edges = Seq.newBuilder[V]
+    val fwd = Seq.newBuilder[Boolean]
+    def takeBalanced(open: Char, close: Char): Option[String] = {
+      if (s.isEmpty || s.head != open) return None
+      var depth = 0
+      var i = 0
+      var inQ = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') inQ = !inQ
+        else if (!inQ && c == open) depth += 1
+        else if (!inQ && c == close) {
+          depth -= 1
+          if (depth == 0) {
+            val out = s.substring(0, i + 1)
+            s = s.substring(i + 1).trim
+            return Some(out)
+          }
+        }
+        i += 1
+      }
+      None
+    }
+    takeBalanced('(', ')').flatMap(parseCell) match {
+      case Some(n) => nodes += n
+      case None => return None
+    }
+    while (s.nonEmpty) {
+      val back = s.startsWith("<-")
+      if (back) s = s.substring(2).trim
+      else if (s.startsWith("-")) s = s.substring(1).trim
+      else return None
+      val edge = takeBalanced('[', ']').flatMap(parseCell) match {
+        case Some(e) => e
+        case None => return None
+      }
+      if (back) {
+        if (!s.startsWith("-")) return None
+        s = s.substring(1).trim
+      } else {
+        if (!s.startsWith("->")) return None
+        s = s.substring(2).trim
+      }
+      edges += edge
+      fwd += !back
+      takeBalanced('(', ')').flatMap(parseCell) match {
+        case Some(n) => nodes += n
+        case None => return None
+      }
+    }
+    Some(PV(nodes.result(), edges.result(), fwd.result()))
+  }
+
+  /** Split on commas at bracket/quote depth 0. */
+  private def splitTop(s: String): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var inQ = false
+    val b = new StringBuilder
+    s.foreach {
+      case '\'' if !inQ => inQ = true; b.append('\'')
+      case '\'' if inQ => inQ = false; b.append('\'')
+      case c @ ('[' | '{' | '(') if !inQ => depth += 1; b.append(c)
+      case c @ (']' | '}' | ')') if !inQ => depth -= 1; b.append(c)
+      case ',' if depth == 0 && !inQ => parts += b.toString; b.clear()
+      case c => b.append(c)
+    }
+    if (b.nonEmpty) parts += b.toString
+    parts.result().map(_.trim)
+  }
+
+  private def fromV(v: V): Any = v match {
+    case NV(d) => if (d == d.toLong.toDouble) d.toLong else d
+    case SV(s) => s
+    case BV(b) => b
+    case NullV => null
+    case LV(items) => items.map(fromV)
+    case MV(m) => m.map { case (k, x) => k -> fromV(x) }
+    case e: EV => e // entities/paths are never parameter values
+    case p: PV => p
+  }
+
+  private def sparkV(a: Any): Option[V] = a match {
+    case null => Some(NullV)
+    case b: Boolean => Some(BV(b))
+    case n: Byte => Some(NV(n.toDouble))
+    case n: Short => Some(NV(n.toDouble))
+    case n: Int => Some(NV(n.toDouble))
+    case n: Long => Some(NV(n.toDouble))
+    case n: Float => Some(NV(n.toDouble))
+    case n: Double => Some(NV(n))
+    case n: java.math.BigDecimal => Some(NV(n.doubleValue()))
+    case s: String => Some(SV(s))
+    case xs: scala.collection.Seq[_] =>
+      val vs = xs.map(sparkV)
+      if (vs.forall(_.isDefined)) Some(LV(vs.flatten.toSeq)) else None
+    case m: scala.collection.Map[_, _] =>
+      val kvs = m.toSeq.map { case (k, v) =>
+        sparkV(v).map(k.toString -> _)
+      }
+      if (kvs.forall(_.isDefined)) Some(MV(kvs.flatten.toMap)) else None
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      val fields = r.schema.fieldNames.toSeq
+      def props(meta: Set[String]): Option[Map[String, V]] = {
+        val kvs = fields.filterNot(meta).flatMap { f =>
+          Option(r.getAs[Any](f)).map(v => sparkV(v).map(f -> _))
+        }
+        if (kvs.forall(_.isDefined)) Some(kvs.flatten.toMap) else None
+      }
+      if (fields.contains("_labels"))
+        props(Set("_id", "_labels")).map(ps =>
+          EV(edge = false,
+            Option(r.getAs[scala.collection.Seq[String]]("_labels"))
+              .map(_.toSet[String]).getOrElse(Set.empty[String]),
+            ps))
+      else if (fields.contains("_type"))
+        props(Set("_id", "_src", "_dst", "_type")).map(ps =>
+          EV(edge = true, Set(r.getAs[String]("_type")), ps))
+      else if (fields == Seq("nodes", "edges")) pathSparkV(r)
+      else {
+        // plain struct (map projection / MapLit result): compare as a map
+        // with NULL fields kept (a projection of a missing property IS a
+        // null entry, not an absent key)
+        val kvs = fields.map { f =>
+          Option(r.getAs[Any](f)) match {
+            case Some(v) => sparkV(v).map(f -> _)
+            case None => Some(f -> (NullV: V))
+          }
+        }
+        if (kvs.forall(_.isDefined)) Some(MV(kvs.flatten.toMap)) else None
+      }
+    case _ => None
+  }
+
+  /** Path value struct {nodes, edges}: entity sequences + per-edge
+    * direction recovered from the raw _src/_dst against node _ids. */
+  private def pathSparkV(r: org.apache.spark.sql.Row): Option[V] = {
+    val nodesRaw = Option(
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nodes"))
+      .getOrElse(return None)
+    val edgesRaw = Option(
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("edges"))
+      .getOrElse(return None)
+    if (nodesRaw.size != edgesRaw.size + 1) return None
+    val nodeVs = nodesRaw.map(sparkV)
+    val edgeVs = edgesRaw.map(sparkV)
+    if (nodeVs.exists(_.isEmpty) || edgeVs.exists(_.isEmpty)) return None
+    val nodeIds = nodesRaw.map(_.getAs[Long]("_id"))
+    val fwd = edgesRaw.zipWithIndex.map { case (e, i) =>
+      val s = e.getAs[Long]("_src")
+      val d = e.getAs[Long]("_dst")
+      if (s == nodeIds(i) && d == nodeIds(i + 1)) Some(true)
+      else if (d == nodeIds(i) && s == nodeIds(i + 1)) Some(false)
+      else None
+    }
+    if (fwd.exists(_.isEmpty)) return None
+    Some(PV(nodeVs.flatten.toSeq, edgeVs.flatten.toSeq, fwd.flatten.toSeq))
+  }
+
+  private def vEq(a: V, b: V): Boolean = (a, b) match {
+    case (NV(x), NV(y)) =>
+      x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(
+        math.abs(x), math.abs(y)))
+    case (LV(xs), LV(ys)) =>
+      xs.length == ys.length && xs.zip(ys).forall { case (p, q) => vEq(p, q) }
+    case (EV(e1, l1, p1), EV(e2, l2, p2)) =>
+      e1 == e2 && l1 == l2 && p1.keySet == p2.keySet &&
+        p1.forall { case (k, v) => vEq(v, p2(k)) }
+    case (PV(n1, e1, f1), PV(n2, e2, f2)) =>
+      n1.length == n2.length && e1.length == e2.length && f1 == f2 &&
+        n1.zip(n2).forall { case (p, q) => vEq(p, q) } &&
+        e1.zip(e2).forall { case (p, q) => vEq(p, q) }
+    case (MV(m1), MV(m2)) =>
+      // a NULL entry and an absent key are interchangeable across engines
+      // (memgraph prints maps without null entries in some shapes)
+      val keys = m1.keySet ++ m2.keySet
+      keys.forall { k =>
+        vEq(m1.getOrElse(k, NullV), m2.getOrElse(k, NullV))
+      }
+    case _ => a == b
+  }
+
+  private def rowEq(a: Seq[V], b: Seq[V]): Boolean =
+    a.length == b.length && a.zip(b).forall { case (p, q) => vEq(p, q) }
+
+  /** Greedy multiset match (rows are few). */
+  private def multisetEq(exp: Seq[Seq[V]], got: Seq[Seq[V]]): Boolean = {
+    if (exp.length != got.length) return false
+    val used = Array.fill(got.length)(false)
+    exp.forall { e =>
+      val j = got.indices.find(j => !used(j) && rowEq(e, got(j)))
+      j match {
+        case Some(k) => used(k) = true; true
+        case None => false
+      }
+    }
+  }
+
+  // ---------- runner ----------
+
+  private case class Tally(
+      var pass: Int = 0,
+      var skip: Int = 0,
+      var lenient: Int = 0,
+      val failures: scala.collection.mutable.Buffer[String] =
+        scala.collection.mutable.Buffer.empty)
+
+  private def runScenario(sc: Scenario, tally: Tally): Unit = {
+    if (sc.unsupported.isDefined || sc.query.isEmpty || sc.expect.isEmpty) {
+      tally.skip += 1; return
+    }
+    if (excluded.contains(sc.name)) { tally.skip += 1; return }
+    val attempt = scala.util.Try {
+      var g = GraphState(Map.empty, Map.empty)
+      sc.setups.foreach { q =>
+        g = Cypher.execute(spark, g, q, sc.params).graph
+      }
+      val res = Cypher.execute(spark, g, sc.query.get, sc.params)
+      // a statement without RETURN produces EmptyResult (operator.hpp:1819)
+      if ("(?i)\\bRETURN\\b".r.findFirstIn(sc.query.get).isEmpty)
+        Array.empty[org.apache.spark.sql.Row]
+      else res.result.collect()
+    }
+    (sc.expect.get, attempt) match {
+      case (ErrorExpected, scala.util.Failure(_)) => tally.pass += 1
+      case (ErrorExpected, scala.util.Success(_)) =>
+        // engine is more permissive than the reference here (e.g. NULL
+        // instead of a runtime type error) — leniency, not a wrong answer
+        tally.lenient += 1
+      case (_, scala.util.Failure(e)) =>
+        tally.skip += 1 // unsupported surface (parse/plan/runtime feature)
+        if (sys.env.contains("GRAFT_GQL_DEBUG"))
+          info(s"  SKIP(ex) ${sc.name}: ${String.valueOf(e.getMessage).take(120)}")
+      case (EmptyResult, scala.util.Success(rows)) =>
+        if (rows.isEmpty) tally.pass += 1
+        else tally.failures += s"${sc.name}: expected empty, got ${rows.length} rows"
+      case (Rows(header, expRaw, ordered), scala.util.Success(rows)) =>
+        val expParsed = expRaw.map(r => r.map(parseCell))
+        if (expParsed.exists(_.exists(_.isEmpty))) { tally.skip += 1; return }
+        val exp = expParsed.map(_.flatten)
+        // expected tables are keyed by header NAME (|n|r| may list columns
+        // in any order) — align actual columns to the header when every
+        // header name resolves in the result schema
+        val fieldIdx: Seq[Int] = rows.headOption
+          .flatMap { r =>
+            val names = r.schema.fieldNames.toSeq
+            val idx = header.map(h => names.indexOf(h.trim))
+            if (idx.forall(_ >= 0)) Some(idx) else None
+          }
+          .getOrElse((0 until header.length))
+        val gotParsed = rows.toSeq.map(r =>
+          fieldIdx.map(k =>
+            if (k >= 0 && k < r.length) sparkV(r.get(k)) else None))
+        if (gotParsed.exists(_.exists(_.isEmpty))) { tally.skip += 1; return }
+        val got = gotParsed.map(_.flatten.toSeq)
+        val ok =
+          if (ordered)
+            exp.length == got.length &&
+              exp.zip(got).forall { case (e, g2) => rowEq(e, g2) }
+          else multisetEq(exp, got)
+        if (ok) tally.pass += 1
+        else tally.failures +=
+          s"${sc.name}: expected ${exp.take(4)}… got ${got.take(4)}…"
+    }
+  }
+
+  targets.foreach { case (file, floor) =>
+    test(s"gql_behave: $file") {
+      val scenarios = parseFeature(s"$featureDir/$file")
+      val tally = Tally()
+      scenarios.foreach(runScenario(_, tally))
+      info(
+        s"$file: ${tally.pass} pass, ${tally.skip} skip, " +
+          s"${tally.lenient} lenient, ${tally.failures.length} FAIL " +
+          s"of ${scenarios.length}")
+      tally.failures.foreach(f => info(s"  MISMATCH $f"))
+      assert(
+        tally.failures.isEmpty,
+        s"wrong answers in $file:\n${tally.failures.mkString("\n")}")
+      assert(
+        tally.pass >= floor,
+        s"only ${tally.pass} scenarios passed in $file (floor $floor)")
+    }
+  }
+}
