@@ -63,10 +63,21 @@ object CypherParser extends RegexParsers {
       val c = s.charAt(i)
       if (c == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
-          case 'n' => b.append('\n'); case 't' => b.append('\t')
-          case 'r' => b.append('\r'); case other => b.append(other)
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          // \uXXXX / \UXXXXXXXX unicode escapes (openCypher string spec)
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'U' if i + 10 <= s.length =>
+            b.appendAll(Character.toChars(
+              Integer.parseInt(s.substring(i + 2, i + 10), 16)))
+            i += 10
+          case other => b.append(other); i += 2
         }
-        i += 2
       } else { b.append(c); i += 1 }
     }
     b.toString
@@ -294,7 +305,9 @@ object CypherParser extends RegexParsers {
         .getOrElse(Nil)
       RelPattern(
         v,
-        ts.getOrElse(Nil),
+        // [:T|:T] matches the same edges as [:T] — duplicate types must
+        // not duplicate rows
+        ts.getOrElse(Nil).distinct,
         specProps ++
           props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
         OutDir, // direction patched by caller

@@ -286,17 +286,23 @@ object Functions {
       case "properties" =>
         nodeEdgeVar(0).map(ctx.varPropsStruct).getOrElse(a(0))
       case "keys" =>
+        // a NULL property is no property (REMOVE nulls the column), so
+        // keys() lists only per-row NON-NULL properties
+        def presentKeys(names: Seq[String], value: String => Column): Column =
+          filter(
+            array(names.map(p => when(value(p).isNotNull, lit(p))): _*),
+            x => x.isNotNull)
         nodeEdgeVar(0) match {
           case Some(n) =>
             val props = ctx
               .varCols(n)
               .map(_.split(Frames.Sep, 2)(1))
               .filterNot(_.startsWith("_"))
-            array(props.map(lit): _*)
+            presentKeys(props, p => Frames.f(n, p))
           case None =>
             argType(0) match {
               case Some(s: StructType) =>
-                array(s.fieldNames.toSeq.map(lit): _*)
+                presentKeys(s.fieldNames.toSeq, f => a(0).getField(f))
               case _ => map_keys(a(0))
             }
         }
@@ -444,8 +450,22 @@ object Functions {
         } else when(lo <= hi, sequence(lo, hi)).otherwise(empty)
       case "toset" => array_distinct(a(0))
       case "uniformsample" =>
-        // rand-based sample of a list (awesome_memgraph_functions.cpp:2097)
-        slice(shuffle(a(0)), lit(1), a(1).cast("int"))
+        // n draws WITH replacement (awesome_memgraph_functions.cpp:1085).
+        // The reference uses a thread-local mt19937 (impure); a batch
+        // engine needs deterministic output, so the index stream is a
+        // fixed Weyl sequence — uniform over positions, reproducible for
+        // the oracle.
+        val list = a(0)
+        val n = a(1).cast("long")
+        val full = transform(
+          sequence(lit(0L), greatest(n - 1, lit(0L))),
+          i =>
+            element_at(
+              list,
+              ((i * lit(2654435761L) + lit(40503L)) % size(list) + 1)
+                .cast("int")))
+        when(list.isNull || a(1).isNull || size(list) === 0, lit(null))
+          .otherwise(slice(full, lit(1), n.cast("int")))
       case "reverse" =>
         argType(0) match {
           case Some(_: ArrayType) => reverse(a(0))
@@ -507,8 +527,74 @@ object Functions {
       // ---- temporal (:2150-2154) ----
       case "date" => if (args.isEmpty) current_date() else to_date(a(0))
       case "datetime" | "localdatetime" =>
-        if (args.isEmpty) current_timestamp() else to_timestamp(a(0))
+        // string forms accept an ISO offset/zone suffix (the reference's
+        // ZonedDateTime parse, utils/temporal.hpp) — Cast normalizes the
+        // instant to the session zone (UTC), which is the value model
+        // here (one absolute instant, no carried zone field); the map
+        // ctor takes an explicit `timezone` key via make_timestamp
+        args.headOption match {
+          case None => current_timestamp()
+          case Some(MapLit(kvs)) =>
+            val m = kvs.toMap
+            def f(k: String, dflt: Int): Column =
+              m.get(k).map(e => ctx.lower(e).cast("int"))
+                .getOrElse(lit(dflt))
+            val sec = m.get("second").map(e => ctx.lower(e).cast("decimal(16,6)"))
+              .getOrElse(lit(0).cast("decimal(16,6)"))
+            m.get("timezone") match {
+              case Some(tz) =>
+                make_timestamp(
+                  f("year", 1970), f("month", 1), f("day", 1),
+                  f("hour", 0), f("minute", 0), sec, ctx.lower(tz))
+              case None =>
+                make_timestamp(
+                  f("year", 1970), f("month", 1), f("day", 1),
+                  f("hour", 0), f("minute", 0), sec)
+            }
+          case Some(_) => to_timestamp(a(0))
+        }
       case "timestamp" => unix_micros(current_timestamp())
+
+      // ---- byte strings (:2148-2149; ToByteString/FromByteString) ----
+      case "tobytestring" =>
+        // '0x…' hex → BINARY; odd length gets a leading zero; '' → empty
+        val h0 = a(0)
+        val hexPart = h0.substr(lit(3), length(h0))
+        val padded =
+          when(length(hexPart) % 2 === 1, concat(lit("0"), hexPart))
+            .otherwise(hexPart)
+        when(h0 === "", lit(Array.empty[Byte]))
+          .when(
+            h0.startsWith("0x") || h0.startsWith("0X"),
+            unhex(padded))
+          .otherwise(raise_error(
+            concat(lit("'toByteString' argument must start with '0x': "), h0)))
+      case "frombytestring" =>
+        // BINARY → '0x' + lowercase hex, zero-padded to a minimum byte
+        // length; empty input → ''
+        val hexs = org.apache.spark.sql.functions.lower(hex(a(0)))
+        val padded =
+          if (args.size >= 2)
+            lpad(
+              hexs,
+              greatest(length(hexs), a(1).cast("int") * 2),
+              lit("0"))
+          else hexs
+        when(length(a(0)) === 0, lit("")).otherwise(concat(lit("0x"), padded))
+
+      // ---- counters (:1249) ----
+      case "counter" =>
+        // counter(name, initial[, step]): the reference keeps one mutable
+        // cell per name, incremented per evaluation in row order
+        // (awesome_memgraph_functions.cpp:1249). Batch analog: initial +
+        // step × row-rank in the frame's current order — per call site
+        // (cross-statement shared state has no batch meaning).
+        val init = a(1).cast("long")
+        val step = if (args.size >= 3) a(2).cast("long") else lit(1L)
+        val rn = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(monotonically_increasing_id()))
+        init + step * (rn.cast("long") - 1L)
       // duration(): reference `utils/temporal.cpp` (DurationParameters map
       // ctor / ParseDurationParameters ISO-8601) → DayTimeIntervalType.
       // Map keys are singular like the reference; plural accepted. All
@@ -581,14 +667,55 @@ object Functions {
 
       // ---- misc ----
       case "randomuuid" => uuid()
-      case "tobytestring" => unhex(a(0))
-      case "frombytestring" => hex(a(0))
 
       // ---- MAGE-style module helpers (src/mage/cpp/collections, text) ----
       case "collections.sort" => sort_array(a(0))
       case "collections.reverse" => reverse(a(0))
       case "collections.sum" => aggregate(a(0), lit(0L), _ + _)
       case "collections.contains" => array_contains(a(0), a(1))
+      case "collections.avg" =>
+        aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")) /
+          size(a(0))
+      case "collections.toset" | "collections.to_set" => array_distinct(a(0))
+      case "collections.min" => array_min(a(0))
+      case "collections.max" => array_max(a(0))
+
+      // map_module (src/mage/cpp — apoc heritage). Cypher map literals
+      // lower to RECORDS here (typed per key), so each helper has a
+      // struct branch beside the MapType one.
+      case "map.frompairs" | "map.from_pairs" =>
+        map_from_entries(transform(
+          a(0),
+          p => struct(
+            element_at(p, 1).cast("string").as("key"),
+            element_at(p, 2).as("value"))))
+      case "map.merge" =>
+        (argType(0), argType(1)) match {
+          case (Some(s1: StructType), Some(s2: StructType)) =>
+            // later map wins on key collision (apoc.map.merge contract)
+            val keys = (s1.fieldNames ++ s2.fieldNames).distinct.toSeq
+            struct(keys.map { k =>
+              (if (s2.fieldNames.contains(k)) a(1).getField(k)
+               else a(0).getField(k)).as(k)
+            }: _*)
+          case _ =>
+            map_concat(
+              map_filter(a(0), (k, _) => !map_contains_key(a(1), k)),
+              a(1))
+        }
+      case "map.removekey" | "map.remove_key" =>
+        argType(0) match {
+          case Some(s: StructType) =>
+            val k = args(1) match {
+              case Lit(k0: String) => k0
+              case _ =>
+                throw new IllegalArgumentException(
+                  "map.removeKey on a record needs a literal key")
+            }
+            struct(s.fieldNames.filterNot(_ == k).toSeq
+              .map(f => a(0).getField(f).as(f)): _*)
+          case _ => map_filter(a(0), (k, _) => k =!= a(1))
+        }
       case "text.join" =>
         args(1) match {
           case Lit(s: String) => array_join(a(0), s)

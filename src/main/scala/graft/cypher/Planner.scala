@@ -400,8 +400,19 @@ final class Planner(
       lf0: LF,
       items: Seq[(String, Expr)]): (LF, Seq[(String, Expr)]) = {
     var cur = lf0
-    def rw(e: Expr): Expr = e match {
+    // `bound` = lambda vars of enclosing comprehensions/quantifiers: a
+    // pattern comprehension whose pattern references one is correlated
+    // PER LIST ELEMENT — not expressible as a frame-level RollUpApply, so
+    // raise instead of silently planning it uncorrelated (wrong answer)
+    def rw(e: Expr, bound: Set[String]): Expr = e match {
       case pc: PatternComprehension =>
+        val patVars = pc.pattern.start.variable.toSeq ++
+          pc.pattern.hops.flatMap { case (r, nd) =>
+            r.variable.toSeq ++ nd.variable.toSeq
+          }
+        if (patVars.exists(bound))
+          throw new UnsupportedOperationException(
+            "pattern comprehension correlated on a comprehension variable")
         val name = fresh("pc")
         cur = planRollUp(cur, name, pc)
         Var(name)
@@ -414,25 +425,32 @@ final class Planner(
         val name = fresh("deg")
         cur = planDegree(cur, name, n, fn.toLowerCase)
         Var(name)
-      case BinOp(o, a, b) => BinOp(o, rw(a), rw(b))
-      case Not(x) => Not(rw(x))
-      case Neg(x) => Neg(rw(x))
-      case IsNull(x, n) => IsNull(rw(x), n)
-      case FnCall(n, d, as) => FnCall(n, d, as.map(rw))
+      case BinOp(o, a, b) => BinOp(o, rw(a, bound), rw(b, bound))
+      case Not(x) => Not(rw(x, bound))
+      case Neg(x) => Neg(rw(x, bound))
+      case IsNull(x, n) => IsNull(rw(x, bound), n)
+      case FnCall(n, d, as) => FnCall(n, d, as.map(rw(_, bound)))
       case CaseExpr(s, ws, d) =>
-        CaseExpr(s.map(rw), ws.map { case (a, b) => (rw(a), rw(b)) }, d.map(rw))
-      case Subscript(a, b) => Subscript(rw(a), rw(b))
-      case Slice(a, b, c) => Slice(rw(a), b.map(rw), c.map(rw))
-      case ListLit(is) => ListLit(is.map(rw))
-      case MapLit(is) => MapLit(is.map { case (k, v) => (k, rw(v)) })
-      case Reduce(acc, i, v, l, st) => Reduce(acc, rw(i), v, rw(l), rw(st))
+        CaseExpr(
+          s.map(rw(_, bound)),
+          ws.map { case (a, b) => (rw(a, bound), rw(b, bound)) },
+          d.map(rw(_, bound)))
+      case Subscript(a, b) => Subscript(rw(a, bound), rw(b, bound))
+      case Slice(a, b, c) =>
+        Slice(rw(a, bound), b.map(rw(_, bound)), c.map(rw(_, bound)))
+      case ListLit(is) => ListLit(is.map(rw(_, bound)))
+      case MapLit(is) => MapLit(is.map { case (k, v) => (k, rw(v, bound)) })
+      case Reduce(acc, i, v, l, st) =>
+        Reduce(acc, rw(i, bound), v, rw(l, bound), rw(st, bound + acc + v))
       case ListComprehension(v, l, w, p) =>
-        ListComprehension(v, rw(l), w.map(rw), p.map(rw))
-      case Quantifier(k, v, l, p) => Quantifier(k, v, rw(l), rw(p))
-      case HasLabel(x, l) => HasLabel(rw(x), l)
+        ListComprehension(
+          v, rw(l, bound), w.map(rw(_, bound + v)), p.map(rw(_, bound + v)))
+      case Quantifier(k, v, l, p) =>
+        Quantifier(k, v, rw(l, bound), rw(p, bound + v))
+      case HasLabel(x, l) => HasLabel(rw(x, bound), l)
       case other => other
     }
-    val newItems = items.map { case (a, e) => (a, rw(e)) }
+    val newItems = items.map { case (a, e) => (a, rw(e, Set.empty)) }
     (cur, newItems)
   }
 
@@ -872,10 +890,16 @@ final class Planner(
     // label is optional (unlabeled MERGE matches/creates "_"-frame nodes);
     // props are optional (MERGE (n:L) matches ANY :L node, creates one
     // when none exists)
-    val storeTargets = if (n.labels.isEmpty) Seq("_") else n.labels
+    // ON CREATE SET a:Foo adds labels to CREATED rows only — they join
+    // the pattern labels in the stored row and its frame placement
+    val onCreateLabels = m.onCreate.collect {
+      case SetLabelsItem(v, ls) if n.variable.contains(v) => ls
+    }.flatten
+    val createLabels = (n.labels ++ onCreateLabels).distinct
+    val storeTargets = if (createLabels.isEmpty) Seq("_") else createLabels
     val labelsArr =
-      if (n.labels.isEmpty) array().cast("array<string>")
-      else array(n.labels.map(lit): _*)
+      if (createLabels.isEmpty) array().cast("array<string>")
+      else array(createLabels.map(lit): _*)
     def existingFrame: DataFrame = {
       val base = n.labels.headOption
         .map(state.nodesOrEmpty)
@@ -924,6 +948,14 @@ final class Planner(
           state = Mutations.setPropertyByIds(
             state, updates, key,
             if (state.mayOverlap) None else n.labels.headOption.map(Seq(_)))
+        case SetLabelsItem(v2, ls) if v2 == v =>
+          state = Mutations.updateLabelsByIds(
+            state,
+            matched.select(Frames.id(v)).distinct(),
+            ls,
+            add = true,
+            only =
+              if (state.mayOverlap) None else n.labels.headOption.map(Seq(_)))
         case _ => ()
       }
     }
@@ -1146,6 +1178,19 @@ final class Planner(
           }
           cur = relConstraints(cur, eVar, rel.props)
           edgeVars :+= eVar
+          // USING HOPS LIMIT counts single-hop expansions too (reference
+          // hops counter, ast.hpp:2086). A partial prefix is traversal-
+          // order-dependent — no deterministic batch meaning — so a
+          // breach RAISES (VarExpand's contract); under the limit the
+          // full result is returned, identical to the reference.
+          hopsLimit.foreach { lim =>
+            val traversals = cur.df.count()
+            if (traversals > lim)
+              throw new UnsupportedOperationException(
+                s"USING HOPS LIMIT $lim exceeded by a single-hop " +
+                  s"expansion ($traversals traversals); partial results " +
+                  "are unsupported in batch")
+          }
 
         case Some((lo, hi)) =>
           val minH = lo.getOrElse(1)
@@ -1153,6 +1198,12 @@ final class Planner(
           if (rel.props.nonEmpty)
             throw new UnsupportedOperationException(
               "property map on variable-length relationships")
+          // `-[rs*]->` with rs ALREADY bound to a relationship list must
+          // traverse exactly those edges — unsupported; matching as a
+          // fresh variable would be a silent wrong answer
+          if (rel.variable.exists(cur.scope.contains))
+            throw new UnsupportedOperationException(
+              "variable-length expansion over a pre-bound relationship list")
           if (dstBound) {
             val tmp = fresh("n")
             val df0 = VarExpand(
@@ -1320,6 +1371,14 @@ final class Planner(
     require(
       part.hops.size == 1,
       "shortest-path pattern must be a single variable-length relationship")
+    // USING HOPS LIMIT truncates the reference's traversal MID-SEARCH,
+    // yielding partial shortest-path results in its visit order — batch
+    // BFS has no equivalent deterministic prefix, so raise (VarExpand
+    // enforces the limit for plain expansions by raising on breach too)
+    if (hopsLimit.isDefined)
+      throw new UnsupportedOperationException(
+        "USING HOPS LIMIT with shortest-path expansions yields partial, " +
+          "traversal-order-dependent results — unsupported in batch")
     val (rel, node) = part.hops.head
     // A non-var-length relationship inside shortestPath(...) keeps its
     // single-edge semantics (exactly one hop), matching the reference's
@@ -1825,8 +1884,12 @@ final class Planner(
       frame.select(
         col(GraphState.IdCol).as("__ent_id"),
         struct(frame.columns.map(col).toSeq: _*).as("__ent"))
-    def collected(idsCol: String, entFrame: DataFrame, out: String): DataFrame =
-      keyed
+    def collected(
+        base: DataFrame,
+        idsCol: String,
+        entFrame: DataFrame,
+        out: String): DataFrame =
+      base
         .select(
           col("__pm_row"),
           posexplode(col(idsCol)).as(Seq("__pm_pos", "__pm_id")))
@@ -1837,14 +1900,132 @@ final class Planner(
             array_sort(collect_list(
               struct(col("__pm_pos").as("p"), col("__ent").as("e")))),
             x => x.getField("e")).as(out))
+    // edges first: var-length segments record only SEGMENT-ENDPOINT node
+    // ids, so the full node sequence is recovered by WALKING the edge
+    // structs from the first node (each edge contributes its other
+    // endpoint — orientation-agnostic, so Both-direction hops work too)
     var out = keyed
-      .join(collected(idsN, state.allNodes, nsCol), Seq("__pm_row"), "left_outer")
-      .join(collected(idsE, state.allEdges, esCol), Seq("__pm_row"), "left_outer")
+      .join(
+        collected(keyed, idsE, state.allEdges, esCol),
+        Seq("__pm_row"),
+        "left_outer")
     // a zero-edge path has no exploded edge rows: empty array, not NULL
     out = out.withColumn(
       esCol,
       coalesce(col(esCol), array().cast(out.schema(esCol).dataType)))
+    out = out
+      .withColumn(
+        "__pm_walk",
+        aggregate(
+          col(esCol),
+          array(col(idsN).getItem(0)),
+          (acc, e) =>
+            concat(
+              acc,
+              array(
+                when(
+                  e.getField(GraphState.SrcCol) === element_at(acc, -1),
+                  e.getField(GraphState.DstCol))
+                  .otherwise(e.getField(GraphState.SrcCol))))))
+      .localCheckpoint(true)
+    out = out
+      .join(
+        collected(out, "__pm_walk", state.allNodes, nsCol),
+        Seq("__pm_row"),
+        "left_outer")
+      .withColumn(idsN, col("__pm_walk"))
+      .drop("__pm_walk")
     LF(out.drop("__pm_row"), lf.scope)
+  }
+
+  /** Materialize a var-length relationship binding's edge ENTITIES
+    * (`v@_structs` from `v@_ids`) — a var-length variable IS a list of
+    * relationships in Cypher, so `RETURN r` must produce values, not ids.
+    * Same explode→join→re-sort shape as [[materializePathEntities]]. */
+  private def materializeEdgeListEntities(lf: LF, v: String): LF = {
+    val idsCol = s"$v${Frames.Sep}_ids"
+    val outCol = s"$v${Frames.Sep}_structs"
+    if (lf.df.columns.contains(outCol) || !lf.df.columns.contains(idsCol))
+      return lf
+    val keyed = withSeqId(lf.df, "__el_row", 0L).localCheckpoint(true)
+    val edges = state.allEdges
+    val ents = edges.select(
+      col(GraphState.IdCol).as("__ent_id"),
+      struct(edges.columns.map(col).toSeq: _*).as("__ent"))
+    val collected = keyed
+      .select(
+        col("__el_row"),
+        posexplode(col(idsCol)).as(Seq("__el_pos", "__el_id")))
+      .join(ents, col("__el_id") === col("__ent_id"))
+      .groupBy("__el_row")
+      .agg(
+        transform(
+          array_sort(collect_list(
+            struct(col("__el_pos").as("p"), col("__ent").as("e")))),
+          x => x.getField("e")).as(outCol))
+    var out = keyed
+      .join(collected, Seq("__el_row"), "left_outer")
+    out = out.withColumn(
+      outCol,
+      coalesce(col(outCol), array().cast(out.schema(outCol).dataType)))
+    LF(out.drop("__el_row"), lf.scope)
+  }
+
+  /** Free variable names referenced anywhere in an expression (pattern
+    * positions included) — best-effort; construct-local lambda vars may
+    * be over-included, which only costs a no-op materialization probe.
+    * With `skipLengthOnly`, `length(v)` / `size(v)` / `size(nodes(v))` /
+    * `size(relationships(v))` subtrees are NOT counted — those answers
+    * come from the id arrays, no entity values required. */
+  private def varsIn(
+      e: Expr,
+      skipLengthOnly: Boolean = false): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    def gPart(p: PatternPart): Unit = {
+      p.start.variable.foreach(out += _)
+      p.start.props.foreach { case (_, x) => g(x) }
+      p.hops.foreach { case (r, n) =>
+        r.variable.foreach(out += _)
+        r.props.foreach { case (_, x) => g(x) }
+        n.variable.foreach(out += _)
+        n.props.foreach { case (_, x) => g(x) }
+      }
+    }
+    def g(x: Expr): Unit = x match {
+      case FnCall(fn, _, Seq(Var(_)))
+          if skipLengthOnly && Set("length", "size")(fn.toLowerCase) =>
+        ()
+      case FnCall(fn, _, Seq(FnCall(inner, _, Seq(Var(_)))))
+          if skipLengthOnly && fn.toLowerCase == "size" &&
+            Set("nodes", "relationships")(inner.toLowerCase) =>
+        ()
+      case Var(n) => out += n
+      case Prop(a, _) => g(a)
+      case BinOp(_, a, b) => g(a); g(b)
+      case Not(a) => g(a)
+      case Neg(a) => g(a)
+      case IsNull(a, _) => g(a)
+      case FnCall(_, _, as) => as.foreach(g)
+      case CaseExpr(s, ws, d) =>
+        s.foreach(g); ws.foreach { case (a, b) => g(a); g(b) }; d.foreach(g)
+      case Subscript(a, b) => g(a); g(b)
+      case Slice(a, b, c) => g(a); b.foreach(g); c.foreach(g)
+      case ListLit(is) => is.foreach(g)
+      case MapLit(is) => is.foreach { case (_, v) => g(v) }
+      case MapProjection(v, is) =>
+        out += v
+        is.foreach { case ProjKV(_, a) => g(a); case ProjVar(n) => out += n
+          case _ => () }
+      case Reduce(_, i, _, l, st) => g(i); g(l); g(st)
+      case ListComprehension(_, l, w, p) => g(l); w.foreach(g); p.foreach(g)
+      case Quantifier(_, _, l, p) => g(l); g(p)
+      case HasLabel(a, _) => g(a)
+      case PatternPredicate(p, _) => gPart(p)
+      case PatternComprehension(p, w, proj) => gPart(p); w.foreach(g); g(proj)
+      case _ => ()
+    }
+    g(e)
+    out.toSet
   }
 
   /** Rename free variable references (including pattern-bound positions
@@ -1930,14 +2111,30 @@ final class Planner(
     val (lfR, rewrittenAll) =
       rewritePatternComprehensions(lf0, itemsRaw ++ waRaw ++ obItems)
     val items = rewrittenAll.take(itemsRaw.size)
-    // id-array paths (BFS / var-length) projected as VALUES get their
-    // entity arrays materialized here — the reference reconstructs Path
-    // values at output too; paths merely carried through WITH stay ids
+    // id-array paths (BFS / var-length) and var-length edge lists
+    // projected as VALUES get their entity arrays materialized here — the
+    // reference reconstructs Path/relationship values at output too;
+    // bindings merely carried through WITH stay ids. Covers bare `RETURN
+    // p` AND function positions (`nodes(p)`, `relationships(p)`, `r[0]`).
     var lf = lfR
-    if (isReturn) items.foreach {
-      case (_, Var(n)) if lf.scope.get(n).contains(Binding.PathB) =>
-        lf = materializePathEntities(lf, n)
-      case _ => ()
+    locally {
+      // RETURN: every referenced path/edge-list var needs VALUES. WITH: a
+      // bare passthrough keeps carrying cheap ids, but a var consumed
+      // INSIDE an expression (`WITH nodes(p) AS ns`) needs values NOW.
+      // `length(p)` / `size(nodes(p))` shapes are answered by the id
+      // arrays alone — no entity join for them.
+      val referenced = items.flatMap {
+        case (_, Var(_)) if !isReturn => Nil
+        case (_, e) => varsIn(e, skipLengthOnly = true)
+      }.toSet
+      referenced.foreach { n =>
+        lf.scope.get(n) match {
+          case Some(Binding.PathB) => lf = materializePathEntities(lf, n)
+          case Some(Binding.EdgeListB) =>
+            lf = materializeEdgeListEntities(lf, n)
+          case _ => ()
+        }
+      }
     }
     val whereAfter2: Option[Expr] = rewrittenAll
       .slice(itemsRaw.size, itemsRaw.size + waRaw.size)
@@ -2110,7 +2307,10 @@ final class Planner(
     if (isReturn) {
       val outCols = lowered.map {
         case (alias, Left((n, Binding.EdgeListB))) =>
-          col(s"$alias${Frames.Sep}_ids").as(alias)
+          // relationship-list VALUE when materialized, ids otherwise
+          if (df.columns.contains(s"$alias${Frames.Sep}_structs"))
+            col(s"$alias${Frames.Sep}_structs").as(alias)
+          else col(s"$alias${Frames.Sep}_ids").as(alias)
         case (alias, Left((n, Binding.PathB))) =>
           // path VALUE: {nodes, edges} entity arrays (materialized by the
           // pre-pass when the path carried only id arrays); paths that

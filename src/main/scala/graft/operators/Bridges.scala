@@ -49,7 +49,13 @@ object Bridges {
   /** @param edges (edge_id, src, dst) — undirected interpretation.
     * @param maxRounds safety valve (contraction is O(log n); a breach
     *        indicates a bug, so raise rather than answer wrongly)
-    * @return (edge_id, is_bridge) for every input edge
+    * @return (edge_id, is_bridge, bcc) for every input edge. `bcc` labels
+    *         the BICONNECTED component (min member edge id): every cycle
+    *         resolution event (self-loop / parallel collapse) closes one
+    *         biconnected component, and each bridge is its own singleton —
+    *         exact for SIMPLE input graphs in the reduction class (callers
+    *         needing bcc must reject parallel input edges, where a bundle
+    *         and an enclosing cycle are one true BCC but two here).
     */
   def apply(
       spark: SparkSession,
@@ -70,6 +76,23 @@ object Bridges {
     def addIds(acc: Option[DataFrame], rows: DataFrame): Option[DataFrame] = {
       val flat = rows.select(explode(col("members")).as("edge_id"))
       Some(acc.map(_.unionByName(flat)).getOrElse(flat).localCheckpoint(true))
+    }
+    // (edge_id, bcc): one biconnected component per cycle-resolution
+    // event; the label is the event's minimum member edge id
+    var bccs: Option[DataFrame] = None
+    def addBcc(rows: DataFrame, perEdge: Boolean): Unit = {
+      val flat =
+        if (perEdge)
+          rows.select(explode(col("members")).as("edge_id"))
+            .withColumn("bcc", col("edge_id"))
+        else
+          rows
+            .select(
+              array_min(col("members")).as("bcc"),
+              explode(col("members")).as("edge_id"))
+            .select(col("edge_id"), col("bcc"))
+      bccs = Some(
+        bccs.map(_.unionByName(flat)).getOrElse(flat).localCheckpoint(true))
     }
 
     var round = 0
@@ -92,6 +115,7 @@ object Bridges {
           least(col("u0"), col("v0")).as("u"),
           greatest(col("u0"), col("v0")).as("v"),
           col("members"))
+      val loops = norm.filter(col("u") === col("v"))
       val noLoops = norm.filter(col("u") =!= col("v"))
       val grouped = noLoops
         .groupBy("u", "v")
@@ -99,7 +123,8 @@ object Bridges {
           count(lit(1)).as("__n"),
           flatten(collect_list("members")).as("members"))
         .localCheckpoint(true)
-      val hadLoops = !norm.filter(col("u") === col("v")).isEmpty
+      val hadLoops = !loops.isEmpty
+      if (hadLoops) addBcc(loops, perEdge = false)
       val par = grouped.filter(col("__n") >= 2)
       val hadPar = Option(grouped.agg(max("__n")).first().get(0))
         .exists(_.asInstanceOf[Long] >= 2L)
@@ -109,7 +134,7 @@ object Bridges {
         // we simply do not record them as bridges), collapse parallels,
         // union endpoints; degree logic waits for a clean round
         val unions = par.select(col("v").as("node"), col("u").as("rep"))
-        if (hadPar) rep = compress(rep, unions)
+        if (hadPar) { addBcc(par, perEdge = false); rep = compress(rep, unions) }
         cur = grouped.filter(col("__n") === 1).drop("__n").localCheckpoint(true)
       } else {
         val live = grouped.drop("__n")
@@ -130,6 +155,7 @@ object Bridges {
           .withColumn(
             "__isleaf", col("__lu").isNotNull || col("__lv").isNotNull)
         bridges = addIds(bridges, flagged.filter(col("__isleaf")))
+        addBcc(flagged.filter(col("__isleaf")), perEdge = true)
         val afterLeaf = flagged
           .filter(!col("__isleaf"))
           .select("u", "v", "members")
@@ -202,12 +228,18 @@ object Bridges {
       .map(_.select(col("edge_id"), lit(true).as("is_bridge")))
       .getOrElse(spark.range(0).select(
         col("id").as("edge_id"), lit(true).as("is_bridge")))
+    val bl = bccs
+      .map(_.select(col("edge_id").as("__be"), col("bcc")))
+      .getOrElse(spark.range(0).select(
+        col("id").as("__be"), col("id").as("bcc")))
     edges
       .select(col("edge_id"))
       .join(b, Seq("edge_id"), "left_outer")
+      .join(bl, col("edge_id") === col("__be"), "left_outer")
       .select(
         col("edge_id"),
-        coalesce(col("is_bridge"), lit(false)).as("is_bridge"))
+        coalesce(col("is_bridge"), lit(false)).as("is_bridge"),
+        coalesce(col("bcc"), col("edge_id")).as("bcc"))
   }
 
   /** Fold `unions` (node→rep, rep < node) into the cumulative map and

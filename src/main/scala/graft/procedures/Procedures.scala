@@ -48,6 +48,8 @@ object Procedures {
     "algo.label_propagation" -> labelPropagation,
     "algo.louvain" -> louvain,
     "algo.bridges" -> bridgesProc,
+    "algo.cycles" -> cyclesProc,
+    "algo.biconnected" -> biconnectedProc,
     "algo.katz" -> katz,
     "algo.node_similarity" -> nodeSimilarity,
     "algo.triangle_count" -> triangleCount,
@@ -572,7 +574,30 @@ object Procedures {
       }
       inner
     }
-    perState.getOrElseUpdate(key, build.localCheckpoint(true))
+    perState.getOrElseUpdate(key, persistedOrBuild(key)(build))
+  }
+
+  /** Cross-session index persistence (the 100 TB story; the reference
+    * persists its tantivy/usearch indexes, text_index.hpp:37-48,
+    * vector_index.hpp:125-129): when `spark.graft.index.dir` is set, a
+    * built index is written as a parquet table under it and a FRESH
+    * session's first CALL plans a plain parquet scan instead of the
+    * build. Invalidation is the caller's (mutating a graph version makes
+    * the stored index stale — drop the directory, the reference's DROP
+    * INDEX analog). Unset → in-session memo only. */
+  private def persistedOrBuild(key: String)(build: => DataFrame): DataFrame = {
+    val dir = org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.index.dir", null)
+    if (dir == null) build.localCheckpoint(true)
+    else {
+      val path = s"$dir/${key.replaceAll("[^A-Za-z0-9_.-]", "_")}"
+      val spark = org.apache.spark.sql.SparkSession.active
+      val exists = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(path))
+      if (!exists) build.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
   }
 
   /** `CALL text.search({terms: 'w1 w2 …', limit: n})` — all-terms (AND)
@@ -632,10 +657,14 @@ object Procedures {
     val k = ctx.optInt("k", 3)
     val qmax = ctx.optInt("qmax", 5)
     val bucketed = ctx.optString("bucketed", "false").toBoolean
-    val n = ctx.g.nodes("Embedding")
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-      .withColumn("code", signCode(col("v"), 8))
+    // norms + sign codes are the vector INDEX — memoized per graph
+    // version and persisted under spark.graft.index.dir like the text
+    // postings (the reference persists its usearch index the same way)
+    val n = memoIndex(ctx.g, "vec:Embedding")(
+      ctx.g.nodes("Embedding")
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("nrm", l2norm(col("v")))
+        .withColumn("code", signCode(col("v"), 8)))
     val q = n.filter(col("vec_id") < qmax).select(
       col("vec_id").as("q"),
       col("v").as("qv"),
@@ -764,6 +793,67 @@ object Procedures {
       .select(
         least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
+  }
+
+  /** `CALL algo.cycles({type, weightProp, minWeight})` — fundamental
+    * cycles (`cycles_module`: spanning tree + one cycle per non-tree
+    * edge) via [[graft.operators.Cycles]] (BFS forest + synchronized
+    * chord walks — no DFS). Yields (cycle_id, node). */
+  def cyclesProc(ctx: ProcContext): DataFrame = {
+    val edges = selectedEdges(ctx)
+    val nodes = edges
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
+    graft.operators.Cycles.fundamental(ctx.spark, nodes, edges)
+  }
+
+  /** `CALL algo.biconnected({type, weightProp, minWeight})` — biconnected
+    * components (`biconnected_components_module`): the cycle-contraction
+    * run of [[graft.operators.Bridges]] labels every cycle-resolution
+    * event as one component and every bridge as a singleton. Exact for
+    * simple graphs in the reduction class; parallel input edges RAISE
+    * (a parallel bundle and an enclosing cycle are one true biconnected
+    * component but two under contraction labeling). Yields
+    * (bcc_id, src, dst), src < dst, bcc ids dense from 0 by min edge. */
+  def biconnectedProc(ctx: ProcContext): DataFrame = {
+    val edges = selectedEdges(ctx).localCheckpoint(true)
+    val hasParallel = !edges
+      .groupBy(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .isEmpty
+    if (hasParallel)
+      throw new UnsupportedOperationException(
+        "algo.biconnected: parallel edges between one node pair are " +
+          "outside the contraction labeling's exact class")
+    val flags = graft.operators.Bridges(ctx.spark, edges)
+    import org.apache.spark.sql.expressions.Window
+    edges
+      .join(flags.select(col("edge_id"), col("bcc")), Seq("edge_id"))
+      .withColumn(
+        "bcc_id",
+        dense_rank().over(Window.orderBy(col("bcc"))).cast("long") - 1L)
+      .select(
+        col("bcc_id"),
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+  }
+
+  /** The (edge_id, src, dst) selection bridges/cycles/biconnected share. */
+  private def selectedEdges(ctx: ProcContext): DataFrame = {
+    val tpe = ctx.optString("type", "KNOWS")
+    val e0 = ctx.g.edges(tpe)
+    val filtered =
+      (ctx.opts.get("weightProp"), ctx.optDouble("minWeight")) match {
+        case (Some(p), Some(w)) => e0.filter(col(p.toString) >= w)
+        case _ => e0
+      }
+    filtered.select(
+      col(IdCol).as("edge_id"),
+      col(SrcCol).as("src"),
+      col(DstCol).as("dst"))
   }
 
   def labelPropagation(ctx: ProcContext): DataFrame = {

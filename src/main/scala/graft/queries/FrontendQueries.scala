@@ -144,6 +144,54 @@ object FrontendQueries {
       s"""MATCH (a:Customer)-[k:KNOWS]->(b:Customer) WHERE id(k) = $knowsEdgeId5
          |RETURN a.c_custkey AS a_key, b.c_custkey AS b_key, k.k_weight AS w""".stripMargin,
       """SELECT CAST(5 AS BIGINT) AS a_key, CAST(6 AS BIGINT) AS b_key,
-        |  CAST(7 AS DOUBLE) AS w""".stripMargin)
+        |  CAST(7 AS DOUBLE) AS w""".stripMargin),
+
+    // toByteString/fromByteString round-trips (:2148-2149), deterministic
+    // uniformSample (Weyl-sequence index stream; reference mt19937 is
+    // impure so any fixed stream is conformant), counter (:1249 — row-rank
+    // semantics in batch), and the datetime map ctor with a timezone.
+    cq(
+      "cy_fn_bytes_sample",
+      """UNWIND [0, 1, 2] AS i
+        |RETURN i,
+        |  fromByteString(toByteString('0x0a1B')) AS bs,
+        |  fromByteString(toByteString('0xabc'), 3) AS bs_pad,
+        |  text.join([x IN uniformSample([10, 20, 30, 40], 3) |
+        |             toString(x)], ',') AS samp,
+        |  counter('c', 100, 10) AS cnt,
+        |  toString(datetime({year: 2024, month: 3, day: 5, hour: 6,
+        |                     minute: 7, timezone: 'UTC'})) AS zdt
+        |ORDER BY i""".stripMargin,
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), '0x0a1b', '0x000abc', '40,10,20',
+        |   CAST(100 AS BIGINT), '2024-03-05 06:07:00'),
+        |  (1, '0x0a1b', '0x000abc', '40,10,20', 110,
+        |   '2024-03-05 06:07:00'),
+        |  (2, '0x0a1b', '0x000abc', '40,10,20', 120,
+        |   '2024-03-05 06:07:00')) AS t(i, bs, bs_pad, samp, cnt, zdt)
+        |ORDER BY i""".stripMargin),
+
+    // collections_module / map_module helpers (apoc heritage, most-called
+    // utility procedures in real Cypher): list folds + record-aware map
+    // surgery (Cypher maps are typed records here).
+    cq(
+      "cy_fn_collections_map",
+      """RETURN collections.sum([1, 2, 3]) AS s,
+        |       collections.avg([1.0, 2.0, 6.0]) AS av,
+        |       collections.contains([1, 2], 2) AS c,
+        |       text.join([x IN collections.toSet([3, 1, 2, 1, 3]) |
+        |                  toString(x)], ',') AS ts,
+        |       collections.min([4, 2, 9]) AS mn,
+        |       collections.max([4, 2, 9]) AS mx,
+        |       map.fromPairs([['a', '1'], ['b', '2']])['b'] AS fpb,
+        |       map.merge({a: 1, b: 2}, {b: 3, c: 4})['b'] AS mmb,
+        |       map.merge({a: 1, b: 2}, {b: 3, c: 4})['c'] AS mmc,
+        |       map.removeKey({a: 1, b: 2}, 'a')['b'] AS rkb,
+        |       size(keys(map.removeKey({a: 1, b: 2}, 'a'))) AS rkn""".stripMargin,
+      """SELECT CAST(6 AS BIGINT) AS s, CAST(3.0 AS DOUBLE) AS av,
+        |  true AS c, '3,1,2' AS ts,
+        |  CAST(2 AS BIGINT) AS mn, CAST(9 AS BIGINT) AS mx,
+        |  '2' AS fpb, CAST(3 AS BIGINT) AS mmb, CAST(4 AS BIGINT) AS mmc,
+        |  CAST(2 AS BIGINT) AS rkb, CAST(1 AS BIGINT) AS rkn""".stripMargin)
   )
 }

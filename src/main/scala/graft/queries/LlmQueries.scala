@@ -27,6 +27,54 @@ object LlmQueries {
   private val NumHashes = 12
   private val BandSize = 4 // 3 bands of 4 minhashes
 
+  /** Band buckets larger than this many DISTINCT documents are dropped
+    * from candidate generation: within-bucket pairs are quadratic, and a
+    * bucket this populated after exact-duplicate collapse is a
+    * degenerate shingle (the classic LSH "stop-band"). Never reached on
+    * the test corpora — the mechanism is the 100 TB guard. */
+  private val MaxBandBucket = 10000
+
+  /** Exact-duplicate collapse BEFORE MinHash: a crawl-scale corpus is
+    * dominated by byte-identical copies, and every band bucket holding a
+    * duplicate group of size k generates k²/2 within-bucket candidates.
+    * Group by the canonical sha, keep ONE representative (min doc_id —
+    * all members share the normalized text, so any member tokenizes
+    * identically) and carry the group size; pair counts are then
+    * EXPANDED arithmetically (mult_a × mult_b cross, k(k-1)/2 intra), so
+    * the reported aggregates are bit-identical to the naive all-copies
+    * semantics while the join only ever sees distinct texts. */
+  /** One map-side-combined aggregate deciding the dedup plan: the
+    * representative collapse costs an extra full-text shuffle, and only
+    * pays once exact duplicates are a MATERIAL fraction of the corpus
+    * (within-bucket candidate pairs grow with the SQUARE of duplicate
+    * multiplicity). ≥5% duplicates → collapse; below that the direct
+    * banding's duplicate pairs are bounded anyway. */
+  private def hasExactDups(s: SparkSession, dir: String): Boolean = {
+    val r = docs(s, dir)
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(docHash(col("text"))).as("d"))
+      .first()
+    r.getLong(1) < (r.getLong(0) * 0.95).toLong
+  }
+
+  private def repDocs(
+      s: SparkSession,
+      dir: String,
+      minWords: Int): DataFrame =
+    docs(s, dir)
+      // a doc too short to tokenize never bands in the naive semantics —
+      // collapsing its duplicates would invent pairs/clusters, so only
+      // docs that can participate are grouped (callers re-add the short
+      // ones individually where the naive run keeps them)
+      .filter(size(words(col("text"))) >= minWords)
+      .groupBy(docHash(col("text")).as("__h"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        first(col("text")).as("text"),
+        count(lit(1)).as("mult"))
+      .drop("__h")
+
   /** MinHash-LSH candidate pairs (doc_id < doc_id_r, est = matching-hash
     * fraction) over word tokens — per-band equi-joins. */
   private def minhashCandidates(s: SparkSession, dir: String): DataFrame =
@@ -59,7 +107,20 @@ object LlmQueries {
     // of the signature table collapsed to 1.
     val bandVals = (0 until NumHashes / BandSize)
       .map(b => concat(lit(s"$b:"), col(s"b$b")))
-    val exploded = withBands.withColumn("__bv", explode(array(bandVals: _*)))
+    val exploded0 = withBands.withColumn("__bv", explode(array(bandVals: _*)))
+    // stop-band guard: degenerate buckets (> MaxBandBucket distinct docs
+    // sharing a band value) would go quadratic in the self-join — drop
+    // them; on real corpora exact-dedup upstream keeps buckets tiny.
+    // The count rides the __bv partitioning as a window (no second
+    // shuffle), and the filtered frame is checkpointed ONCE — it feeds
+    // BOTH sides of the candidate join.
+    val exploded = exploded0
+      .withColumn(
+        "__bn",
+        count(lit(1)).over(Window.partitionBy("__bv")))
+      .filter(col("__bn") <= MaxBandBucket)
+      .drop("__bn")
+      .localCheckpoint(true)
     val right = exploded.select(
       exploded.columns.map(c => col(c).as(s"${c}_r")).toSeq: _*)
     val est = ((0 until NumHashes)
@@ -97,11 +158,47 @@ object LlmQueries {
     QueryDef(
       "dedup_minhash",
       (s, dir) => {
-        val pairs = minhashCandidates(s, dir)
-        pairs.agg(
-          count(lit(1)).as("n_cand"),
-          count(when(col("est") >= 0.5, 1)).as("n_near"),
-          round(avg(col("est")), 4).as("avg_est"))
+        // ADAPTIVE exact-dedup-first: one cheap hash aggregate decides.
+        // A duplicate-free corpus skips the collapse entirely (the
+        // grouping would be pure overhead); a duplicate-heavy one (any
+        // real crawl, the scale_up sf1 corpus) runs the LSH join over
+        // one representative per distinct text and recovers the
+        // duplicate-group pair counts arithmetically — the aggregates
+        // equal the naive all-pairs run the oracle computes either way.
+        if (!hasExactDups(s, dir)) {
+          val pairs = minhashCandidates(s, dir)
+          pairs.agg(
+            count(lit(1)).as("n_cand"),
+            count(when(col("est") >= 0.5, 1)).as("n_near"),
+            round(avg(col("est")), 4).as("avg_est"))
+        } else {
+          val reps = repDocs(s, dir, minWords = 1).localCheckpoint(true)
+          val pairs = minhashPairsFrom(
+            reps.select(
+              col("doc_id"),
+              explode(array_distinct(words(col("text")))).as("w")))
+          val mult = reps.select(col("doc_id"), col("mult"))
+          val cross = pairs
+            .join(broadcast(mult), Seq("doc_id"))
+            .join(
+              broadcast(mult.select(
+                col("doc_id").as("doc_id_r"), col("mult").as("mult_r"))),
+              Seq("doc_id_r"))
+            .select((col("mult") * col("mult_r")).as("w"), col("est"))
+          val intra = reps
+            .filter(col("mult") > 1)
+            .select(
+              (col("mult") * (col("mult") - 1) / 2).cast("long").as("w"),
+              lit(1.0).as("est"))
+          cross
+            .unionByName(intra)
+            .agg(
+              coalesce(sum(col("w")), lit(0L)).cast("long").as("n_cand"),
+              coalesce(sum(when(col("est") >= 0.5, col("w"))), lit(0L))
+                .cast("long").as("n_near"),
+              round(sum(col("est") * col("w")) / sum(col("w")), 4)
+                .as("avg_est"))
+        }
       },
       Some {
         val minhashes = (0 until NumHashes)
@@ -144,12 +241,33 @@ object LlmQueries {
     QueryDef(
       "dedup_clusters",
       (s, dir) => {
-        // Two materialization barriers: (1) the words array — without it
-        // the shingle lambda re-evaluates regexp_replace+split PER SHINGLE
-        // (no CSE across lambda boundaries → quadratic in doc length);
-        // (2) the shingle sets — referenced by the token explode and both
-        // sides of the verify join.
-        val sh = docs(s, dir)
+        // Exact-dedup first (repDocs): LSH + verify + components run over
+        // one representative per distinct text; cluster sizes re-expand
+        // via the carried multiplicities (a representative IS its whole
+        // exact-duplicate group, which the naive run would have clustered
+        // via est=1.0 pairs anyway — labels are group minima, so the
+        // min-label components and canon sums come out identical).
+        // Materialization barriers as before: the words array (shingle
+        // lambda CSE) and the shingle sets (token explode + both verify
+        // join sides).
+        // shingle-capable docs collapse to representatives; shorter docs
+        // stay individual mult-1 nodes (the naive run clusters them as
+        // singletons — no shingles, no candidates). Duplicate-free
+        // corpora skip the collapse (same adaptive switch as
+        // dedup_minhash — mult≡1 degenerates to the direct run).
+        val reps =
+          (if (!hasExactDups(s, dir))
+             docs(s, dir)
+               .select(col("doc_id"), col("text"), lit(1L).as("mult"))
+           else
+             repDocs(s, dir, minWords = 3)
+               .unionByName(
+                 docs(s, dir)
+                   .filter(size(words(col("text"))) < 3)
+                   .select(
+                     col("doc_id"), col("text"), lit(1L).as("mult"))))
+            .localCheckpoint(true)
+        val sh = reps
           .select(col("doc_id"), words(col("text")).as("ws"))
           .localCheckpoint(true)
           .select(
@@ -165,15 +283,16 @@ object LlmQueries {
             Seq("doc_id_r"))
           .filter(jaccard(col("sh"), col("sh_r")) >= 0.6)
           .select(col("doc_id").as("src"), col("doc_id_r").as("dst"))
-        val nodes = docs(s, dir).select(col("doc_id").as("node"))
+        val nodes = reps.select(col("doc_id").as("node"))
         val comp = graft.procedures.Procedures.minLabelComponents(nodes, verified)
         comp
+          .join(reps.select(col("doc_id").as("node"), col("mult")), Seq("node"))
           .groupBy("comp")
-          .agg(count(lit(1)).as("sz"))
+          .agg(sum(col("mult")).as("sz"))
           .agg(
             count(lit(1)).as("n_clusters"),
-            sum(col("sz")).as("n_docs"),
-            (sum(col("sz")) - count(lit(1))).as("n_dupes"),
+            sum(col("sz")).cast("long").as("n_docs"),
+            (sum(col("sz")) - count(lit(1))).cast("long").as("n_dupes"),
             max(col("sz")).as("max_sz"),
             sum(when(col("sz") > 1, col("comp"))).as("canon_sum"))
       },

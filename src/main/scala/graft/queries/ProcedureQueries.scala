@@ -686,7 +686,65 @@ object ProcedureQueries {
          |ORDER BY a, b""".stripMargin,
       s"""WITH ${knowsEdges(8)}
          |SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM e
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin),
+
+    // Fundamental cycles (cycles_module/algorithm/cycles.hpp: spanning
+    // tree + one cycle per non-tree edge) on a created graph whose
+    // cycles are tree-independent: two vertex-disjoint rings — each ring
+    // IS its fundamental cycle whatever spanning tree BFS picks — plus
+    // an acyclic tail that must contribute nothing. Node ids recover
+    // their creation offsets mod 2^48.
+    QueryDef(
+      "call_cycles",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (a0:CycV)-[:CycE]->(a1:CycV)-[:CycE]->(a2:CycV)
+            |       -[:CycE]->(a3:CycV)-[:CycE]->(a0),
+            |       (b0:CycV)-[:CycE]->(b1:CycV)-[:CycE]->(b2:CycV)
+            |       -[:CycE]->(b0),
+            |       (a0)-[:CycE]->(t1:CycV)-[:CycE]->(t2:CycV)""".stripMargin)
+        Cypher.run(
+          s,
+          e1.graph,
+          """CALL algo.cycles({type: 'CycE'}) YIELD cycle_id, node
+            |RETURN cycle_id, node % 281474976710656 AS nk
+            |ORDER BY cycle_id, nk""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (0, 1), (0, 2),
+             |  (0, 3), (1, 4), (1, 5), (1, 6)) AS t(cycle_id, nk)
+             |ORDER BY cycle_id, nk""".stripMargin)),
+
+    // Biconnected components (biconnected_components_module) on the same
+    // created graph: each ring is one component, each tail edge its own
+    // singleton — closed-form whatever the contraction order.
+    QueryDef(
+      "call_biconnected",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (a0:BccV)-[:BccE]->(a1:BccV)-[:BccE]->(a2:BccV)
+            |       -[:BccE]->(a3:BccV)-[:BccE]->(a0),
+            |       (b0:BccV)-[:BccE]->(b1:BccV)-[:BccE]->(b2:BccV)
+            |       -[:BccE]->(b0),
+            |       (a0)-[:BccE]->(t1:BccV)-[:BccE]->(t2:BccV)""".stripMargin)
+        Cypher.run(
+          s,
+          e1.graph,
+          """CALL algo.biconnected({type: 'BccE'}) YIELD bcc_id, src, dst
+            |RETURN bcc_id, src % 281474976710656 AS a,
+            |       dst % 281474976710656 AS b
+            |ORDER BY bcc_id, a, b""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (0, 0, 3), (0, 1, 2), (0, 2, 3),
+             |  (1, 4, 5), (1, 4, 6), (1, 5, 6),
+             |  (2, 0, 7), (3, 7, 8)) AS t(bcc_id, a, b)
+             |ORDER BY bcc_id, a, b""".stripMargin))
   )
 
   /** Louvain DP: one CTE chain per round — community volumes, per-(node,

@@ -131,8 +131,8 @@ object Round3Queries {
         |WHERE a.c_custkey = 0 AND b.c_custkey IN [2, 8, 14]
         |RETURN b.c_custkey AS k, length(p) AS len,
         |       size(nodes(p)) AS n_nodes,
-        |       nodes(p)[1] % 281474976710656 AS second,
-        |       relationships(p)[0] % 281474976710656 AS e0
+        |       id(nodes(p)[1]) % 281474976710656 AS second,
+        |       id(relationships(p)[0]) % 281474976710656 AS e0
         |ORDER BY k""".stripMargin,
       """SELECT * FROM (VALUES
         |  (CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),

@@ -116,7 +116,7 @@ object ShortestPathQueries {
         |      p = allShortestPaths((a)-[:KNOWS*..6]->(b:Customer))
         |WHERE b.c_custkey IN [8, 9, 14]
         |RETURN b.c_custkey AS k, length(p) AS len,
-        |       text.join([x IN nodes(p) | toString(x % 281474976710656)],
+        |       text.join([x IN nodes(p) | toString(id(x) % 281474976710656)],
         |                 '-') AS seq
         |ORDER BY k, seq""".stripMargin,
       """SELECT * FROM (VALUES

@@ -53,5 +53,24 @@ class GqlBehaveSpec extends GqlHarness {
     "Merge followed by Create bounded count (issue #1333)" ->
       ("memgraph's pipelined per-row execution makes CREATE's nodes " +
         "visible to an upstream MERGE mid-statement (8); snapshot batch " +
-        "semantics evaluates each clause against one state (6)"))
+        "semantics evaluates each clause against one state (6)"),
+    "Multiple list pattern comprehensions in Return" ->
+      ("upstream expected-table typo: lists 'TheMatrixRevolutions' etc. " +
+        "without spaces while the graph_keanu fixture titles have them " +
+        "(its own third row keeps 'The Matrix' spaced); our answer " +
+        "matches the fixture"),
+    "Multiple list pattern comprehensions with the same symbol name inside in Return" ->
+      "same upstream expected-table typo as the scenario above",
+    "Multiple list pattern comprehensions in With" ->
+      "same upstream 'TheMatrix…' expected-table typo",
+    "Multiple list pattern comprehensions in With and Return" ->
+      "same upstream 'TheMatrix…' expected-table typo",
+    "Multiple list pattern comprehensions with filters in With and Return" ->
+      "same upstream 'TheMatrix…' expected-table typo",
+    "Multiple entries with list pattern comprehension" ->
+      "same upstream 'TheMatrix…' expected-table typo",
+    "Multiple list pattern comprehensions in Return and label index" ->
+      "same upstream 'TheMatrix…' expected-table typo",
+    "Function inside pattern comprehension's expression" ->
+      "same upstream 'TheMatrix…' expected-table typo")
 }

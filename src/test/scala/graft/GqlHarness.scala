@@ -65,11 +65,39 @@ abstract class GqlHarness extends SparkTestBase {
     }
   }
 
+  /** `Given graph "name"` / `Given the name graph` → fixture name. */
+  private def namedGraph(t: String): Option[String] =
+    if (t.startsWith("Given graph"))
+      Some(t.stripPrefix("Given graph").trim.stripPrefix("\"").stripSuffix("\""))
+    else if (t.startsWith("Given the ") && t.endsWith(" graph"))
+      Some(t.stripPrefix("Given the ").stripSuffix(" graph").trim)
+    else None
+
+  /** Load a named graph fixture (`graphs/<name>.cypher` beside the
+    * feature dir) as setup statements (split on `;`). */
+  private def graphFixture(name: String): Option[Seq[String]] = {
+    val f = new java.io.File(
+      new java.io.File(featureDir).getParentFile, s"graphs/$name.cypher")
+    if (!f.exists) None
+    else
+      Some(
+        readLines(f.getPath)
+          .mkString("\n")
+          .split(";")
+          .map(_.trim)
+          .filter(_.nonEmpty)
+          .toSeq)
+  }
+
   private def parseFeature(path: String): Seq[Scenario] = {
     val lines = readLines(path)
     val out = Seq.newBuilder[Scenario]
     var i = 0
     var cur: Option[Scenario] = None
+    // `Background:` setup runs before EVERY scenario of the feature (the
+    // TCK files rely on this heavily) — collected while cur is empty
+    var bg: Vector[String] = Vector.empty
+    var bgUnsupported: Option[String] = None
     def flush(): Unit = { cur.foreach(out += _); cur = None }
     def block(): String = {
       // expects lines(i) == """ opener
@@ -108,26 +136,51 @@ abstract class GqlHarness extends SparkTestBase {
         flush()
         cur = Some(Scenario(
           t.stripPrefix("Scenario:").trim.stripSuffix(":"),
-          Nil, None, Map.empty, None, None))
+          bg, None, Map.empty, None, bgUnsupported))
         i += 1
-      } else if (cur.isEmpty) { i += 1 }
+      } else if (cur.isEmpty) {
+        // Background region (or file preamble): collect shared setup
+        if (t.startsWith("And having executed") ||
+          t.startsWith("Given having executed")) {
+          i += 1
+          bg = bg :+ block()
+        } else if (namedGraph(t).isDefined) {
+          graphFixture(namedGraph(t).get) match {
+            case Some(qs) => bg = bg ++ qs
+            case None =>
+              bgUnsupported =
+                Some(s"missing graph fixture '${namedGraph(t).get}'")
+          }
+          i += 1
+        } else i += 1
+      }
       else if (t == "Given an empty graph" || t == "Given any graph") { i += 1 }
-      else if (t.startsWith("Given graph")) {
-        cur = cur.map(_.copy(unsupported = Some("named graph fixture")))
+      else if (namedGraph(t).isDefined) {
+        val name = namedGraph(t).get
+        graphFixture(name) match {
+          case Some(qs) =>
+            cur = cur.map(s => s.copy(setups = s.setups ++ qs))
+          case None =>
+            cur = cur.map(
+              _.copy(unsupported = Some(s"missing graph fixture '$name'")))
+        }
         i += 1
       } else if (t.startsWith("And having executed") ||
         t.startsWith("Given having executed")) {
         i += 1
         val q = block()
         cur = cur.map(s => s.copy(setups = s.setups :+ q))
-      } else if (t.startsWith("When executing query")) {
+      } else if (t.startsWith("When executing query") ||
+        t.startsWith("When executing control query")) {
         i += 1
         val q = block()
-        // chained When steps: earlier queries execute as setup statements
+        // chained When steps (incl. "control query"): earlier queries
+        // execute as setup statements; their Then-expectation no longer
+        // applies to the final query
         cur = cur.map(s =>
           s.query match {
             case Some(prev) =>
-              s.copy(setups = s.setups :+ prev, query = Some(q))
+              s.copy(setups = s.setups :+ prev, query = Some(q), expect = None)
             case None => s.copy(query = Some(q))
           })
       } else if (t.startsWith("And parameters are")) {
@@ -210,6 +263,27 @@ abstract class GqlHarness extends SparkTestBase {
         }
     }
 
+  /** Expected-table string cells use Cypher escape syntax (`'\nFoo'`). */
+  private def unescapeCell(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case other => b.append(other); i += 2
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** None = cell uses value syntax we don't compare (maps, paths). */
   private def parseCell(cell0: String): Option[V] = {
     val cell = cell0.trim
@@ -218,9 +292,9 @@ abstract class GqlHarness extends SparkTestBase {
       case "true" => Some(BV(true))
       case "false" => Some(BV(false))
       case c if c.startsWith("'") && c.endsWith("'") && c.length >= 2 =>
-        Some(SV(c.substring(1, c.length - 1)))
+        Some(SV(unescapeCell(c.substring(1, c.length - 1))))
       case c if c.startsWith("\"") && c.endsWith("\"") && c.length >= 2 =>
-        Some(SV(c.substring(1, c.length - 1)))
+        Some(SV(unescapeCell(c.substring(1, c.length - 1))))
       case IntR() => Some(NV(cell.toDouble))
       case FloatR() => Some(NV(cell.toDouble))
       case NodeR(labels, props) =>

@@ -37,6 +37,32 @@ class TextIndexMemoSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
+  test("with spark.graft.index.dir set, a fresh state scans the " +
+    "persisted index table instead of rebuilding") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_idx_").toString
+    spark.conf.set("spark.graft.index.dir", dir)
+    try {
+      val g1 = docGraph()
+      Procedures
+        .textSearch(ProcContext(spark, g1, Seq(Map("terms" -> "fox"))))
+        .collect() // builds AND writes the index table
+      // a DIFFERENT GraphState instance = fresh session analog: its first
+      // CALL must plan a parquet scan of the stored index, no explode
+      val g2 = docGraph()
+      val df2 = Procedures
+        .textSearch(ProcContext(spark, g2, Seq(Map("terms" -> "fox"))))
+      val plan2 = df2.queryExecution.executedPlan.toString
+      assert(
+        !plan2.contains("Generate"),
+        s"fresh state rebuilt the index instead of scanning it:\n$plan2")
+      assert(
+        plan2.contains("Parquet") || plan2.contains("FileScan"),
+        s"fresh state's plan does not scan the stored index:\n$plan2")
+      assert(df2.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    } finally spark.conf.unset("spark.graft.index.dir")
+  }
+
   test("a new graph version gets its own index") {
     val g1 = docGraph()
     val g2 = docGraph()
