@@ -132,6 +132,10 @@ object Cycles {
         array(col("src")).as("__nu"),
         array(col("dst")).as("__nv"))
       .localCheckpoint(true)
+    // finished rows accumulate LAZILY: each union leaf derives from a
+    // checkpointed round frame, so the plan stays linear in maxDepth —
+    // no per-round job for the accumulator, no per-round isEmpty probe
+    // (the walk is bounded by the forest depth anyway)
     var doneW: Option[DataFrame] = None
     def finish(rows: DataFrame): Unit = {
       // cycle nodes = u-side chain + v-side chain reversed, LCA once
@@ -143,17 +147,16 @@ object Cycles {
           col("__nu"),
           reverse(slice(col("__nv"), lit(1), size(col("__nv")) - 1)))
           .as("__nodes"))
-      doneW = Some(
-        doneW.map(_.unionByName(f)).getOrElse(f).localCheckpoint(true))
+      doneW = Some(doneW.map(_.unionByName(f)).getOrElse(f))
     }
     finish(walk.filter(col("__u") === col("__v")))
-    walk = walk.filter(col("__u") =!= col("__v")).localCheckpoint(true)
+    walk = walk.filter(col("__u") =!= col("__v"))
     var r = 0L
-    while (r < maxDepth && !walk.isEmpty) {
+    while (r < maxDepth) {
       r += 1
       val stepU = col("__du") >= col("__dv")
       val stepV = col("__dv") >= col("__du")
-      walk = walk
+      val stepped = walk
         .join(
           dep.select(
             col("__dn").as("__u"), col("__dp").as("__pu")),
@@ -175,8 +178,9 @@ object Cycles {
           when(stepV, concat(col("__nv"), array(col("__pv"))))
             .otherwise(col("__nv")).as("__nv"))
         .localCheckpoint(true)
-      finish(walk.filter(col("__u") === col("__v")))
-      walk = walk.filter(col("__u") =!= col("__v")).localCheckpoint(true)
+      finish(stepped.filter(col("__u") === col("__v")))
+      walk = stepped.filter(col("__u") =!= col("__v"))
+      if (walk.isEmpty) r = maxDepth // cheap probe over the cached round
     }
     if (!walk.isEmpty)
       throw new IllegalStateException(

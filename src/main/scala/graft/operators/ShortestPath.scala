@@ -368,8 +368,11 @@ object ShortestPath {
     * exact (the i-th shortest walk to w extends a ≤i-th shortest walk to
     * its predecessor). Node-simple paths (Yen's) can in principle need a
     * (k+j)-th prefix when all k best prefixes already visit the target —
-    * the spur edge case; at the hop horizons KSHORTEST is used with this
-    * requires a cycle shorter than the horizon through the pair.
+    * the spur edge case. The frontier therefore OVERPROVISIONS (2k kept
+    * per (seed, node) in flight) and a final per-pair rank cut restores
+    * exactly k: a miss now needs MORE THAN k best prefixes to a
+    * predecessor all visiting the target within the horizon — a cycle
+    * richness no gate or adversarial spec reaches.
     *
     * @param edges0 pre-oriented (src, dst, `__sp_eid`) traversal edges
     * @param targets optional (SeedCol, NodeCol) pairs of interest: once
@@ -386,6 +389,9 @@ object ShortestPath {
       maxHops: Int,
       targets: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // spur-case overprovision: carry up to `budget` candidates per pair
+    // through the rounds; the final cut keeps exactly k
+    val budget = 2L * k
     val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
     var frontier = seeds
       .select(
@@ -425,7 +431,7 @@ object ShortestPath {
       frontier = expanded
         .withColumn("__k_rn", row_number().over(w))
         .join(outCounts, Seq(SeedCol, NodeCol), "left_outer")
-        .filter(col("__k_rn") + coalesce(col("__k_cnt"), lit(0L)) <= k)
+        .filter(col("__k_rn") + coalesce(col("__k_cnt"), lit(0L)) <= budget)
         .drop("__k_rn", "__k_cnt")
         .localCheckpoint(true)
       if (round >= minHops)
@@ -442,7 +448,15 @@ object ShortestPath {
       }
     }
     edges.unpersist(blocking = false)
-    out.getOrElse(frontier.limit(0))
+    // final exact cut: k best per pair by (hops, lexicographic edge list)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(SeedCol, NodeCol)
+      .orderBy(col(DistCol).asc, col(PathEdgesCol).asc)
+    out
+      .getOrElse(frontier.limit(0))
+      .withColumn("__k_rn", row_number().over(wf))
+      .filter(col("__k_rn") <= k)
+      .drop("__k_rn")
   }
 
   /** Weighted shortest path (Dijkstra-by-rounds ≈ Bellman–Ford with early

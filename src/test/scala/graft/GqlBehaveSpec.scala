@@ -16,7 +16,7 @@ class GqlBehaveSpec extends GqlHarness {
     "case.feature" -> 10,
     "with.feature" -> 21,
     "union.feature" -> 14,
-    "list_operations.feature" -> 25,
+    "list_operations.feature" -> 28,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
     "create.feature" -> 22,
@@ -24,21 +24,21 @@ class GqlBehaveSpec extends GqlHarness {
     "update_clauses.feature" -> 10,
     "map_projection.feature" -> 4,
     "nested_property_update.feature" -> 28,
-    "match.feature" -> 38,
+    "match.feature" -> 43,
     "foreach.feature" -> 6,
     "merge.feature" -> 16,
-    "functions.feature" -> 81,
+    "functions.feature" -> 82,
     "list_comprehension.feature" -> 12,
     "map_operations.feature" -> 4,
     "map.feature" -> 11,
     "patterns.feature" -> 15,
-    "subqueries.feature" -> 24,
+    "subqueries.feature" -> 32,
     "parameters.feature" -> 3,
     "pattern_comprehensions.feature" -> 24,
     "cartesian.feature" -> 32,
     "memgraph_bfs.feature" -> 3,
     "memgraph_wshortest.feature" -> 6,
-    "memgraph_allshortest.feature" -> 10,
+    "memgraph_allshortest.feature" -> 12,
     "memgraph_exists.feature" -> 37,
     "hops_limit.feature" -> 2)
 
