@@ -233,7 +233,14 @@ final class Planner(
         if (lf.df.columns.isEmpty) csvDf else lf.df.crossJoin(csvDf)
       LF(df, lf.scope + (v -> Binding.ValueB))
 
-    case CreateCl(patterns) => patterns.foldLeft(lf)(planCreate)
+    case CreateCl(patterns) =>
+      // a CREATE whose input frame is empty stays EXACTLY ONE row through
+      // every node/edge of every pattern part (columns are added, rows
+      // never are) — ids become literals, skipping the per-entity
+      // zipWithIndex + checkpoint + count jobs (a literal 9-node CREATE
+      // used to cost ~27 driver jobs)
+      val oneRow = lf.df.columns.isEmpty
+      patterns.foldLeft(lf)((cur, p) => planCreate(cur, p, oneRow))
     case SetCl(items) => planSet(lf, items)
     case DeleteCl(detach, vars) => { planDelete(lf, detach, vars); lf }
     case RemoveCl(items) => planRemove(lf, items)
@@ -561,7 +568,10 @@ final class Planner(
     * CREATE (a)-[:T {props}]->(b) with bound endpoints — one edge per row.
     * Created frames are localCheckpoint-ed: ids are assigned exactly once,
     * and the new state version is materialized (Accumulate barrier). */
-  private def planCreate(lf: LF, part: PatternPart): LF = {
+  private def planCreate(
+      lf: LF,
+      part: PatternPart,
+      oneRow: Boolean = false): LF = {
     // General CREATE pattern: each node is bound-or-created (fresh nodes
     // get one id per input row and are BOUND into the frame, so
     // CREATE ... RETURN works standalone and correlated), then one edge
@@ -585,12 +595,21 @@ final class Planner(
         n.props.foreach { case (k, e) =>
           withNew = withNew.withColumn(s"$name${Frames.Sep}$k", low.lower(e))
         }
-        withNew = withSeqId(
-          withNew,
-          s"$name${Frames.Sep}${GraphState.IdCol}",
-          (myBase << 48) + nodeCursor)
-          .localCheckpoint(true) // ids assigned exactly once
-        nodeCursor += withNew.count()
+        if (oneRow) {
+          // literal single-row chain: the id is a constant — no
+          // zipWithIndex, no checkpoint, no count job
+          withNew = withNew.withColumn(
+            s"$name${Frames.Sep}${GraphState.IdCol}",
+            lit((myBase << 48) + nodeCursor))
+          nodeCursor += 1
+        } else {
+          withNew = withSeqId(
+            withNew,
+            s"$name${Frames.Sep}${GraphState.IdCol}",
+            (myBase << 48) + nodeCursor)
+            .localCheckpoint(true) // ids assigned exactly once
+          nodeCursor += withNew.count()
+        }
         val rows = withNew.select(
           col(s"$name${Frames.Sep}${GraphState.IdCol}")
             .as(GraphState.IdCol) +:
@@ -627,12 +646,19 @@ final class Planner(
       rel.props.foreach { case (k, e) =>
         withE = withE.withColumn(s"$eName${Frames.Sep}$k", low.lower(e))
       }
-      withE = withSeqId(
-        withE,
-        s"$eName${Frames.Sep}${GraphState.IdCol}",
-        (myBase << 48) + (1L << 47) + edgeCursor)
-        .localCheckpoint(true)
-      edgeCursor += withE.count()
+      if (oneRow) {
+        withE = withE.withColumn(
+          s"$eName${Frames.Sep}${GraphState.IdCol}",
+          lit((myBase << 48) + (1L << 47) + edgeCursor))
+        edgeCursor += 1
+      } else {
+        withE = withSeqId(
+          withE,
+          s"$eName${Frames.Sep}${GraphState.IdCol}",
+          (myBase << 48) + (1L << 47) + edgeCursor)
+          .localCheckpoint(true)
+        edgeCursor += withE.count()
+      }
       val rows = withE.select(
         col(s"$eName${Frames.Sep}${GraphState.IdCol}").as(GraphState.IdCol) +:
           col(s"$eName${Frames.Sep}${GraphState.SrcCol}")
