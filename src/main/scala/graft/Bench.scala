@@ -37,7 +37,20 @@ object Bench {
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Hygiene between queries (r7 driver-bench lesson): fixpoint
+      // operators eagerly localCheckpoint per round and nothing frees
+      // those blocks once the query's frames go out of scope — left
+      // alone they accumulate storage-memory pressure across the run and
+      // read as phantom per-query regressions on a contended host. The
+      // operators register exactly their round-intermediate blocks with
+      // Scratch (cross-query caches — loader frames, memoized indexes —
+      // are NOT registered, so this can never invalidate them).
+      val swept = graft.operators.Scratch.sweep()
+      if (swept > 0)
+        System.err.println(
+          f"[bench] $name%s: $sec%.2fs, swept $swept%d scratch blocks")
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -55,7 +55,16 @@ final class GraphState(
     /** Enum registry (`CREATE ENUM`, reference enum_store.hpp): name →
       * ordered member list. Values are represented as `Name::Member`
       * strings — orderable, oracle-friendly, validated at plan time. */
-    val enums: Map[String, Seq[String]] = Map.empty) {
+    val enums: Map[String, Seq[String]] = Map.empty,
+    /** Content-version tag for PERSISTED index keys (`spark.graft.index
+      * .dir`). Loader graphs carry the stable `"base"` tag, so a fresh
+      * session over the same corpus reuses persisted indexes; every
+      * frame-replacing mutation ([[withNodes]]/[[withEdges]]) mints a
+      * session-unique tag, so a post-mutation CALL can never be served a
+      * stale persisted table (it re-persists under the new tag —
+      * invalidation by key, the reference's index-rebuild-on-write
+      * analog). */
+    val indexTag: String = "base") {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -127,26 +136,31 @@ final class GraphState(
     * mid-read). */
   def withNodes(label: String, mk: () => DataFrame): GraphState =
     new GraphState(
-      nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums)
+      nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums,
+      GraphState.freshTag())
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
     new GraphState(
-      nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums)
+      nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
+      GraphState.freshTag())
 
-  /** New version with the id high-water mark advanced (never lowered). */
+  /** New version with the id high-water mark advanced (never lowered) —
+    * no frame content changes, so the index tag carries over. */
   def withIdBase(base: Long): GraphState =
     new GraphState(
-      nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums)
+      nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums,
+      indexTag)
 
   /** Mark that node rows may now live in more than one label frame. */
   def withOverlap: GraphState =
-    new GraphState(nodeThunks, edgeThunks, idBase, mayOverlap = true, enums)
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap = true, enums, indexTag)
 
   /** Register (or replace) an enum type (`CREATE ENUM`). */
   def withEnum(name: String, values: Seq[String]): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap,
-      enums + (name -> values))
+      enums + (name -> values), indexTag)
 }
 
 object GraphState {
@@ -155,6 +169,16 @@ object GraphState {
       nodeThunks: Map[String, () => DataFrame],
       edgeThunks: Map[String, () => DataFrame]): GraphState =
     new GraphState(nodeThunks, edgeThunks)
+
+  /** Session-unique version tags for mutated states: a JVM nonce keeps two
+    * sessions sharing one `spark.graft.index.dir` from colliding on the
+    * counter (their mutation histories may differ), the counter orders
+    * versions within the session. */
+  private val tagCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val tagNonce =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong())
+  private[graft] def freshTag(): String =
+    s"v${tagCounter.incrementAndGet()}-$tagNonce"
 
   /** Reserved column names on node frames. */
   val IdCol = "_id"

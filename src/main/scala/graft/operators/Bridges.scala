@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
   * series} — all forests, rings, tree fringes, series-parallel cores, and
   * their compositions. A residual 2-core of minimum degree ≥ 3 (e.g. K4)
   * is irreducible under these rules; the operator RAISES there instead of
-  * answering wrongly. The full-generality extension is Tarjan–Vishkin
-  * (Boruvka spanning forest + Euler-tour subtree aggregation) — noted,
-  * not yet built.
+  * answering wrongly — callers fall back to [[Biconnected]] (BFS forest +
+  * chord-to-LCA aux components, exact on every graph, O(forest depth)
+  * rounds — shallow exactly where contraction gives up). Component
+  * labeling lives ONLY in [[Biconnected]]: one true biconnected component
+  * can resolve across several contraction events here, so no bcc output.
   */
 object Bridges {
 
@@ -49,13 +51,7 @@ object Bridges {
   /** @param edges (edge_id, src, dst) — undirected interpretation.
     * @param maxRounds safety valve (contraction is O(log n); a breach
     *        indicates a bug, so raise rather than answer wrongly)
-    * @return (edge_id, is_bridge, bcc) for every input edge. `bcc` labels
-    *         the BICONNECTED component (min member edge id): every cycle
-    *         resolution event (self-loop / parallel collapse) closes one
-    *         biconnected component, and each bridge is its own singleton —
-    *         exact for SIMPLE input graphs in the reduction class (callers
-    *         needing bcc must reject parallel input edges, where a bundle
-    *         and an enclosing cycle are one true BCC but two here).
+    * @return (edge_id, is_bridge) for every input edge
     */
   def apply(
       spark: SparkSession,
@@ -67,7 +63,7 @@ object Bridges {
         col("src").cast("long").as("u"),
         col("dst").cast("long").as("v"),
         array(col("edge_id").cast("long")).as("members"))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     // cumulative vertex-contraction map (node -> representative),
     // kept fully path-compressed
     var rep = spark.range(0).select(
@@ -75,26 +71,8 @@ object Bridges {
     var bridges: Option[DataFrame] = None
     def addIds(acc: Option[DataFrame], rows: DataFrame): Option[DataFrame] = {
       val flat = rows.select(explode(col("members")).as("edge_id"))
-      Some(acc.map(_.unionByName(flat)).getOrElse(flat).localCheckpoint(true))
+      Some(acc.map(_.unionByName(flat)).getOrElse(flat).transform(Scratch.cp))
     }
-    // (edge_id, bcc): one biconnected component per cycle-resolution
-    // event; the label is the event's minimum member edge id
-    var bccs: Option[DataFrame] = None
-    def addBcc(rows: DataFrame, perEdge: Boolean): Unit = {
-      val flat =
-        if (perEdge)
-          rows.select(explode(col("members")).as("edge_id"))
-            .withColumn("bcc", col("edge_id"))
-        else
-          rows
-            .select(
-              array_min(col("members")).as("bcc"),
-              explode(col("members")).as("edge_id"))
-            .select(col("edge_id"), col("bcc"))
-      bccs = Some(
-        bccs.map(_.unionByName(flat)).getOrElse(flat).localCheckpoint(true))
-    }
-
     var round = 0
     var done = cur.isEmpty
     while (!done && round < maxRounds) {
@@ -122,9 +100,8 @@ object Bridges {
         .agg(
           count(lit(1)).as("__n"),
           flatten(collect_list("members")).as("members"))
-        .localCheckpoint(true)
+        .transform(Scratch.cp)
       val hadLoops = !loops.isEmpty
-      if (hadLoops) addBcc(loops, perEdge = false)
       val par = grouped.filter(col("__n") >= 2)
       val hadPar = Option(grouped.agg(max("__n")).first().get(0))
         .exists(_.asInstanceOf[Long] >= 2L)
@@ -134,8 +111,8 @@ object Bridges {
         // we simply do not record them as bridges), collapse parallels,
         // union endpoints; degree logic waits for a clean round
         val unions = par.select(col("v").as("node"), col("u").as("rep"))
-        if (hadPar) { addBcc(par, perEdge = false); rep = compress(rep, unions) }
-        cur = grouped.filter(col("__n") === 1).drop("__n").localCheckpoint(true)
+        if (hadPar) rep = compress(rep, unions)
+        cur = grouped.filter(col("__n") === 1).drop("__n").transform(Scratch.cp)
       } else {
         val live = grouped.drop("__n")
         // leaf prune: degree-1 vertices finish their edge as a bridge
@@ -155,11 +132,10 @@ object Bridges {
           .withColumn(
             "__isleaf", col("__lu").isNotNull || col("__lv").isNotNull)
         bridges = addIds(bridges, flagged.filter(col("__isleaf")))
-        addBcc(flagged.filter(col("__isleaf")), perEdge = true)
         val afterLeaf = flagged
           .filter(!col("__isleaf"))
           .select("u", "v", "members")
-          .localCheckpoint(true)
+          .transform(Scratch.cp)
         // series contraction: hash-local-max independent set of degree-2
         // vertices with two distinct neighbors
         val deg2 = afterLeaf
@@ -183,7 +159,7 @@ object Bridges {
           .distinct()
         val winners = deg2.join(beaten, Seq("n"), "left_anti")
           .select(col("n").as("__mid"))
-          .localCheckpoint(true)
+          .transform(Scratch.cp)
         // stall = clean round with nothing to prune or contract: the
         // residual 2-core has min degree ≥ 3 — outside the reduction
         // class, so raise rather than loop or guess
@@ -194,7 +170,7 @@ object Bridges {
               "Vishkin extension required); raising instead of answering " +
               "wrongly")
         val eid = afterLeaf.withColumn("__eid", monotonically_increasing_id())
-          .localCheckpoint(true)
+          .transform(Scratch.cp)
         val touched = eid
           .select(col("__eid"), explode(array(col("u"), col("v"))).as("__mid"))
           .join(winners, Seq("__mid"))
@@ -215,7 +191,7 @@ object Bridges {
             max("other").as("v"),
             flatten(collect_list("members")).as("members"))
           .select("u", "v", "members")
-        cur = untouched.unionByName(merged).localCheckpoint(true)
+        cur = untouched.unionByName(merged).transform(Scratch.cp)
       }
       done = cur.isEmpty
     }
@@ -228,18 +204,12 @@ object Bridges {
       .map(_.select(col("edge_id"), lit(true).as("is_bridge")))
       .getOrElse(spark.range(0).select(
         col("id").as("edge_id"), lit(true).as("is_bridge")))
-    val bl = bccs
-      .map(_.select(col("edge_id").as("__be"), col("bcc")))
-      .getOrElse(spark.range(0).select(
-        col("id").as("__be"), col("id").as("bcc")))
     edges
       .select(col("edge_id"))
       .join(b, Seq("edge_id"), "left_outer")
-      .join(bl, col("edge_id") === col("__be"), "left_outer")
       .select(
         col("edge_id"),
-        coalesce(col("is_bridge"), lit(false)).as("is_bridge"),
-        coalesce(col("bcc"), col("edge_id")).as("bcc"))
+        coalesce(col("is_bridge"), lit(false)).as("is_bridge"))
   }
 
   /** Fold `unions` (node→rep, rep < node) into the cumulative map and
@@ -249,7 +219,7 @@ object Bridges {
       .unionByName(unions)
       .groupBy("node")
       .agg(min("rep").as("rep"))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     var doneC = false
     while (!doneC) {
       val step = r2
@@ -261,7 +231,7 @@ object Bridges {
         .select(
           col("node"),
           least(coalesce(col("__r2"), col("rep")), col("rep")).as("rep"))
-        .localCheckpoint(true)
+        .transform(Scratch.cp)
       doneC = step
         .select(col("node"), col("rep").as("__new"))
         .join(r2.select(col("node"), col("rep").as("__old")), Seq("node"))

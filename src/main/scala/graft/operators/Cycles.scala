@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fundamental cycles — the reference's `cycles_module`
@@ -11,17 +10,19 @@ import org.apache.spark.sql.functions._
   * recursive DFS; the Spark-first analog is fully level-synchronous:
   *
   *   1. spanning FOREST by multi-source BFS from each component's
-  *      minimum-id node (parent = min-id neighbor one level up —
-  *      deterministic, no DFS);
-  *   2. chord detection: per undirected node pair, the first edge lying
-  *      on a tree (child, parent) pair is the tree edge; every other
-  *      edge (extra parallels and all non-tree pairs) is a chord;
+  *      minimum-id node ([[Forest.bfs]] — deterministic, no DFS);
+  *   2. chord detection ([[Forest.treeSplit]]): per undirected node pair,
+  *      the first edge lying on a tree (child, parent) pair is the tree
+  *      edge; every other edge (extra parallels and all non-tree pairs)
+  *      is a chord;
   *   3. cycle reconstruction: all chords walk toward their LCA at once —
   *      one join against the parent table per level, stepping the deeper
   *      endpoint (both on ties), rounds = forest depth.
   *
   * Deterministic: min-id roots, min-parent tie-break, cycle ids ranked by
-  * the closing chord's (min endpoint, max endpoint, edge id).
+  * the closing chord's (min endpoint, max endpoint, edge id) — assigned
+  * via distributed sort + zipWithIndex ([[Ranks.orderedIds]]), not a
+  * single-partition global window.
   */
 object Cycles {
 
@@ -35,6 +36,28 @@ object Cycles {
       spark: SparkSession,
       nodes: DataFrame,
       edges: DataFrame): DataFrame = {
+    // SUBCRITICAL path — see [[LocalGraph]]: below the threshold a
+    // collect + sequential BFS-forest/LCA pass beats any fixpoint; the
+    // node sets reproduce the same deterministic forest, so output is
+    // identical to the distributed walk's.
+    val threshold =
+      spark.conf.get("spark.graft.local.edges", "2000000").toLong
+    val eCnt = edges.count()
+    if (eCnt <= threshold) {
+      val rows = LocalGraph.fundamentalCycles(
+        edges
+          .select(
+            col("edge_id").cast("long"),
+            col("src").cast("long"),
+            col("dst").cast("long"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        nodes.select(col("node").cast("long")).collect().map(_.getLong(0)))
+      import spark.implicits._
+      return rows.toSeq
+        .flatMap { case (cid, ns) => ns.map(nd => (cid, nd)) }
+        .toDF("cycle_id", "node")
+    }
     val und = edges
       .filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
@@ -42,79 +65,21 @@ object Cycles {
         edges
           .filter(col("src") =!= col("dst"))
           .select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
 
-    // 1. BFS spanning forest from per-component min-id roots. Roots are
-    // discovered inline: a node is a root iff nothing smaller reaches it
-    // — equivalently, seed ALL nodes labeled by themselves and min-label
-    // propagate (the components pass), then BFS from the labels. One
-    // fixpoint gives labels; the second gives parents/depths.
-    val comp = graft.procedures.Procedures
-      .minLabelComponents(nodes.select(col("node")), und)
-      .localCheckpoint(true)
-    val roots = comp
-      .filter(col("node") === col("comp"))
-      .select(col("node"))
-    var parents = roots
-      .select(
-        col("node"),
-        lit(null).cast("long").as("parent"),
-        lit(0L).as("depth"))
-      .localCheckpoint(true)
-    var frontier = parents
-    var depth = 0L
-    var done = frontier.isEmpty
-    while (!done) {
-      depth += 1
-      val fresh = frontier
-        .join(und, col("node") === col("src"))
-        .select(col("dst").as("__n"), col("src").as("__p"))
-        .join(
-          parents.select(col("node").as("__n")),
-          Seq("__n"),
-          "left_anti")
-        .groupBy("__n")
-        .agg(min(col("__p")).as("parent"))
-        .select(col("__n").as("node"), col("parent"), lit(depth).as("depth"))
-        .localCheckpoint(true)
-      done = fresh.isEmpty
-      if (!done) {
-        parents = parents.unionByName(fresh).localCheckpoint(true)
-        frontier = fresh
-      }
-    }
-    val maxDepth = Option(parents.agg(max("depth")).first().get(0))
-      .map(_.asInstanceOf[Long])
-      .getOrElse(0L)
-
-    // 2. chords: one edge per tree (child, parent) pair is the tree edge
-    // (min edge_id); everything else closes a cycle
-    val treeP = parents
-      .filter(col("parent").isNotNull)
-      .select(
-        least(col("node"), col("parent")).as("__a"),
-        greatest(col("node"), col("parent")).as("__b"),
-        lit(true).as("__tree"))
-    val ranked = edges
+    val (parents, maxDepth) = Forest.bfs(spark, nodes, und)
+    val chords = Forest
+      .treeSplit(edges, parents)
+      ._2
       .select(
         col("edge_id"),
         col("src"),
         col("dst"),
         least(col("src"), col("dst")).as("__a"),
         greatest(col("src"), col("dst")).as("__b"))
-      .withColumn(
-        "__rn",
-        row_number().over(
-          Window.partitionBy("__a", "__b").orderBy("edge_id")))
-    val chords = ranked
-      .join(treeP, Seq("__a", "__b"), "left_outer")
-      .filter(
-        col("src") === col("dst") || // self-loop: 1-node cycle
-          col("__tree").isNull || col("__rn") > 1)
-      .select(col("edge_id"), col("src"), col("dst"), col("__a"), col("__b"))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
 
-    // 3. every chord walks to its LCA simultaneously — the deeper side
+    // every chord walks to its LCA simultaneously — the deeper side
     // steps up each round (both on equal depths), collecting node chains
     val dep = parents.select(
       col("node").as("__dn"), col("parent").as("__dp"), col("depth").as("__dd"))
@@ -131,7 +96,7 @@ object Cycles {
         col("__dv"),
         array(col("src")).as("__nu"),
         array(col("dst")).as("__nv"))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     // finished rows accumulate LAZILY: each union leaf derives from a
     // checkpointed round frame, so the plan stays linear in maxDepth —
     // no per-round job for the accumulator, no per-round isEmpty probe
@@ -156,7 +121,7 @@ object Cycles {
       r += 1
       val stepU = col("__du") >= col("__dv")
       val stepV = col("__dv") >= col("__du")
-      val stepped = walk
+      val stepped0 = walk
         .join(
           dep.select(
             col("__dn").as("__u"), col("__dp").as("__pu")),
@@ -177,10 +142,15 @@ object Cycles {
             .otherwise(col("__nu")).as("__nu"),
           when(stepV, concat(col("__nv"), array(col("__pv"))))
             .otherwise(col("__nv")).as("__nv"))
-        .localCheckpoint(true)
+      // checkpoint + early-exit probe every FOURTH round only (and the
+      // last): driver job count dominates at small scale, and 4 rounds of
+      // narrow joins keep plan and task-binary growth bounded; skipped
+      // rounds schedule no job at all
+      val cpNow = r % 4 == 0 || r == maxDepth
+      val stepped = if (cpNow) Scratch.cp(stepped0) else stepped0
       finish(stepped.filter(col("__u") === col("__v")))
       walk = stepped.filter(col("__u") =!= col("__v"))
-      if (walk.isEmpty) r = maxDepth // cheap probe over the cached round
+      if (cpNow && walk.isEmpty) r = maxDepth // early exit
     }
     if (!walk.isEmpty)
       throw new IllegalStateException(
@@ -191,11 +161,11 @@ object Cycles {
         spark.range(0).select(
           col("id").as("cycle_id"), col("id").as("node"))
       case Some(d) =>
-        d.withColumn(
-          "cycle_id",
-          dense_rank().over(
-            Window.orderBy(col("__a"), col("__b"), col("edge_id")))
-            .cast("long") - 1L)
+        Ranks
+          .orderedIds(
+            d.select(col("__a"), col("__b"), col("edge_id"), col("__nodes")),
+            "cycle_id",
+            "__a", "__b", "edge_id")
           .select(col("cycle_id"), explode(col("__nodes")).as("node"))
     }
   }

@@ -125,7 +125,7 @@ object ShortestPath {
       else Nil
     var visited = seeds
       .select(baseCols ++ pathCols: _*)
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     var frontier = visited
     var k = 0L
     var done = frontier.isEmpty
@@ -174,10 +174,10 @@ object ShortestPath {
       val t0 = System.nanoTime()
       val fresh = next
         .join(visited, Seq(SeedCol, NodeCol), "left_anti")
-        .localCheckpoint(true)
+        .transform(Scratch.cp)
       done = fresh.isEmpty
       if (!done) {
-        visited = visited.unionByName(fresh).localCheckpoint(true)
+        visited = visited.unionByName(fresh).transform(Scratch.cp)
         frontier = fresh
       }
       if (sys.env.contains("GRAFT_SP_DEBUG"))
@@ -256,7 +256,7 @@ object ShortestPath {
         lit(0L).as(DistCol),
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     var out = frontier
     for (l <- 1 to maxD) {
       frontier = frontier
@@ -273,8 +273,8 @@ object ShortestPath {
           lit(l.toLong).as(DistCol),
           concat(col(PathNodesCol), array(col("__w"))).as(PathNodesCol),
           concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
-        .localCheckpoint(true)
-      out = out.unionByName(frontier).localCheckpoint(true)
+        .transform(Scratch.cp)
+      out = out.unionByName(frontier).transform(Scratch.cp)
     }
     Seq(edges, vis, dag).foreach(_.unpersist(blocking = false))
     out
@@ -324,7 +324,7 @@ object ShortestPath {
         lit(0.0).as(WeightCol),
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     var out = frontier
     var l = 0
     var done = frontier.isEmpty
@@ -343,9 +343,9 @@ object ShortestPath {
           (col(WeightCol) + col(EdgeWeightCol)).as(WeightCol),
           concat(col(PathNodesCol), array(col("__w"))).as(PathNodesCol),
           concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
-        .localCheckpoint(true)
+        .transform(Scratch.cp)
       done = frontier.isEmpty
-      if (!done) out = out.unionByName(frontier).localCheckpoint(true)
+      if (!done) out = out.unionByName(frontier).transform(Scratch.cp)
     }
     Seq(edges, dist, dag).foreach(_.unpersist(blocking = false))
     out
@@ -400,7 +400,7 @@ object ShortestPath {
         lit(0L).as(DistCol),
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     var out: Option[DataFrame] = None
     def outCounts: DataFrame = out match {
       case Some(o) =>
@@ -433,9 +433,9 @@ object ShortestPath {
         .join(outCounts, Seq(SeedCol, NodeCol), "left_outer")
         .filter(col("__k_rn") + coalesce(col("__k_cnt"), lit(0L)) <= budget)
         .drop("__k_rn", "__k_cnt")
-        .localCheckpoint(true)
+        .transform(Scratch.cp)
       if (round >= minHops)
-        out = Some(out.map(_.unionByName(frontier).localCheckpoint(true))
+        out = Some(out.map(_.unionByName(frontier).transform(Scratch.cp))
           .getOrElse(frontier))
       done = frontier.isEmpty
       if (!done) targets.foreach { t =>
@@ -487,7 +487,7 @@ object ShortestPath {
         col(SeedCol).as(NodeCol),
         lit(0.0).as(WeightCol),
         lit(0L).as(DistCol))
-      .localCheckpoint(true)
+      .transform(Scratch.cp)
     var frontier = dist
     var r = 0
     var converged = frontier.isEmpty
@@ -524,7 +524,7 @@ object ShortestPath {
             (col(WeightCol) === col("__old_w") &&
               col(DistCol) < col("__old_d")))
         .drop("__old_w", "__old_d")
-        .localCheckpoint(true)
+        .transform(Scratch.cp)
       converged = improved.isEmpty
       if (!converged) {
         // `improved` holds only strict winners, so the merge is exact as
@@ -540,7 +540,7 @@ object ShortestPath {
             Seq(SeedCol, NodeCol),
             "left_anti")
           .unionByName(improved)
-          .localCheckpoint(true)
+          .transform(Scratch.cp)
         frontier = improved
       }
       if (sys.env.contains("GRAFT_SP_DEBUG"))

@@ -109,7 +109,7 @@ object VarExpand {
         // round — cache it for the duration of the loop
         val e = edges.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        var cur = base.localCheckpoint(true)
+        var cur = base.transform(Scratch.cp)
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
         var k = 0
@@ -117,7 +117,7 @@ object VarExpand {
         var empty = cur.isEmpty
         while (!empty && k < limit) {
           k += 1
-          cur = step(cur, e, stepDir).localCheckpoint(true)
+          cur = step(cur, e, stepDir).transform(Scratch.cp)
           // one action per round: when a hops cap is set the frontier count
           // serves BOTH the cap check and the loop's emptiness probe
           hopsLimit match {

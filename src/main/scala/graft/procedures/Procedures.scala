@@ -144,17 +144,19 @@ object Procedures {
       // Pointer-jumping (path halving): comp(v) ← comp(comp(v)). Component
       // labels converge in O(log diameter) rounds instead of O(diameter),
       // so the 64-round cap covers any graph up to diameter ~2^64.
+      // Change detection is FOLDED into the materialized frame (`__ch`) so
+      // the convergence probe is a narrow scan of the cached round, not a
+      // second shuffle job.
       val next = prop
         .join(
           prop.select(col("node").as("__c"), col("comp").as("__cc")),
           col("comp") === col("__c"))
         .select(col("node"), col("__cc").as("comp"))
-        .localCheckpoint(true)
-      val changed = next
         .join(comp.select(col("node"), col("comp").as("__old")), Seq("node"))
-        .filter(col("comp") < col("__old"))
-      converged = changed.isEmpty
-      comp = next
+        .select(col("node"), col("comp"), (col("comp") < col("__old")).as("__ch"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__ch")).isEmpty
+      comp = next.select("node", "comp")
       if (sys.env.contains("GRAFT_SP_DEBUG"))
         System.err.println(
           f"[wcc] round $rounds%d ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -574,7 +576,7 @@ object Procedures {
       }
       inner
     }
-    perState.getOrElseUpdate(key, persistedOrBuild(key)(build))
+    perState.getOrElseUpdate(key, persistedOrBuild(g, key)(build))
   }
 
   /** Cross-session index persistence (the 100 TB story; the reference
@@ -582,15 +584,20 @@ object Procedures {
     * vector_index.hpp:125-129): when `spark.graft.index.dir` is set, a
     * built index is written as a parquet table under it and a FRESH
     * session's first CALL plans a plain parquet scan instead of the
-    * build. Invalidation is the caller's (mutating a graph version makes
-    * the stored index stale — drop the directory, the reference's DROP
-    * INDEX analog). Unset → in-session memo only. */
-  private def persistedOrBuild(key: String)(build: => DataFrame): DataFrame = {
+    * build. The path is keyed by the graph's CONTENT-VERSION tag
+    * ([[GraphState.indexTag]]) as well as the index key: loader graphs
+    * share the stable `base` tag across sessions (reuse), while every
+    * mutation mints a new tag — so a post-mutation CALL rebuilds and
+    * re-persists instead of silently serving the pre-mutation table.
+    * Unset → in-session memo only. */
+  private def persistedOrBuild(g: GraphState, key: String)(
+      build: => DataFrame): DataFrame = {
     val dir = org.apache.spark.sql.SparkSession.active.conf
       .get("spark.graft.index.dir", null)
     if (dir == null) build.localCheckpoint(true)
     else {
-      val path = s"$dir/${key.replaceAll("[^A-Za-z0-9_.-]", "_")}"
+      val full = s"${g.indexTag}:$key"
+      val path = s"$dir/${full.replaceAll("[^A-Za-z0-9_.-]", "_")}"
       val spark = org.apache.spark.sql.SparkSession.active
       val exists = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -770,24 +777,30 @@ object Procedures {
   }
 
   /** `CALL algo.bridges({type, weightProp, minWeight})` — exact bridges of
-    * the undirected selected edge set via [[graft.operators.Bridges]]
-    * (cycle contraction + tree pruning, O(log n) rounds). Yields
-    * (src, dst) per bridge edge, canonical src < dst. */
+    * the undirected selected edge set via [[graft.operators.Biconnected]]
+    * (BFS forest + chord-to-LCA aux components; exact on EVERY graph —
+    * dense cores, parallel edges — in O(forest depth) rounds). For graphs
+    * whose diameter dwarfs their density (long rings/paths at extreme
+    * scale), `spark.graft.bridges.contraction=true` switches to
+    * [[graft.operators.Bridges]] (cycle contraction, O(log n) rounds
+    * independent of diameter) with an automatic fall-back to Biconnected
+    * when the input leaves the contraction class. Yields (src, dst) per
+    * bridge edge, canonical src < dst. */
   def bridgesProc(ctx: ProcContext): DataFrame = {
-    val tpe = ctx.optString("type", "KNOWS")
-    val e0 = ctx.g.edges(tpe)
-    val filtered =
-      (ctx.opts.get("weightProp"), ctx.optDouble("minWeight")) match {
-        case (Some(p), Some(w)) => e0.filter(col(p.toString) >= w)
-        case _ => e0
-      }
-    val edges = filtered
-      .select(
-        col(IdCol).as("edge_id"),
-        col(SrcCol).as("src"),
-        col(DstCol).as("dst"))
-      .localCheckpoint(true)
-    val flags = graft.operators.Bridges(ctx.spark, edges)
+    val edges = selectedEdges(ctx).localCheckpoint(true)
+    val useContraction = ctx.spark.conf
+      .get("spark.graft.bridges.contraction", "false").toBoolean
+    val flags =
+      if (!useContraction)
+        graft.operators.Biconnected(ctx.spark, edges)
+          .select(col("edge_id"), col("is_bridge"))
+      else
+        try graft.operators.Bridges(ctx.spark, edges)
+        catch {
+          case _: UnsupportedOperationException =>
+            graft.operators.Biconnected(ctx.spark, edges)
+              .select(col("edge_id"), col("is_bridge"))
+        }
     edges
       .join(flags.filter(col("is_bridge")), Seq("edge_id"), "left_semi")
       .select(
@@ -808,33 +821,21 @@ object Procedures {
   }
 
   /** `CALL algo.biconnected({type, weightProp, minWeight})` — biconnected
-    * components (`biconnected_components_module`): the cycle-contraction
-    * run of [[graft.operators.Bridges]] labels every cycle-resolution
-    * event as one component and every bridge as a singleton. Exact for
-    * simple graphs in the reduction class; parallel input edges RAISE
-    * (a parallel bundle and an enclosing cycle are one true biconnected
-    * component but two under contraction labeling). Yields
-    * (bcc_id, src, dst), src < dst, bcc ids dense from 0 by min edge. */
+    * components (`biconnected_components_module`) via
+    * [[graft.operators.Biconnected]] (BFS forest + simultaneous
+    * chord-to-LCA walks emitting an edge-adjacency aux graph, min-label
+    * components over it) — exact for EVERY input, including dense cores,
+    * parallel edges, and self-loops. Yields (bcc_id, src, dst), src < dst,
+    * bcc ids dense from 0 by min member edge id (assigned by distributed
+    * sort + zipWithIndex, no single-partition window). */
   def biconnectedProc(ctx: ProcContext): DataFrame = {
     val edges = selectedEdges(ctx).localCheckpoint(true)
-    val hasParallel = !edges
-      .groupBy(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
-      .isEmpty
-    if (hasParallel)
-      throw new UnsupportedOperationException(
-        "algo.biconnected: parallel edges between one node pair are " +
-          "outside the contraction labeling's exact class")
-    val flags = graft.operators.Bridges(ctx.spark, edges)
-    import org.apache.spark.sql.expressions.Window
+    val flags = graft.operators.Biconnected(ctx.spark, edges)
+    val ids = graft.operators.Ranks.orderedIds(
+      flags.select("bcc").distinct(), "bcc_id", "bcc")
     edges
       .join(flags.select(col("edge_id"), col("bcc")), Seq("edge_id"))
-      .withColumn(
-        "bcc_id",
-        dense_rank().over(Window.orderBy(col("bcc"))).cast("long") - 1L)
+      .join(ids, Seq("bcc"))
       .select(
         col("bcc_id"),
         least(col("src"), col("dst")).as("src"),

@@ -744,7 +744,75 @@ object ProcedureQueries {
              |  (0, 0, 3), (0, 1, 2), (0, 2, 3),
              |  (1, 4, 5), (1, 4, 6), (1, 5, 6),
              |  (2, 0, 7), (3, 7, 8)) AS t(bcc_id, a, b)
-             |ORDER BY bcc_id, a, b""".stripMargin))
+             |ORDER BY bcc_id, a, b""".stripMargin)),
+
+    // Biconnected components on shapes OUTSIDE the r7 contraction class —
+    // the r8 generality gate (Biconnected: BFS forest + chord-to-LCA aux
+    // components). One graph exercises all the former failure modes at
+    // once: a K4 (dense 2-core — the old operator raised), a bridge into
+    // a THETA graph (one true component that resolves across multiple
+    // contraction events — the old labeling split it), and a parallel
+    // edge pair (the old proc rejected parallel input outright).
+    // Closed-form whatever spanning tree BFS picks.
+    QueryDef(
+      "call_biconnected_dense",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (a0:DnV)-[:DnE]->(a1:DnV), (a0)-[:DnE]->(a2:DnV),
+            |       (a0)-[:DnE]->(a3:DnV), (a1)-[:DnE]->(a2),
+            |       (a1)-[:DnE]->(a3), (a2)-[:DnE]->(a3),
+            |       (a3)-[:DnE]->(c0:DnV),
+            |       (c0)-[:DnE]->(x:DnV)-[:DnE]->(c1:DnV),
+            |       (c0)-[:DnE]->(y:DnV)-[:DnE]->(c1),
+            |       (c0)-[:DnE]->(z1:DnV)-[:DnE]->(z2:DnV)-[:DnE]->(c1),
+            |       (c1)-[:DnE]->(d0:DnV), (c1)-[:DnE]->(d0)""".stripMargin)
+        Cypher.run(
+          s,
+          e1.graph,
+          """CALL algo.biconnected({type: 'DnE'}) YIELD bcc_id, src, dst
+            |RETURN bcc_id, src % 281474976710656 AS a,
+            |       dst % 281474976710656 AS b
+            |ORDER BY bcc_id, a, b""".stripMargin)
+      },
+      // K4 = one bcc; the a3→c0 bridge a singleton; the theta (three
+      // disjoint c0→c1 paths of lengths 2, 2, 3) = ONE bcc; the doubled
+      // c1→d0 pair = one 2-cycle bcc (two identical output rows)
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+             |  (0, 0, 2), (0, 0, 3), (0, 1, 2), (0, 1, 3), (0, 2, 3),
+             |  (1, 3, 4),
+             |  (2, 4, 5), (2, 4, 7), (2, 4, 8), (2, 5, 6), (2, 6, 7),
+             |  (2, 6, 9), (2, 8, 9),
+             |  (3, 6, 10), (3, 6, 10)) AS t(bcc_id, a, b)
+             |ORDER BY bcc_id, a, b""".stripMargin)),
+
+    // Bridges on the same dense graph (K4 core is outside the r7
+    // contraction class — Biconnected handles it directly): exactly one
+    // bridge, the K4→theta connector.
+    QueryDef(
+      "call_bridges_dense",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (a0:DbV)-[:DbE]->(a1:DbV), (a0)-[:DbE]->(a2:DbV),
+            |       (a0)-[:DbE]->(a3:DbV), (a1)-[:DbE]->(a2),
+            |       (a1)-[:DbE]->(a3), (a2)-[:DbE]->(a3),
+            |       (a3)-[:DbE]->(c0:DbV),
+            |       (c0)-[:DbE]->(x:DbV)-[:DbE]->(c1:DbV),
+            |       (c0)-[:DbE]->(y:DbV)-[:DbE]->(c1),
+            |       (c0)-[:DbE]->(z1:DbV)-[:DbE]->(z2:DbV)-[:DbE]->(c1),
+            |       (c1)-[:DbE]->(d0:DbV), (c1)-[:DbE]->(d0)""".stripMargin)
+        Cypher.run(
+          s,
+          e1.graph,
+          """CALL algo.bridges({type: 'DbE'}) YIELD src, dst
+            |RETURN src % 281474976710656 AS a, dst % 281474976710656 AS b
+            |ORDER BY a, b""".stripMargin)
+      },
+      Some("""SELECT CAST(3 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b"""))
   )
 
   /** Louvain DP: one CTE chain per round — community volumes, per-(node,

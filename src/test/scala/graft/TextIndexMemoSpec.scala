@@ -63,6 +63,39 @@ class TextIndexMemoSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.index.dir")
   }
 
+  test("a MUTATED version does not serve the stale persisted index") {
+    // r8 regression guard (ADVICE r7): the persisted path used to be keyed
+    // by the index key alone, so the first CALL after a mutation found the
+    // pre-mutation parquet table and silently served it
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_idx_").toString
+    spark.conf.set("spark.graft.index.dir", dir)
+    try {
+      val g1 = docGraph()
+      val r1 = Procedures
+        .textSearch(ProcContext(spark, g1, Seq(Map("terms" -> "fox"))))
+        .collect() // builds AND persists under g1's tag
+      assert(r1.map(_.getLong(0)).toSet == Set(1L, 3L))
+      // mutation: doc 1 loses "fox"; withNodes mints a new index tag
+      val docs2 = Seq(
+        (1L, "the quick brown cat"),
+        (2L, "the lazy dog naps"),
+        (3L, "quick dog quick fox"))
+        .toDF("doc_id", "text")
+        .withColumn("_id", col("doc_id"))
+        .withColumn("_labels", array(lit("Document")))
+        .cache()
+      val g2 = g1.withNodes("Document", () => docs2)
+      assert(g2.indexTag != g1.indexTag)
+      val r2 = Procedures
+        .textSearch(ProcContext(spark, g2, Seq(Map("terms" -> "fox"))))
+        .collect()
+      assert(
+        r2.map(_.getLong(0)).toSet == Set(3L),
+        "post-mutation CALL served the stale persisted index")
+    } finally spark.conf.unset("spark.graft.index.dir")
+  }
+
   test("a new graph version gets its own index") {
     val g1 = docGraph()
     val g2 = docGraph()
