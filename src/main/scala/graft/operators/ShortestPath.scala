@@ -104,6 +104,11 @@ object ShortestPath {
       hadEid && edges0.storageLevel != StorageLevel.NONE
     val edges = (if (hadEid) edges0
                  else edges0.withColumn("__sp_eid", lit(0L)))
+    if (withPaths)
+      // r8: representative paths are RECONSTRUCTED from the BFS DAG after
+      // the layering fixpoint, never carried through it (r6/r7 carried
+      // path arrays through every round's groupBy — the top sf1 hotspot)
+      return bfsOnePath(edges, seeds, maxHops, callerPersisted)
     if (!callerPersisted) edges.persist(StorageLevel.MEMORY_AND_DISK)
 
     // Iterative driver loops MUST truncate lineage every round: the round-k
@@ -112,19 +117,12 @@ object ShortestPath {
     // re-analyzing it long before any data is large. `localCheckpoint`
     // materializes the round AND cuts the plan to a leaf — on a real cluster
     // the same code runs with `checkpoint` to durable storage.
-    val baseCols = Seq(
-      col(SeedCol),
-      col(SeedCol).as(NodeCol),
-      lit(0L).as(DistCol),
-      lit(1L).as(NPathsCol))
-    val pathCols =
-      if (withPaths)
-        Seq(
-          array(col(SeedCol)).as(PathNodesCol),
-          array().cast("array<long>").as(PathEdgesCol))
-      else Nil
     var visited = seeds
-      .select(baseCols ++ pathCols: _*)
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        lit(1L).as(NPathsCol))
       .transform(Scratch.cp)
     var frontier = visited
     var k = 0L
@@ -134,43 +132,16 @@ object ShortestPath {
       // one BFS level: expand the frontier, fold path counts per node,
       // drop nodes already reached at a smaller depth (first level wins —
       // exactly the BFS layering the reference's cursor maintains)
-      val expanded = frontier
+      val next = frontier
         .join(edges, col(NodeCol) === col(GraphState.SrcCol))
-      val next =
-        if (withPaths)
-          expanded
-            .select(
-              col(SeedCol),
-              col(GraphState.DstCol).as(NodeCol),
-              col(NPathsCol),
-              concat(col(PathNodesCol), array(col(GraphState.DstCol)))
-                .as(PathNodesCol),
-              concat(col(PathEdgesCol), array(col("__sp_eid")))
-                .as(PathEdgesCol))
-            .groupBy(SeedCol, NodeCol)
-            .agg(
-              sum(NPathsCol).as(NPathsCol),
-              // one deterministic representative path: min over the
-              // (node-seq, edge-seq) struct = lexicographically smallest
-              min(struct(col(PathNodesCol), col(PathEdgesCol))).as("__sp_p"))
-            .withColumn(DistCol, lit(k))
-            .select(
-              col(SeedCol),
-              col(NodeCol),
-              col(DistCol),
-              col(NPathsCol),
-              col("__sp_p")(PathNodesCol).as(PathNodesCol),
-              col("__sp_p")(PathEdgesCol).as(PathEdgesCol))
-        else
-          expanded
-            .select(
-              col(SeedCol),
-              col(GraphState.DstCol).as(NodeCol),
-              col(NPathsCol))
-            .groupBy(SeedCol, NodeCol)
-            .agg(sum(NPathsCol).as(NPathsCol))
-            .withColumn(DistCol, lit(k))
-            .select(SeedCol, NodeCol, DistCol, NPathsCol)
+        .select(
+          col(SeedCol),
+          col(GraphState.DstCol).as(NodeCol),
+          col(NPathsCol))
+        .groupBy(SeedCol, NodeCol)
+        .agg(sum(NPathsCol).as(NPathsCol))
+        .withColumn(DistCol, lit(k))
+        .select(SeedCol, NodeCol, DistCol, NPathsCol)
       val t0 = System.nanoTime()
       val fresh = next
         .join(visited, Seq(SeedCol, NodeCol), "left_anti")
@@ -186,6 +157,116 @@ object ShortestPath {
     }
     if (!callerPersisted) edges.unpersist(blocking = false)
     visited
+  }
+
+  /** ONE deterministic (lexicographically smallest) shortest path per
+    * (seed, node), reconstructed from the shortest-path DAG — r6 ask #4:
+    *
+    *   1. plain [[bfsEdges]] computes the layering (no arrays in flight);
+    *   2. the DAG (u→w kept iff dist(w) = dist(u)+1, per seed — the same
+    *      build [[bfsAllPathsEdges]] uses) is walked level by level
+    *      carrying only a per-(seed, node) RANK: the rank of a node's
+    *      lexicographically smallest path among its seed's level. Because
+    *      prefix order is totally encoded by the rank, the best
+    *      predecessor is `min (rank(u), edge_id)` and the next level's
+    *      ranks are a seed-partitioned row_number over
+    *      (pred rank, node) — long comparisons in every shuffle, never
+    *      array comparisons;
+    *   3. paths assemble with ONE append-join per level over the chosen
+    *      predecessor edges — one row per (seed, node), total shuffle
+    *      volume = output size, the lower bound.
+    *
+    * Identical output to the old carry-arrays-through-the-groupBy form
+    * (min over (node-seq, edge-seq) propagates prefix-wise), without its
+    * per-level array shuffles. */
+  private def bfsOnePath(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      callerPersisted: Boolean): DataFrame = {
+    if (!callerPersisted) edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val vis = bfsEdges(edges, seeds, maxHops)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dag = vis
+      .select(col(SeedCol), col(NodeCol).as("__v"), col(DistCol).as("__dv"))
+      .join(edges, col("__v") === col(GraphState.SrcCol))
+      .join(
+        vis.select(
+          col(SeedCol).as("__s2"),
+          col(NodeCol).as("__w"),
+          col(DistCol).as("__dw")),
+        col(SeedCol) === col("__s2") &&
+          col(GraphState.DstCol) === col("__w") &&
+          col("__dw") === col("__dv") + lit(1L))
+      .select(col(SeedCol), col("__v"), col("__w"),
+        col("__sp_eid"), col("__dw"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val maxD = Option(vis.agg(max(DistCol)).first().get(0))
+      .map(_.asInstanceOf[Long].toInt)
+      .getOrElse(0)
+    // level 0: each seed is its own rank-0 path
+    var ranks = seeds
+      .select(col(SeedCol), col(SeedCol).as("__rn_node"), lit(0L).as("__rk"))
+      .transform(Scratch.cp)
+    var paths = seeds
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        array(col(SeedCol)).as(PathNodesCol),
+        array().cast("array<long>").as(PathEdgesCol))
+      .transform(Scratch.cp)
+    var out = paths
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(SeedCol)
+      .orderBy(col("__bk"), col("__w"))
+    for (l <- 1 to maxD) {
+      // best predecessor per (seed, w): smallest (pred rank, edge id)
+      val best = dag
+        .filter(col("__dw") === l)
+        .join(
+          ranks.select(
+            col(SeedCol), col("__rn_node").as("__v"), col("__rk")),
+          Seq(SeedCol, "__v"))
+        .groupBy(SeedCol, "__w")
+        .agg(min(struct(col("__rk"), col("__sp_eid"), col("__v"))).as("__b"))
+        .select(
+          col(SeedCol), col("__w"),
+          col("__b")("__rk").as("__bk"),
+          col("__b")("__sp_eid").as("__be"),
+          col("__b")("__v").as("__bv"))
+        .transform(Scratch.cp)
+      ranks = best
+        .select(
+          col(SeedCol),
+          col("__w").as("__rn_node"),
+          (row_number().over(w) - 1).cast("long").as("__rk"))
+      paths = best
+        .join(
+          paths.select(
+            col(SeedCol), col(NodeCol).as("__bv"),
+            col(PathNodesCol), col(PathEdgesCol)),
+          Seq(SeedCol, "__bv"))
+        .select(
+          col(SeedCol),
+          col("__w").as(NodeCol),
+          lit(l.toLong).as(DistCol),
+          concat(col(PathNodesCol), array(col("__w"))).as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__be"))).as(PathEdgesCol))
+        .transform(Scratch.cp)
+      out = out.unionByName(paths)
+    }
+    val res = out
+      .join(
+        vis.select(col(SeedCol), col(NodeCol), col(DistCol), col(NPathsCol)),
+        Seq(SeedCol, NodeCol, DistCol))
+      .select(
+        col(SeedCol), col(NodeCol), col(DistCol), col(NPathsCol),
+        col(PathNodesCol), col(PathEdgesCol))
+      .transform(Scratch.cp)
+    Seq(vis, dag).foreach(_.unpersist(blocking = false))
+    if (!callerPersisted) edges.unpersist(blocking = false)
+    res
   }
 
   /** ALL distinct shortest paths per (seed, node), each with its own
