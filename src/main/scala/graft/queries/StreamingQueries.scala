@@ -19,9 +19,9 @@ import QueryDef.{moneySum, sqlSum}
   */
 object StreamingQueries {
 
-  /** Streaming read of the events table (nanos ts surfaced as timestamp —
-    * same handling as the batch loader). The file source requires a
-    * directory, so the single driver-generated file is staged into one. */
+  /** Streaming read of the events table (ts unit footer-probed, same
+    * handling as the batch loader). The file source requires a directory,
+    * so the single driver-generated file is staged into one. */
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -31,11 +31,14 @@ object StreamingQueries {
       Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(TpchGraphLoader.schemas("events"))
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val probe = TpchGraphLoader.eventsTsProbe(s, s"$dir/events.parquet")
+    if (probe.nanos)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    TpchGraphLoader.decodeEventsTs(
+      s.readStream
+        .schema(TpchGraphLoader.eventsDiskSchema(probe.nanos))
+        .parquet(staged.toString),
+      probe.nanos)
   }
 
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {

@@ -33,10 +33,11 @@ import graft.core.GraphState
   * 100 TB).
   *
   * Tables are read with **explicit schemas** — no footer-inference job at
-  * graph-construction time, and `events.ts` (parquet TIMESTAMP(NANOS), which
-  * Spark cannot infer) is read as a long via
-  * `spark.sql.legacy.parquet.nanosAsLong` and surfaced as a proper
-  * microsecond timestamp column.
+  * graph-construction time. `events.ts` has shipped as both
+  * TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across driver data
+  * regenerations, so its unit is probed from the parquet footer (cheap
+  * metadata read) and a footer-stats bound (`min ts > 2000-01-01`) fails
+  * loudly on drift instead of silently landing every event in 1970.
   */
 object TpchGraphLoader {
 
@@ -159,25 +160,103 @@ object TpchGraphLoader {
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
         StructField("label", IntegerType))),
-    // ts is TIMESTAMP(NANOS) in the file: read as long (nanosAsLong), convert.
+    // ts unit is footer-probed at read time (see eventsTsProbe): the
+    // driver has shipped this column as both TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across data regenerations.
     "events" -> StructType(
       Seq(
         StructField("event_id", LongType),
-        StructField("ts", LongType),
+        StructField("ts", TimestampType),
         StructField("user_id", LongType),
         StructField("event_type", StringType),
         StructField("value", DoubleType),
         StructField("props", StringType))))
 
-  /** Read one raw table with its explicit schema (no inference job). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // Runtime SQL conf; needed so the parquet reader accepts NANOS → long.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
+  /** Events schema as read from disk: `ts` is LongType when the file is
+    * TIMESTAMP(NANOS) (Spark reads it via nanosAsLong), TimestampType for
+    * MICROS/MILLIS. */
+  def eventsDiskSchema(nanos: Boolean): StructType =
+    if (!nanos) schemas("events")
+    else
+      StructType(schemas("events").map(f =>
+        if (f.name == "ts") f.copy(dataType = LongType) else f))
+
+  /** Whether the events `ts` column is TIMESTAMP(NANOS), plus the minimum
+    * value across row groups in epoch micros — both straight from the
+    * parquet footer (one cheap metadata read, no Spark job). */
+  final case class EventsTsProbe(nanos: Boolean, minMicros: Long)
+
+  private val tsProbeCache =
+    scala.collection.concurrent.TrieMap.empty[String, EventsTsProbe]
+
+  private val Epoch2000Micros = 946684800000000L // 2000-01-01T00:00:00Z
+
+  def eventsTsProbe(spark: SparkSession, path: String): EventsTsProbe =
+    tsProbeCache.getOrElseUpdate(path, {
+      import scala.jdk.CollectionConverters._
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p)
+            .map(_.getPath)
+            .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+            .minBy(_.getName)
+        else p
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val prim = schema.getType(schema.getFieldIndex("ts")).asPrimitiveType()
+        val nanos = prim.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+        val mins = footer.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == "ts")
+            .map(_.getStatistics)
+            .filter(s => s != null && s.hasNonNullValue)
+            .map(_.genericGetMin.asInstanceOf[Number].longValue)
+        }
+        val minRaw = if (mins.isEmpty) Long.MaxValue else mins.min
+        val probe =
+          EventsTsProbe(nanos, if (nanos) minRaw / 1000L else minRaw)
+        // Loud failure on unit drift: a wrong unit assumption lands every
+        // event in January 1970 and silently corrupts downstream windows.
+        require(
+          mins.isEmpty || probe.minMicros > Epoch2000Micros,
+          s"events.ts at $file decodes below 2000-01-01 " +
+            s"(min ${probe.minMicros} us, nanos=$nanos) — parquet timestamp " +
+            "unit drifted again; update TpchGraphLoader.eventsTsProbe.")
+        probe
+      } finally reader.close()
+    })
+
+  /** Normalize a freshly-read events frame to a microsecond `ts`. */
+  def decodeEventsTs(df: DataFrame, nanos: Boolean): DataFrame =
+    if (nanos)
       df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
     else df
-  }
+
+  /** Read one raw table with its explicit schema (no inference job). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      val path = s"$sfDir/events.parquet"
+      val probe = eventsTsProbe(spark, path)
+      if (probe.nanos)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      decodeEventsTs(
+        spark.read.schema(eventsDiskSchema(probe.nanos)).parquet(path),
+        probe.nanos)
+    } else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
   // GraphState is a pure-lazy bundle of DataFrames; memoize per sfDir so
   // repeated SparkEntry.queries calls don't re-read parquet footers.
