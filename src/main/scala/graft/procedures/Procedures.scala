@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.GraphState
-import graft.operators.{Expand, ShortestPath}
+import graft.operators.{Expand, LocalProcs, ShortestPath}
 
 /** `CALL name(args) YIELD …` procedure registry — the reference's query
   * modules (`CallProcedure`, `src/query/plan/operator.hpp:2891`; module
@@ -64,6 +64,29 @@ object Procedures {
 
   import GraphState.{DstCol, IdCol, SrcCol}
 
+  /** Subcritical dispatch gate shared by the iterative procedures (the
+    * [[graft.operators.LocalGraph]] philosophy): below
+    * `spark.graft.local.edges` rows, a driver-local exact pass
+    * ([[graft.operators.LocalProcs]]) replaces the level-synchronous
+    * fixpoint — each distributed round costs a fixed scheduling quantum
+    * regardless of volume. The probe IS the capture: one LIMIT-capped
+    * collect both answers "is it small?" and, when yes, hands the rows to
+    * the local pass — so the subcritical path costs exactly one scan of
+    * each input, and at scale the wasted work is bounded at `limit + 1`
+    * rows. Returns None above the threshold (or when disabled). */
+  private def collectIfSubcritical(
+      df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val limit = df.sparkSession.conf
+      .get("spark.graft.local.edges", "2000000").toLong
+    if (limit <= 0) return None
+    val rows =
+      df.limit(math.min(limit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > limit) None else Some(rows)
+  }
+
+  private def longPairs(rows: Array[org.apache.spark.sql.Row]): Array[(Long, Long)] =
+    rows.map(r => (r.getLong(0), r.getLong(1)))
+
   /** Options: label, type, weightProp+minWeight (edge filter). */
   private def selectGraph(ctx: ProcContext): (DataFrame, DataFrame) = {
     val label = ctx.optString("label", "Customer")
@@ -86,6 +109,15 @@ object Procedures {
     val iters = ctx.optInt("iterations", 15)
     val d = ctx.opts.get("damping").map(_.toString.toDouble).getOrElse(0.85)
     val (nodes, edges) = selectGraph(ctx)
+    (collectIfSubcritical(edges), collectIfSubcritical(nodes)) match {
+      case (Some(es), Some(ns)) =>
+        import ctx.spark.implicits._
+        return LocalProcs
+          .pagerank(ns.map(_.getLong(0)), longPairs(es), d, iters)
+          .toSeq
+          .toDF("node", "rank")
+      case _ => ()
+    }
     val n = nodes.count().toDouble
     val e = edges.persist()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
@@ -125,6 +157,15 @@ object Procedures {
     * with this). Returns (node, comp), comp = min node id of the component.
     */
   def minLabelComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    (collectIfSubcritical(edges), collectIfSubcritical(nodes)) match {
+      case (Some(es), Some(ns)) =>
+        import nodes.sparkSession.implicits._
+        return LocalProcs
+          .wcc(ns.map(_.getLong(0)), longPairs(es))
+          .toSeq
+          .toDF("node", "comp")
+      case _ => ()
+    }
     val und = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -198,6 +239,15 @@ object Procedures {
     val beta = ctx.optDouble("beta").getOrElse(1.0)
     val iters = ctx.optInt("iterations", 10)
     val (nodes, edges) = selectGraph(ctx)
+    (collectIfSubcritical(edges), collectIfSubcritical(nodes)) match {
+      case (Some(es), Some(ns)) =>
+        import ctx.spark.implicits._
+        return LocalProcs
+          .katz(ns.map(_.getLong(0)), longPairs(es), alpha, beta, iters)
+          .toSeq
+          .toDF("node", "centrality")
+      case _ => ()
+    }
     val e = edges.persist()
     var c = nodes.withColumn("centrality", lit(0.0)).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -327,11 +377,24 @@ object Procedures {
     val (nodes, edges) = selectGraph(ctx)
     val keyOf = col("node").bitwiseAND(lit((1L << 48) - 1))
     val seeds = nodes.filter(keyOf < seedMax).select(col("node").as(SeedCol))
-    val e = ShortestPath
-      .oriented(
-        edges.select(col("src").as(SrcCol), col("dst").as(DstCol)),
-        if (directed) Expand.Out else Expand.Both)
-      .persist()
+    val e0 = ShortestPath.oriented(
+      edges.select(col("src").as(SrcCol), col("dst").as(DstCol)),
+      if (directed) Expand.Out else Expand.Both)
+    (collectIfSubcritical(e0), collectIfSubcritical(nodes)) match {
+      case (Some(es), Some(ns)) =>
+        import ctx.spark.implicits._
+        val nsArr = ns.map(_.getLong(0))
+        return LocalProcs
+          .betweenness(
+            nsArr,
+            longPairs(es),
+            nsArr.filter(n => (n & ((1L << 48) - 1)) < seedMax),
+            maxDepth)
+          .toSeq
+          .toDF("node", "centrality")
+      case _ => ()
+    }
+    val e = e0.persist()
     val vis = ShortestPath
       .bfsEdges(e, seeds, maxDepth)
       .persist()
@@ -726,6 +789,19 @@ object Procedures {
     val iters = ctx.optInt("iterations", 6)
     val (nodes, edges0) = selectGraph(ctx)
     val simple = edges0.filter(col("src") =!= col("dst"))
+    (collectIfSubcritical(simple), collectIfSubcritical(nodes)) match {
+      case (Some(esr), Some(ns)) =>
+        import ctx.spark.implicits._
+        val es = longPairs(esr)
+        return LocalProcs
+          .louvain(
+            ns.map(_.getLong(0)),
+            es ++ es.map(_.swap), // the distributed body's undirected view
+            iters)
+          .toSeq
+          .toDF("node", "community")
+      case _ => ()
+    }
     val und = simple
       .unionByName(simple.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
@@ -860,6 +936,19 @@ object Procedures {
   def labelPropagation(ctx: ProcContext): DataFrame = {
     val iters = ctx.optInt("iterations", 10)
     val (nodes, edges) = selectGraph(ctx)
+    (collectIfSubcritical(edges), collectIfSubcritical(nodes)) match {
+      case (Some(esr), Some(ns)) =>
+        import ctx.spark.implicits._
+        val es = longPairs(esr)
+        return LocalProcs
+          .labelPropagation(
+            ns.map(_.getLong(0)),
+            es ++ es.map(_.swap), // undirected multiset incl. self-loops
+            iters)
+          .toSeq
+          .toDF("node", "community")
+      case _ => ()
+    }
     val und = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()

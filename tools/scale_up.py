@@ -8,8 +8,8 @@ keyspace`, so the graph the loader derives (ring+chord KNOWS over
 contiguous custkeys, FROM_NATION, order/lineitem edges, documents,
 embeddings) keeps its structure at R x the size. Dimension tables
 (region, nation) are shared. Schemas are preserved bit-for-bit via
-pyarrow (events carries timestamp[ns], which a SQL roundtrip would
-silently downcast).
+pyarrow (events.ts's timestamp unit has drifted across driver
+regenerations; a SQL roundtrip could silently recast it).
 
 Usage: scale_up.py <src_dir> <dst_dir> <replicas>
 """
