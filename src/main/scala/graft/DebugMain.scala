@@ -15,6 +15,14 @@ object DebugMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_CONF="k1=v1,k2=v2" → session confs (A/B toggles for
+    // spark.graft.* knobs without recompiling)
+    sys.env.get("GRAFT_CONF").foreach { s =>
+      s.split(',').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     val explain = sys.env.contains("GRAFT_EXPLAIN")
     names.foreach { n =>
       val t0 = System.nanoTime()

@@ -1164,6 +1164,10 @@ final class Planner(
     var edgeVars = Vector.empty[String]
     var nodeSeq = Vector(startName)
     var edgeSeq = Vector.empty[(String, Boolean)] // (var, isEdgeList)
+    // USING HOPS LIMIT over single-hop expansions: frames to count, checked
+    // ONCE after the whole part is planned (one union-all job) instead of a
+    // materializing count() per hop
+    var hopCheckFrames = Vector.empty[DataFrame]
 
     part.hops.foreach { case (rel, node) =>
       val eVar = rel.variable.getOrElse(fresh("e"))
@@ -1208,15 +1212,12 @@ final class Planner(
           // hops counter, ast.hpp:2086). A partial prefix is traversal-
           // order-dependent — no deterministic batch meaning — so a
           // breach RAISES (VarExpand's contract); under the limit the
-          // full result is returned, identical to the reference.
-          hopsLimit.foreach { lim =>
-            val traversals = cur.df.count()
-            if (traversals > lim)
-              throw new UnsupportedOperationException(
-                s"USING HOPS LIMIT $lim exceeded by a single-hop " +
-                  s"expansion ($traversals traversals); partial results " +
-                  "are unsupported in batch")
-          }
+          // full result is returned, identical to the reference. The
+          // count is deferred: all of the part's hop frames go into one
+          // union-all count after planning (each prefix re-runs inside
+          // the later hops' lineage anyway — pipelined codegen, cheaper
+          // than a materializing count() per hop).
+          if (hopsLimit.isDefined) hopCheckFrames :+= cur.df
 
         case Some((lo, hi)) =>
           val minH = lo.getOrElse(1)
@@ -1255,6 +1256,23 @@ final class Planner(
       edgeSeq :+= ((eVar, rel.varLength.isDefined))
       nodeSeq :+= dstName
       srcVar = dstName
+    }
+
+    // deferred single-hop USING HOPS LIMIT check: one job sums the part's
+    // per-hop traversal counts (count of the union-all of the hop frames —
+    // cumulative within the part, like the reference's running counter)
+    hopsLimit.foreach { lim =>
+      if (hopCheckFrames.nonEmpty) {
+        val traversals = hopCheckFrames
+          .map(_.select(lit(1L).as("__hops_probe")))
+          .reduce(_ unionAll _)
+          .count()
+        if (traversals > lim)
+          throw new UnsupportedOperationException(
+            s"USING HOPS LIMIT $lim exceeded by single-hop expansions " +
+              s"($traversals traversals); partial results are " +
+              "unsupported in batch")
+      }
     }
 
     // ConstructNamedPath (operator.hpp:1255): p = (a)-[e]->(b)… binds

@@ -191,6 +191,114 @@ private[graft] object LocalProcs {
     nodes.zip(comm)
   }
 
+  /** Hierarchical Leiden-style communities (reference
+    * `src/mage/cpp/leiden_community_detection_module/`): the [[louvain]]
+    * local-move iterated with graph CONTRACTION until no level merges —
+    * the deterministic variant, stochastic refinement replaced by the
+    * same integer-exact score + smallest-community-id tie-break so
+    * results are oracle-checkable. Contracted levels are weighted:
+    * parallel/merged edges carry summed multiplicities, intra-community
+    * weight folds into self-loops, which count twice in volumes but
+    * never in w(v,C).
+    * @param und pre-undirected simple-edge multiset (both directions)
+    * @return (node, community) — community = a representative ORIGINAL
+    *         node id (a level-0 id transitively) */
+  def leiden(
+      nodes: Array[Long],
+      und: Array[(Long, Long)],
+      itersPerLevel: Int,
+      maxLevels: Int): Array[(Long, Long)] = {
+    var lvlNodes: Array[Long] = nodes.distinct.sorted
+    val w0 = mutable.HashMap.empty[(Long, Long), Long]
+    und.foreach { case (s, t) =>
+      if (s != t) w0.update((s, t), w0.getOrElse((s, t), 0L) + 1L)
+    }
+    var edgesW: Array[((Long, Long), Long)] = w0.toArray
+    var selfW = mutable.HashMap.empty[Long, Long]
+    val member = mutable.HashMap.empty[Long, Long] // original -> level node
+    nodes.foreach(v => member(v) = v)
+    var level = 0
+    var progressed = true
+    while (progressed && level < maxLevels) {
+      level += 1
+      val idx = lvlNodes.zipWithIndex.toMap
+      val deg = new Array[Long](lvlNodes.length)
+      edgesW.foreach { case ((s, _), ww) => idx.get(s).foreach(deg(_) += ww) }
+      selfW.foreach { case (v, sw) => idx.get(v).foreach(deg(_) += 2 * sw) }
+      var m2 = 0L; deg.foreach(m2 += _); if (m2 == 0) m2 = 1
+      val nb =
+        Array.fill(lvlNodes.length)(mutable.ArrayBuffer.empty[(Int, Long)])
+      edgesW.foreach { case ((s, t), ww) =>
+        (idx.get(s), idx.get(t)) match {
+          case (Some(u), Some(x)) => nb(u) += ((x, ww))
+          case _ => ()
+        }
+      }
+      var comm = lvlNodes.clone()
+      var round = 0
+      var changed = true
+      while (changed && round < itersPerLevel) {
+        round += 1
+        val volM = mutable.HashMap.empty[Long, Long]
+        var i = 0
+        while (i < lvlNodes.length) {
+          volM.update(comm(i), volM.getOrElse(comm(i), 0L) + deg(i)); i += 1
+        }
+        val next = new Array[Long](lvlNodes.length)
+        changed = false
+        i = 0
+        while (i < lvlNodes.length) {
+          val w = mutable.HashMap.empty[Long, Long]
+          nb(i).foreach { case (x, ww) =>
+            val c = comm(x); w.update(c, w.getOrElse(c, 0L) + ww)
+          }
+          if (!w.contains(comm(i))) w.update(comm(i), 0L)
+          var bestScore = Long.MinValue
+          var bestCand = Long.MaxValue
+          w.foreach { case (cand, wc) =>
+            val volx =
+              volM.getOrElse(cand, 0L) - (if (cand == comm(i)) deg(i) else 0L)
+            val score = m2 * wc - deg(i) * volx
+            if (score > bestScore || (score == bestScore && cand < bestCand)) {
+              bestScore = score; bestCand = cand
+            }
+          }
+          next(i) = bestCand
+          if (bestCand != comm(i)) changed = true
+          i += 1
+        }
+        comm = next
+      }
+      progressed = comm.toSet.size < lvlNodes.length
+      if (progressed) {
+        val commOf = mutable.HashMap.empty[Long, Long]
+        var i = 0
+        while (i < lvlNodes.length) { commOf(lvlNodes(i)) = comm(i); i += 1 }
+        member.mapValuesInPlace((_, lv) => commOf.getOrElse(lv, lv))
+        val newW = mutable.HashMap.empty[(Long, Long), Long]
+        val newSelf2 = mutable.HashMap.empty[Long, Long] // 2× (both dirs)
+        edgesW.foreach { case ((s, t), ww) =>
+          (commOf.get(s), commOf.get(t)) match {
+            case (Some(cs), Some(ct)) =>
+              if (cs == ct) newSelf2.update(cs, newSelf2.getOrElse(cs, 0L) + ww)
+              else newW.update((cs, ct), newW.getOrElse((cs, ct), 0L) + ww)
+            case _ => ()
+          }
+        }
+        val newSelf = mutable.HashMap.empty[Long, Long]
+        newSelf2.foreach { case (c, v2) => newSelf(c) = v2 / 2 }
+        selfW.foreach { case (v, sw) =>
+          val c = commOf.getOrElse(v, v)
+          newSelf.update(c, newSelf.getOrElse(c, 0L) + sw)
+        }
+        selfW = newSelf
+        edgesW = newW.toArray
+        lvlNodes = comm.distinct.sorted
+      }
+    }
+    nodes.map(v => (v, member(v)))
+  }
+
   /** Min-label weakly-connected components — output rows exactly match
     * the distributed fixpoint: every vertex (initial node OR edge
     * endpoint) whose component contains at least one initial node, with

@@ -523,11 +523,16 @@ object ShortestPath {
     * exact (the i-th shortest walk to w extends a ≤i-th shortest walk to
     * its predecessor). Node-simple paths (Yen's) can in principle need a
     * (k+j)-th prefix when all k best prefixes already visit the target —
-    * the spur edge case. The frontier therefore OVERPROVISIONS (2k kept
-    * per (seed, node) in flight) and a final per-pair rank cut restores
-    * exactly k: a miss now needs MORE THAN k best prefixes to a
-    * predecessor all visiting the target within the horizon — a cycle
-    * richness no gate or adversarial spec reaches.
+    * the spur edge case. The hedge is TARGETED: pairs whose candidate set
+    * contains a target-visiting prefix (the only pairs the spur case can
+    * hit, and only when `targets` names the endpoints of interest) keep
+    * `factor × k` candidates in flight, everyone else exactly k; the final
+    * per-pair rank cut restores k. The factor is
+    * `spark.graft.kshortest.overprovision` (default 2) so a suspected
+    * spur miss is diagnosable by widening it;
+    * `spark.graft.kshortest.overprovision.all=true` applies the factor to
+    * every pair (the pre-r9 global behavior — the only hedge available
+    * when no target set exists).
     *
     * @param edges0 pre-oriented (src, dst, `__sp_eid`) traversal edges
     * @param targets optional (SeedCol, NodeCol) pairs of interest: once
@@ -544,10 +549,22 @@ object ShortestPath {
       maxHops: Int,
       targets: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // spur-case overprovision: carry up to `budget` candidates per pair
-    // through the rounds; the final cut keeps exactly k
-    val budget = 2L * k
+    val conf = edges0.sparkSession.conf
+    val factor = math.max(
+      1L,
+      conf.get("spark.graft.kshortest.overprovision", "2").toLong)
+    val widenAll =
+      conf.get("spark.graft.kshortest.overprovision.all", "false").toBoolean
+    // spur-case hedge: contended pairs carry `factor*k` candidates through
+    // the rounds, everyone else exactly k; the final cut keeps exactly k
+    val baseBudget = if (widenAll) factor * k else k.toLong
+    val wideBudget = factor * k
     val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    // per-seed target sets drive both the contention flag and early-stop;
+    // target lists are per-query small — broadcast
+    val targetSets = targets.map(t =>
+      broadcast(
+        t.groupBy(SeedCol).agg(collect_set(col(NodeCol)).as("__k_tset"))))
     var frontier = seeds
       .select(
         col(SeedCol),
@@ -578,16 +595,40 @@ object ShortestPath {
           concat(col(PathNodesCol), array(col(GraphState.DstCol)))
             .as(PathNodesCol),
           concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
-      // keep only rows still inside their pair's k budget: rank within the
-      // round (shorter rounds ran earlier, so prior finds always outrank)
+      // keep only rows still inside their pair's budget: rank within the
+      // round (shorter rounds ran earlier, so prior finds always outrank).
+      // A pair is spur-contended when any of its candidates already visits
+      // one of its seed's targets; only those pairs get the wide budget.
+      // Both windows share the (seed, node) partitioning — one shuffle.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(SeedCol, NodeCol)
         .orderBy(col(PathEdgesCol).asc)
-      frontier = expanded
+      val wPair = org.apache.spark.sql.expressions.Window
+        .partitionBy(SeedCol, NodeCol)
+      val flagged = targetSets match {
+        case Some(ts) if baseBudget < wideBudget =>
+          expanded
+            .join(ts, Seq(SeedCol), "left_outer")
+            .withColumn(
+              "__k_contended",
+              max(
+                when(
+                  coalesce(
+                    arrays_overlap(col(PathNodesCol), col("__k_tset")),
+                    lit(false)),
+                  1).otherwise(0)).over(wPair) === 1)
+            .drop("__k_tset")
+        case _ =>
+          expanded.withColumn("__k_contended", lit(false))
+      }
+      frontier = flagged
         .withColumn("__k_rn", row_number().over(w))
         .join(outCounts, Seq(SeedCol, NodeCol), "left_outer")
-        .filter(col("__k_rn") + coalesce(col("__k_cnt"), lit(0L)) <= budget)
-        .drop("__k_rn", "__k_cnt")
+        .filter(
+          col("__k_rn") + coalesce(col("__k_cnt"), lit(0L)) <=
+            when(col("__k_contended"), lit(wideBudget))
+              .otherwise(lit(baseBudget)))
+        .drop("__k_rn", "__k_cnt", "__k_contended")
         .transform(Scratch.cp)
       if (round >= minHops)
         out = Some(out.map(_.unionByName(frontier).transform(Scratch.cp))

@@ -112,28 +112,35 @@ object VarExpand {
         var cur = base.transform(Scratch.cp)
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
+        // a localCheckpointed frontier has no catalyst size stats, so AQE
+        // never converts the per-round frontier⋈edges join to a broadcast
+        // join by itself — every round would shuffle the full persisted
+        // edge frame. The count the loop needs anyway (emptiness probe /
+        // hops cap) doubles as the broadcast decision: a known-small
+        // frontier is sent to the edge scan, no shuffle at all.
+        val bcastMax = frame.sparkSession.conf
+          .get("spark.graft.varexpand.broadcastFrontier", "100000").toLong
         var k = 0
         var traversed = 0L
-        var empty = cur.isEmpty
+        var curN = cur.count()
+        var empty = curN == 0L
         while (!empty && k < limit) {
           k += 1
-          cur = step(cur, e, stepDir).transform(Scratch.cp)
-          // one action per round: when a hops cap is set the frontier count
-          // serves BOTH the cap check and the loop's emptiness probe
-          hopsLimit match {
-            case Some(cap) =>
-              val n = cur.count()
-              traversed += n
-              if (traversed > cap)
-                throw new IllegalStateException(
-                  s"hops limit exceeded: $traversed edge traversals > $cap " +
-                    "(USING HOPS LIMIT; partial traversal order is " +
-                    "engine-specific, so this engine raises instead of " +
-                    "returning nondeterministic partial results)")
-              empty = n == 0L
-            case None =>
-              empty = cur.isEmpty
+          cur = step(cur, e, stepDir, bcastFrontier = curN <= bcastMax)
+            .transform(Scratch.cp)
+          // one action per round: the frontier count serves the emptiness
+          // probe, the hops cap check, and the next broadcast decision
+          curN = cur.count()
+          hopsLimit.foreach { cap =>
+            traversed += curN
+            if (traversed > cap)
+              throw new IllegalStateException(
+                s"hops limit exceeded: $traversed edge traversals > $cap " +
+                  "(USING HOPS LIMIT; partial traversal order is " +
+                  "engine-specific, so this engine raises instead of " +
+                  "returning nondeterministic partial results)")
           }
+          empty = curN == 0L
           if (!empty && k >= minHops) reached = reached :+ cur
         }
         e.unpersist(blocking = false)
@@ -155,9 +162,11 @@ object VarExpand {
   /** One hop: join the frontier to the edge frame, enforce edge
     * uniqueness, extend the path. */
   private def step(
-      cur: DataFrame,
+      cur0: DataFrame,
       edges: DataFrame,
-      dir: Expand.Direction): DataFrame = {
+      dir: Expand.Direction,
+      bcastFrontier: Boolean = false): DataFrame = {
+    val cur = if (bcastFrontier) broadcast(cur0) else cur0
     val e = edges.select(
       col(GraphState.IdCol).as("__e_id"),
       col(GraphState.SrcCol).as("__e_src"),

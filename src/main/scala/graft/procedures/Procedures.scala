@@ -47,6 +47,7 @@ object Procedures {
     "algo.betweenness" -> betweenness,
     "algo.label_propagation" -> labelPropagation,
     "algo.louvain" -> louvain,
+    "algo.leiden" -> leiden,
     "algo.bridges" -> bridgesProc,
     "algo.cycles" -> cyclesProc,
     "algo.biconnected" -> biconnectedProc,
@@ -850,6 +851,154 @@ object Procedures {
     }
     und.unpersist(blocking = false)
     comm.select(col("node"), col("community"))
+  }
+
+  /** Hierarchical Leiden-style communities
+    * (`src/mage/cpp/leiden_community_detection_module/`): the [[louvain]]
+    * local-move phase iterated with graph CONTRACTION until a level
+    * produces no merge — deterministic variant (stochastic refinement
+    * replaced by the integer-exact score + smallest-community-id
+    * tie-break, so results are reproducible and oracle-checkable).
+    * Levels are weighted graphs: contracted edges carry summed
+    * multiplicities (`sum(w)` replaces `count(*)` in every aggregate),
+    * intra-community weight folds into self-loops, which count twice in
+    * volumes but never in w(v,C). Options: label/type/weightProp/
+    * minWeight, `iterations` per level (default 6), `maxLevels`
+    * (default 10). Per level: the louvain round family + one contraction
+    * (two joins + two aggregations) — everything map-side combinable,
+    * graph size falls geometrically across levels so the level-0 cost
+    * dominates at any scale. Yields (node, community). */
+  def leiden(ctx: ProcContext): DataFrame = {
+    val iters = ctx.optInt("iterations", 6)
+    val maxLevels = ctx.optInt("maxLevels", 10)
+    val (nodes, edges0) = selectGraph(ctx)
+    val simple = edges0.filter(col("src") =!= col("dst"))
+    (collectIfSubcritical(simple), collectIfSubcritical(nodes)) match {
+      case (Some(esr), Some(ns)) =>
+        import ctx.spark.implicits._
+        val es = longPairs(esr)
+        return LocalProcs
+          .leiden(ns.map(_.getLong(0)), es ++ es.map(_.swap), iters, maxLevels)
+          .toSeq
+          .toDF("node", "community")
+      case _ => ()
+    }
+    // weighted both-direction view, self-loops excluded (they live in selfw)
+    var und = simple
+      .unionByName(simple.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    var selfw = nodes.select(col("node"), lit(0L).as("sw")).localCheckpoint(true)
+    var lvlNodes = nodes.select(col("node")).localCheckpoint(true)
+    // original node -> current level node
+    var mapping = nodes.select(col("node"), col("node").as("lvl"))
+      .localCheckpoint(true)
+    var level = 0
+    var progressed = true
+    while (progressed && level < maxLevels) {
+      level += 1
+      val degE = und.groupBy(col("src").as("node")).agg(sum("w").as("dw"))
+      val nd = lvlNodes
+        .join(degE, Seq("node"), "left_outer")
+        .join(selfw, Seq("node"), "left_outer")
+        .select(
+          col("node"),
+          (coalesce(col("dw"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L)))
+            .as("deg"))
+        .localCheckpoint(true)
+      val m2 =
+        math.max(nd.agg(sum("deg")).first.getLong(0), 1L)
+      var comm = nd
+        .select(col("node"), col("deg"), col("node").as("community"))
+        .localCheckpoint(true)
+      var round = 0
+      var changed = true
+      while (changed && round < iters) {
+        round += 1
+        val vol = comm.groupBy("community").agg(sum("deg").as("vol"))
+        val wvc = und
+          .join(
+            comm.select(col("node").as("dst"), col("community").as("cand")),
+            Seq("dst"))
+          .groupBy(col("src").as("node"), col("cand"))
+          .agg(sum("w").as("wc"))
+        val own = comm.select(
+          col("node"), col("community").as("cand"), lit(0L).as("wc"))
+        val best = wvc
+          .unionByName(own)
+          .groupBy("node", "cand")
+          .agg(max("wc").as("wc"))
+          .join(comm.select(col("node"), col("deg"), col("community")), Seq("node"))
+          .join(vol.select(col("community").as("cand"), col("vol")), Seq("cand"))
+          .withColumn(
+            "volx",
+            col("vol") - when(col("cand") === col("community"), col("deg"))
+              .otherwise(lit(0L)))
+          .withColumn("score", lit(m2) * col("wc") - col("deg") * col("volx"))
+          .groupBy("node")
+          .agg(max(struct(col("score"), (-col("cand")).as("__neg"))).as("__b"))
+          .select(col("node"), (-col("__b")("__neg")).as("community"))
+        val next = nd
+          .join(best, Seq("node"), "left_outer")
+          .select(
+            col("node"),
+            col("deg"),
+            coalesce(col("community"), col("node")).as("community"))
+          .localCheckpoint(true)
+        changed = !next
+          .join(
+            comm.select(col("node"), col("community").as("__old")),
+            Seq("node"))
+          .filter(col("community") =!= col("__old"))
+          .isEmpty
+        comm = next
+      }
+      progressed =
+        comm.select("community").distinct().count() < nd.count()
+      if (progressed) {
+        val cm = comm.select(col("node"), col("community"))
+        mapping = mapping
+          .join(
+            cm.select(col("node").as("lvl"), col("community")),
+            Seq("lvl"))
+          .select(col("node"), col("community").as("lvl"))
+          .localCheckpoint(true)
+        val e2 = und
+          .join(
+            cm.select(col("node").as("src"), col("community").as("cs")),
+            Seq("src"))
+          .join(
+            cm.select(col("node").as("dst"), col("community").as("cd")),
+            Seq("dst"))
+          .select(col("cs"), col("cd"), col("w"))
+        // both directions present → each undirected intra edge counts twice
+        val intra = e2
+          .filter(col("cs") === col("cd"))
+          .groupBy(col("cs").as("node"))
+          .agg((sum("w") / 2).cast("long").as("swE"))
+        val oldSelf = selfw
+          .join(cm, Seq("node"))
+          .groupBy(col("community").as("node"))
+          .agg(sum("sw").as("swO"))
+        lvlNodes = cm.select(col("community").as("node")).distinct()
+          .localCheckpoint(true)
+        selfw = lvlNodes
+          .join(intra, Seq("node"), "left_outer")
+          .join(oldSelf, Seq("node"), "left_outer")
+          .select(
+            col("node"),
+            (coalesce(col("swE"), lit(0L)) + coalesce(col("swO"), lit(0L)))
+              .as("sw"))
+          .localCheckpoint(true)
+        und = e2
+          .filter(col("cs") =!= col("cd"))
+          .groupBy(col("cs").as("src"), col("cd").as("dst"))
+          .agg(sum("w").as("w"))
+          .localCheckpoint(true)
+      }
+    }
+    mapping.select(col("node"), col("lvl").as("community"))
   }
 
   /** `CALL algo.bridges({type, weightProp, minWeight})` — exact bridges of

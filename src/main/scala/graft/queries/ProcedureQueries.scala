@@ -671,6 +671,46 @@ object ProcedureQueries {
         |       count(CASE WHEN sz = 1 THEN 1 END) AS n_single""".stripMargin,
       louvainOracle(6)),
 
+    // Hierarchical Leiden (leiden_community_detection_module): louvain
+    // local-move + contraction to convergence, deterministic tie-breaks.
+    // Closed-form communities: three cliques (K4, K5, K3), the first two
+    // joined by a single bridge — modularity keeps each clique whole
+    // (the bridge merge loses at every level once intra-clique weight is
+    // folded into contracted self-loops), so community = clique whatever
+    // representative ids the hierarchy picks; the query canonicalizes to
+    // min member offset.
+    QueryDef(
+      "call_leiden",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (a0:LdV)-[:LdE]->(a1:LdV), (a0)-[:LdE]->(a2:LdV),
+            |       (a0)-[:LdE]->(a3:LdV), (a1)-[:LdE]->(a2),
+            |       (a1)-[:LdE]->(a3), (a2)-[:LdE]->(a3),
+            |       (a3)-[:LdE]->(b0:LdV),
+            |       (b0)-[:LdE]->(b1:LdV), (b0)-[:LdE]->(b2:LdV),
+            |       (b0)-[:LdE]->(b3:LdV), (b0)-[:LdE]->(b4:LdV),
+            |       (b1)-[:LdE]->(b2), (b1)-[:LdE]->(b3), (b1)-[:LdE]->(b4),
+            |       (b2)-[:LdE]->(b3), (b2)-[:LdE]->(b4), (b3)-[:LdE]->(b4),
+            |       (c0:LdV)-[:LdE]->(c1:LdV), (c0)-[:LdE]->(c2:LdV),
+            |       (c1)-[:LdE]->(c2)""".stripMargin)
+        Cypher.run(
+          s,
+          e1.graph,
+          """CALL algo.leiden({label: 'LdV', type: 'LdE'})
+            |YIELD node, community
+            |WITH community, min(node % 281474976710656) AS rep,
+            |     collect(node % 281474976710656) AS ms
+            |UNWIND ms AS nk
+            |RETURN nk, rep ORDER BY nk""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (1, 0), (2, 0),
+             |  (3, 0), (4, 4), (5, 4), (6, 4), (7, 4), (8, 4),
+             |  (9, 9), (10, 9), (11, 9)) AS t(nk, rep)
+             |ORDER BY nk""".stripMargin)),
+
     // CALL + bridges (src/mage/cpp/bridges_module): cycle-contraction +
     // tree-pruning exact bridges. At minWeight 8 the thresholded KNOWS
     // subgraph is a forest (periodic weight pattern → components of ≤ 4

@@ -83,6 +83,32 @@ class KShortestSpec extends SparkTestBase {
     assert(secs < 60.0, f"hub kshortest took $secs%.1fs — frontier not bounded?")
   }
 
+  test("spur case: targeted overprovision keeps target-avoiding prefixes") {
+    // Second-shortest path to 9 is 0→7→5→9, but BOTH lexicographically
+    // best 2-hop prefixes at node 5 go through 9 (parallel 9→5 edges), so
+    // an un-hedged k=2 cut at (0,5) would drop the avoiding prefix and
+    // miss the path. With targets given, pair (0,5) is spur-contended and
+    // keeps factor×k candidates.
+    val g = graphOf(
+      Seq((0L, 9L), (9L, 5L), (9L, 5L), (0L, 7L), (7L, 5L), (5L, 9L)))
+    val edges = ShortestPath.oriented(
+      g.edges("E").select(
+        col("_src"), col("_dst"), col("_id").as("__sp_eid")),
+      graft.operators.Expand.Out)
+    val seeds = Seq(0L).toDF(ShortestPath.SeedCol)
+    val targets =
+      Seq((0L, 9L)).toDF(ShortestPath.SeedCol, ShortestPath.NodeCol)
+    val out = ShortestPath
+      .kShortest(edges, seeds, k = 2, minHops = 1, maxHops = 4,
+        targets = Some(targets))
+      .filter(col(ShortestPath.NodeCol) === 9L)
+      .select(ShortestPath.DistCol)
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("direct kShortest operator respects target saturation early-stop") {
     // long chain beyond the target: saturation at the target pair must stop
     // the loop before walking the tail
