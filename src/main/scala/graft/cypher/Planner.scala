@@ -188,11 +188,20 @@ final class Planner(
       }
 
     case CallProc(name, args, yields) =>
-      val proc = graft.procedures.Procedures.registry.getOrElse(
-        name,
-        throw new IllegalArgumentException(s"unknown procedure: $name"))
-      val out = proc(
-        graft.procedures.ProcContext(spark, state, args.map(constValue)))
+      val cargs = args.map(constValue)
+      // refactor.* procedures WRITE: they return the next graph version
+      // alongside their yield table (the reference's write-type mgp_proc)
+      val out = graft.procedures.ApocProcs.writeRegistry.get(name) match {
+        case Some(wp) =>
+          val (ng, df) = wp(graft.procedures.ProcContext(spark, state, cargs))
+          state = ng
+          df
+        case None =>
+          val proc = graft.procedures.Procedures.registry.getOrElse(
+            name,
+            throw new IllegalArgumentException(s"unknown procedure: $name"))
+          proc(graft.procedures.ProcContext(spark, state, cargs))
+      }
       val missing = yields.filterNot(out.columns.contains)
       require(missing.isEmpty, s"procedure $name does not yield: $missing")
       val selected = out.select(

@@ -40,7 +40,7 @@ object Procedures {
 
   type Proc = ProcContext => DataFrame
 
-  val registry: Map[String, Proc] = Map(
+  val registry: Map[String, Proc] = Map[String, Proc](
     "algo.pagerank" -> pagerank,
     "algo.wcc" -> wcc,
     "algo.degree" -> degree,
@@ -61,7 +61,7 @@ object Procedures {
     "text.search" -> textSearch,
     "text.bm25" -> textBm25,
     "text.phrase" -> textPhrase,
-    "vector.search" -> vectorSearch)
+    "vector.search" -> vectorSearch) ++ ApocProcs.registry
 
   import GraphState.{DstCol, IdCol, SrcCol}
 
@@ -75,7 +75,7 @@ object Procedures {
     * the local pass — so the subcritical path costs exactly one scan of
     * each input, and at scale the wasted work is bounded at `limit + 1`
     * rows. Returns None above the threshold (or when disabled). */
-  private def collectIfSubcritical(
+  private[procedures] def collectIfSubcritical(
       df: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
     val limit = df.sparkSession.conf
       .get("spark.graft.local.edges", "2000000").toLong

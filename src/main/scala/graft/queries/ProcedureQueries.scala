@@ -852,7 +852,168 @@ object ProcedureQueries {
             |RETURN src % 281474976710656 AS a, dst % 281474976710656 AS b
             |ORDER BY a, b""".stripMargin)
       },
-      Some("""SELECT CAST(3 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b"""))
+      Some("""SELECT CAST(3 AS BIGINT) AS a, CAST(4 AS BIGINT) AS b""")),
+
+    // neighbors.at_hop (neighbors_module/algorithm/neighbors.cpp:53):
+    // nodes at EXACTLY the given hop under direction-marked types, layers
+    // excluding everything seen earlier. From m0 via outgoing NgA /
+    // incoming NgB: hop 1 = {m1, m5}, hop 2 = {m2, m3, m4} (the m2→m0
+    // back-edge may not resurface m0).
+    QueryDef(
+      "call_neighbors",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (m0:NgV)-[:NgA]->(m1:NgV)-[:NgA]->(m2:NgV),
+            |       (m1)-[:NgA]->(m3:NgV),
+            |       (m4:NgV)-[:NgB]->(m1),
+            |       (m5:NgV)-[:NgB]->(m0),
+            |       (m2)-[:NgA]->(m0)""".stripMargin)
+        val start = Cypher
+          .run(s, e1.graph, "MATCH (n:NgV) RETURN id(n) AS i ORDER BY i")
+          .collect()(0).getLong(0)
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL neighbors.at_hop({node: $start,
+             |  rel_types: ['NgA>', '<NgB'], distance: 2})
+             |YIELD node RETURN node % 281474976710656 AS nk
+             |ORDER BY nk""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES (CAST(2 AS BIGINT)), (3), (4)) t(nk)
+             |ORDER BY nk""".stripMargin)),
+
+    // neighbors.by_hop (neighbors.cpp:107): one record per hop 1..d.
+    QueryDef(
+      "call_neighbors_by",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (m0:NhV)-[:NhA]->(m1:NhV)-[:NhA]->(m2:NhV),
+            |       (m1)-[:NhA]->(m3:NhV),
+            |       (m4:NhV)-[:NhB]->(m1),
+            |       (m5:NhV)-[:NhB]->(m0),
+            |       (m2)-[:NhA]->(m0)""".stripMargin)
+        val start = Cypher
+          .run(s, e1.graph, "MATCH (n:NhV) RETURN id(n) AS i ORDER BY i")
+          .collect()(0).getLong(0)
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL neighbors.by_hop({node: $start,
+             |  rel_types: ['NhA>', '<NhB'], distance: 2})
+             |YIELD hop, nodes
+             |UNWIND nodes AS n
+             |RETURN hop, n % 281474976710656 AS nk
+             |ORDER BY hop, nk""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT)), (1, 5),
+             |  (2, 2), (2, 3), (2, 4)) t(hop, nk)
+             |ORDER BY hop, nk""".stripMargin)),
+
+    // path.expand (path_module/algorithm/path.cpp PathExpand::DFS):
+    // whitelist `+PgW` gates continuation, blacklist `-PgB` prunes its
+    // branch, end-label `>PgE` restricts EMISSION to terminal hits while
+    // expansion keeps going; edge-instance uniqueness, start node exempt
+    // from the continuation filter. Emits (via w1): e2 at hop 2 and e at
+    // hop 3; the b-branch never fires.
+    QueryDef(
+      "call_path_expand",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (s:PgS)-[:PgR]->(w1:PgW)-[:PgR]->(w2:PgW)
+            |       -[:PgR]->(e:PgE),
+            |       (s)-[:PgR]->(b:PgB)-[:PgR]->(w2),
+            |       (w1)-[:PgR]->(e2:PgE),
+            |       (w1)-[:PgR]->(t:PgT)""".stripMargin)
+        val start = Cypher
+          .run(s, e1.graph, "MATCH (n:PgS) RETURN id(n) AS i")
+          .collect()(0).getLong(0)
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL path.expand({node: $start, relationships: ['PgR>'],
+             |  labels: ['+PgW', '-PgB', '>PgE'], minHops: 0, maxHops: 4})
+             |YIELD last, hops
+             |RETURN last % 281474976710656 AS nk, hops
+             |ORDER BY nk, hops""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(3 AS BIGINT), CAST(3 AS BIGINT)), (5, 2)) t(nk, hops)
+             |ORDER BY nk, hops""".stripMargin)),
+
+    // path.subgraph_nodes (path.cpp PathSubgraph::BFS): first-discovery
+    // BFS; a blacklisted node is neither returned nor expanded, the
+    // unfiltered start bypasses its own label check, maxHops truncates.
+    QueryDef(
+      "call_path_subgraph",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (s:PhS)-[:PhR]->(w1:PhW)-[:PhR]->(w2:PhW)
+            |       -[:PhR]->(e:PhE),
+            |       (s)-[:PhR]->(b:PhB)-[:PhR]->(w2),
+            |       (w1)-[:PhR]->(e2:PhE),
+            |       (w1)-[:PhR]->(t:PhT)""".stripMargin)
+        val start = Cypher
+          .run(s, e1.graph, "MATCH (n:PhS) RETURN id(n) AS i")
+          .collect()(0).getLong(0)
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL path.subgraph_nodes({node: $start,
+             |  relationshipFilter: ['PhR>'], labelFilter: ['-PhB'],
+             |  maxHops: 2})
+             |YIELD node, hop
+             |RETURN node % 281474976710656 AS nk, hop
+             |ORDER BY nk""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(0 AS BIGINT)), (1, 1), (2, 2),
+             |  (5, 2), (6, 2)) t(nk, hop)
+             |ORDER BY nk""".stripMargin)),
+
+    // refactor_module chain: rename_label → rename_type → invert →
+    // rename_node_property → normalize_as_boolean, observed through the
+    // final graph version (write procedures thread GraphState through the
+    // planner). After inverting, edges run b→a and c→b; both RfNew nodes
+    // carry the normalized boolean q.
+    QueryDef(
+      "call_refactor",
+      (s, dir) => {
+        var st = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (a:RfOld {p: 'yes'})-[:RfT]->(b:RfOld {p: 'no'}),
+            |       (b)-[:RfT]->(c:RfKeep {p: 'maybe'})""".stripMargin).graph
+        Seq(
+          """CALL refactor.rename_label({old: 'RfOld', new: 'RfNew'})
+            |YIELD nodes_changed RETURN nodes_changed""".stripMargin,
+          """CALL refactor.rename_type({old: 'RfT', new: 'RfS'})
+            |YIELD relationships_changed RETURN relationships_changed""".stripMargin,
+          """CALL refactor.invert({type: 'RfS'})
+            |YIELD relationships_changed RETURN relationships_changed""".stripMargin,
+          """CALL refactor.rename_node_property({old: 'p', new: 'q',
+            |  label: 'RfNew'}) YIELD properties_changed
+            |RETURN properties_changed""".stripMargin,
+          """CALL refactor.normalize_as_boolean({prop: 'q',
+            |  true_values: ['yes'], false_values: ['no'],
+            |  label: 'RfNew'})
+            |YIELD entities_changed RETURN entities_changed""".stripMargin
+        ).foreach(q => st = Cypher.execute(s, st, q).graph)
+        Cypher.run(
+          s,
+          st,
+          """MATCH (x)-[:RfS]->(y:RfNew)
+            |RETURN y.q AS q ORDER BY q""".stripMargin)
+      },
+      Some("SELECT * FROM (VALUES (false), (true)) t(q) ORDER BY q"))
   )
 
   /** Louvain DP: one CTE chain per round — community volumes, per-(node,

@@ -88,27 +88,86 @@ object GraphStream {
     * trigger.hpp:93): fires only when the batch diff contains its event. */
   final case class TriggerDef(name: String, event: TriggerEvent, fn: TriggerFn)
 
-  /** Run a file-source ingestion stream to completion of the available
-    * data (Trigger.AvailableNow — the bounded-test analog of a continuous
-    * Kafka stream; swap `.format("kafka")` at the source for production).
-    * Returns the final graph version after all batches + triggers.
-    */
-  def ingestAvailable(
+  /** `CREATE STREAM` source declaration — the union of the reference's
+    * `CommonStreamInfo` (common.hpp:34-40: batch_interval, batch_size) and
+    * the Kafka `ConsumerInfo` (integrations/kafka/consumer.hpp:84-93:
+    * topics, consumer_group, bootstrap_servers, public/private configs),
+    * plus the file-source shape the tests drive. The Spark mapping is
+    * declarative:
+    *
+    *  - `batch_size`      → `maxOffsetsPerTrigger` (per-batch message cap)
+    *  - `batch_interval`  → `Trigger.ProcessingTime(ms)`; absent →
+    *                        `Trigger.AvailableNow()` (bounded run)
+    *  - `topics`          → `subscribe`
+    *  - `consumer_group`  → `kafka.group.id`
+    *  - `bootstrap_servers` → `kafka.bootstrap.servers`
+    *  - configs           → passthrough under the `kafka.` prefix
+    *
+    * A Kafka batch arrives with the connector's fixed schema (key, value,
+    * topic, partition, offset, timestamp, …) — the [[Transformation]] sees
+    * raw messages exactly like the reference's `mgp_messages` API. */
+  final case class SourceSpec(
+      format: String, // "kafka" | "json" | "parquet" | "csv"
+      path: Option[String] = None, // file sources
+      schema: Option[StructType] = None, // file sources
+      topics: Seq[String] = Nil,
+      bootstrapServers: Option[String] = None,
+      consumerGroup: Option[String] = None,
+      batchIntervalMs: Option[Long] = None,
+      batchSize: Option[Long] = None,
+      configs: Map[String, String] = Map.empty)
+
+  /** Pure option mapping (unit-testable without a broker). */
+  def sourceOptions(s: SourceSpec): Map[String, String] =
+    if (s.format == "kafka") {
+      require(s.topics.nonEmpty, "kafka source needs topics")
+      require(s.bootstrapServers.nonEmpty, "kafka source needs bootstrap_servers")
+      Map("subscribe" -> s.topics.mkString(",")) ++
+        s.bootstrapServers.map("kafka.bootstrap.servers" -> _) ++
+        s.consumerGroup.map("kafka.group.id" -> _) ++
+        s.batchSize.map("maxOffsetsPerTrigger" -> _.toString) ++
+        s.configs.map { case (k, v) =>
+          (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
+        }
+    } else Map.empty
+
+  /** batch_interval → ProcessingTime; unset → AvailableNow (the bounded
+    * analog the tests run; a production Kafka stream sets the interval). */
+  def triggerOf(s: SourceSpec): Trigger =
+    s.batchIntervalMs
+      .map(ms => Trigger.ProcessingTime(ms))
+      .getOrElse(Trigger.AvailableNow())
+
+  /** Build the streaming reader for a spec (no action taken here). */
+  def reader(spark: SparkSession, s: SourceSpec): DataFrame = {
+    if (s.format == "kafka") {
+      sourceOptions(s).foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+    } else {
+      val base = spark.readStream
+      val withSchema = s.schema.map(base.schema).getOrElse(base)
+      withSchema.format(s.format).load(s.path.getOrElse(
+        throw new IllegalArgumentException("file source needs a path")))
+    }
+  }
+
+  /** Run an ingestion stream for a [[SourceSpec]]; with no
+    * `batch_interval` it drains the available data and returns the final
+    * graph version after all batches + triggers. */
+  def ingest(
       spark: SparkSession,
-      sourceDir: String,
-      schema: StructType,
-      format: String, // "json" | "parquet" | "csv"
+      source: SourceSpec,
       initial: GraphState,
       transform: Transformation,
-      triggers: Seq[TriggerDef] = Nil,
+      triggers: Seq[TriggerDef],
       checkpointDir: String): GraphState = {
     // state evolves batch-serially inside foreachBatch (the reference runs
     // each transformed batch as one transaction, streams.cpp:520-567)
     @volatile var state = initial
-    val src = spark.readStream.schema(schema).format(format).load(sourceDir)
-    val q = src.writeStream
+    val q = reader(spark, source).writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(triggerOf(source))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = transform(state, batch)
         state = triggers
@@ -119,6 +178,22 @@ object GraphStream {
     q.awaitTermination()
     state
   }
+
+  /** Run a file-source ingestion stream to completion of the available
+    * data — the original surface, now a [[SourceSpec]] shorthand. */
+  def ingestAvailable(
+      spark: SparkSession,
+      sourceDir: String,
+      schema: StructType,
+      format: String, // "json" | "parquet" | "csv"
+      initial: GraphState,
+      transform: Transformation,
+      triggers: Seq[TriggerDef] = Nil,
+      checkpointDir: String): GraphState =
+    ingest(
+      spark,
+      SourceSpec(format, path = Some(sourceDir), schema = Some(schema)),
+      initial, transform, triggers, checkpointDir)
 
   /** TTL sweep: detach-delete every node of `label` whose `ttl` property
     * (epoch seconds) is < `cutoff`. Scheduled periodically in production;

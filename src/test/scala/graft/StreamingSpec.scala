@@ -61,6 +61,43 @@ class StreamingSpec extends SparkTestBase {
     assert(logged == nSrc && batches >= 1)
   }
 
+  test("kafka CREATE STREAM config maps to connector options and trigger") {
+    val spec = GraphStream.SourceSpec(
+      format = "kafka",
+      topics = Seq("events", "audit"),
+      bootstrapServers = Some("broker1:9092,broker2:9092"),
+      consumerGroup = Some("graft-cg"),
+      batchIntervalMs = Some(250L),
+      batchSize = Some(1000L),
+      configs = Map("sasl.mechanism" -> "PLAIN", "kafka.security.protocol" -> "SASL_SSL"))
+    val opts = GraphStream.sourceOptions(spec)
+    assert(opts("subscribe") == "events,audit")
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("kafka.group.id") == "graft-cg")
+    assert(opts("maxOffsetsPerTrigger") == "1000")
+    // passthrough configs are namespaced for the connector either way
+    assert(opts("kafka.sasl.mechanism") == "PLAIN")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(GraphStream.triggerOf(spec) ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    assert(GraphStream.triggerOf(spec.copy(batchIntervalMs = None)) ==
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // missing required kafka fields fail loudly at declaration time
+    intercept[IllegalArgumentException] {
+      GraphStream.sourceOptions(spec.copy(topics = Nil))
+    }
+  }
+
+  test("kafka live ingestion (broker-gated)") {
+    // live end-to-end needs a broker + the kafka connector jar; conf-gated
+    assume(sys.env.contains("GRAFT_KAFKA_BROKER"),
+      "no Kafka broker in this environment")
+    GraphStream.reader(spark, GraphStream.SourceSpec(
+      format = "kafka",
+      topics = Seq("events"),
+      bootstrapServers = sys.env.get("GRAFT_KAFKA_BROKER")))
+  }
+
   test("update/delete triggers fire only on their event class") {
     val src = s"/root/repo/target/streamspec/src_${java.util.UUID.randomUUID()}"
     val ckpt = s"/root/repo/target/streamspec/ckpt_${java.util.UUID.randomUUID()}"
