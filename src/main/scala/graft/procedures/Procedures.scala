@@ -61,7 +61,8 @@ object Procedures {
     "text.search" -> textSearch,
     "text.bm25" -> textBm25,
     "text.phrase" -> textPhrase,
-    "vector.search" -> vectorSearch) ++ ApocProcs.registry
+    "vector.search" -> vectorSearch) ++ ApocProcs.registry ++
+    ExtraProcs.registry
 
   import GraphState.{DstCol, IdCol, SrcCol}
 

@@ -1013,7 +1013,150 @@ object ProcedureQueries {
           """MATCH (x)-[:RfS]->(y:RfNew)
             |RETURN y.q AS q ORDER BY q""".stripMargin)
       },
-      Some("SELECT * FROM (VALUES (false), (true)) t(q) ORDER BY q"))
+      Some("SELECT * FROM (VALUES (false), (true)) t(q) ORDER BY q")),
+
+    // union_find.connected (src/mage/python/union_find.py): pairwise
+    // same-component tests backed by the WCC fixpoint. Components
+    // {u0,u1,u2} and {u3,u4}.
+    QueryDef(
+      "call_union_find",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (u0:UfV)-[:UfE]->(u1:UfV)-[:UfE]->(u2:UfV),
+            |       (u3:UfV)-[:UfE]->(u4:UfV)""".stripMargin)
+        val ids = Cypher
+          .run(s, e1.graph, "MATCH (n:UfV) RETURN id(n) AS i ORDER BY i")
+          .collect().map(_.getLong(0))
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL union_find.connected({
+             |  nodes1: [${ids(0)}, ${ids(0)}, ${ids(3)}],
+             |  nodes2: [${ids(2)}, ${ids(3)}, ${ids(4)}],
+             |  mode: 'pairwise', label: 'UfV', type: 'UfE'})
+             |YIELD node1, node2, connected
+             |RETURN node1 % 281474976710656 AS a,
+             |       node2 % 281474976710656 AS b, connected
+             |ORDER BY a, b""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(2 AS BIGINT), true),
+             |  (0, 3, false), (3, 4, true)) t(a, b, connected)
+             |ORDER BY a, b""".stripMargin)),
+
+    // max_flow.get_flow (src/mage/python/max_flow.py): Ford-Fulkerson
+    // with capacity scaling. Source f0, sink f3, caps 3/2/1/2/3 →
+    // max flow 5 (both source edges saturate).
+    QueryDef(
+      "call_max_flow",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (f0:FmV)-[:FmE {w: 3}]->(f1:FmV),
+            |       (f0)-[:FmE {w: 2}]->(f2:FmV),
+            |       (f1)-[:FmE {w: 1}]->(f2),
+            |       (f1)-[:FmE {w: 2}]->(f3:FmV),
+            |       (f2)-[:FmE {w: 3}]->(f3)""".stripMargin)
+        val ids = Cypher
+          .run(s, e1.graph, "MATCH (n:FmV) RETURN id(n) AS i ORDER BY i")
+          .collect().map(_.getLong(0))
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL max_flow.get_flow({source: ${ids(0)}, sink: ${ids(3)},
+             |  weightProp: 'w', type: 'FmE'})
+             |YIELD max_flow RETURN max_flow""".stripMargin)
+      },
+      Some("SELECT CAST(5.0 AS DOUBLE) AS max_flow")),
+
+    // graph_util.topological_sort (graph_util_module/algorithms/
+    // topological_sort.hpp) as deterministic level-peeling. Edges
+    // v2→v0→v3→v1 with skips v2→v3, v0→v1: the topological order is
+    // UNIQUE ([2,0,3,1]), so any correct Kahn variant must produce it.
+    QueryDef(
+      "call_topo_sort",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (v0:TsV), (v1:TsV), (v2:TsV), (v3:TsV),
+            |       (v2)-[:TsE]->(v0), (v0)-[:TsE]->(v3),
+            |       (v3)-[:TsE]->(v1), (v2)-[:TsE]->(v3),
+            |       (v0)-[:TsE]->(v1)""".stripMargin)
+        Cypher.run(
+          s,
+          e1.graph,
+          """CALL graph_util.topological_sort({label: 'TsV', type: 'TsE'})
+            |YIELD sorted_nodes
+            |RETURN sorted_nodes[0] % 281474976710656 AS p0,
+            |       sorted_nodes[1] % 281474976710656 AS p1,
+            |       sorted_nodes[2] % 281474976710656 AS p2,
+            |       sorted_nodes[3] % 281474976710656 AS p3""".stripMargin)
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS p0, CAST(0 AS BIGINT) AS p1,
+             |       CAST(3 AS BIGINT) AS p2, CAST(1 AS BIGINT) AS p3""".stripMargin)),
+
+    // graph_util.ancestors / descendants (ancestors.hpp/descendants.hpp):
+    // full reachability, start excluded. d4→d0→{d1→d2, d3}.
+    QueryDef(
+      "call_gu_reach",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (d0:GuV)-[:GuE]->(d1:GuV)-[:GuE]->(d2:GuV),
+            |       (d0)-[:GuE]->(d3:GuV),
+            |       (d4:GuV)-[:GuE]->(d0)""".stripMargin)
+        val id0 = Cypher
+          .run(s, e1.graph, "MATCH (n:GuV) RETURN id(n) AS i ORDER BY i")
+          .collect()(0).getLong(0)
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL graph_util.descendants({node: $id0, type: 'GuE'})
+             |YIELD descendants
+             |CALL graph_util.ancestors({node: $id0, type: 'GuE'})
+             |YIELD ancestors
+             |UNWIND descendants AS dn
+             |RETURN dn % 281474976710656 AS nk, size(ancestors) AS n_anc,
+             |       ancestors[0] % 281474976710656 AS anc0
+             |ORDER BY nk""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+             |  (2, 1, 4), (3, 1, 4)) t(nk, n_anc, anc0)
+             |ORDER BY nk""".stripMargin)),
+
+    // graph_util.connect_nodes: edge instances whose both endpoints are
+    // in the given list.
+    QueryDef(
+      "call_gu_connect",
+      (s, dir) => {
+        val e1 = Cypher.execute(
+          s,
+          g(s, dir),
+          """CREATE (c0:GcV)-[:GcE]->(c1:GcV)-[:GcE]->(c2:GcV),
+            |       (c0)-[:GcE]->(c3:GcV)""".stripMargin)
+        val ids = Cypher
+          .run(s, e1.graph, "MATCH (n:GcV) RETURN id(n) AS i ORDER BY i")
+          .collect().map(_.getLong(0))
+        Cypher.run(
+          s,
+          e1.graph,
+          s"""CALL graph_util.connect_nodes({
+             |  nodes: [${ids(0)}, ${ids(1)}, ${ids(3)}]})
+             |YIELD src, dst, rel_type
+             |RETURN src % 281474976710656 AS a, dst % 281474976710656 AS b,
+             |       rel_type
+             |ORDER BY a, b""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'GcE'),
+             |  (0, 3, 'GcE')) t(a, b, rel_type)
+             |ORDER BY a, b""".stripMargin))
   )
 
   /** Louvain DP: one CTE chain per round — community volumes, per-(node,
