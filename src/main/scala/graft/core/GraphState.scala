@@ -64,7 +64,23 @@ final class GraphState(
       * stale persisted table (it re-persists under the new tag —
       * invalidation by key, the reference's index-rebuild-on-write
       * analog). */
-    val indexTag: String = "base") {
+    val indexTag: String = "base",
+    /** Declared index registry (`CREATE [POINT|TEXT|VECTOR|EDGE] INDEX`,
+      * reference `src/storage/v2/indices/`): drives `SHOW INDEX INFO` /
+      * `SHOW VECTOR INDEX INFO` and the `text_search.*` /
+      * `vector_search.*` procedure surface. Scans do NOT need it —
+      * Catalyst predicate pushdown over the columnar frames is this
+      * engine's access path — so the registry is metadata plus the
+      * procedures' label/property routing. */
+    val indexes: Seq[GraphState.IndexDef] = Nil,
+    /** Schema-description registry (`SET DESCRIPTION ON …` /
+      * `SHOW DESCRIPTIONS`, reference server-side descriptions):
+      * documentation metadata keyed by target. */
+    val descriptions: Seq[GraphState.DescEntry] = Nil,
+    /** Server-side parameter store (`SET [GLOBAL] PARAMETER` /
+      * `SHOW PARAMETERS`): name → (value, scope). Client-supplied
+      * parameters shadow these at lowering time. */
+    val serverParams: Map[String, (Any, String)] = Map.empty) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -77,22 +93,66 @@ final class GraphState(
   def nodes(label: String): DataFrame =
     nodeCache.getOrElseUpdate(
       label,
-      nodeThunks
-        .getOrElse(
-          label,
-          throw new IllegalArgumentException(
-            s"unknown node label '$label' (have: ${nodeLabels.mkString(", ")})"))
-        .apply())
+      vectorDecorate(
+        label,
+        nodeThunks
+          .getOrElse(
+            label,
+            throw new IllegalArgumentException(
+              s"unknown node label '$label' (have: ${nodeLabels.mkString(", ")})"))
+          .apply(),
+        "vector"))
 
   def edges(tpe: String): DataFrame =
     edgeCache.getOrElseUpdate(
       tpe,
-      edgeThunks
-        .getOrElse(
-          tpe,
-          throw new IllegalArgumentException(
-            s"unknown edge type '$tpe' (have: ${edgeTypes.mkString(", ")})"))
-        .apply())
+      vectorDecorate(
+        tpe,
+        edgeThunks
+          .getOrElse(
+            tpe,
+            throw new IllegalArgumentException(
+              s"unknown edge type '$tpe' (have: ${edgeTypes.mkString(", ")})"))
+          .apply(),
+        "vector-edge"))
+
+  /** Vector-indexed properties read back at the index's storage precision
+    * (usearch default scalar f32; `src/storage/v2/indices/vector_index
+    * .cpp`): the read path casts through FLOAT, and a declared dimension
+    * is enforced per row. Identity when no vector index covers the
+    * label/type — the common case costs nothing. */
+  private def vectorDecorate(
+      lbl: String, df: DataFrame, kind: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val covering = indexes.filter(d =>
+      d.kind == kind && d.label.contains(lbl) && d.props.nonEmpty)
+    covering.foldLeft(df) { (f, d) =>
+      val p = d.props.head
+      if (!f.columns.contains(p)) f
+      else {
+        val scalar =
+          d.config.get("scalar_kind").map(_.toString).getOrElse("f32")
+        val arr = col(p).cast("array<double>")
+        val dimOk = d.config.get("dimension").map(_.toString.toLong) match {
+          case Some(n) =>
+            when(
+              size(arr) =!= n,
+              raise_error(lit(
+                s"vector index ${d.name.getOrElse(p)}: property $p has " +
+                  s"the wrong dimension (expected $n)"))
+                .cast("array<double>"))
+          case None => when(lit(false), arr)
+        }
+        val stored =
+          if (scalar == "f64") arr
+          else transform(arr, x => x.cast("float").cast("double"))
+        f.withColumn(
+          p,
+          when(col(p).isNull, lit(null).cast("array<double>"))
+            .otherwise(coalesce(dimOk, stored)))
+      }
+    }
+  }
 
   def hasLabel(label: String): Boolean = nodeThunks.contains(label)
   def hasType(tpe: String): Boolean = edgeThunks.contains(tpe)
@@ -137,33 +197,103 @@ final class GraphState(
   def withNodes(label: String, mk: () => DataFrame): GraphState =
     new GraphState(
       nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums,
-      GraphState.freshTag())
+      GraphState.freshTag(), indexes, descriptions, serverParams)
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
     new GraphState(
       nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
-      GraphState.freshTag())
+      GraphState.freshTag(), indexes, descriptions, serverParams)
 
   /** New version with the id high-water mark advanced (never lowered) —
     * no frame content changes, so the index tag carries over. */
   def withIdBase(base: Long): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums,
-      indexTag)
+      indexTag, indexes, descriptions, serverParams)
 
   /** Mark that node rows may now live in more than one label frame. */
   def withOverlap: GraphState =
     new GraphState(
-      nodeThunks, edgeThunks, idBase, mayOverlap = true, enums, indexTag)
+      nodeThunks, edgeThunks, idBase, mayOverlap = true, enums, indexTag,
+      indexes, descriptions, serverParams)
 
   /** Register (or replace) an enum type (`CREATE ENUM`). */
   def withEnum(name: String, values: Seq[String]): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap,
-      enums + (name -> values), indexTag)
+      enums + (name -> values), indexTag, indexes, descriptions,
+      serverParams)
+
+  /** Register an index (CREATE ... INDEX). */
+  def withIndex(d: GraphState.IndexDef): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+      indexes :+ d, descriptions, serverParams)
+
+  /** Upsert a schema description (same-key SET replaces). */
+  def withDescription(d: GraphState.DescEntry): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
+      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams)
+
+  /** Delete every description matching the predicate. */
+  def dropDescriptions(p: GraphState.DescEntry => Boolean): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
+      descriptions.filterNot(p), serverParams)
+
+  /** Set / unset a server-side parameter. */
+  def withServerParam(name: String, value: Any, scope: String): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
+      descriptions, serverParams + (name -> ((value, scope))))
+
+  def withoutServerParam(name: String): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
+      descriptions, serverParams - name)
+
+  /** Drop every index matching the predicate. */
+  def dropIndexes(p: GraphState.IndexDef => Boolean): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+      indexes.filterNot(p), descriptions, serverParams)
 }
 
 object GraphState {
+
+  /** One declared index (reference `src/storage/v2/indices/` families).
+    * `kind`: "label" | "label+property" | "point" | "text" | "edge" |
+    * "edge-property" (global) | "vector" | "vector-edge". `label` is the
+    * node label or edge type (None for global edge-property indexes);
+    * `props` may be nested paths ("a.b.c"); `name` for named (text /
+    * vector) indexes; `config` the vector CONFIG map (dimension,
+    * capacity, metric, scalar_kind, resize_coefficient). */
+  final case class IndexDef(
+      kind: String,
+      label: Option[String],
+      props: Seq[String],
+      name: Option[String] = None,
+      config: Map[String, Any] = Map.empty)
+
+  /** One schema description (`SET DESCRIPTION ON …`): kind ∈ label,
+    * label property, edge type, edge type property, database, property.
+    * Labels hold the (ordered) combo; edge-pattern forms carry start/end
+    * label lists. */
+  final case class DescEntry(
+      kind: String,
+      labels: Seq[String] = Nil,
+      edgeType: Option[String] = None,
+      startLabels: Option[Seq[String]] = None,
+      endLabels: Option[Seq[String]] = None,
+      prop: Option[String] = None,
+      db: Option[String] = None,
+      description: String = "") {
+    def sameKey(o: DescEntry): Boolean =
+      kind == o.kind && labels == o.labels && edgeType == o.edgeType &&
+        startLabels == o.startLabels && endLabels == o.endLabels &&
+        prop == o.prop && db == o.db
+  }
 
   def apply(
       nodeThunks: Map[String, () => DataFrame],

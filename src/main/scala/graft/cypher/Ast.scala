@@ -98,11 +98,22 @@ object Ast {
       weight: Option[(String, String, Expr)] = None,
       /** Symbol receiving the accumulated weight (`total_weight_`). */
       totalVar: Option[String] = None,
-      /** `(e, n [, p] | pred)` per-step filter lambda (ast.hpp:1899
+      /** `(e, n [, p [, w]] | pred)` per-step filter lambda (ast.hpp:1899
         * `filter_lambda_`): an expansion into node n over edge e survives
         * iff pred holds. The optional third var binds the accumulated
-        * path (unsupported — the planner raises, never ignores). */
-      filterLambda: Option[(String, String, Option[String], Expr)] = None)
+        * path, the optional fourth (WSHORTEST only) the accumulated
+        * weight including e. */
+      filterLambda: Option[StepLambda] = None)
+
+  /** Per-expansion lambda `(e, n [, p [, w]] | pred)` — `e` the traversed
+    * edge, `n` its target node, `p` the accumulated path INCLUDING e/n,
+    * `w` the accumulated weight including e (reference ast.hpp Lambda). */
+  final case class StepLambda(
+      e: String,
+      n: String,
+      path: Option[String],
+      weightVar: Option[String],
+      pred: Expr)
 
   /** node (rel node)* chain; optionally named (p = (...)). */
   final case class PatternPart(
@@ -132,6 +143,45 @@ object Ast {
     * ast.hpp:4131; storage enum_store.hpp). */
   final case class CreateEnumCl(name: String, values: Seq[String])
       extends Clause
+  /** `CREATE/DROP [POINT|TEXT|VECTOR [EDGE]|EDGE|GLOBAL EDGE] INDEX
+    * [name] [ON :L(p, …) | ON :(p, …)] [WITH CONFIG map]` — registers /
+    * removes an [[graft.core.GraphState.IndexDef]] (scans don't need it:
+    * Catalyst pushdown is the access-path analog; SHOW INDEX INFO and
+    * the text/vector search procedures read the registry). */
+  final case class IndexDdlCl(
+      create: Boolean,
+      kind: String,
+      label: Option[String],
+      props: Seq[String],
+      name: Option[String],
+      config: Option[Expr]) extends Clause
+  /** `FREE MEMORY` / `ANALYZE GRAPH [DELETE STATISTICS]` — accepted
+    * maintenance no-ops (storage GC / index statistics are
+    * Catalyst/parquet concerns here). */
+  final case class MaintenanceCl(what: String) extends Clause
+  /** `SET/DELETE DESCRIPTION ON <target> ["text"]` — schema-description
+    * metadata (reference server-side descriptions; descriptions.feature).
+    * The entry mirrors [[graft.core.GraphState.DescEntry]] minus the
+    * text (absent on DELETE). */
+  /** `SET [GLOBAL] PARAMETER x=value` / `UNSET [GLOBAL] PARAMETER x` —
+    * server-side parameter store (server_side_parameters.feature);
+    * `$x` resolution falls back to it when the client supplied no
+    * binding. */
+  final case class ServerParamCl(
+      set: Boolean,
+      global: Boolean,
+      name: String,
+      value: Option[Expr]) extends Clause
+  final case class DescriptionCl(
+      set: Boolean,
+      kind: String,
+      labels: Seq[String],
+      edgeType: Option[String],
+      startLabels: Option[Seq[String]],
+      endLabels: Option[Seq[String]],
+      prop: Option[String],
+      db: Option[String],
+      text: Option[String]) extends Clause
   final case class ReturnItem(expr: Expr, as: Option[String])
   final case class ProjectionBody(
       distinct: Boolean,
@@ -147,7 +197,10 @@ object Ast {
   final case class CallProc(
       name: String,
       args: Seq[Expr],
-      yields: Seq[String]) extends Clause
+      /** (outputColumn, optional alias); empty = YIELD * (bind all). */
+      yields: Seq[(String, Option[String])],
+      /** `YIELD … WHERE pred` post-filter (procedure_call.feature). */
+      where: Option[Expr] = None) extends Clause
 
   // ---------- mutation clauses (SURVEY.md §2.6) ----------
   /** CREATE patterns (`CreateNode` operator.hpp:411, `CreateExpand` :494). */

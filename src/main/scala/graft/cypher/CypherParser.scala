@@ -90,8 +90,13 @@ object CypherParser extends RegexParsers {
       numberLit | stringLit
 
   def listLit: Parser[Expr] = "[" ~> repsep(expr, ",") <~ "]" ^^ ListLit.apply
+  /** Map keys may also be quoted strings (`{"dimension": 2}`, the vector
+    * CONFIG form) — same key space as bare identifiers. */
+  private def mapKey: Parser[String] =
+    (ident | identP) |
+      stringLit ^^ { case Lit(s: String) => s; case _ => "" }
   def mapLit: Parser[Expr] =
-    "{" ~> repsep((ident | identP) ~ (":" ~> expr), ",") <~ "}" ^^ (kvs =>
+    "{" ~> repsep(mapKey ~ (":" ~> expr), ",") <~ "}" ^^ (kvs =>
       MapLit(kvs.map { case k ~ v => (k, v) }))
 
   def param: Parser[Expr] = "$" ~> identP ^^ Param.apply
@@ -261,11 +266,14 @@ object CypherParser extends RegexParsers {
       case lo ~ Some(hi) => (lo.map(_.toInt), hi.map(_.toInt), false)
     }
 
-  /** `(e, n [, p] | expr)` — per-edge lambda (weight or filter); the
-    * optional third var binds the accumulated path (ast.hpp Lambda). */
-  def edgeLambda: Parser[(String, String, Option[String], Expr)] =
-    "(" ~> ident ~ ("," ~> ident) ~ opt("," ~> ident) ~
-      ("|" ~> expr) <~ ")" ^^ { case e ~ n ~ p ~ x => (e, n, p, x) }
+  /** `(e, n [, p [, w]] | expr)` — per-edge lambda (weight or filter); the
+    * optional third var binds the accumulated path, the optional fourth
+    * the accumulated weight (ast.hpp Lambda). */
+  def edgeLambda: Parser[StepLambda] =
+    "(" ~> ident ~ ("," ~> ident) ~ opt("," ~> ident) ~ opt("," ~> ident) ~
+      ("|" ~> expr) <~ ")" ^^ { case e ~ n ~ p ~ w ~ x =>
+      StepLambda(e, n, p, w, x)
+    }
 
   /** `*[BFS|WSHORTEST|ALLSHORTEST] [lo][..hi] [(e,n|expr)] [total]
     * [(e,n,p|pred)]` — the reference's variable-expansion spec
@@ -276,9 +284,9 @@ object CypherParser extends RegexParsers {
       bounds: (Option[Int], Option[Int], Boolean),
       mode: String,
       props: Option[Expr],
-      lambda1: Option[(String, String, Option[String], Expr)],
+      lambda1: Option[StepLambda],
       total: Option[String],
-      lambda2: Option[(String, String, Option[String], Expr)])
+      lambda2: Option[StepLambda])
 
   private def varSpec: Parser[VarSpec] =
     "*" ~> opt("""(?i)(BFS|WSHORTEST|ALLSHORTEST|KSHORTEST)""".r) ~ varBounds ~
@@ -314,9 +322,11 @@ object CypherParser extends RegexParsers {
         vs.map(b => (b.bounds._1, b.bounds._2)),
         vs.exists(_.bounds._3),
         mode,
-        weightL.map { case (e, n, p, x) =>
-          require(p.isEmpty, "weight lambda takes (e, n | expr)")
-          (e, n, x)
+        weightL.map { l =>
+          require(
+            l.path.isEmpty && l.weightVar.isEmpty,
+            "weight lambda takes (e, n | expr)")
+          (l.e, l.n, l.pred)
         },
         vs.flatMap(_.total),
         filterL)
@@ -385,6 +395,123 @@ object CypherParser extends RegexParsers {
       case n ~ vs => CreateEnumCl(n, vs)
     }
 
+  /** Nested property path `a.b.c` (reference nested indexes). */
+  private def propPath: Parser[String] =
+    rep1sep(ident | identP, ".") ^^ (_.mkString("."))
+
+  private def indexKind: Parser[String] =
+    kw("GLOBAL") ~> kw("EDGE") ^^ (_ => "edge-property") |
+      kw("VECTOR") ~> kw("EDGE") ^^ (_ => "vector-edge") |
+      kw("VECTOR") ^^ (_ => "vector") |
+      kw("POINT") ^^ (_ => "point") |
+      kw("TEXT") ~> kw("EDGE") ^^ (_ => "text-edge") |
+      kw("TEXT") ^^ (_ => "text") |
+      kw("EDGE") ^^ (_ => "edge")
+
+  /** `ON :L[(p, …)]` (labeled) or `ON :(p, …)` (global edge). */
+  private def indexTarget: Parser[(Option[String], Seq[String])] =
+    kw("ON") ~> ":" ~> "(" ~> rep1sep(propPath, ",") <~ ")" ^^ (ps =>
+      (None, ps)) |
+      kw("ON") ~> ":" ~> (ident | identP) ~
+        opt("(" ~> rep1sep(propPath, ",") <~ ")") ^^ { case l ~ ps =>
+        (Some(l), ps.getOrElse(Nil))
+      }
+
+  /** Index DDL (reference storage index families; see
+    * [[Ast.IndexDdlCl]]). Named forms: `CREATE TEXT INDEX name ON :L`,
+    * `CREATE VECTOR [EDGE] INDEX name ON :L(p) WITH CONFIG {…}`,
+    * `DROP TEXT|VECTOR INDEX name`. */
+  def indexDdlClause: Parser[Clause] =
+    (kw("CREATE") | kw("DROP")) ~ (opt(indexKind) <~ kw("INDEX")) ~
+      opt(not(kw("ON")) ~> (ident | identP)) ~ opt(indexTarget) ~
+      opt(kw("WITH") ~> kw("CONFIG") ~> expr) ^^ {
+      case cd ~ kind ~ name ~ target ~ cfg =>
+        IndexDdlCl(
+          cd.equalsIgnoreCase("CREATE"),
+          kind.getOrElse("label"),
+          target.flatMap(_._1),
+          target.map(_._2).getOrElse(Nil),
+          name,
+          cfg)
+    }
+
+  /** `:A[:B…]` label combo. */
+  private def labelCombo: Parser[Seq[String]] =
+    rep1(":" ~> (ident | identP))
+
+  /** `(:A:B)-[:T]->(:C)` edge-type pattern target. */
+  private def descEdgePattern
+    : Parser[(Seq[String], String, Seq[String])] =
+    ("(" ~> labelCombo <~ ")") ~ ("-" ~> "[" ~> ":" ~> (ident | identP) <~
+      "]") ~ ("->" ~> "(" ~> labelCombo <~ ")") ^^ { case s ~ t ~ e =>
+      (s, t, e)
+    }
+
+  /** `SET/UNSET [GLOBAL] PARAMETER x[=v]` (server-side parameters). */
+  def serverParamClause: Parser[Clause] =
+    kw("SET") ~> opt(kw("GLOBAL")) ~ (kw("PARAMETER") ~> (ident | identP)) ~
+      ("=" ~> expr) ^^ { case g ~ n ~ v =>
+      ServerParamCl(set = true, g.isDefined, n, Some(v))
+    } |
+      kw("UNSET") ~> opt(kw("GLOBAL")) ~
+        (kw("PARAMETER") ~> (ident | identP)) ^^ { case g ~ n =>
+        ServerParamCl(set = false, g.isDefined, n, None)
+      }
+
+  /** `SET/DELETE DESCRIPTION ON <target> ["text"]` (descriptions
+    * metadata; see [[Ast.DescriptionCl]]). */
+  def descriptionClause: Parser[Clause] = {
+    def mk(set: Boolean): Parser[Clause] = {
+      val text: Parser[Option[String]] =
+        if (set) stringLit ^^ { case Lit(s: String) => Some(s); case _ => None }
+        else success(None)
+      val target: Parser[Option[String] => Clause] =
+        kw("LABEL") ~> kw("PROPERTY") ~> labelCombo ~
+          ("(" ~> (ident | identP) <~ ")") ^^ { case ls ~ p =>
+          t => DescriptionCl(set, "label property", ls, None, None, None,
+            Some(p), None, t)
+        } |
+          kw("LABEL") ~> labelCombo ^^ (ls =>
+            t => DescriptionCl(set, "label", ls, None, None, None, None,
+              None, t)) |
+          kw("EDGE") ~> kw("TYPE") ~> kw("PROPERTY") ~> descEdgePattern ~
+            ("(" ~> (ident | identP) <~ ")") ^^ { case ((s, ty, e)) ~ p =>
+            t => DescriptionCl(set, "edge type property", Nil, Some(ty),
+              Some(s), Some(e), Some(p), None, t)
+          } |
+          kw("EDGE") ~> kw("TYPE") ~> kw("PROPERTY") ~> ":" ~>
+            (ident | identP) ~ ("(" ~> (ident | identP) <~ ")") ^^ {
+            case ty ~ p =>
+              t => DescriptionCl(set, "edge type property", Nil, Some(ty),
+                None, None, Some(p), None, t)
+          } |
+          kw("EDGE") ~> kw("TYPE") ~> descEdgePattern ^^ { case (s, ty, e) =>
+            t => DescriptionCl(set, "edge type", Nil, Some(ty), Some(s),
+              Some(e), None, None, t)
+          } |
+          kw("EDGE") ~> kw("TYPE") ~> ":" ~> (ident | identP) ^^ (ty =>
+            t => DescriptionCl(set, "edge type", Nil, Some(ty), None, None,
+              None, None, t)) |
+          kw("DATABASE") ~> (ident | identP) ^^ (db =>
+            t => DescriptionCl(set, "database", Nil, None, None, None, None,
+              Some(db), t)) |
+          kw("PROPERTY") ~> (ident | identP) ^^ (p =>
+            t => DescriptionCl(set, "property", Nil, None, None, None,
+              Some(p), None, t))
+      (if (set) kw("SET") else kw("DELETE")) ~> kw("DESCRIPTION") ~>
+        kw("ON") ~> target ~ text ^^ { case f ~ t => f(t) }
+    }
+    mk(set = true) | mk(set = false)
+  }
+
+  /** `FREE MEMORY` / `ANALYZE GRAPH DELETE STATISTICS` no-ops (plain
+    * `ANALYZE GRAPH` RETURNS a stats table the engine does not produce —
+    * left unparsed so the gap raises instead of answering empty). */
+  def maintenanceClause: Parser[Clause] =
+    kw("FREE") ~ kw("MEMORY") ^^ (_ => MaintenanceCl("free-memory")) |
+      kw("ANALYZE") ~ kw("GRAPH") ~ kw("DELETE") ~ kw("STATISTICS") ^^ (
+        _ => MaintenanceCl("analyze-delete"))
+
   def returnItem: Parser[ReturnItem] =
     expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
 
@@ -417,14 +544,26 @@ object CypherParser extends RegexParsers {
   def returnClause: Parser[Clause] =
     kw("RETURN") ~> projectionBody ^^ Return.apply
 
+  private def yieldItem: Parser[(String, Option[String])] =
+    ident ~ opt(kw("AS") ~> ident) ^^ { case n ~ a => (n, a) }
+
   def callClause: Parser[Clause] =
     kw("CALL") ~> fnName ~ opt("(" ~> repsep(expr, ",") <~ ")") ~
-      (kw("YIELD") ~> rep1sep(ident, ",")) ^^ { case n ~ args ~ ys =>
-      CallProc(n.toLowerCase, args.getOrElse(Nil), ys)
+      (kw("YIELD") ~> (
+        "*" ^^ (_ => Nil: Seq[(String, Option[String])]) |
+          rep1sep(yieldItem, ","))) ~
+      opt(kw("WHERE") ~> expr) ^^ { case n ~ args ~ ys ~ w =>
+      // YIELD * (empty list) → the planner binds every output column
+      CallProc(n.toLowerCase, args.getOrElse(Nil), ys, w)
     }
 
   def callSubquery: Parser[Clause] =
-    kw("CALL") ~> "{" ~> singleQuery <~ "}" ^^ CallSubquery.apply
+    // `IN TRANSACTIONS OF n ROWS` is the same commit-batching hint as
+    // USING PERIODIC COMMIT — accepted, batch size ignored (snapshot
+    // semantics yields the identical observable result)
+    (kw("CALL") ~> "{" ~> singleQuery <~ "}") <~
+      opt(kw("IN") ~> kw("TRANSACTIONS") ~>
+        opt(kw("OF") ~> """\d+""".r ~> kw("ROWS"))) ^^ CallSubquery.apply
 
   // ---------- mutation clauses ----------
   def createClause: Parser[Clause] =
@@ -481,7 +620,9 @@ object CypherParser extends RegexParsers {
     }
 
   def updateClause: Parser[Clause] =
-    createEnumClause | createClause | mergeClause | setClause |
+    createEnumClause | indexDdlClause | maintenanceClause |
+      descriptionClause | serverParamClause | createClause | mergeClause |
+      setClause |
       deleteClause | removeClause | foreachClause
 
   def clause: Parser[Clause] =
@@ -491,7 +632,12 @@ object CypherParser extends RegexParsers {
   def singleQuery: Parser[SingleQuery] = rep1(clause) ^^ SingleQuery.apply
 
   def query: Parser[Query] =
-    opt(kw("USING") ~> kw("HOPS") ~> kw("LIMIT") ~> """\d+""".r) ~
+    // USING PERIODIC COMMIT n is a commit-batching hint: snapshot batch
+    // execution produces the identical result in one version step, so the
+    // prefix is accepted and the batch size ignored (reference
+    // periodic_commit.feature — observable results match)
+    opt(kw("USING") ~> kw("PERIODIC") ~> kw("COMMIT") ~> """\d+""".r) ~>
+      opt(kw("USING") ~> kw("HOPS") ~> kw("LIMIT") ~> """\d+""".r) ~
       singleQuery ~ rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery) ^^ {
         case hl ~ f ~ us =>
           Query(

@@ -25,10 +25,14 @@ final class ExprLowering(
     lambdaVars: Map[String, Column] = Map.empty,
     /** Enum registry for `Name::Value` literals / toEnum (GraphState
       * enums; empty where no graph is in scope). */
-    val enums: Map[String, Seq[String]] = Map.empty) {
+    val enums: Map[String, Seq[String]] = Map.empty,
+    /** getHopsCounter() value when statically known (statement plans no
+      * expansion → 0); None = reference's lazy pull count, unsupported. */
+    val hopsCounter: Option[Long] = None) {
 
   private def withLambda(name: String, c: Column) =
-    new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums)
+    new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums,
+      hopsCounter)
 
   /** Zero-row frame with `df`'s schema: resolving a column against this
     * LocalRelation costs a constant-size analyzer pass instead of
@@ -63,7 +67,13 @@ final class ExprLowering(
     case Var(n) =>
       scope.get(n) match {
         case Some(Binding.ValueB) => Frames.f(n, "_val")
-        case Some(Binding.EdgeListB) => Frames.f(n, "_ids")
+        case Some(Binding.EdgeListB) =>
+          // a var-length binding IS a list of relationships — prefer the
+          // entity structs when the planner materialized them (`(r[0]).id`
+          // needs values); the id array answers length-only shapes
+          if (df.columns.contains(s"$n${Frames.Sep}_structs"))
+            Frames.f(n, "_structs")
+          else Frames.f(n, "_ids")
         case Some(Binding.PathB) =>
           // path VALUE {nodes, edges} when the entity arrays exist;
           // the length otherwise (id-array paths are materialized by the
@@ -89,6 +99,9 @@ final class ExprLowering(
       val c = lower(of)
       typeOf(c) match {
         case Some(_: MapType) => element_at(c, lit(key))
+        case Some(s: StructType)
+            if Functions.isPointStruct(s) && Functions.isPointAccessor(key) =>
+          Functions.pointField(c, key)
         case Some(s: StructType) if s.fieldNames.contains(key) => c.getField(key)
         case Some(t) if isTemporalComponent(key, t) =>
           temporalComponent(c, key, t)
@@ -212,7 +225,8 @@ final class ExprLowering(
         lower(listE),
         lower(initE),
         (a, x) => new ExprLowering(df, scope, params,
-          lambdaVars + (acc -> a) + (v -> x), enums).lower(stepE))
+          lambdaVars + (acc -> a) + (v -> x), enums, hopsCounter)
+          .lower(stepE))
 
     // `n:Label` label test (LabelsTest): membership in the entity's
     // label array; NULL entity -> NULL (ternary logic via array_contains)

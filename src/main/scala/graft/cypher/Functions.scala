@@ -346,48 +346,116 @@ object Functions {
         args(0) match {
           case MapLit(kvs) =>
             val m = kvs.toMap
+            val keys = m.keySet
+            // spatial.feature: an unknown key yields a NULL point (not an
+            // error); mixing cartesian and geographic coordinate keys, or
+            // a crs/srid contradicting the keys or the dimensionality,
+            // raises (point.hpp CRS inference; spatial.feature failures
+            // 1-13)
+            val known = Set(
+              "x", "y", "z", "height", "longitude", "latitude", "crs",
+              "srid")
+            val hasGeoKeys =
+              keys.contains("longitude") || keys.contains("latitude")
+            val hasCartKeys = keys.contains("x") || keys.contains("y")
+            if (hasGeoKeys && hasCartKeys)
+              throw new IllegalArgumentException(
+                "point(): cartesian (x/y) and geographic " +
+                  "(longitude/latitude) keys cannot mix")
+            val third = keys.contains("z") || keys.contains("height")
+            val explicit: Option[Int] = m
+              .get("srid")
+              .map {
+                case Lit(n: Long) => n.toInt
+                case _ =>
+                  throw new IllegalArgumentException(
+                    "point(): srid must be a literal integer")
+              }
+              .orElse(m.get("crs").map {
+                case Lit(s: String) =>
+                  s match {
+                    case "cartesian" => 7203
+                    case "cartesian-3d" => 9157
+                    case "wgs-84" => 4326
+                    case "wgs-84-3d" => 4979
+                    case o =>
+                      throw new IllegalArgumentException(
+                        s"point(): unknown crs '$o'")
+                  }
+                case _ =>
+                  throw new IllegalArgumentException(
+                    "point(): crs must be a literal string")
+              })
+            val srid: Int = explicit match {
+              case Some(s) =>
+                if (!Set(7203, 9157, 4326, 4979)(s))
+                  throw new IllegalArgumentException(
+                    s"point(): unknown srid $s")
+                val geoS = s == 4326 || s == 4979
+                val threeS = s == 9157 || s == 4979
+                if (hasGeoKeys && !geoS)
+                  throw new IllegalArgumentException(
+                    "point(): geographic keys with a cartesian crs")
+                if (threeS != third)
+                  throw new IllegalArgumentException(
+                    "point(): crs dimensionality does not match the " +
+                      "coordinate keys")
+                s
+              case None =>
+                if (hasGeoKeys) { if (third) 4979 else 4326 }
+                else { if (third) 9157 else 7203 }
+            }
+            val geo = srid == 4326 || srid == 4979
             def f(k: String) =
-              m.get(k).map(e => ctx.lower(e).cast("double")).getOrElse(lit(null))
-            // longitude/latitude keys imply WGS-84 (x=lon, y=lat, z=height),
-            // matching the reference's CRS inference from map keys
-            // (point.hpp; awesome_memgraph_functions.cpp point ctor).
-            val geo = m.contains("longitude") || m.contains("latitude")
-            val fx = if (geo) f("longitude") else f("x")
-            val fy = if (geo) f("latitude") else f("y")
-            val fz =
-              if (geo && m.contains("height")) f("height") else f("z")
-            val crsDefault = if (geo) "wgs-84" else "cartesian"
-            struct(
-              fx.as("x"),
-              fy.as("y"),
-              fz.as("z"),
-              lit(m.get("crs").collect { case Lit(s: String) => s }
-                .getOrElse(crsDefault)).as("crs"))
+              m.get(k).map(e => ctx.lower(e).cast("double")).getOrElse(lit(null).cast("double"))
+            val fx = if (hasGeoKeys) f("longitude") else f("x")
+            val fy = if (hasGeoKeys) f("latitude") else f("y")
+            val fz = if (keys.contains("z")) f("z") else f("height")
+            if ((keys -- known).nonEmpty) lit(null).cast(PointType)
+            else {
+              val anyNull = fx.isNull || fy.isNull ||
+                (if (third) fz.isNull else lit(false))
+              // geographic range violations RAISE per row
+              // (spatial.feature failures 3-6); null coords → null point
+              val rangeBad =
+                if (!geo) lit(false)
+                else !(fx.between(-180, 180) && fy.between(-90, 90))
+              val built = struct(
+                fx.as("x"),
+                fy.as("y"),
+                (if (third) fz else lit(null).cast("double")).as("z"),
+                lit(srid.toLong).as("srid"))
+              when(anyNull, lit(null).cast(PointType))
+                .when(rangeBad, raise_error(lit(
+                  "point(): longitude must be in [-180, 180] and " +
+                    "latitude in [-90, 90]")).cast(PointType))
+                .otherwise(built)
+          }
           case _ =>
             throw new IllegalArgumentException("point() takes a map literal")
         }
       case "point.distance" | "distance" =>
         // CRS dispatch like the reference (point_functions.cpp:54-73):
-        // cartesian → euclidean; wgs-84 → great-circle haversine on the
-        // mean-radius sphere (R=6371000 m; the reference uses boost's
-        // geographic strategy on the WGS-84 spheroid — same order, ≤0.5%
-        // formula difference documented here), with the 3D height folded in
-        // by Pythagoras exactly as point_functions.cpp:33-52 does.
+        // same-srid required (cross-CRS → NULL), cartesian → euclidean,
+        // wgs-84 → Lambert's ellipsoidal formula on WGS-84 (reduced
+        // latitudes + first-order flattening correction; the reference
+        // uses boost's geographic strategy — both agree to ≪0.1 m at the
+        // scales the corpus pins), 3D height folded in by Pythagoras
+        // exactly as point_functions.cpp:33-52 does.
+        if ((0 to 1).exists(i => argType(i).contains(NullType)))
+          return lit(null).cast("double")
         val (p1, p2) = (a(0), a(1))
         def d(k: String) = p1.getField(k) - p2.getField(k)
-        val eucl = sqrt(
-          d("x") * d("x") + d("y") * d("y") +
-            coalesce(d("z") * d("z"), lit(0.0)))
-        val sLat = sin(radians(d("y")) / 2)
-        val sLon = sin(radians(d("x")) / 2)
-        val h = sLat * sLat +
-          cos(radians(p1.getField("y"))) * cos(radians(p2.getField("y"))) *
-          sLon * sLon
-        val greatCircle = lit(2.0 * 6371000.0) * asin(sqrt(h))
-        val wgs = sqrt(
-          greatCircle * greatCircle +
-            coalesce(d("z") * d("z"), lit(0.0)))
-        when(p1.getField("crs").startsWith("wgs"), wgs).otherwise(eucl)
+        val zSq = coalesce(d("z") * d("z"), lit(0.0))
+        val eucl = sqrt(d("x") * d("x") + d("y") * d("y") + zSq)
+        val gc = lambertMeters(
+          p1.getField("y"), p1.getField("x"),
+          p2.getField("y"), p2.getField("x"))
+        val wgs = sqrt(gc * gc + zSq)
+        when(
+          p1.getField("srid") === p2.getField("srid"),
+          when(p1.getField("srid").isin(4326L, 4979L), wgs).otherwise(eucl))
+          .otherwise(lit(null).cast("double"))
       case "point.bucket" =>
         // Grid-cell id for spatial bucketing — the shuffle key of the
         // point-index analog (reference: ScanAllByPointDistance's R-tree,
@@ -399,11 +467,34 @@ object Functions {
           lit(","),
           floor(p.getField("y") / w).cast("long").cast("string"))
       case "point.withinbbox" =>
+        // same-srid required (mixed → NULL); WGS longitude wraps when
+        // lower-left > upper-right (crossing the antimeridian,
+        // spatial.feature wrap-around scenarios); latitude and height/z
+        // are plain ranges (an inverted latitude box is empty)
+        if ((0 to 2).exists(i => argType(i).contains(NullType)))
+          return lit(null).cast("boolean")
         val (p, ll, ur) = (a(0), a(1), a(2))
-        p.getField("x") >= ll.getField("x") &&
-        p.getField("x") <= ur.getField("x") &&
-        p.getField("y") >= ll.getField("y") &&
-        p.getField("y") <= ur.getField("y")
+        val srid = p.getField("srid")
+        val geoB = srid.isin(4326L, 4979L)
+        val threeB = srid.isin(9157L, 4979L)
+        val xPlain = p.getField("x").between(
+          ll.getField("x"), ur.getField("x"))
+        val xWrap = when(
+          ll.getField("x") <= ur.getField("x"), xPlain)
+          .otherwise(
+            p.getField("x") >= ll.getField("x") ||
+              p.getField("x") <= ur.getField("x"))
+        val xOk = when(geoB, xWrap).otherwise(xPlain)
+        val yOk = p.getField("y").between(
+          ll.getField("y"), ur.getField("y"))
+        val zOk = when(
+          threeB,
+          p.getField("z").between(ll.getField("z"), ur.getField("z")))
+          .otherwise(lit(true))
+        when(
+          srid === ll.getField("srid") && srid === ur.getField("srid"),
+          xOk && yOk && zOk)
+          .otherwise(lit(null).cast("boolean"))
 
       // ---- predicates / casts ----
       case "isempty" => size(a(0)) === 0
@@ -632,8 +723,65 @@ object Functions {
       case "duration.between" =>
         a(1).cast("timestamp") - a(0).cast("timestamp")
 
+      // localTime("HH:MM[:SS[.ffffff]]") — the reference's LocalTime
+      // (utils/temporal.cpp ParseLocalTimeParameters) is a time-of-day;
+      // Spark has no TIME type, so it lowers to the interval since
+      // midnight (DayTimeIntervalType) — subtraction/comparison then work
+      // natively and a stored value prints as a duration.
+      case "localtime" =>
+        args(0) match {
+          case Lit(s: String) =>
+            val T = """(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?""".r
+            s match {
+              case T(h, mi, se, fr) =>
+                val frac = Option(fr)
+                  .map(f => f.padTo(6, '0').take(6).toLong / 1e6)
+                  .getOrElse(0.0)
+                val total = h.toLong * 3600 + mi.toLong * 60 +
+                  Option(se).map(_.toLong).getOrElse(0L) + frac
+                make_dt_interval(
+                  lit(0), lit(0), lit(0),
+                  lit(total).cast("decimal(18,6)"))
+              case _ =>
+                throw new IllegalArgumentException(
+                  s"unparseable local time: $s")
+            }
+          case _ => a(0).cast("interval day to second")
+        }
+
       // ---- enums (awesome_memgraph_functions.cpp:1816 ToEnum;
       // enum_store.hpp) ----
+      // getHopsCounter() (reference hops_limit.hpp): exact only when the
+      // statement planned no expansion (0); otherwise it reports the
+      // reference's LAZY pull count, which batch execution can't
+      // reproduce — raise, never a wrong number.
+      case "gethopscounter" =>
+        ctx.hopsCounter
+          .map(n => lit(n).cast("long"))
+          .getOrElse(throw new UnsupportedOperationException(
+            "getHopsCounter() after a traversal reports the reference's " +
+              "lazy pull count — unsupported in batch"))
+
+      // vector_search.cosine_similarity(v1, v2) — scalar function form
+      // (reference vector_search module): errors on empty / mismatched /
+      // zero-norm / non-numeric vectors, else dot/(|a||b|).
+      case "vector_search.cosine_similarity" =>
+        val v1 = a(0).cast("array<double>")
+        val v2 = a(1).cast("array<double>")
+        def dot(x: Column, y: Column) = aggregate(
+          zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+        val n1 = sqrt(dot(v1, v1))
+        val n2 = sqrt(dot(v2, v2))
+        val bad = size(v1) === 0 || size(v2) === 0 ||
+          size(v1) =!= size(v2) || n1 === 0.0 || n2 === 0.0 ||
+          n1.isNull || n2.isNull
+        when(
+          bad,
+          raise_error(lit(
+            "cosine_similarity needs two equal-dimension, non-zero " +
+              "numeric vectors")).cast("double"))
+          .otherwise(dot(v1, v2) / (n1 * n2))
+
       case "toenum" =>
         if (ctx.enums.isEmpty)
           throw new IllegalArgumentException("no enums defined (CREATE ENUM)")
@@ -782,4 +930,92 @@ object Functions {
     org.apache.spark.sql.functions.lower(c)
   private def replace_(c: Column, find: Column, repl: Column): Column =
     org.apache.spark.sql.functions.replace(c, find, repl)
+
+  // ---- spatial point value (src/storage/v2/point.hpp) ----
+
+  /** Point value layout: coordinates + the srid that fixes CRS and
+    * dimensionality (7203/9157 cartesian 2d/3d, 4326/4979 WGS-84 2d/3d;
+    * z is NULL for 2d points). */
+  val PointType: StructType = StructType(Seq(
+    StructField("x", DoubleType),
+    StructField("y", DoubleType),
+    StructField("z", DoubleType),
+    StructField("srid", LongType)))
+
+  /** Whether a struct value IS a point (schema marker). */
+  def isPointStruct(s: StructType): Boolean =
+    s.fieldNames.sameElements(Array("x", "y", "z", "srid"))
+
+  private val PointAccessors =
+    Set("x", "y", "z", "longitude", "latitude", "height", "crs", "srid")
+
+  def isPointAccessor(key: String): Boolean = PointAccessors(key)
+
+  /** Point property accessor (`p.longitude`, `p.srid`, …): CRS- and
+    * dimensionality-checked like the reference — `longitude`/`latitude`
+    * only on WGS-84, `z` only on 3d, `height` only on WGS-84 3d
+    * (spatial.feature lookup scenarios raise on the rest). */
+  def pointField(c: Column, key: String): Column = {
+    val srid = c.getField("srid")
+    val geo = srid.isin(4326L, 4979L)
+    def guarded(cond: Column, value: Column, msg: String): Column =
+      when(!coalesce(cond, lit(true)),
+        raise_error(lit(msg)).cast("double")).otherwise(value)
+    key match {
+      case "x" => c.getField("x")
+      case "y" => c.getField("y")
+      case "longitude" =>
+        guarded(geo, c.getField("x"),
+          "longitude is only defined on WGS-84 points")
+      case "latitude" =>
+        guarded(geo, c.getField("y"),
+          "latitude is only defined on WGS-84 points")
+      case "z" =>
+        guarded(srid.isin(9157L, 4979L), c.getField("z"),
+          "z is only defined on 3d points")
+      case "height" =>
+        guarded(srid === 4979L, c.getField("z"),
+          "height is only defined on WGS-84 3d points")
+      case "crs" =>
+        when(c.isNull, lit(null).cast("string"))
+          .when(geo, lit("wgs-84")).otherwise(lit("cartesian"))
+      case "srid" => srid
+      case other =>
+        throw new IllegalArgumentException(s"unknown point field: $other")
+    }
+  }
+
+  /** Geodesic distance in meters on the WGS-84 ellipsoid — Lambert's
+    * formula (reduced latitudes, first-order flattening correction):
+    * within ≪0.1 m of the reference's boost geographic strategy at the
+    * scales the conformance corpus pins, closed-form (codegen-friendly,
+    * no iteration). Inputs in degrees. */
+  def lambertMeters(
+      lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val fEll = 1.0 / 298.257223563
+    val aEll = 6378137.0
+    def reduced(lat: Column) = atan(lit(1.0 - fEll) * tan(radians(lat)))
+    val b1 = reduced(lat1)
+    val b2 = reduced(lat2)
+    val dl = radians(lon2 - lon1)
+    val hav = {
+      val sB = sin((b2 - b1) / 2)
+      val sL = sin(dl / 2)
+      sB * sB + cos(b1) * cos(b2) * sL * sL
+    }
+    val sig = lit(2.0) * asin(least(lit(1.0), sqrt(hav)))
+    val p = (b1 + b2) / 2
+    val q = (b2 - b1) / 2
+    val c2 = {
+      val ch = cos(sig / 2); ch * ch
+    }
+    val s2 = {
+      val sh = sin(sig / 2); sh * sh
+    }
+    val x = when(c2 < 1e-12, lit(0.0)).otherwise(
+      (sig - sin(sig)) * sin(p) * sin(p) * cos(q) * cos(q) / c2)
+    val y = when(s2 < 1e-12, lit(0.0)).otherwise(
+      (sig + sin(sig)) * cos(p) * cos(p) * sin(q) * sin(q) / s2)
+    lit(aEll) * (sig - lit(fEll / 2.0) * (x + y))
+  }
 }

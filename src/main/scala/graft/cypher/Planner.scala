@@ -102,6 +102,11 @@ final class Planner(
 
   def plan(q: Query): DataFrame = {
     hopsLimit = q.hopsLimit
+    // getHopsCounter() (hops_limit.hpp counter): exactly 0 for statements
+    // that plan no expansion at all; a statement that DOES traverse
+    // reports the reference's LAZY pull count, which batch execution
+    // cannot reproduce — those raise (skip), never a wrong number.
+    hopsCounterStatic = if (statementTraverses(q)) None else Some(0L)
     val first = planSingle(q.first)
     q.unions.foldLeft(first) { case (acc, (all, sq)) =>
       val u = acc.unionByName(planSingle(sq))
@@ -112,7 +117,37 @@ final class Planner(
   def planSingle(sq: SingleQuery): DataFrame =
     sq.clauses.foldLeft(initial)(planClause).df
 
-  private def lowering(lf: LF) = new ExprLowering(lf.df, lf.scope, params, enums = state.enums)
+  private def lowering(lf: LF) = new ExprLowering(
+    lf.df, lf.scope, params, enums = state.enums,
+    hopsCounter = hopsCounterStatic)
+
+  /** Whether any clause of the statement expands relationships (incl.
+    * pattern predicates / comprehensions and CALL subqueries) — the
+    * getHopsCounter() = 0 precondition. */
+  private var hopsCounterStatic: Option[Long] = None
+
+  private def statementTraverses(q: Query): Boolean = {
+    def inPart(p: PatternPart): Boolean = p.hops.nonEmpty
+    def inExpr(e: Expr): Boolean = e match {
+      case PatternPredicate(p, _) => inPart(p)
+      case _ =>
+        // conservative: any pattern-comprehension-bearing expression is a
+        // traversal (varsIn walks everything else; a false positive only
+        // skips, never mis-answers)
+        e.isInstanceOf[PatternComprehension]
+    }
+    def inClause(c: Clause): Boolean = c match {
+      case m: Match =>
+        m.patterns.exists(inPart) ||
+          m.where.exists(w => conjuncts(w).exists(inExpr))
+      case m: MergeCl => inPart(m.pattern)
+      case cs: CallSubquery => inSingle(cs.inner)
+      case f: ForeachCl => f.updates.exists(inClause)
+      case _ => false
+    }
+    def inSingle(sq: SingleQuery): Boolean = sq.clauses.exists(inClause)
+    inSingle(q.first) || q.unions.exists { case (_, sq) => inSingle(sq) }
+  }
 
   private def planClause(lf: LF, c: Clause): LF = c match {
     case Match(false, patterns, where) =>
@@ -139,7 +174,13 @@ final class Planner(
     case With(body, where) => project(lf, body, where, isReturn = false)
     case Return(body) => project(lf, body, None, isReturn = true)
 
-    case CallProc(name, args, yields) if name == "do.when" || name == "do.case" =>
+    case CallProc(name, args, yieldsRaw, callWhere)
+        if name == "do.when" || name == "do.case" =>
+      val yields = yieldsRaw.map { case (n, a) => a.getOrElse(n) }
+      require(
+        yieldsRaw.forall { case (n, a) => a.forall(_ == n) } &&
+          callWhere.isEmpty,
+        s"$name does not support YIELD aliases / WHERE")
       // `do` module (`src/mage/cpp/do_module`, apoc heritage): conditional
       // execution of a Cypher query. Conditions/query texts are constant
       // procedure args, so dispatch happens at plan time; the chosen query
@@ -187,7 +228,7 @@ final class Planner(
             yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
       }
 
-    case CallProc(name, args, yields) =>
+    case CallProc(name, args, yields, callWhere) =>
       val cargs = args.map(constValue)
       // refactor.* procedures WRITE: they return the next graph version
       // alongside their yield table (the reference's write-type mgp_proc)
@@ -202,19 +243,123 @@ final class Planner(
             throw new IllegalArgumentException(s"unknown procedure: $name"))
           proc(graft.procedures.ProcContext(spark, state, cargs))
       }
-      val missing = yields.filterNot(out.columns.contains)
+      // YIELD * (parsed as an empty list) binds every output column;
+      // `YIELD c AS alias` renames
+      val yields1: Seq[(String, String)] =
+        if (yields.isEmpty) out.columns.toSeq.map(c => (c, c))
+        else yields.map { case (n, a) => (n, a.getOrElse(n)) }
+      val missing = yields1.map(_._1).filterNot(out.columns.contains)
       require(missing.isEmpty, s"procedure $name does not yield: $missing")
       val selected = out.select(
-        yields.map(y => col(y).as(s"$y${Frames.Sep}_val")): _*)
+        yields1.map { case (n, a) => col(n).as(s"$a${Frames.Sep}_val") }: _*)
       val df =
         if (lf.df.columns.isEmpty) selected
         else lf.df.crossJoin(selected)
-      LF(df, yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+      val lf2 = LF(
+        df,
+        yields1.foldLeft(lf.scope)((sc, y) => sc + (y._2 -> Binding.ValueB)))
+      // `YIELD … WHERE pred` post-filter (procedure_call.feature)
+      callWhere
+        .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
+        .getOrElse(lf2)
 
     case CreateEnumCl(name, values) =>
       // enum_store.hpp: register the domain on the graph version; reads
       // planned after this clause validate Name::Value literals against it
       state = state.withEnum(name, values)
+      lf
+
+    case IndexDdlCl(create, kind0, label, props, name, cfg) =>
+      // scans don't consult the registry (Catalyst pushdown is this
+      // engine's access path) — the registry drives SHOW INDEX INFO and
+      // the text/vector search procedures. Validation mirrors the
+      // reference's: duplicate keys and nested-path prefix conflicts
+      // raise (indices.feature).
+      if (props.distinct.size != props.size)
+        throw new IllegalArgumentException(
+          s"duplicate index keys: ${props.mkString(", ")}")
+      for (a <- props; b <- props if a != b)
+        if (b.startsWith(a + "."))
+          throw new IllegalArgumentException(
+            s"index key '$a' is a path prefix of '$b'")
+      val kind =
+        if (kind0 == "label" && props.nonEmpty) "label+property" else kind0
+      // `{"order": ASC|DESC}` on label+property indexes: a distinct index
+      // per order (indices.feature DROP WITH CONFIG scenarios)
+      def orderOf(config: Map[String, Any]): Option[String] =
+        config.get("order").map { v =>
+          val o = v.toString.toUpperCase
+          if (o != "ASC" && o != "DESC")
+            throw new IllegalArgumentException(
+              s"index order must be ASC or DESC, got $v")
+          o
+        }
+      if (create) {
+        val config: Map[String, Any] = cfg
+          .map(indexConfig)
+          .getOrElse(Map.empty)
+        if (kind.startsWith("vector")) {
+          require(name.isDefined, "vector indexes are named")
+          require(
+            label.isDefined && props.size == 1,
+            "vector index needs ON :Label(property)")
+          require(
+            config.contains("dimension"),
+            "vector index CONFIG needs a dimension")
+        }
+        if (kind == "text" || kind == "text-edge")
+          require(name.isDefined, "text indexes are named")
+        if (kind == "label" && cfg.isDefined)
+          throw new IllegalArgumentException(
+            "WITH CONFIG is not supported on a label-only index")
+        if (kind == "label+property") orderOf(config) // validate
+        state = state.withIndex(
+          graft.core.GraphState.IndexDef(kind, label, props, name, config))
+      } else {
+        val dropOrder = cfg.map(indexConfig).flatMap(orderOf)
+        state = state.dropIndexes { d =>
+          if (kind == "vector" || kind == "vector-edge")
+            d.kind.startsWith("vector") && d.name == name
+          else if (kind == "text" || kind == "text-edge")
+            d.kind.startsWith("text") && d.name == name
+          else
+            d.kind == kind && d.label == label && d.props == props &&
+              dropOrder.forall(o =>
+                orderOf(d.config).getOrElse("ASC") == o)
+        }
+      }
+      lf
+
+    case ServerParamCl(set, global, pname, value) =>
+      // server-side parameter store: `$x` falls back to it when the
+      // client supplied no binding (Cypher.execute merges)
+      state =
+        if (set)
+          state.withServerParam(
+            pname, constValue(value.get),
+            if (global) "global" else "database")
+        else state.withoutServerParam(pname)
+      lf
+
+    case DescriptionCl(set, kind, labels, edgeType, sL, eL, prop, db, text) =>
+      // server-side descriptions: schema documentation metadata keyed by
+      // target (descriptions.feature); only the active database name is
+      // valid
+      if (kind == "database" && !db.contains("memgraph"))
+        throw new IllegalArgumentException(
+          s"unknown database: ${db.getOrElse("")}")
+      val entry = graft.core.GraphState.DescEntry(
+        kind, labels, edgeType, sL, eL, prop, db,
+        text.getOrElse(""))
+      state =
+        if (set) state.withDescription(entry)
+        else state.dropDescriptions(_.sameKey(entry))
+      lf
+
+    case MaintenanceCl(_) =>
+      // FREE MEMORY / ANALYZE GRAPH DELETE STATISTICS: storage GC and
+      // index statistics are Catalyst/parquet concerns here — accepted
+      // no-ops with an empty result
       lf
 
     case LoadCsvCl(file, withHeader, ignoreBad, delim, quote, nullif, v) =>
@@ -1141,6 +1286,15 @@ final class Planner(
 
   /** Constant evaluation for procedure arguments (literals, maps, lists,
     * params) — procedures run at plan time, not per row. */
+  /** `WITH CONFIG` map — literal or map-valued parameter; anything else
+    * raises (vector_search.feature "not a map raises"). */
+  private def indexConfig(e: Expr): Map[String, Any] = constValue(e) match {
+    case m: Map[_, _] => m.map { case (k, v) => k.toString -> v }
+    case other =>
+      throw new IllegalArgumentException(
+        s"WITH CONFIG must be a map, got: $other")
+  }
+
   private def constValue(e: Expr): Any = e match {
     case Lit(v) => v
     case Neg(Lit(v: Long)) => -v
@@ -1177,6 +1331,10 @@ final class Planner(
     // ONCE after the whole part is planned (one union-all job) instead of a
     // materializing count() per hop
     var hopCheckFrames = Vector.empty[DataFrame]
+    // (pre-expansion src-id frame, srcVar, eVar, types, dir, dstBound) per
+    // single hop — the LocalHops partial emulation's inputs
+    var hopMeta =
+      Vector.empty[(DataFrame, String, String, Seq[String], Expand.Direction, Boolean)]
 
     part.hops.foreach { case (rel, node) =>
       val eVar = rel.variable.getOrElse(fresh("e"))
@@ -1192,7 +1350,12 @@ final class Planner(
       // per-step filter lambda: pre-filter the oriented edge set (RAISES on
       // the unsupported accumulated-path form — never silently dropped)
       val edgesOv = rel.filterLambda.map(l =>
-        filteredOrientedEdges(types, dir, l))
+        filteredOrientedEdges(types, dir, l, outer = Some(cur)))
+
+      if (hopsLimit.isDefined && rel.varLength.isEmpty)
+        hopMeta :+= ((
+          cur.df.select(Frames.id(srcVar)).distinct(),
+          srcVar, eVar, types, dir, dstBound))
 
       rel.varLength match {
         case None =>
@@ -1240,26 +1403,94 @@ final class Planner(
           if (rel.variable.exists(cur.scope.contains))
             throw new UnsupportedOperationException(
               "variable-length expansion over a pre-bound relationship list")
-          if (dstBound) {
-            val tmp = fresh("n")
-            val df0 = VarExpand(
-              cur.df, state, srcVar, eVar, types, dir, minH, maxH, tmp,
-              dstLabel = None, hopsLimit = hopsLimit,
-              edgesOverride = edgesOv)
-            val df = df0
-              .filter(Frames.id(tmp) === Frames.id(dstName))
-              .drop(Frames.colsOf(df0, tmp): _*)
-            cur = LF(df, cur.scope + (eVar -> Binding.EdgeListB))
-          } else {
-            val df = VarExpand(
-              cur.df, state, srcVar, eVar, types, dir, minH, maxH, dstName,
-              node.labels.headOption, hopsLimit = hopsLimit,
-              edgesOverride = edgesOv)
-            cur = LF(
-              df,
-              cur.scope + (eVar -> Binding.EdgeListB) + (dstName -> Binding.NodeB))
-            setHint(dstName, node.labels.headOption.map(Set(_)))
-            cur = nodeConstraints(cur, dstName, node.labels, node.props)
+          // USING HOPS LIMIT over a subcritical typed edge set: replay the
+          // reference's exact DFS traversal on the driver
+          // ([[graft.operators.LocalHops.dfs]]) — exact whether or not
+          // the quota truncates (the reference's own cursor is this
+          // single-threaded DFS), and the emitted row count is bounded by
+          // the cap itself (each row consumes ≥1 fetched edge), so the
+          // driver pass is memory-safe up to [[LocalHopsMaxCap]].
+          // Supercritical or huge-cap inputs keep the distributed
+          // operator and its raise-on-breach contract.
+          val lhEmu: Option[graft.operators.LocalHops.Emu] =
+            hopsLimit.filter(_ <= LocalHopsMaxCap).flatMap { cap =>
+              localTypedEdges(types).map { le =>
+                val srcIds = cur.df
+                  .select(Frames.id(srcVar))
+                  .distinct()
+                  .collect()
+                  .map(_.getLong(0))
+                  .sorted
+                  .toSeq
+                val allowedIds = edgesOv.map(
+                  _.select(col(GraphState.IdCol))
+                    .collect()
+                    .map(_.getLong(0))
+                    .toSet)
+                graft.operators.LocalHops.dfs(
+                  le, srcIds,
+                  dirOut = dir != Expand.In, dirIn = dir != Expand.Out,
+                  minH, maxH.map(_.toLong).getOrElse(Long.MaxValue), cap,
+                  allowedIds)
+              }
+            }
+          lhEmu match {
+            case Some(emu) =>
+              import spark.implicits._
+              val rowsDf = emu.rows
+                .map(r => (r.src, r.dst, r.eids))
+                .toDF("__lh_src", "__lh_dst", "__lh_eids")
+              if (dstBound) {
+                val df = cur.df
+                  .join(broadcast(rowsDf), Frames.id(srcVar) === col("__lh_src"))
+                  .filter(col("__lh_dst") === Frames.id(dstName))
+                  .withColumn(s"$eVar${Frames.Sep}_ids", col("__lh_eids"))
+                  .drop("__lh_src", "__lh_dst", "__lh_eids")
+                cur = LF(df, cur.scope + (eVar -> Binding.EdgeListB))
+              } else {
+                val nodesDf = node.labels.headOption
+                  .map(state.nodesOrEmpty)
+                  .getOrElse(state.allNodes)
+                val df = cur.df
+                  .join(broadcast(rowsDf), Frames.id(srcVar) === col("__lh_src"))
+                  .join(
+                    Frames.bind(dstName)(nodesDf),
+                    col("__lh_dst") === Frames.id(dstName))
+                  .withColumn(s"$eVar${Frames.Sep}_ids", col("__lh_eids"))
+                  .drop("__lh_src", "__lh_dst", "__lh_eids")
+                cur = LF(
+                  df,
+                  cur.scope + (eVar -> Binding.EdgeListB) +
+                    (dstName -> Binding.NodeB))
+                setHint(dstName, node.labels.headOption.map(Set(_)))
+                cur = nodeConstraints(cur, dstName, node.labels, node.props)
+              }
+            case None =>
+              // no emulation possible (supercritical / cap too large for
+              // a driver pass): VarExpand keeps its raise-on-breach
+              // contract
+              if (dstBound) {
+                val tmp = fresh("n")
+                val df0 = VarExpand(
+                  cur.df, state, srcVar, eVar, types, dir, minH, maxH, tmp,
+                  dstLabel = None, hopsLimit = hopsLimit,
+                  edgesOverride = edgesOv)
+                val df = df0
+                  .filter(Frames.id(tmp) === Frames.id(dstName))
+                  .drop(Frames.colsOf(df0, tmp): _*)
+                cur = LF(df, cur.scope + (eVar -> Binding.EdgeListB))
+              } else {
+                val df = VarExpand(
+                  cur.df, state, srcVar, eVar, types, dir, minH, maxH, dstName,
+                  node.labels.headOption, hopsLimit = hopsLimit,
+                  edgesOverride = edgesOv)
+                cur = LF(
+                  df,
+                  cur.scope + (eVar -> Binding.EdgeListB) +
+                    (dstName -> Binding.NodeB))
+                setHint(dstName, node.labels.headOption.map(Set(_)))
+                cur = nodeConstraints(cur, dstName, node.labels, node.props)
+              }
           }
       }
       edgeSeq :+= ((eVar, rel.varLength.isDefined))
@@ -1267,20 +1498,53 @@ final class Planner(
       srcVar = dstName
     }
 
-    // deferred single-hop USING HOPS LIMIT check: one job sums the part's
-    // per-hop traversal counts (count of the union-all of the hop frames —
-    // cumulative within the part, like the reference's running counter)
+    // deferred single-hop USING HOPS LIMIT check. One single-hop over a
+    // subcritical typed edge set replays the reference's exact partial
+    // traversal ([[graft.operators.LocalHops.singleHop]]) and re-filters
+    // the planned frame to the surviving (vertex, edge) pairs; anything
+    // else falls back to one union-all traversal count that RAISES on
+    // breach (partial order is engine-specific — never silent).
     hopsLimit.foreach { lim =>
       if (hopCheckFrames.nonEmpty) {
-        val traversals = hopCheckFrames
-          .map(_.select(lit(1L).as("__hops_probe")))
-          .reduce(_ unionAll _)
-          .count()
-        if (traversals > lim)
-          throw new UnsupportedOperationException(
-            s"USING HOPS LIMIT $lim exceeded by single-hop expansions " +
-              s"($traversals traversals); partial results are " +
-              "unsupported in batch")
+        val emulated: Boolean =
+          if (hopMeta.size == 1 && hopCheckFrames.size == 1 &&
+            lim <= LocalHopsMaxCap && !hopMeta.head._6) {
+            val (preSrc, sV, eV, tps, d, _) = hopMeta.head
+            localTypedEdges(tps) match {
+              case Some(le) =>
+                val srcIds =
+                  preSrc.collect().map(_.getLong(0)).sorted.toSeq
+                val emu = graft.operators.LocalHops.singleHop(
+                  le, srcIds,
+                  dirOut = d != Expand.In, dirIn = d != Expand.Out, lim)
+                if (emu.breached) {
+                  import spark.implicits._
+                  val allowedDf = emu.rows
+                    .map(r => (r.src, r.eids.head))
+                    .toDF("__lh_s", "__lh_e")
+                  cur = LF(
+                    cur.df.join(
+                      broadcast(allowedDf),
+                      Frames.id(sV) === col("__lh_s") &&
+                        Frames.id(eV) === col("__lh_e"),
+                      "left_semi"),
+                    cur.scope)
+                }
+                true
+              case None => false
+            }
+          } else false
+        if (!emulated) {
+          val traversals = hopCheckFrames
+            .map(_.select(lit(1L).as("__hops_probe")))
+            .reduce(_ unionAll _)
+            .count()
+          if (traversals > lim)
+            throw new UnsupportedOperationException(
+              s"USING HOPS LIMIT $lim exceeded by single-hop expansions " +
+                s"($traversals traversals); partial results are " +
+                "unsupported in batch")
+        }
       }
     }
 
@@ -1366,17 +1630,21 @@ final class Planner(
     * instead of a per-step re-evaluation: same semantics, no per-round
     * filtering cost, and the BFS/DFS loops stay single-equi-join rounds.
     * Returns (id, src, dst) with src→dst in TRAVERSAL orientation.
-    * The 3-var accumulated-path form raises (unsupported — an accepted-but-
-    * ignored lambda would be a silent wrong answer). */
+    * The accumulated-path form routes through the per-step filtered
+    * operators instead ([[ShortestPath.bfsFiltered]] /
+    * [[ShortestPath.weightedCarry]]); callers pass only 2-var lambdas
+    * here (raises otherwise — an accepted-but-ignored lambda would be a
+    * silent wrong answer). */
   private def filteredOrientedEdges(
       types: Seq[String],
       dir: Expand.Direction,
-      lam: (String, String, Option[String], Expr)): DataFrame = {
-    val (ev, nv, pv, pred) = lam
-    if (pv.isDefined)
+      lam: StepLambda,
+      outer: Option[LF] = None): DataFrame = {
+    val StepLambda(ev, nv, pv, wv, pred) = lam
+    if (pv.isDefined || wv.isDefined)
       throw new UnsupportedOperationException(
-        "filter lambdas over the accumulated path (e, n, p | …) are not " +
-          "supported; 2-var (edge, node) filters are")
+        "filter lambdas over the accumulated path (e, n, p | …) are only " +
+          "supported on BFS/WSHORTEST expansions")
     val eframe = Frames.bind(ev)(state.edgesOfTypes(types))
     val srcC = Frames.src(ev)
     val dstC = Frames.dst(ev)
@@ -1391,10 +1659,33 @@ final class Planner(
           orientAs(dstC, srcC).filter(srcC =!= dstC))
     }
     val nframe = Frames.bind(nv)(state.allNodes)
-    val joined = orientedE.join(nframe, col("__fo_dst") === Frames.id(nv))
+    val joined0 = orientedE.join(nframe, col("__fo_dst") === Frames.id(nv))
+    // a lambda may close over OUTER bindings (`WITH ['x'] AS d MATCH
+    // …-[*BFS (r, n | r.p IN d)]->…`): when the outer frame holds ONE
+    // distinct value for them, broadcast it into the edge pre-filter
+    // (the statement-constant case; a per-row-varying capture would make
+    // the admissible edge set row-dependent — unsupported, raise)
+    val captured = outer
+      .map(o =>
+        (varsIn(pred) - ev - nv).filter(o.scope.contains).toSeq.sorted)
+      .getOrElse(Nil)
+    val (joined, capScope) = outer match {
+      case Some(o) if captured.nonEmpty =>
+        val cols = captured.flatMap(v => Frames.colsOf(o.df, v))
+        val vals = o.df.select(cols.map(col).toSeq: _*).distinct()
+        if (vals.count() != 1L)
+          throw new UnsupportedOperationException(
+            "filter lambda captures an outer variable with more than one " +
+              s"distinct binding: ${captured.mkString(", ")}")
+        (joined0.crossJoin(broadcast(vals)),
+          captured.flatMap(v => o.scope.get(v).map(v -> _)))
+      case _ => (joined0, Nil)
+    }
     val low = new ExprLowering(
       joined,
-      Scope.empty + (ev -> Binding.EdgeB) + (nv -> Binding.NodeB),
+      capScope.foldLeft(
+        Scope.empty + (ev -> Binding.EdgeB) + (nv -> Binding.NodeB))(
+        (s, kv) => s + kv),
       params, enums = state.enums)
     joined
       .filter(low.lower(pred))
@@ -1403,6 +1694,242 @@ final class Planner(
         col("__fo_src").as(GraphState.SrcCol),
         col("__fo_dst").as(GraphState.DstCol))
   }
+
+  /** Largest USING HOPS LIMIT the driver replay accepts: emitted rows are
+    * bounded by the cap (each row consumes ≥1 fetched-edge quota), so
+    * this bounds driver memory for the emulation's result. */
+  private val LocalHopsMaxCap = 2000000L
+
+  /** Typed (id, src, dst) edge list collected to the driver for the
+    * hops-limit partial emulation; None above `spark.graft.local.edges`
+    * (the [[graft.operators.LocalGraph]] subcritical threshold). */
+  private def localTypedEdges(
+      types: Seq[String]): Option[Array[(Long, Long, Long)]] = {
+    val cap = spark.conf.get("spark.graft.local.edges", "2000000").toLong
+    val rows = state
+      .edgesOfTypes(types)
+      .select(
+        col(GraphState.IdCol), col(GraphState.SrcCol), col(GraphState.DstCol))
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    if (rows.length > cap) None
+    else Some(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  /** Struct of every column of bound var `v`, field names unprefixed —
+    * the whole-entity value the step-filtered operators carry. */
+  private def varStructCol(df: DataFrame, v: String): Column =
+    struct(Frames.colsOf(df, v).map(c =>
+      col(c).as(c.substring(v.length + Frames.Sep.length))): _*)
+
+  /** Oriented (eid, src, dst, full-edge-struct) frame for the per-step
+    * filtered shortest-path operators; `allowed` pre-intersects a 2-var
+    * lambda / property-map pre-filter. */
+  private def orientedStructEdges(
+      types: Seq[String],
+      dir: Expand.Direction,
+      ev: String,
+      allowed: Option[DataFrame]): DataFrame = {
+    val eframe = Frames.bind(ev)(state.edgesOfTypes(types))
+    val srcC = Frames.src(ev)
+    val dstC = Frames.dst(ev)
+    def orientAs(s: Column, d: Column) =
+      eframe.withColumn("__fo_src", s).withColumn("__fo_dst", d)
+    val orientedE = dir match {
+      case Expand.Out => orientAs(srcC, dstC)
+      case Expand.In => orientAs(dstC, srcC)
+      case Expand.Both =>
+        orientAs(srcC, dstC).unionByName(
+          orientAs(dstC, srcC).filter(srcC =!= dstC))
+    }
+    var out = orientedE.select(
+      Frames.id(ev).as("__sp_eid"),
+      col("__fo_src").as(GraphState.SrcCol),
+      col("__fo_dst").as(GraphState.DstCol),
+      varStructCol(orientedE, ev).as(ShortestPath.EStructCol))
+    allowed.foreach { a =>
+      out = out.join(
+        a.select(
+          col(GraphState.IdCol).as("__sp_eid"),
+          col(GraphState.SrcCol),
+          col(GraphState.DstCol)),
+        Seq("__sp_eid", GraphState.SrcCol, GraphState.DstCol),
+        "left_semi")
+    }
+    out
+  }
+
+  /** Per-step filter for the accumulated-path lambda `(e, n, p [, w] |
+    * pred)`: lowers pred against the operators' candidate frame — `e`/`n`
+    * bind to the carried entity structs, `p` to the path arrays
+    * (exposed under the lambda's own path-var naming so the standard
+    * PathB lowering, `nodes(p)`/`relationships(p)`/`size(p)`, resolves),
+    * `w` to the accumulated weight (WSHORTEST; converted back to an
+    * interval for duration-weighted searches).
+    * @return (candidate-frame → predicate, node-struct frame, path col names)
+    */
+  private def pathStepFilter(
+      lam: StepLambda,
+      isDurationWeight: Boolean = false)
+    : (DataFrame => Column, DataFrame, (String, String, String)) = {
+    val pv = lam.path.getOrElse(fresh("p"))
+    val nframe = Frames.bind(lam.n)(state.allNodes)
+    val nodes = nframe.select(
+      Frames.id(lam.n).as(GraphState.IdCol),
+      varStructCol(nframe, lam.n).as(ShortestPath.NStructCol))
+    val pathCols = (
+      s"$pv${Frames.Sep}_nodestructs",
+      s"$pv${Frames.Sep}_edgestructs",
+      s"$pv${Frames.Sep}_len")
+    val fScope = Scope.empty + (pv -> Binding.PathB)
+    val mk: DataFrame => Column = df => {
+      val wCol: Column =
+        if (isDurationWeight)
+          col(ShortestPath.WeightCol)
+            .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+            .cast(org.apache.spark.sql.types.DayTimeIntervalType())
+        else col(ShortestPath.WeightCol)
+      val lvars = Map(
+        lam.e -> col(ShortestPath.EStructCol),
+        lam.n -> col(ShortestPath.NStructCol)) ++
+        lam.weightVar.map(_ -> wCol).toMap
+      new ExprLowering(df, fScope, params, lvars, state.enums)
+        .lower(lam.pred)
+    }
+    (mk, nodes, pathCols)
+  }
+
+  /** Shared WSHORTEST / weighted-ALLSHORTEST prelude.
+    *
+    * The weight lambda sees the traversed edge AND its target node
+    * (`(e, v | v.w)` vertex-based weights are legal, ast.hpp
+    * weight_lambda_) — computed over the oriented edge ⨝ target node
+    * frame in traversal orientation. DURATION weights (reference
+    * weights.cpp duration branch) order/sum as exact decimal seconds and
+    * surface back as intervals ([[durationWeightOut]]). The lambda also
+    * fires once at each seed with a NULL edge (vertex weights count the
+    * source; `coalesce(r.id, 0)` in the corpus), NULL init → 0. The
+    * reference raises on negative and non-numeric weights
+    * (operator.cpp:3000 region) — one cheap aggregate over the pruned
+    * edge frame instead of a per-round probe.
+    *
+    * @return (oriented edges with `__sp_eid`/weight/[[ShortestPath.EStructCol]],
+    *         seeds with per-seed initial weight, duration flag)
+    */
+  private def weightedSearchFrames(
+      rel: RelPattern,
+      dir: Expand.Direction,
+      edgesOv: Option[DataFrame],
+      seeds: DataFrame,
+      needStruct: Boolean = false): (DataFrame, DataFrame, Boolean) = {
+    val (wev, wnv, wexpr) = rel.weight.getOrElse(
+      throw new IllegalArgumentException(
+        "weighted shortest-path mode requires a weight lambda (e, n | expr)"))
+    val eframe = Frames.bind(wev)(state.edgesOfTypes(rel.types))
+    val srcC = Frames.src(wev)
+    val dstC = Frames.dst(wev)
+    def orientAs(s: Column, d: Column) = eframe
+      .withColumn("__fo_src", s)
+      .withColumn("__fo_dst", d)
+    val orientedE = dir match {
+      case Expand.Out => orientAs(srcC, dstC)
+      case Expand.In => orientAs(dstC, srcC)
+      case Expand.Both =>
+        orientAs(srcC, dstC).unionByName(
+          orientAs(dstC, srcC).filter(srcC =!= dstC))
+    }
+    // join the target node ONLY when the weight lambda reads it — the
+    // common edge-only `(e, n | e.w)` shape keeps the slim edge frame
+    // (no node join in the relaxation loop's cached input)
+    val nframeW = Frames.bind(wnv)(state.allNodes)
+    val needsNode = varsIn(wexpr).contains(wnv)
+    val withTarget =
+      if (needsNode) orientedE.join(nframeW, col("__fo_dst") === Frames.id(wnv))
+      else orientedE
+    val wLow = new ExprLowering(
+      withTarget,
+      (if (needsNode)
+         Scope.empty + (wev -> Binding.EdgeB) + (wnv -> Binding.NodeB)
+       else Scope.empty + (wev -> Binding.EdgeB)),
+      params, enums = state.enums)
+    val wcolRaw = wLow.lower(wexpr)
+    val isDur = wLow
+      .typeOf(wcolRaw)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+    def asDouble(c: Column): Column =
+      if (isDur)
+        c.cast(org.apache.spark.sql.types.DecimalType(28, 6)).cast("double")
+      else c.cast("double")
+    // the reference raises on negative/non-numeric weights
+    // (operator.cpp:3000 region) — validated per ROW inside the weight
+    // column itself (raise_error), so no extra probe job on any path:
+    // the relaxation's first round materializes the full frame and with
+    // it every edge's check
+    val wChecked = {
+      val w = asDouble(wcolRaw)
+      when(
+        w.isNull || w < 0,
+        raise_error(lit(
+          "weight lambda produced a negative or non-numeric weight"))
+          .cast("double"))
+        .otherwise(w)
+    }
+    var oriented = withTarget.select(
+      Seq(
+        Frames.id(wev).as("__sp_eid"),
+        col("__fo_src").as(GraphState.SrcCol),
+        col("__fo_dst").as(GraphState.DstCol),
+        wChecked.as(ShortestPath.EdgeWeightCol)) ++
+        (if (needStruct)
+           Seq(varStructCol(withTarget, wev).as(ShortestPath.EStructCol))
+         else Nil): _*)
+    // optional 2-var filter lambda / property map: keep allowed traversals
+    edgesOv.foreach { allowed =>
+      oriented = oriented.join(
+        allowed.select(
+          col(GraphState.IdCol).as("__sp_eid"),
+          col(GraphState.SrcCol),
+          col(GraphState.DstCol)),
+        Seq("__sp_eid", GraphState.SrcCol, GraphState.DstCol),
+        "left_semi")
+    }
+    // edge-only weight lambdas (`e.w`) have a NULL → 0 init for every
+    // seed — skip the init join entirely (the common/gate-scale shape)
+    val wSeeds =
+      if (!varsIn(wexpr).contains(wnv)) seeds
+      else {
+        // NULL edge struct for the seed's init evaluation — derived from
+        // the edge frame's own columns (EStructCol only exists when a
+        // step filter asked for it)
+        val eStructT =
+          eframe.select(varStructCol(eframe, wev)).schema.head.dataType
+        val initLow = new ExprLowering(
+          nframeW,
+          Scope.empty + (wnv -> Binding.NodeB),
+          params,
+          lambdaVars = Map(wev -> lit(null).cast(eStructT)),
+          enums = state.enums)
+        seeds
+          .join(
+            nframeW.select(
+              Frames.id(wnv).as("__sp_initn"),
+              coalesce(asDouble(initLow.lower(wexpr)), lit(0.0))
+                .as(ShortestPath.InitWeightCol)),
+            col(ShortestPath.SeedCol) === col("__sp_initn"),
+            "left_outer")
+          .drop("__sp_initn")
+      }
+    (oriented, wSeeds, isDur)
+  }
+
+  /** Duration-weighted search results carry seconds — surface the total
+    * back as a day-time interval. */
+  private def durationWeightOut(res: DataFrame): DataFrame =
+    res.withColumn(
+      ShortestPath.WeightCol,
+      col(ShortestPath.WeightCol)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+        .cast(org.apache.spark.sql.types.DayTimeIntervalType()))
 
   /** Shortest-path pattern — `p = shortestPath((a)-[:T*..h]->(b))`,
     * `allShortestPaths(...)`, or the reference's inline modes
@@ -1424,14 +1951,9 @@ final class Planner(
     require(
       part.hops.size == 1,
       "shortest-path pattern must be a single variable-length relationship")
-    // USING HOPS LIMIT truncates the reference's traversal MID-SEARCH,
-    // yielding partial shortest-path results in its visit order — batch
-    // BFS has no equivalent deterministic prefix, so raise (VarExpand
-    // enforces the limit for plain expansions by raising on breach too)
-    if (hopsLimit.isDefined)
-      throw new UnsupportedOperationException(
-        "USING HOPS LIMIT with shortest-path expansions yields partial, " +
-          "traversal-order-dependent results — unsupported in batch")
+    // USING HOPS LIMIT truncates the reference's traversal MID-SEARCH —
+    // handled below via the LocalHops driver replay for subcritical BFS
+    // modes; weighted/kshortest modes (and supercritical inputs) raise.
     val (rel, node) = part.hops.head
     // A non-var-length relationship inside shortestPath(...) keeps its
     // single-edge semantics (exactly one hop), matching the reference's
@@ -1463,16 +1985,22 @@ final class Planner(
     // the unsupported 3-var form instead of ignoring it). An edge property
     // map on the relationship (`-[*allShortest {w: 1} …]->`) is the same
     // kind of per-edge filter — synthesized as a lambda and intersected.
-    val propsPred: Option[(String, String, Option[String], Expr)] =
+    val propsPred: Option[StepLambda] =
       if (rel.props.nonEmpty && rel.mode != "KSHORTEST") {
         val ev = fresh("pe")
-        Some((ev, fresh("pn"), None,
+        Some(StepLambda(ev, fresh("pn"), None, None,
           rel.props
             .map { case (k, e) => BinOp("=", Prop(Var(ev), k), e): Expr }
             .reduce(BinOp("AND", _, _))))
       } else None
-    val edgesOv = Seq(rel.filterLambda, propsPred).flatten
-      .map(l => filteredOrientedEdges(rel.types, dir, l))
+    // 2-var (edge, node) lambdas are path-independent → ONE pre-filter of
+    // the oriented edge set; the accumulated-path/weight forms must run
+    // per expansion instead (pathLambda below)
+    val pathLambda: Option[StepLambda] =
+      rel.filterLambda.filter(l => l.path.isDefined || l.weightVar.isDefined)
+    val edgesOv = Seq(rel.filterLambda.filterNot(pathLambda.contains), propsPred)
+      .flatten
+      .map(l => filteredOrientedEdges(rel.types, dir, l, outer = Some(cur0)))
       .reduceOption((a, b) =>
         a.join(
           b,
@@ -1562,6 +2090,75 @@ final class Planner(
       .distinct()
 
     val all = part.shortest.contains("all") || rel.mode == "ALLSHORTEST"
+
+    // USING HOPS LIMIT on a BFS-family search: replay the reference's
+    // partial traversal on the driver when the typed edge set is
+    // subcritical — SingleSource (LIFO level pops) for an unconstrained
+    // target, bidirectional ST when the target is pinned by binding or
+    // property (the reference plans STShortestPath exactly when the
+    // sink is scannable, `operator.cpp:2590` FindPath). Breach-free
+    // emulation falls through to the distributed operator (identical
+    // result); weighted/kshortest modes and supercritical inputs raise.
+    val lhShortest: Option[DataFrame] = hopsLimit.flatMap { cap =>
+      def unsupported(msg: String) =
+        throw new UnsupportedOperationException(
+          s"USING HOPS LIMIT $msg — partial traversal order is " +
+            "engine-specific, so this engine raises instead of returning " +
+            "nondeterministic partial results")
+      if (all || rel.mode == "WSHORTEST" || rel.mode == "KSHORTEST")
+        unsupported("with weighted/all/k-shortest expansions is unsupported")
+      if (cap > LocalHopsMaxCap)
+        unsupported(s"above $LocalHopsMaxCap exceeds the driver-replay bound")
+      val le = localTypedEdges(rel.types).getOrElse(
+        unsupported(
+          "over a supercritical edge set cannot be replayed exactly"))
+      val srcIds =
+        seeds.collect().map(_.getLong(0)).sorted.toSeq
+      val allowedIds = edgesOv.map(
+        _.select(col(GraphState.IdCol)).collect().map(_.getLong(0)).toSet)
+      val dirOut = dir != Expand.In
+      val dirIn = dir != Expand.Out
+      val maxHL = if (maxH == Int.MaxValue) Long.MaxValue else maxH.toLong
+      val emu =
+        if (dstBound || node.props.nonEmpty) {
+          val sinkIds: Seq[Long] =
+            if (dstBound)
+              cur0.df
+                .select(Frames.id(dstName))
+                .distinct()
+                .collect()
+                .map(_.getLong(0))
+                .sorted
+                .toSeq
+            else {
+              val (sinkLf, sinkVar) =
+                bindNode(initial, node.copy(variable = Some(fresh("sink"))))
+              sinkLf.df
+                .select(Frames.id(sinkVar))
+                .collect()
+                .map(_.getLong(0))
+                .sorted
+                .toSeq
+            }
+          graft.operators.LocalHops.st(
+            le,
+            for (s <- srcIds; t <- sinkIds) yield (s, t),
+            dirOut, dirIn, minH, maxHL, cap, allowedIds)
+        } else
+          graft.operators.LocalHops.bfs(
+            le, srcIds, dirOut, dirIn, minH, maxHL, cap, allowedIds)
+      if (!emu.breached) None
+      else {
+        import spark.implicits._
+        Some(
+          emu.rows
+            .map(r => (r.src, r.dst, r.eids.size.toLong, r.nodes, r.eids))
+            .toDF(
+              ShortestPath.SeedCol, ShortestPath.NodeCol,
+              ShortestPath.DistCol, ShortestPath.PathNodesCol,
+              ShortestPath.PathEdgesCol))
+      }
+    }
     // NOTE on path materialization: an after-the-fact DAG reconstruction
     // of representative paths (array-free BFS, then backward-mark +
     // forward-walk restricted to surviving pairs) was implemented and
@@ -1572,61 +2169,72 @@ final class Planner(
     // the seed set reflects the statement's filters, carrying the arrays
     // through the (now small) BFS is strictly cheaper than re-deriving
     // them in extra rounds.
-    val res: DataFrame = rel.mode match {
+    val res: DataFrame = lhShortest.getOrElse(rel.mode match {
       // inline `*allShortest (e, n | w) total`: ALL minimum-WEIGHT paths
       // (the reference's ExpandAllShortestPathsCursor is weighted)
       case "ALLSHORTEST" if rel.weight.isDefined =>
-        val (ev, _, wexpr) = rel.weight.get
-        val eframe = Frames.bind(ev)(state.edgesOfTypes(rel.types))
-        val wcol = new ExprLowering(
-          eframe,
-          Scope.empty + (ev -> Binding.EdgeB),
-          params, enums = state.enums).lower(wexpr)
-        var orientedW = ShortestPath.oriented(
-          eframe.select(
-            Frames.id(ev).as("__sp_eid"),
-            Frames.src(ev).as(GraphState.SrcCol),
-            Frames.dst(ev).as(GraphState.DstCol),
-            wcol.cast("double").as(ShortestPath.EdgeWeightCol)),
-          dir)
-        edgesOv.foreach { allowed =>
-          orientedW = orientedW.join(
-            allowed.select(
-              col(GraphState.IdCol).as("__sp_eid"),
-              col(GraphState.SrcCol),
-              col(GraphState.DstCol)),
-            Seq("__sp_eid", GraphState.SrcCol, GraphState.DstCol),
-            "left_semi")
+        val (oriented, wSeeds, isDur) =
+          weightedSearchFrames(rel, dir, edgesOv, seeds,
+            needStruct = pathLambda.isDefined)
+        val aRes = pathLambda match {
+          case Some(l) =>
+            // path-dependent admissibility invalidates the shortest-path
+            // DAG factorization — direct enumeration with dominance
+            // pruning ([[ShortestPath.weightedAllCarry]])
+            val (stepF, nodesF, pathCols) =
+              pathStepFilter(l, isDurationWeight = isDur)
+            ShortestPath.weightedAllCarry(
+              oriented, Some(nodesF), wSeeds, maxH, Some(stepF), pathCols)
+          case None =>
+            ShortestPath.weightedAllPaths(
+              oriented.drop(ShortestPath.EStructCol), wSeeds, maxH)
         }
-        ShortestPath.weightedAllPaths(orientedW, seeds, maxH)
+        if (isDur) durationWeightOut(aRes) else aRes
       case "WSHORTEST" =>
-        val (ev, _, wexpr) = rel.weight.getOrElse(
-          throw new IllegalArgumentException(
-            "*WSHORTEST requires a weight lambda (e, n | expr)"))
-        val eframe = Frames.bind(ev)(state.edgesOfTypes(rel.types))
-        val wcol = new ExprLowering(
-          eframe,
-          Scope.empty + (ev -> Binding.EdgeB),
-          params, enums = state.enums).lower(wexpr)
-        var oriented = ShortestPath.oriented(
-          eframe.select(
-            Frames.id(ev).as("__w_eid"),
-            Frames.src(ev).as(GraphState.SrcCol),
-            Frames.dst(ev).as(GraphState.DstCol),
-            wcol.cast("double").as(ShortestPath.EdgeWeightCol)),
-          dir)
-        // optional second (filter) lambda: keep only allowed traversals
-        edgesOv.foreach { allowed =>
-          oriented = oriented.join(
-            allowed.select(
-              col(GraphState.IdCol).as("__w_eid"),
-              col(GraphState.SrcCol),
-              col(GraphState.DstCol)),
-            Seq("__w_eid", GraphState.SrcCol, GraphState.DstCol),
-            "left_semi")
-        }
-        ShortestPath.weighted(
-          state, seeds, oriented.drop("__w_eid"), maxRounds = maxH)
+        val (oriented, wSeeds, isDur) =
+          weightedSearchFrames(rel, dir, edgesOv, seeds,
+            needStruct = pathLambda.isDefined)
+        val needCarry = pathLambda.isDefined ||
+          rel.variable.isDefined || part.pathVar.isDefined
+        val wRes =
+          if (!needCarry)
+            ShortestPath.weighted(
+              state, wSeeds,
+              oriented.drop("__sp_eid", ShortestPath.EStructCol),
+              maxRounds = maxH)
+          else {
+            val (stepF, nodesF, pathCols) = pathLambda match {
+              case Some(l) =>
+                val (f, nodes, pc) =
+                  pathStepFilter(l, isDurationWeight = isDur)
+                (Some(f), Some(nodes), pc)
+              case None =>
+                (None, None,
+                  (ShortestPath.PathNodeStructsCol,
+                    ShortestPath.PathEdgeStructsCol, "__sp_plen"))
+            }
+            ShortestPath.weightedCarry(
+              oriented, nodesF, wSeeds, maxH, stepF, pathCols)
+          }
+        if (isDur) durationWeightOut(wRes) else wRes
+      case _ if pathLambda.isDefined =>
+        // accumulated-path filter: per-expansion evaluation via
+        // [[ShortestPath.bfsFiltered]] (entity structs ride the fixpoint —
+        // the price of path-dependent admissibility; only these queries
+        // pay it)
+        if (all)
+          throw new UnsupportedOperationException(
+            "allShortestPaths with an accumulated-path filter lambda is " +
+              "not supported")
+        val l = pathLambda.get
+        if (l.weightVar.isDefined)
+          throw new UnsupportedOperationException(
+            "accumulated-weight lambda variable requires *WSHORTEST")
+        val (stepF, nodesF, pathCols) = pathStepFilter(l)
+        ShortestPath.bfsFiltered(
+          orientedStructEdges(rel.types, dir, l.e, edgesOv),
+          nodesF, seeds, maxH, stepF, pathCols)
+
       case _ =>
         // allShortestPaths with a bound path variable needs every distinct
         // path's own vertex/edge chain (operator.cpp:3309) — the DAG
@@ -1655,7 +2263,7 @@ final class Planner(
               dir))
           ShortestPath.bfsEdges(orientedE, seeds, maxH, withPaths = wantPaths)
         }
-    }
+    })
 
     var joined = cur0.df
       .join(res, Frames.id(srcName) === col(ShortestPath.SeedCol))
@@ -1819,7 +2427,18 @@ final class Planner(
         // frame-dependent rewrites (degree calls, pattern comprehensions)
         // apply in WHERE too; helper columns wash out at the next projection
         val (cur2, items) = rewritePatternComprehensions(cur, Seq(("__w", e)))
-        LF(cur2.df.filter(lowering(cur2).lower(items.head._2)), cur2.scope)
+        // entity-valued access on path / var-length bindings ((r[0]).id)
+        // needs the struct materialization here too, not just in RETURN
+        var cur3 = cur2
+        varsIn(items.head._2, skipLengthOnly = true).foreach { n =>
+          cur3.scope.get(n) match {
+            case Some(Binding.PathB) => cur3 = materializePathEntities(cur3, n)
+            case Some(Binding.EdgeListB) =>
+              cur3 = materializeEdgeListEntities(cur3, n)
+            case _ => ()
+          }
+        }
+        LF(cur3.df.filter(lowering(cur3).lower(items.head._2)), cur3.scope)
     }
 
   /** Decorrelated pattern predicate: seed the sub-pattern from the distinct
@@ -2437,12 +3056,29 @@ final class Planner(
 
 /** Public entry: run a Cypher query against a GraphState. */
 object Cypher {
+  /** `EXPLAIN <q>` / `PROFILE <q>` statement prefix
+    * (`interpreter.cpp:4206,4218`). */
+  private val ExplainPrefix = "(?is)^\\s*(EXPLAIN|PROFILE)\\b(.*)$".r
+  private val ShowIndexR = "(?is)^\\s*SHOW\\s+INDEX\\s+INFO\\s*;?\\s*$".r
+  private val ShowVectorIndexR =
+    "(?is)^\\s*SHOW\\s+VECTOR\\s+INDEX\\s+INFO\\s*;?\\s*$".r
+  private val ShowDescriptionsR =
+    "(?is)^\\s*SHOW\\s+DESCRIPTIONS\\s*;?\\s*$".r
+  private val ShowParametersR =
+    "(?is)^\\s*SHOW\\s+PARAMETERS\\s*;?\\s*$".r
+
+  /** Effective parameters: client bindings shadow server-side ones
+    * (server_side_parameters.feature). */
+  private def mergedParams(
+      g: GraphState, params: Map[String, Any]): Map[String, Any] =
+    g.serverParams.map { case (k, (v, _)) => k -> v } ++ params
+
   def run(
       spark: SparkSession,
       g: GraphState,
       query: String,
       params: Map[String, Any] = Map.empty): DataFrame =
-    new Planner(spark, g, params).plan(CypherParser.parse(query))
+    execute(spark, g, query, params).result
 
   /** Result of a mutating statement: the new graph version plus whatever
     * the final RETURN produced (the frame of the last clause otherwise —
@@ -2456,9 +3092,25 @@ object Cypher {
       spark: SparkSession,
       g: GraphState,
       query: String,
-      params: Map[String, Any] = Map.empty): ExecResult = {
-    val planner = new Planner(spark, g, params)
-    val df = planner.plan(CypherParser.parse(query))
-    ExecResult(planner.currentState.withIdBase(planner.idHighWater), df)
+      params: Map[String, Any] = Map.empty): ExecResult = query match {
+    case ShowIndexR() =>
+      ExecResult(g, graft.procedures.IndexProcs.showIndexInfo(spark, g))
+    case ShowVectorIndexR() =>
+      ExecResult(g, graft.procedures.IndexProcs.showVectorIndexInfo(spark, g))
+    case ShowDescriptionsR() =>
+      ExecResult(g, graft.procedures.IndexProcs.showDescriptions(spark, g))
+    case ShowParametersR() =>
+      ExecResult(g, graft.procedures.IndexProcs.showParameters(spark, g))
+    case ExplainPrefix(kind, rest) =>
+      val planner = new Planner(spark, g, mergedParams(g, params))
+      val df = planner.plan(CypherParser.parse(rest))
+      val out =
+        if (kind.equalsIgnoreCase("EXPLAIN")) Profile.explainDf(spark, df)
+        else Profile.profileDf(spark, df) // executes — mutations apply
+      ExecResult(planner.currentState.withIdBase(planner.idHighWater), out)
+    case _ =>
+      val planner = new Planner(spark, g, mergedParams(g, params))
+      val df = planner.plan(CypherParser.parse(query))
+      ExecResult(planner.currentState.withIdBase(planner.idHighWater), df)
   }
 }

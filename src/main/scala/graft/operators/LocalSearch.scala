@@ -1,0 +1,219 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.GraphState
+
+/** Driver-local exact pass for the shortest-path family on subcritical
+  * inputs — the same adaptive cutover [[LocalGraph]]/LocalProcs use for
+  * cycles/biconnected/iterative procedures (r8/r9): below
+  * `spark.graft.local.edges` with a small seed set, a single-threaded
+  * BFS / Bellman–Ford over collected adjacency is exact, reproduces the
+  * distributed operators' determinism rules bit-for-bit, and replaces
+  * 10-20 fixpoint jobs with one collect. The reference's own cursors
+  * (`operator.cpp:2458,3000`) are single-threaded — this IS its
+  * execution model, applied when the data provably fits; above the
+  * thresholds the distributed fixpoints run unchanged.
+  *
+  * Determinism parity (checked by BfsPathsSpec / the oracle gates):
+  *   - BFS: dist = level, npaths = Σ over parent EDGES (multiplicity
+  *     counts), representative path = lexicographically smallest
+  *     (node-seq, edge-seq) propagated prefix-wise — exactly the
+  *     distributed `min(struct(nodes, edges))` per level.
+  *   - weighted: strict (weight, dist)-lexicographic improvement rounds,
+  *     hop-capped at maxRounds — exactly the distributed delta
+  *     relaxation.
+  */
+private[graft] object LocalSearch {
+
+  /** Max collected seeds — above this the driver pass loses to the
+    * distributed fixpoint (per-seed loops scale linearly). */
+  val MaxSeeds = 128
+
+  /** Max seeds × edges work product for the driver pass. */
+  val MaxWork = 64L * 1000 * 1000
+
+  /** Collect (seeds, edges) when both are subcritical; None → stay
+    * distributed. Seed rows are read via column 0 (SeedCol), edge rows as
+    * (eid, src, dst[, weight]). */
+  private def dbg[T](label: String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_SP_DEBUG")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[lsearch] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+  def tryCollect(
+      edges: DataFrame,
+      seeds: DataFrame,
+      withWeight: Boolean): Option[(Array[(Long, Long, Long, Double)], Seq[(Long, Double)])] = dbg("tryCollect") {
+    val spark = edges.sparkSession
+    val cap = spark.conf.get("spark.graft.local.edges", "2000000").toLong
+    val hasInit = seeds.columns.contains(ShortestPath.InitWeightCol)
+    val seedSel =
+      if (hasInit)
+        seeds.select(
+          col(ShortestPath.SeedCol),
+          coalesce(col(ShortestPath.InitWeightCol), lit(0.0)).cast("double"))
+      else seeds.select(col(ShortestPath.SeedCol), lit(0.0))
+    val seedRows = seedSel.limit(MaxSeeds + 1).collect()
+    if (seedRows.length > MaxSeeds) return None
+    val seedIds = seedRows.toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val sel =
+      if (withWeight)
+        edges.select(
+          col("__sp_eid"), col(GraphState.SrcCol), col(GraphState.DstCol),
+          col(ShortestPath.EdgeWeightCol).cast("double"))
+      else
+        edges.select(
+          col("__sp_eid"), col(GraphState.SrcCol), col(GraphState.DstCol))
+    val rows = sel.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > cap) return None
+    if (seedIds.size.toLong * rows.length > MaxWork) return None
+    val arr = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (withWeight) r.getDouble(3) else 0.0))
+    Some((arr, seedIds))
+  }
+
+  private val seqOrd: Ordering[Seq[Long]] =
+    Ordering.Implicits.seqOrdering[Seq, Long]
+  private val pathOrd: Ordering[(Seq[Long], Seq[Long])] =
+    Ordering.Tuple2(seqOrd, seqOrd)
+
+  /** Multi-source BFS mirroring [[ShortestPath.bfsEdges]]. */
+  def bfsDf(
+      spark: SparkSession,
+      edges: Array[(Long, Long, Long, Double)],
+      seeds: Seq[(Long, Double)],
+      maxHops: Int,
+      withPaths: Boolean): DataFrame = {
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (eid, s, d, _) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((eid, d))
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    seeds.map(_._1).distinct.foreach { seed =>
+      // per level: dist, npaths, representative (nodes, edges)
+      val dist = mutable.HashMap[Long, Long](seed -> 0L)
+      val npaths = mutable.HashMap[Long, Long](seed -> 1L)
+      val repr = mutable.HashMap[Long, (Seq[Long], Seq[Long])](
+        seed -> ((Seq(seed), Seq.empty[Long])))
+      var level = Seq(seed)
+      var k = 0L
+      out += mkRow(seed, seed, 0L, 1L, repr(seed), withPaths)
+      while (level.nonEmpty && k < maxHops) {
+        k += 1
+        val nPaths = mutable.HashMap.empty[Long, Long]
+        val nRepr = mutable.HashMap.empty[Long, (Seq[Long], Seq[Long])]
+        level.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { case (eid, v) =>
+            if (!dist.contains(v)) {
+              nPaths(v) = nPaths.getOrElse(v, 0L) + npaths(u)
+              if (withPaths) {
+                val (pu, eu) = repr(u)
+                val cand = (pu :+ v, eu :+ eid)
+                nRepr.get(v) match {
+                  case Some(prev) if pathOrd.lteq(prev, cand) => ()
+                  case _ => nRepr(v) = cand
+                }
+              }
+            }
+          }
+        }
+        val discovered = nPaths.keys.toSeq.sorted
+        discovered.foreach { v =>
+          dist(v) = k
+          npaths(v) = nPaths(v)
+          val rep =
+            if (withPaths) nRepr(v) else (Seq.empty[Long], Seq.empty[Long])
+          repr(v) = rep
+          out += mkRow(seed, v, k, nPaths(v), rep, withPaths)
+        }
+        level = discovered
+      }
+    }
+    bfsFrame(spark, out.toSeq, withPaths)
+  }
+
+  private def mkRow(
+      seed: Long, node: Long, dist: Long, npaths: Long,
+      rep: (Seq[Long], Seq[Long]), withPaths: Boolean): Row =
+    if (withPaths) Row(seed, node, dist, npaths, rep._1, rep._2)
+    else Row(seed, node, dist, npaths)
+
+  private def bfsFrame(
+      spark: SparkSession, rows: Seq[Row], withPaths: Boolean): DataFrame = {
+    val base = Seq(
+      StructField(ShortestPath.SeedCol, LongType, nullable = false),
+      StructField(ShortestPath.NodeCol, LongType, nullable = false),
+      StructField(ShortestPath.DistCol, LongType, nullable = false),
+      StructField(ShortestPath.NPathsCol, LongType, nullable = false))
+    val pathFields =
+      if (withPaths)
+        Seq(
+          StructField(
+            ShortestPath.PathNodesCol, ArrayType(LongType), nullable = false),
+          StructField(
+            ShortestPath.PathEdgesCol, ArrayType(LongType), nullable = false))
+      else Nil
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList(rows: _*)),
+      StructType(base ++ pathFields))
+  }
+
+  /** Hop-capped Bellman–Ford mirroring [[ShortestPath.weighted]]'s delta
+    * relaxation: strict (weight, dist)-lexicographic improvement, at most
+    * maxRounds rounds, converges early when a round improves nothing. */
+  def weightedDf(
+      spark: SparkSession,
+      edges: Array[(Long, Long, Long, Double)],
+      seeds: Seq[(Long, Double)],
+      maxRounds: Int): DataFrame = {
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Double)]]
+    edges.foreach { case (_, s, d, w) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    seeds.distinct.foreach { case (seed, w0) =>
+      val best = mutable.HashMap[Long, (Double, Long)](seed -> ((w0, 0L)))
+      var frontier: Iterable[Long] = Seq(seed)
+      var r = 0
+      while (frontier.nonEmpty && r < maxRounds) {
+        r += 1
+        val improved = mutable.HashMap.empty[Long, (Double, Long)]
+        frontier.foreach { u =>
+          val (wu, du) = best(u)
+          adj.getOrElse(u, Nil).foreach { case (v, w) =>
+            val cand = (wu + w, du + 1L)
+            val cur = improved.get(v).orElse(best.get(v))
+            val better = cur.forall { case (cw, cd) =>
+              cand._1 < cw || (cand._1 == cw && cand._2 < cd)
+            }
+            if (better) improved(v) = cand
+          }
+        }
+        improved.foreach { case (v, wd) => best(v) = wd }
+        frontier = improved.keys
+      }
+      best.toSeq.sortBy(_._1).foreach { case (v, (w, d)) =>
+        out += Row(seed, v, w, d)
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(out.toSeq: _*)),
+      StructType(Seq(
+        StructField(ShortestPath.SeedCol, LongType, nullable = false),
+        StructField(ShortestPath.NodeCol, LongType, nullable = false),
+        StructField(ShortestPath.WeightCol, DoubleType, nullable = false),
+        StructField(ShortestPath.DistCol, LongType, nullable = false))))
+  }
+}

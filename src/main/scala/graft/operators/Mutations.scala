@@ -169,10 +169,16 @@ object Mutations {
           val base =
             if (n.columns.contains(prop)) n
             else n.withColumn(prop, lit(null).cast(vtype))
+          // matched rows take the NEW value even when it is NULL —
+          // `SET n.p = null` REMOVES the property (reference SetProperty
+          // null semantics); a coalesce would silently keep the old value
           base
-            .join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
-            .withColumn(prop, coalesce(col("__nv"), col(prop)))
-            .drop("__nv")
+            .join(
+              broadcastIfSmall(updates.withColumn("__hit", lit(true))),
+              Seq(IdCol), "left_outer")
+            .withColumn(
+              prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
+            .drop("__nv", "__hit")
         })
     }
     out
@@ -194,10 +200,16 @@ object Mutations {
           val base =
             if (e.columns.contains(prop)) e
             else e.withColumn(prop, lit(null).cast(vtype))
+          // matched rows take the NEW value even when it is NULL —
+          // `SET n.p = null` REMOVES the property (reference SetProperty
+          // null semantics); a coalesce would silently keep the old value
           base
-            .join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
-            .withColumn(prop, coalesce(col("__nv"), col(prop)))
-            .drop("__nv")
+            .join(
+              broadcastIfSmall(updates.withColumn("__hit", lit(true))),
+              Seq(IdCol), "left_outer")
+            .withColumn(
+              prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
+            .drop("__nv", "__hit")
         })
     }
     out

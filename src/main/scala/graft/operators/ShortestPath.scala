@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import org.apache.spark.sql.types.ArrayType
+
 import graft.core.GraphState
 
 /** Shortest-path family — the reference's BFS/weighted cursors of
@@ -34,10 +36,29 @@ object ShortestPath {
   val WeightCol = "__sp_w"
   /** Column name the caller must use for the edge weight in [[weighted]]. */
   val EdgeWeightCol = "__sp_we"
+  /** Optional per-seed INITIAL weight column on the seeds frame of
+    * [[weighted]] / [[weightedCarry]] — the reference's weight lambda is
+    * also evaluated once at the source vertex with a NULL edge
+    * (`operator.cpp:3000` region; `(e, v | v.w)` vertex weights count the
+    * seed too). Absent → 0. */
+  val InitWeightCol = "__sp_w0"
   /** One concrete shortest path per (seed, node) — node-id / edge-id arrays
     * ([[bfs]] with `withPaths = true`). */
   val PathNodesCol = "__sp_path_nodes"
   val PathEdgesCol = "__sp_path_edges"
+
+  /** Columns the step-filtered variants ([[bfsFiltered]] /
+    * [[weightedCarry]]) expose on the per-expansion candidate frame the
+    * caller's `stepFilter` sees: full entity structs for the traversed
+    * edge / target node and accumulated entity-struct path arrays
+    * INCLUDING the candidate — the reference evaluates its filter lambda
+    * against exactly this state per expansion (`operator.cpp:2458`
+    * region). The caller supplies [[EStructCol]] on the edge frame and
+    * [[NStructCol]] on the node frame. */
+  val EStructCol = "__sp_estruct"
+  val NStructCol = "__sp_nstruct"
+  val PathNodeStructsCol = "__sp_pnstructs"
+  val PathEdgeStructsCol = "__sp_pestructs"
 
   /** Direction-adjusted (src, dst, …) edge view. */
   def oriented(edges: DataFrame, dir: Expand.Direction): DataFrame = {
@@ -104,6 +125,13 @@ object ShortestPath {
       hadEid && edges0.storageLevel != StorageLevel.NONE
     val edges = (if (hadEid) edges0
                  else edges0.withColumn("__sp_eid", lit(0L)))
+    // subcritical + small seed set: one driver pass replaces the whole
+    // fixpoint (LocalSearch header; determinism rules mirrored exactly)
+    LocalSearch.tryCollect(edges, seeds, withWeight = false).foreach {
+      case (arr, s) =>
+        return LocalSearch.bfsDf(
+          edges.sparkSession, arr, s, maxHops, withPaths)
+    }
     if (!callerPersisted) edges.persist(StorageLevel.MEMORY_AND_DISK)
     if (withPaths) {
       // Path-array carry vs DAG reconstruction: reconstruction keeps arrays
@@ -232,6 +260,114 @@ object ShortestPath {
       }
     }
     visited
+  }
+
+  /** Multi-source BFS with a PER-EXPANSION filter over the accumulated
+    * path — the reference's 3-var filter lambda `(e, n, p | pred)`
+    * (`ast.hpp:1899`, evaluated per expansion in `operator.cpp:2458`).
+    * Path-dependent admissibility forces the entity-struct path arrays
+    * INTO the fixpoint (an after-the-fact reconstruction can't re-apply a
+    * predicate that pruned mid-search), so rows carry O(dist) structs —
+    * the same per-expansion cost the reference pays; only queries that
+    * ask for path-dependent filtering pay it.
+    *
+    * @param edges pre-oriented frame: [[GraphState.SrcCol]],
+    *        [[GraphState.DstCol]], `__sp_eid`, [[EStructCol]] (full edge
+    *        entity struct, original `_src`/`_dst` kept for direction
+    *        recovery)
+    * @param nodes (`GraphState.IdCol`, [[NStructCol]]) full node structs
+    * @param stepFilter candidate-frame → keep-predicate; sees
+    *        [[EStructCol]], [[NStructCol]], and the accumulated path
+    *        (including the candidate edge/node) under the three
+    *        `pathCols` names
+    * @param pathCols (nodestructs, edgestructs, len) column names the
+    *        accumulated path is exposed under (the caller picks its
+    *        frame-variable naming so its expression lowering resolves)
+    * @return (seed, node, dist, npaths, path-node ids, path-edge ids) per
+    *         node reachable through admissible expansions only
+    */
+  def bfsFiltered(
+      edges0: DataFrame,
+      nodes: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      stepFilter: DataFrame => Column,
+      pathCols: (String, String, String)): DataFrame = {
+    val (pnCol, peCol, plenCol) = pathCols
+    val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeStructs = nodes
+      .select(col(GraphState.IdCol).as("__sp_nid"), col(NStructCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eStructT = edges.schema(edges.schema.fieldIndex(EStructCol)).dataType
+    var visited = seeds
+      .join(nodeStructs, col(SeedCol) === col("__sp_nid"))
+      .select(
+        col(SeedCol),
+        col(SeedCol).as(NodeCol),
+        lit(0L).as(DistCol),
+        lit(1L).as(NPathsCol),
+        array(col(SeedCol)).as(PathNodesCol),
+        array().cast("array<long>").as(PathEdgesCol),
+        array(col(NStructCol)).as(pnCol),
+        array().cast(ArrayType(eStructT)).as(peCol))
+      .transform(Scratch.cp)
+    var frontier = visited
+    var k = 0L
+    var done = frontier.isEmpty
+    while (!done && k < maxHops) {
+      k += 1
+      val cand = frontier
+        .join(edges, col(NodeCol) === col(GraphState.SrcCol))
+        .join(nodeStructs, col(GraphState.DstCol) === col("__sp_nid"))
+        .select(
+          col(SeedCol),
+          col(GraphState.DstCol).as("__sp_next"),
+          col(NPathsCol),
+          concat(col(PathNodesCol), array(col(GraphState.DstCol)))
+            .as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__sp_eid")))
+            .as(PathEdgesCol),
+          concat(col(pnCol), array(col(NStructCol))).as(pnCol),
+          concat(col(peCol), array(col(EStructCol))).as(peCol),
+          col(EStructCol),
+          col(NStructCol))
+        .withColumn(plenCol, lit(k))
+      val next = cand
+        .filter(stepFilter(cand))
+        .withColumnRenamed("__sp_next", NodeCol)
+        .groupBy(SeedCol, NodeCol)
+        .agg(
+          sum(NPathsCol).as(NPathsCol),
+          // one deterministic representative: min over the id arrays;
+          // its struct arrays ride as min_by payload (same ordering key,
+          // never themselves compared — struct fields like maps aren't
+          // orderable)
+          min(struct(col(PathNodesCol), col(PathEdgesCol))).as("__sp_p"),
+          min_by(
+            struct(col(pnCol), col(peCol)),
+            struct(col(PathNodesCol), col(PathEdgesCol))).as("__sp_ps"))
+        .withColumn(DistCol, lit(k))
+        .select(
+          col(SeedCol),
+          col(NodeCol),
+          col(DistCol),
+          col(NPathsCol),
+          col("__sp_p")(PathNodesCol).as(PathNodesCol),
+          col("__sp_p")(PathEdgesCol).as(PathEdgesCol),
+          col("__sp_ps")(pnCol).as(pnCol),
+          col("__sp_ps")(peCol).as(peCol))
+      val fresh = next
+        .join(visited, Seq(SeedCol, NodeCol), "left_anti")
+        .transform(Scratch.cp)
+      done = fresh.isEmpty
+      if (!done) {
+        visited = visited.unionByName(fresh).transform(Scratch.cp)
+        frontier = fresh
+      }
+    }
+    edges.unpersist(blocking = false)
+    nodeStructs.unpersist(blocking = false)
+    visited.drop(pnCol, peCol)
   }
 
   /** ONE deterministic (lexicographically smallest) shortest path per
@@ -476,7 +612,8 @@ object ShortestPath {
         col(SeedCol),
         col(SeedCol).as(NodeCol),
         lit(0L).as(DistCol),
-        lit(0.0).as(WeightCol),
+        (if (seeds.columns.contains(InitWeightCol)) col(InitWeightCol)
+         else lit(0.0)).as(WeightCol),
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
       .transform(Scratch.cp)
@@ -504,6 +641,119 @@ object ShortestPath {
     }
     Seq(edges, dist, dag).foreach(_.unpersist(blocking = false))
     out
+  }
+
+  /** ALL minimum-weight paths under a PER-EXPANSION path filter — the
+    * reference's `ExpandAllShortestPathsCursor` with `filter_lambda_`
+    * (`operator.cpp:3309`). [[weightedAllPaths]]'s DAG factorization is
+    * invalid here (an edge's membership in a shortest-path DAG depends on
+    * which prefix reached it), so this enumerates admissible paths
+    * directly with per-(seed, node) weight-dominance pruning: each round
+    * extends the newly-best paths, keeps every distinct path tying the
+    * node's best admissible weight, and re-extends on improvement. Row
+    * count = surviving tied paths per node — the output size; only
+    * path-filtered queries take this route.
+    *
+    * Same input contract as [[weightedCarry]]. */
+  def weightedAllCarry(
+      edges0: DataFrame,
+      nodes: Option[DataFrame],
+      seeds: DataFrame,
+      maxRounds: Int,
+      stepFilter: Option[DataFrame => Column],
+      pathCols: (String, String, String)): DataFrame = {
+    val (pnCol, peCol, plenCol) = pathCols
+    val withStructs = stepFilter.isDefined
+    val eps = 1e-9
+    val e = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeStructs = nodes.map(
+      _.select(col(GraphState.IdCol).as("__sp_nid"), col(NStructCol))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    def structCols0(seedStruct: Column): Seq[Column] =
+      if (!withStructs) Nil
+      else {
+        val eStructT = e.schema(e.schema.fieldIndex(EStructCol)).dataType
+        Seq(
+          array(seedStruct).as(pnCol),
+          array().cast(ArrayType(eStructT)).as(peCol))
+      }
+    var dist = {
+      val s0 = nodeStructs
+        .map(ns => seeds.join(ns, col(SeedCol) === col("__sp_nid")))
+        .getOrElse(seeds)
+      s0.select(
+        Seq(
+          col(SeedCol),
+          col(SeedCol).as(NodeCol),
+          (if (seeds.columns.contains(InitWeightCol)) col(InitWeightCol)
+           else lit(0.0)).as(WeightCol),
+          lit(0L).as(DistCol),
+          array(col(SeedCol)).as(PathNodesCol),
+          array().cast("array<long>").as(PathEdgesCol)) ++
+          structCols0(col(NStructCol)): _*)
+        .transform(Scratch.cp)
+    }
+    var frontier = dist
+    var r = 0
+    var converged = frontier.isEmpty
+    while (!converged && r < maxRounds) {
+      r += 1
+      val candCols =
+        Seq(
+          col(SeedCol),
+          col(GraphState.DstCol).as("__sp_next"),
+          (col(WeightCol) + col(EdgeWeightCol)).as(WeightCol),
+          (col(DistCol) + 1L).as(DistCol),
+          concat(col(PathNodesCol), array(col(GraphState.DstCol)))
+            .as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__sp_eid")))
+            .as(PathEdgesCol)) ++
+          (if (withStructs)
+             Seq(
+               concat(col(pnCol), array(col(NStructCol))).as(pnCol),
+               concat(col(peCol), array(col(EStructCol))).as(peCol),
+               col(EStructCol),
+               col(NStructCol))
+           else Nil)
+      val cand0raw = frontier
+        .join(e, col(NodeCol) === col(GraphState.SrcCol))
+      val cand0 = nodeStructs
+        .map(ns =>
+          cand0raw.join(ns, col(GraphState.DstCol) === col("__sp_nid")))
+        .getOrElse(cand0raw)
+        .select(candCols: _*)
+        .withColumn(plenCol, col(DistCol))
+      val cand = stepFilter
+        .map(f => cand0.filter(f(cand0)))
+        .getOrElse(cand0)
+        .withColumnRenamed("__sp_next", NodeCol)
+        .drop(plenCol, EStructCol, NStructCol)
+      // merge, then keep only paths tying their (seed, node)'s best
+      // admissible weight; a path is identified by its edge sequence
+      val all = dist
+        .unionByName(cand)
+        .dropDuplicates(SeedCol, NodeCol, PathEdgesCol)
+      val best = all
+        .groupBy(SeedCol, NodeCol)
+        .agg(min(WeightCol).as("__sp_bw"))
+      val keep = all
+        .join(best, Seq(SeedCol, NodeCol))
+        .filter(col(WeightCol) <= col("__sp_bw") + eps)
+        .drop("__sp_bw")
+        .transform(Scratch.cp)
+      val fresh = keep
+        .join(
+          dist.select(SeedCol, NodeCol, PathEdgesCol),
+          Seq(SeedCol, NodeCol, PathEdgesCol),
+          "left_anti")
+        .transform(Scratch.cp)
+      converged = fresh.isEmpty
+      dist = keep
+      frontier = fresh
+    }
+    e.unpersist(blocking = false)
+    nodeStructs.foreach(_.unpersist(blocking = false))
+    if (withStructs) dist.drop(pnCol, peCol) else dist
   }
 
   /** K shortest paths by hop count — the reference's lazily-evaluated Yen
@@ -669,6 +919,17 @@ object ShortestPath {
       seeds: DataFrame,
       edges: DataFrame,
       maxRounds: Int): DataFrame = {
+    // subcritical + small seed set: a driver Bellman–Ford pass replaces
+    // the whole relaxation fixpoint (LocalSearch header; identical strict
+    // (weight, dist)-lexicographic improvement)
+    LocalSearch
+      .tryCollect(
+        (if (edges.columns.contains("__sp_eid")) edges
+         else edges.withColumn("__sp_eid", lit(0L))),
+        seeds, withWeight = true)
+      .foreach { case (arr, s) =>
+        return LocalSearch.weightedDf(edges.sparkSession, arr, s, maxRounds)
+      }
     val e = edges.persist(StorageLevel.MEMORY_AND_DISK)
     // DELTA relaxation: only rows improved last round join the edge frame
     // (classic frontier Bellman–Ford), so per-round relax work scales with
@@ -681,7 +942,8 @@ object ShortestPath {
       .select(
         col(SeedCol),
         col(SeedCol).as(NodeCol),
-        lit(0.0).as(WeightCol),
+        (if (seeds.columns.contains(InitWeightCol)) col(InitWeightCol)
+         else lit(0.0)).as(WeightCol),
         lit(0L).as(DistCol))
       .transform(Scratch.cp)
     var frontier = dist
@@ -745,5 +1007,154 @@ object ShortestPath {
     }
     e.unpersist(blocking = false)
     dist
+  }
+
+  /** [[weighted]] with representative-path carry and an optional
+    * per-expansion filter — the reference's
+    * `ExpandWeightedShortestPathCursor` with `filter_lambda_`
+    * (`operator.cpp:3000` region) binds the traversed edge list / path and
+    * may filter each expansion against the accumulated path and weight.
+    * The same delta-relaxation rounds as [[weighted]], but rows carry the
+    * representative path's id arrays (and, when filtering, entity-struct
+    * arrays — path-dependent admissibility can't be replayed after the
+    * fact). Weight-tie determinism: within a round the lexicographically
+    * smallest (node-seq, edge-seq) wins; across rounds an equal
+    * (weight, dist) candidate never displaces the incumbent.
+    *
+    * @param edges pre-oriented: [[GraphState.SrcCol]],
+    *        [[GraphState.DstCol]], [[EdgeWeightCol]], `__sp_eid`, and —
+    *        when `stepFilter` is set — [[EStructCol]]
+    * @param nodes (`GraphState.IdCol`, [[NStructCol]]); required with
+    *        `stepFilter`
+    * @param stepFilter sees [[EStructCol]], [[NStructCol]], the
+    *        accumulated path under `pathCols` names, and the accumulated
+    *        weight (incl. the candidate edge) under [[WeightCol]] — the
+    *        caller aliases its lambda's weight variable to that
+    * @return (seed, node, weight, dist, path-node ids, path-edge ids)
+    */
+  def weightedCarry(
+      edges0: DataFrame,
+      nodes: Option[DataFrame],
+      seeds: DataFrame,
+      maxRounds: Int,
+      stepFilter: Option[DataFrame => Column],
+      pathCols: (String, String, String)): DataFrame = {
+    val (pnCol, peCol, plenCol) = pathCols
+    val withStructs = stepFilter.isDefined
+    val e = edges0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeStructs = nodes.map(
+      _.select(col(GraphState.IdCol).as("__sp_nid"), col(NStructCol))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    def structCols0(seedStruct: Column): Seq[Column] =
+      if (!withStructs) Nil
+      else {
+        val eStructT = e.schema(e.schema.fieldIndex(EStructCol)).dataType
+        Seq(
+          array(seedStruct).as(pnCol),
+          array().cast(ArrayType(eStructT)).as(peCol))
+      }
+    var dist = {
+      val s0 = nodeStructs
+        .map(ns => seeds.join(ns, col(SeedCol) === col("__sp_nid")))
+        .getOrElse(seeds)
+      s0.select(
+        Seq(
+          col(SeedCol),
+          col(SeedCol).as(NodeCol),
+          (if (seeds.columns.contains(InitWeightCol)) col(InitWeightCol)
+           else lit(0.0)).as(WeightCol),
+          lit(0L).as(DistCol),
+          array(col(SeedCol)).as(PathNodesCol),
+          array().cast("array<long>").as(PathEdgesCol)) ++
+          structCols0(col(NStructCol)): _*)
+        .transform(Scratch.cp)
+    }
+    var frontier = dist
+    var r = 0
+    var converged = frontier.isEmpty
+    while (!converged && r < maxRounds) {
+      r += 1
+      val candCols =
+        Seq(
+          col(SeedCol),
+          col(GraphState.DstCol).as("__sp_next"),
+          (col(WeightCol) + col(EdgeWeightCol)).as(WeightCol),
+          (col(DistCol) + 1L).as(DistCol),
+          concat(col(PathNodesCol), array(col(GraphState.DstCol)))
+            .as(PathNodesCol),
+          concat(col(PathEdgesCol), array(col("__sp_eid")))
+            .as(PathEdgesCol)) ++
+          (if (withStructs)
+             Seq(
+               concat(col(pnCol), array(col(NStructCol))).as(pnCol),
+               concat(col(peCol), array(col(EStructCol))).as(peCol),
+               col(EStructCol),
+               col(NStructCol))
+           else Nil)
+      val cand0raw = frontier
+        .join(e, col(NodeCol) === col(GraphState.SrcCol))
+      val cand0 = nodeStructs
+        .map(ns => cand0raw.join(ns, col(GraphState.DstCol) === col("__sp_nid")))
+        .getOrElse(cand0raw)
+        .select(candCols: _*)
+        .withColumn(plenCol, col(DistCol))
+      val cand1 = stepFilter
+        .map(f => cand0.filter(f(cand0)))
+        .getOrElse(cand0)
+        .withColumnRenamed("__sp_next", NodeCol)
+      val ordKey = struct(
+        col(WeightCol), col(DistCol), col(PathNodesCol), col(PathEdgesCol))
+      val aggs =
+        Seq(min(ordKey).as("__m")) ++
+          (if (withStructs)
+             Seq(min_by(struct(col(pnCol), col(peCol)), ordKey).as("__ms"))
+           else Nil)
+      val cand = cand1
+        .groupBy(SeedCol, NodeCol)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          Seq(
+            col(SeedCol),
+            col(NodeCol),
+            col("__m")(WeightCol).as(WeightCol),
+            col("__m")(DistCol).as(DistCol),
+            col("__m")(PathNodesCol).as(PathNodesCol),
+            col("__m")(PathEdgesCol).as(PathEdgesCol)) ++
+            (if (withStructs)
+               Seq(
+                 col("__ms")(pnCol).as(pnCol),
+                 col("__ms")(peCol).as(peCol))
+             else Nil): _*)
+      val improved = cand
+        .join(
+          dist.select(
+            col(SeedCol),
+            col(NodeCol),
+            col(WeightCol).as("__old_w"),
+            col(DistCol).as("__old_d")),
+          Seq(SeedCol, NodeCol),
+          "left_outer")
+        .filter(
+          col("__old_w").isNull || col(WeightCol) < col("__old_w") ||
+            (col(WeightCol) === col("__old_w") &&
+              col(DistCol) < col("__old_d")))
+        .drop("__old_w", "__old_d")
+        .transform(Scratch.cp)
+      converged = improved.isEmpty
+      if (!converged) {
+        dist = dist
+          .join(
+            improved.select(SeedCol, NodeCol),
+            Seq(SeedCol, NodeCol),
+            "left_anti")
+          .unionByName(improved)
+          .transform(Scratch.cp)
+        frontier = improved
+      }
+    }
+    e.unpersist(blocking = false)
+    nodeStructs.foreach(_.unpersist(blocking = false))
+    (if (withStructs) dist.drop(pnCol, peCol) else dist)
+      .drop(plenCol)
   }
 }

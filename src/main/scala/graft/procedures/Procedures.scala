@@ -61,8 +61,19 @@ object Procedures {
     "text.search" -> textSearch,
     "text.bm25" -> textBm25,
     "text.phrase" -> textPhrase,
-    "vector.search" -> vectorSearch) ++ ApocProcs.registry ++
-    ExtraProcs.registry
+    "vector.search" -> vectorSearch,
+    "mg.procedures" -> mgProcedures) ++ ApocProcs.registry ++
+    ExtraProcs.registry ++ IndexProcs.registry
+
+  /** `CALL mg.procedures()` — registry introspection (the reference's
+    * `mg` module lists loaded mgp procedures). */
+  private def mgProcedures(ctx: ProcContext): DataFrame = {
+    import ctx.spark.implicits._
+    val writes = ApocProcs.writeRegistry.keySet
+    (registry.keys ++ writes).toSeq.distinct.sorted
+      .map(n => (n, s"$n() :: (TABLE)", writes.contains(n)))
+      .toDF("name", "signature", "is_write")
+  }
 
   import GraphState.{DstCol, IdCol, SrcCol}
 

@@ -291,9 +291,12 @@ object Round3Queries {
              |FROM region ORDER BY name""".stripMargin)),
 
     // WGS-84 point.distance (point_functions.cpp:54-73 CRS dispatch):
-    // longitude/latitude keys imply wgs-84; great-circle haversine on the
-    // mean-radius sphere, floor-truncated at 0.1 m (libm sin/cos agree to
-    // ~1e-9 relative across engines — far inside the truncation).
+    // longitude/latitude keys imply wgs-84; Lambert's ellipsoidal formula
+    // (reduced latitudes + first-order flattening correction — matches
+    // the reference's boost geographic strategy to ≪0.1 m at corpus
+    // scales), floor-truncated at 0.1 m; the oracle mirrors the formula
+    // operation-for-operation (libm agreement ~1e-9 relative — far
+    // inside the truncation).
     cq(
       "cy_point_wgs84",
       """MATCH (c:Customer) WHERE c.c_custkey < 12
@@ -304,16 +307,34 @@ object Round3Queries {
         |       floor(point.distance(p, point({longitude: 10.0, latitude: 20.0}))
         |             * 10) / 10.0 AS d
         |ORDER BY k""".stripMargin,
-      """SELECT k, floor(sqrt(gc * gc) * 10) / 10 AS d FROM (
-        |  SELECT k, 12742000.0 * asin(sqrt(
-        |    sin(radians(lat - 20.0) / 2) * sin(radians(lat - 20.0) / 2)
-        |    + cos(radians(lat)) * cos(radians(20.0))
-        |      * sin(radians(lon - 10.0) / 2) * sin(radians(lon - 10.0) / 2))) AS gc
+      """SELECT k, floor(sqrt(dist * dist) * 10) / 10 AS d FROM (
+        |  SELECT k,
+        |    6378137.0 * (sig - ((1.0/298.257223563)/2) * (
+        |      (CASE WHEN cos(sig/2)*cos(sig/2) < 1e-12 THEN 0.0
+        |            ELSE (sig - sin(sig)) * sin((b1+b2)/2)*sin((b1+b2)/2)
+        |                 * cos((b2-b1)/2)*cos((b2-b1)/2)
+        |                 / (cos(sig/2)*cos(sig/2)) END)
+        |      + (CASE WHEN sin(sig/2)*sin(sig/2) < 1e-12 THEN 0.0
+        |              ELSE (sig + sin(sig)) * cos((b1+b2)/2)*cos((b1+b2)/2)
+        |                   * sin((b2-b1)/2)*sin((b2-b1)/2)
+        |                   / (sin(sig/2)*sin(sig/2)) END))) AS dist
         |  FROM (
-        |    SELECT c_custkey AS k,
-        |           (c_custkey * 31) % 360 - 180.0 AS lon,
-        |           (c_custkey * 13) % 170 - 85.0 AS lat
-        |    FROM customer WHERE c_custkey < 12))
+        |    SELECT k, b1, b2,
+        |      2 * asin(least(1.0, sqrt(
+        |        sin((b2-b1)/2)*sin((b2-b1)/2)
+        |        + cos(b1)*cos(b2)
+        |          * sin(radians(10.0 - lon)/2)*sin(radians(10.0 - lon)/2))))
+        |        AS sig
+        |    FROM (
+        |      SELECT k,
+        |        atan((1 - 1.0/298.257223563) * tan(radians(lat))) AS b1,
+        |        atan((1 - 1.0/298.257223563) * tan(radians(20.0))) AS b2,
+        |        lon
+        |      FROM (
+        |        SELECT c_custkey AS k,
+        |               (c_custkey * 31) % 360 - 180.0 AS lon,
+        |               (c_custkey * 13) % 170 - 85.0 AS lat
+        |        FROM customer WHERE c_custkey < 12))))
         |ORDER BY k""".stripMargin),
 
     // Spatial grid bucketing — the point-index analog's shuffle key

@@ -162,15 +162,27 @@ class CypherSpec extends SparkTestBase {
     assert(n == 1)
   }
 
-  test("USING HOPS LIMIT raises when the traversal cap is breached") {
-    val e = intercept[Exception] {
-      run(
-        """USING HOPS LIMIT 3
-          |MATCH (c:Customer {c_custkey: 1})
-          |      -[:PLACED|HAS_LINE|OF_PART|BY_SUPPLIER*]->(x)
-          |RETURN count(*) AS n""".stripMargin).collect()
-    }
-    assert(e.getMessage.contains("hops limit exceeded"))
+  test("USING HOPS LIMIT truncates subcritically, raises supercritically") {
+    // subcritical typed edge set: the driver replays the reference's DFS
+    // partial traversal — at most 3 edges fetched, so 1..3 paths survive
+    val n = run(
+      """USING HOPS LIMIT 3
+        |MATCH (c:Customer {c_custkey: 1})
+        |      -[:PLACED|HAS_LINE|OF_PART|BY_SUPPLIER*]->(x)
+        |RETURN count(*) AS n""".stripMargin).collect()(0).getLong(0)
+    assert(n >= 1 && n <= 3, s"expected 1..3 partial rows, got $n")
+    // supercritical (forced): partial order is engine-specific — raise
+    spark.conf.set("spark.graft.local.edges", "0")
+    try {
+      val e = intercept[Exception] {
+        run(
+          """USING HOPS LIMIT 3
+            |MATCH (c:Customer {c_custkey: 1})
+            |      -[:PLACED|HAS_LINE|OF_PART|BY_SUPPLIER*]->(x)
+            |RETURN count(*) AS n""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("hops limit exceeded"))
+    } finally spark.conf.unset("spark.graft.local.edges")
   }
 
   test("kShortest returns at most k rows per pair, shortest first") {

@@ -36,13 +36,36 @@ class GqlBehaveSpec extends GqlHarness {
     "parameters.feature" -> 3,
     "pattern_comprehensions.feature" -> 24,
     "cartesian.feature" -> 32,
-    "memgraph_bfs.feature" -> 3,
-    "memgraph_wshortest.feature" -> 6,
-    "memgraph_allshortest.feature" -> 12,
+    "memgraph_bfs.feature" -> 20,
+    "memgraph_wshortest.feature" -> 22,
+    "memgraph_allshortest.feature" -> 26,
     "memgraph_exists.feature" -> 37,
-    "hops_limit.feature" -> 2)
+    "hops_limit.feature" -> 13,
+    "memgraph.feature" -> 7,
+    "indices.feature" -> 16,
+    "edge_indices_usage.feature" -> 3,
+    "caching.feature" -> 6,
+    "descriptions.feature" -> 19,
+    "periodic_commit.feature" -> 6,
+    // r9: USING PERIODIC COMMIT now parses, so the 13 use-after-delete
+    // error scenarios execute (leniently — snapshot reads see pre-delete
+    // values, same class as delete.feature's lenient tally) instead of
+    // passing via parse failure
+    "periodic_delete.feature" -> 6,
+    "procedure_call.feature" -> 4,
+    "server_side_parameters.feature" -> 12,
+    "spatial.feature" -> 73,
+    "text_search.feature" -> 37,
+    "text_edge_search.feature" -> 23,
+    "vector_search.feature" -> 16,
+    "vector_edge_search.feature" -> 13,
+    "vector_cosine_similarity.feature" -> 7)
 
   protected lazy val excluded: Map[String, String] = Map(
+    "EXPLAIN tolerates leading whitespace" ->
+      ("EXPLAIN prints this engine's operator tree — a Catalyst optimized " +
+        "plan, not the reference's Produce/Once operator names; the " +
+        "expected table pins the reference's internal plan format"),
     "In test2" ->
       ("heterogeneous list literals coerce to a common Spark array type, " +
         "so 2 IN [1,'2',3,4] sees strings — cross-type IN diverges"),

@@ -186,8 +186,11 @@ abstract class GqlHarness extends SparkTestBase {
       } else if (t.startsWith("And parameters are")) {
         i += 1
         val rows = table()
-        val ps = rows.flatMap { r =>
-          parseCell(r(1)).map(v => r(0) -> fromV(v))
+        // an unquoted bare word in a parameter cell is a STRING (the
+        // reference runner passes it through) — fall back to the raw text
+        // instead of dropping the binding
+        val ps = rows.map { r =>
+          r(0) -> parseCell(r(1)).map(fromV).getOrElse(r(1): Any)
         }.toMap
         cur = cur.map(_.copy(params = ps))
       } else if (t.startsWith("Then the result should be empty")) {
@@ -207,10 +210,43 @@ abstract class GqlHarness extends SparkTestBase {
         while (i < lines.length &&
           (lines(i).trim.startsWith("|") ||
             lines(i).trim.matches("[+-].*"))) i += 1
+      } else if (t.startsWith("And with new ") ||
+        t.startsWith("Given with new ")) {
+        // the reference runner's index steps (tests/gql_behave/steps/
+        // query.py:41-112) translate to DDL setup statements
+        val step = t.stripPrefix("And ").stripPrefix("Given ")
+        indexStepDdl(step) match {
+          case Some(ddl) =>
+            cur = cur.map(s => s.copy(setups = s.setups :+ ddl))
+          case None =>
+            cur = cur.map(_.copy(unsupported = Some(s"unknown step: $t")))
+        }
+        i += 1
       } else { i += 1 }
     }
     flush()
     out.result()
+  }
+
+  /** `with new [point|edge|vector [edge]] index …` step → the CREATE
+    * statement the reference runner issues (steps/query.py). */
+  private def indexStepDdl(step: String): Option[String] = {
+    val VectorR =
+      """with new vector (edge )?index (\S+) on (\S+) with dimension (\d+) and capacity (\d+)""".r
+    val EdgeR = """with new edge index :\((.+)\)""".r
+    val PointR = """with new point index (.+)""".r
+    val PlainR = """with new index (.+)""".r
+    step.trim match {
+      case VectorR(edge, name, arg, dim, cap) =>
+        val kind = if (edge != null) "VECTOR EDGE" else "VECTOR"
+        Some(
+          s"CREATE $kind INDEX $name ON $arg WITH CONFIG " +
+            s"{'dimension': $dim, 'capacity': $cap}")
+      case EdgeR(prop) => Some(s"CREATE GLOBAL EDGE INDEX ON :($prop)")
+      case PointR(arg) => Some(s"CREATE POINT INDEX ON $arg")
+      case PlainR(arg) => Some(s"CREATE INDEX ON $arg")
+      case _ => None
+    }
   }
 
   // ---------- expected-value parsing / comparison ----------
@@ -219,6 +255,9 @@ abstract class GqlHarness extends SparkTestBase {
   private case class NV(d: Double) extends V
   private case class SV(s: String) extends V
   private case class BV(b: Boolean) extends V
+  /** Duration value (micros) — `PT1S`-style expected cells vs
+    * DayTimeIntervalType results. */
+  private case class DV(micros: Long) extends V
   private case object NullV extends V
   private case class LV(items: Seq[V]) extends V
   /** Map value — `{k: v, …}` cells and map/struct results. */
@@ -238,6 +277,7 @@ abstract class GqlHarness extends SparkTestBase {
 
   private val IntR: Regex = "-?\\d+".r
   private val FloatR: Regex = "-?\\d*\\.\\d+(?:[eE][+-]?\\d+)?".r
+  private val TimeR: Regex = "(\\d{2}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,9}))?".r
   private val NodeR: Regex = "\\(((?::[A-Za-z0-9_]+)*)\\s*(\\{.*\\})?\\)".r
   // a bare "[]" is an empty LIST, so a relationship must have a type
   private val RelR: Regex = "\\[(:[A-Za-z0-9_]+)\\s*(\\{.*\\})?\\]".r
@@ -297,6 +337,19 @@ abstract class GqlHarness extends SparkTestBase {
         Some(SV(unescapeCell(c.substring(1, c.length - 1))))
       case IntR() => Some(NV(cell.toDouble))
       case FloatR() => Some(NV(cell.toDouble))
+      case c if (c.startsWith("P") || c.startsWith("-P")) && c.length > 1 =>
+        scala.util.Try(java.time.Duration.parse(c)).toOption
+          .map(d => DV(d.toNanos / 1000))
+      case TimeR(h, mi, se, fr) =>
+        // time-of-day cells (localTime results print as HH:MM:SS.f…);
+        // the engine lowers LocalTime to the interval since midnight, so
+        // both sides meet as duration micros
+        val frMicros = Option(fr)
+          .map(f => f.padTo(6, '0').take(6).toLong)
+          .getOrElse(0L)
+        Some(DV(
+          (h.toLong * 3600 + mi.toLong * 60 + se.toLong) * 1000000L +
+            frMicros))
       case NodeR(labels, props) =>
         parseProps(Option(props)).map(ps =>
           EV(edge = false,
@@ -411,6 +464,7 @@ abstract class GqlHarness extends SparkTestBase {
   private def fromV(v: V): Any = v match {
     case NV(d) => if (d == d.toLong.toDouble) d.toLong else d
     case SV(s) => s
+    case DV(us) => java.time.Duration.ofNanos(us * 1000)
     case BV(b) => b
     case NullV => null
     case LV(items) => items.map(fromV)
@@ -429,6 +483,7 @@ abstract class GqlHarness extends SparkTestBase {
     case n: Float => Some(NV(n.toDouble))
     case n: Double => Some(NV(n))
     case n: java.math.BigDecimal => Some(NV(n.doubleValue()))
+    case d: java.time.Duration => Some(DV(d.toNanos / 1000))
     case s: String => Some(SV(s))
     case xs: scala.collection.Seq[_] =>
       val vs = xs.map(sparkV)
@@ -556,7 +611,9 @@ abstract class GqlHarness extends SparkTestBase {
       }
       val res = Cypher.execute(spark, g, sc.query.get, sc.params)
       // a statement without RETURN produces EmptyResult (operator.hpp:1819)
-      if ("(?i)\\bRETURN\\b".r.findFirstIn(sc.query.get).isEmpty)
+      // — except SHOW statements, whose result IS their table
+      if ("(?i)\\bRETURN\\b".r.findFirstIn(sc.query.get).isEmpty &&
+        !sc.query.get.trim.toUpperCase.startsWith("SHOW"))
         Array.empty[org.apache.spark.sql.Row]
       else res.result.collect()
     }
