@@ -205,8 +205,31 @@ object CypherParser extends RegexParsers {
       ListComprehension(v, l, w, p)
     }
 
+  /** size([pattern WHERE w | 1]) > 0 — the comprehension-backed form of
+    * an EXISTS subquery with a WHERE (the RollUpApply rewrite plans it). */
+  private def existsViaComprehension(
+      p: PatternPart, w: Option[Expr]): Expr =
+    BinOp(
+      ">",
+      FnCall("size", distinct = false,
+        Seq(PatternComprehension(p, w, Lit(1L)))),
+      Lit(0L))
+
   def existsFn: Parser[Expr] =
-    kw("EXISTS") ~> "(" ~> patternPart <~ ")" ^^ (p => PatternPredicate(p, negated = false))
+    kw("EXISTS") ~> "(" ~> patternPart <~ ")" ^^ (p =>
+      PatternPredicate(p, negated = false)) |
+      // EXISTS { MATCH p [WHERE w] [RETURN …] } — the subquery form
+      // (memgraph_exists.feature); a trailing RETURN cannot change row
+      // existence, so it parses and is ignored
+      kw("EXISTS") ~> "{" ~> kw("MATCH") ~> patternPart ~
+        opt(kw("WHERE") ~> expr) <~
+        opt(kw("RETURN") ~> rep1sep(returnItem, ",")) <~ "}" ^^ {
+        case p ~ None => PatternPredicate(p, negated = false)
+        case p ~ w => existsViaComprehension(p, w)
+      } |
+      // EXISTS { (a)-[:T]->(b) } — bare-pattern subquery
+      kw("EXISTS") ~> "{" ~> patternPart <~ "}" ^^ (p =>
+        PatternPredicate(p, negated = false))
 
   def countStar: Parser[Expr] =
     ("""(?i)count""".r ~ "(" ~ "*" ~ ")") ^^ (_ => CountStar())

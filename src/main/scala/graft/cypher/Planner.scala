@@ -577,6 +577,36 @@ final class Planner(
         val name = fresh("pc")
         cur = planRollUp(cur, name, pc)
         Var(name)
+      // exists((…)) in a GENERAL expression position (inside OR / IN /
+      // IS NULL / equality / RETURN — memgraph_exists.feature): same
+      // RollUpApply as a comprehension, compared size > 0. Top-level
+      // WHERE conjuncts keep the cheaper decorrelated semi/anti join
+      // (planWhere splits them out before this rewrite runs).
+      case PatternPredicate(p, negated) =>
+        val patVars = p.start.variable.toSeq ++
+          p.hops.flatMap { case (r, nd) =>
+            r.variable.toSeq ++ nd.variable.toSeq
+          }
+        if (patVars.exists(bound))
+          throw new UnsupportedOperationException(
+            "pattern predicate correlated on a comprehension variable")
+        // the RollUpApply rewrite correlates on the START node only — a
+        // pattern whose LATER vars are already bound must constrain to
+        // those bindings, which the comprehension would shadow (silent
+        // wrong answer) — raise instead
+        val tailBound = p.hops
+          .flatMap { case (r, nd) => r.variable.toSeq ++ nd.variable.toSeq }
+          .filter(cur.scope.contains)
+        if (tailBound.nonEmpty)
+          throw new UnsupportedOperationException(
+            "pattern predicate in a general expression position with a " +
+              s"bound non-start variable (${tailBound.mkString(", ")}) is " +
+              "not supported")
+        val name = fresh("pe")
+        cur = planRollUp(cur, name, PatternComprehension(p, None, Lit(1L)))
+        val sizeGt =
+          BinOp(">", FnCall("size", distinct = false, Seq(Var(name))), Lit(0L))
+        if (negated) Not(sizeGt) else sizeGt
       // degree/inDegree/outDegree scalars (builtin registry,
       // awesome_memgraph_functions.cpp:2063-2065): precomputed via one
       // aggregate over the edge set, equi-joined back on the node id.
