@@ -81,6 +81,9 @@ final class Planner(
 
   /** `USING HOPS LIMIT n` for this statement (Query prefix). */
   private var hopsLimit: Option[Long] = None
+  /** True while planning a FOREACH body (Unwind skips the comprehension
+    * rewrite there — see ForeachCl). */
+  private var inForeach: Boolean = false
 
   /** Owning-frame hints: which label frames (node vars) / type frames
     * (edge vars) a bound variable's rows can live in. A by-id mutation
@@ -164,12 +167,18 @@ final class Planner(
     case Match(true, patterns, where) => planOptional(lf, patterns, where)
 
     case Unwind(listE, v) =>
-      val c0 = lowering(lf).lower(listE)
+      // pattern comprehensions / degree calls in the UNWIND list lower
+      // through the same frame rewrite WITH/RETURN items use (not inside
+      // FOREACH — see ForeachCl)
+      val (lf1, items) =
+        if (inForeach) (lf, Seq(("__u", listE)))
+        else rewritePatternComprehensions(lf, Seq(("__u", listE)))
+      val c0 = lowering(lf1).lower(items.head._2)
       val out = s"$v${Frames.Sep}_val"
       val df =
-        if (lf.df.columns.isEmpty) lf.df.select(explode(c0).as(out))
-        else lf.df.select(col("*"), explode(c0).as(out))
-      LF(df, lf.scope + (v -> Binding.ValueB))
+        if (lf1.df.columns.isEmpty) lf1.df.select(explode(c0).as(out))
+        else lf1.df.select(col("*"), explode(c0).as(out))
+      LF(df, lf1.scope + (v -> Binding.ValueB))
 
     case With(body, where) => project(lf, body, where, isReturn = false)
     case Return(body) => project(lf, body, None, isReturn = true)
@@ -401,9 +410,15 @@ final class Planner(
     case m: MergeCl => planMergeAndBind(lf, m)
     case ForeachCl(v, listE, updates) =>
       // Foreach (operator.hpp:3032): run the update clauses against the
-      // exploded frame; the outer frame and scope are unchanged.
-      val exploded = planClause(lf, Unwind(listE, v))
-      updates.foldLeft(exploded)(planClause)
+      // exploded frame; the outer frame and scope are unchanged. Pattern
+      // comprehensions in the list raise here (the body's mutations and
+      // the comprehension's scan would need read-your-writes ordering the
+      // frame rewrite cannot express).
+      inForeach = true
+      try {
+        val exploded = planClause(lf, Unwind(listE, v))
+        updates.foldLeft(exploded)(planClause)
+      } finally inForeach = false
       lf
 
     case CallSubquery(inner) =>

@@ -37,7 +37,7 @@ class GqlBehaveSpec extends GqlHarness {
     "patterns.feature" -> 15,
     "subqueries.feature" -> 32,
     "parameters.feature" -> 3,
-    "pattern_comprehensions.feature" -> 24,
+    "pattern_comprehensions.feature" -> 26,
     "cartesian.feature" -> 32,
     "memgraph_bfs.feature" -> 20,
     "memgraph_wshortest.feature" -> 22,
