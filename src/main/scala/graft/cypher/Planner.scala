@@ -631,6 +631,22 @@ final class Planner(
         val name = fresh("deg")
         cur = planDegree(cur, name, n, fn.toLowerCase)
         Var(name)
+      // startNode(r)/endNode(r) of a bound edge: bind the endpoint NODE
+      // (id-equi-join on src/dst), so property access and whole-entity
+      // projection see the node, not a bare id
+      case FnCall(fn, _, Seq(Var(n)))
+          if Set("startnode", "endnode")(fn.toLowerCase) &&
+            cur.scope.get(n).contains(Binding.EdgeB) &&
+            !bound(n) =>
+        val name = fresh("ep")
+        cur = planEndpointNode(cur, name, n, fn.toLowerCase == "startnode")
+        Var(name)
+      case Prop(x, k) => Prop(rw(x, bound), k)
+      case MapProjection(v, items) =>
+        MapProjection(v, items.map {
+          case ProjKV(k, x) => ProjKV(k, rw(x, bound))
+          case o => o
+        })
       case BinOp(o, a, b) => BinOp(o, rw(a, bound), rw(b, bound))
       case Not(x) => Not(rw(x, bound))
       case Neg(x) => Neg(rw(x, bound))
@@ -686,6 +702,21 @@ final class Planner(
         .localCheckpoint(true)
       degreeCache = Some((state, df))
       df
+  }
+
+  /** startNode(e)/endNode(e) (awesome_memgraph_functions.cpp:2066): bind
+    * the edge's endpoint node under `name` by an id-equi-join on the
+    * src/dst column. Left join: an unbound edge (OPTIONAL miss) yields a
+    * NULL node. */
+  private def planEndpointNode(
+      lf: LF,
+      name: String,
+      e: String,
+      start: Boolean): LF = {
+    val endId = if (start) Frames.src(e) else Frames.dst(e)
+    val bound = Frames.bind(name)(state.allNodes)
+    val joined = lf.df.join(bound, endId === Frames.id(name), "left_outer")
+    LF(joined, lf.scope + (name -> Binding.NodeB))
   }
 
   /** degree(n) = in+out over ALL edge types (reference counts the full
@@ -1108,7 +1139,7 @@ final class Planner(
     * Anti-join on the property columns = the reference's match-miss branch.
     */
   private def planMerge(lf: LF, m: MergeCl): Unit = {
-    if (m.pattern.hops.nonEmpty) { planMergeEdge(lf, m); return }
+    if (m.pattern.hops.nonEmpty) { planMergeRel(lf, m); return }
     val n = m.pattern.start
     val low = lowering(lf)
     val propNames = n.props.map(_._1)
@@ -1137,52 +1168,38 @@ final class Planner(
         fromWant.select(
           labelsArr.as(GraphState.LabelsCol) +: propNames.map(col): _*),
         GraphState.IdCol,
-        (myBase << 48) + nodeCursor)
-      val out = setCols(m.onCreate, withId).localCheckpoint(true)
-      nodeCursor += out.count()
-      out
+        (myBase << 48) + nodeCursor).localCheckpoint(true)
+      nodeCursor += withId.count()
+      withId
     }
     def createInto(rows: DataFrame): Unit = {
       storeTargets.foreach(l =>
         state = Mutations.createNodes(state, l, rows))
       if (storeTargets.size > 1) state = state.withOverlap
-    }
-    def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
-      items.foldLeft(base) {
-        case (d, SetProp(v, key, e)) if n.variable.contains(v) =>
-          val lowD = new ExprLowering(d, Scope.empty, params, enums = state.enums)
-          d.withColumn(key, lowD.lower(e))
-        case (d, _) => d
+      // ON CREATE SET runs with the created node bound (reference Merge
+      // pulls the create branch with the entity in scope,
+      // operator.hpp:2579) — the full planSet surface (nested props, +=,
+      // pattern comprehensions) applies; labels were already folded into
+      // the stored rows above.
+      val propItems = m.onCreate.filterNot(_.isInstanceOf[SetLabelsItem])
+      if (propItems.nonEmpty) {
+        val v = n.variable.getOrElse(fresh("mc"))
+        val bound = Frames.bind(v)(rows)
+        setHint(v, Some(storeTargets.toSet))
+        planSet(LF(bound, Scope.empty + (v -> Binding.NodeB)), propItems)
       }
+    }
     def applyOnMatch(matched0: DataFrame): Unit = if (m.onMatch.nonEmpty) {
       // bind the FULL matched node frame so ON MATCH SET expressions can
       // reference the node's properties (reference Merge runs its
       // on-match branch with the entity in scope, operator.hpp:2579)
       val v = n.variable.getOrElse(fresh("m"))
       val matched = Frames.bind(v)(matched0)
-      val scope = Scope.empty + (v -> Binding.NodeB)
-      m.onMatch.foreach {
-        case SetProp(v2, key, e) if v2 == v =>
-          val lowU = new ExprLowering(matched, scope, params, enums = state.enums)
-          val updates = matched
-            .select(
-              Frames.id(v).as(GraphState.IdCol),
-              lowU.lower(e).as("__nv"))
-            .groupBy(GraphState.IdCol)
-            .agg(max(col("__nv")).as("__nv"))
-          state = Mutations.setPropertyByIds(
-            state, updates, key,
-            if (state.mayOverlap) None else n.labels.headOption.map(Seq(_)))
-        case SetLabelsItem(v2, ls) if v2 == v =>
-          state = Mutations.updateLabelsByIds(
-            state,
-            matched.select(Frames.id(v)).distinct(),
-            ls,
-            add = true,
-            only =
-              if (state.mayOverlap) None else n.labels.headOption.map(Seq(_)))
-        case _ => ()
-      }
+      setHint(
+        v,
+        if (state.mayOverlap) None
+        else n.labels.headOption.map(Set(_)))
+      planSet(LF(matched, Scope.empty + (v -> Binding.NodeB)), m.onMatch)
     }
 
     if (propNames.isEmpty) {
@@ -1215,118 +1232,120 @@ final class Planner(
     * (matched and created rows alike), joined to the input frame on the
     * merge-property expressions. */
   private def planMergeAndBind(lf: LF, m: MergeCl): LF = {
-    if (m.pattern.hops.nonEmpty) { planMergeEdge(lf, m); return lf }
+    if (m.pattern.hops.nonEmpty) return planMergeRel(lf, m)
     planMerge(lf, m)
     val n = m.pattern.start
-    n.variable match {
-      case Some(v) if !lf.scope.contains(v) =>
-        val base = n.labels.headOption
-          .map(state.nodesOrEmpty)
-          .getOrElse(state.allNodes)
-        val scanned = n.labels.foldLeft(base)((d, l) =>
-          d.filter(array_contains(col(GraphState.LabelsCol), l)))
-        val bound = Frames.bind(v)(scanned)
-        val low = lowering(lf)
-        val cond = n.props
-          .map { case (k, e) => Frames.f(v, k) === low.lower(e) }
-          .reduceOption(_ && _)
-        val joined =
-          if (lf.df.columns.isEmpty) cond.map(bound.filter).getOrElse(bound)
-          else
-            cond
-              .map(c => lf.df.join(bound, c))
-              .getOrElse(lf.df.crossJoin(bound))
-        setHint(v, n.labels.headOption.map(Set(_)))
-        LF(joined, lf.scope + (v -> Binding.NodeB))
-      case _ => lf
+    if (n.variable.exists(lf.scope.contains) && m.pattern.pathVar.isEmpty) lf
+    else {
+      // bind by re-matching the post-merge state (also constructs the
+      // named path for `MERGE p = (a {…})`)
+      val (bound, _) = planPattern(lf, m.pattern)
+      bound
     }
   }
 
-  /** Relationship MERGE (`Merge` operator.hpp:2579 run on a one-hop
-    * pattern): `MERGE (a)-[e:T {props}]->(b)` with both endpoints already
-    * bound. Per input row the edge is matched by (src, dst, type, props);
-    * missing combinations are created exactly once (distinct + anti-join —
-    * the reference's match-miss branch), matched ones get ON MATCH SET.
-    * Idempotent: re-running the same MERGE creates nothing. */
-  private def planMergeEdge(lf: LF, m: MergeCl): Unit = {
-    require(
-      m.pattern.hops.size == 1,
-      "MERGE supports single-node or single-relationship patterns")
-    val (rel, endN) = m.pattern.hops.head
-    require(
-      rel.varLength.isEmpty && rel.types.size == 1,
-      "relationship MERGE needs exactly one type and no var-length")
-    val startV = m.pattern.start.variable.getOrElse(
-      throw new UnsupportedOperationException(
-        "relationship MERGE requires bound endpoint variables"))
-    val endV = endN.variable.getOrElse(
-      throw new UnsupportedOperationException(
-        "relationship MERGE requires bound endpoint variables"))
-    require(
-      lf.scope.get(startV).contains(Binding.NodeB) &&
-        lf.scope.get(endV).contains(Binding.NodeB),
-      s"relationship MERGE endpoints must be bound nodes: $startV, $endV")
-    val tpe = rel.types.head
-    val eVar = rel.variable
-    val low = lowering(lf)
-    // orient: (a)-[]->(b) src=a; (a)<-[]-(b) src=b; undirected unsupported
-    val (srcV, dstV) = rel.direction match {
-      case OutDir => (startV, endV)
-      case InDir => (endV, startV)
-      case BothDir =>
-        throw new UnsupportedOperationException(
-          "undirected relationship MERGE is ambiguous; give a direction")
+  /** Relationship MERGE (`Merge` operator.hpp:2579 on a pattern with ≥1
+    * hop): per distinct binding of the pattern's already-bound variables
+    * the WHOLE pattern is matched; bindings with no match run the create
+    * branch (bound vars reused, everything else created — openCypher MERGE
+    * semantics; an undirected hop creates outgoing). ON MATCH SET applies
+    * to the pre-existing matches, ON CREATE SET to the created rows, both
+    * with the pattern's entities bound (full planSet surface). Finally the
+    * pattern is re-matched from the input frame against the post-merge
+    * state, binding every pattern variable (edge vars, endpoints, named
+    * path) with post-SET property values — the reference streams
+    * matched-or-created rows; after the merge the two sets ARE the
+    * re-match. */
+  private def planMergeRel(lf: LF, m: MergeCl): LF = {
+    val part = m.pattern
+    val patVars = part.start.variable.toSeq ++ part.hops.flatMap {
+      case (r, n) => r.variable.toSeq ++ n.variable.toSeq
     }
-    val propNames = rel.props.map(_._1)
-    val want = lf.df
-      .select(
-        Frames.id(srcV).as(GraphState.SrcCol) +:
-          Frames.id(dstV).as(GraphState.DstCol) +:
-          rel.props.map { case (k, e) => low.lower(e).as(k) }: _*)
-      .distinct()
-
-    def setCols(items: Seq[SetItem], base: DataFrame): DataFrame =
-      items.foldLeft(base) {
-        case (d, SetProp(v, key, e)) if eVar.contains(v) =>
-          d.withColumn(key, new ExprLowering(d, Scope.empty, params, enums = state.enums).lower(e))
-        case (d, _) => d
+    // a MERGE pattern may not reuse a bound relationship/path variable
+    (part.pathVar.toSeq ++ part.hops.flatMap(_._1.variable))
+      .filter(lf.scope.contains)
+      .foreach { v =>
+        throw new IllegalArgumentException(
+          s"MERGE cannot reuse the bound variable $v")
       }
+    // the merge key: bound pattern vars + frame vars its property
+    // expressions consume (each distinct key is one match-or-create unit)
+    val propExprVars =
+      (part.start.props ++ part.hops.flatMap { case (r, n) =>
+        r.props ++ n.props
+      }).flatMap { case (_, e) => varsIn(e) }
+    val shared =
+      (patVars ++ propExprVars).distinct.filter(lf.scope.contains)
+    val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
+    val seedScope =
+      Scope(lf.scope.vars.filter { case (nm, _) => shared.contains(nm) })
+    val seed =
+      if (shared.nonEmpty)
+        LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+      else initial
 
-    val matchCols = GraphState.SrcCol +: GraphState.DstCol +: propNames
-    val existingOpt =
-      if (state.hasType(tpe)) Some(state.edges(tpe)) else None
-    val missing = existingOpt match {
-      case Some(ex) => want.join(ex, matchCols.toSeq, "left_anti")
-      case None => want
-    }
-    val created = setCols(
-      m.onCreate,
-      withSeqId(
-        missing.select(
-          lit(tpe).as(GraphState.TypeCol) +: matchCols.map(col): _*),
-        GraphState.IdCol,
-        (myBase << 48) + (1L << 47) + edgeCursor)).localCheckpoint(true)
-    edgeCursor += created.count()
-    state = Mutations.createEdges(state, tpe, created)
-    if (m.onMatch.nonEmpty) existingOpt.foreach { ex =>
-      // full matched edge frame bound, so ON MATCH SET sees edge properties
-      val ev = eVar.getOrElse(fresh("me"))
-      val matched = Frames.bind(ev)(
-        ex.join(want, matchCols.toSeq, "left_semi"))
-      val scope = Scope.empty + (ev -> Binding.EdgeB)
-      m.onMatch.foreach {
-        case SetProp(v, key, e) if v == ev =>
-          val lowU = new ExprLowering(matched, scope, params, enums = state.enums)
-          val updates = matched
-            .select(Frames.id(ev).as(GraphState.IdCol),
-              lowU.lower(e).as("__nv"))
-            .groupBy(GraphState.IdCol)
-            .agg(max(col("__nv")).as("__nv"))
-          state = Mutations.setEdgePropertyByIds(
-            state, updates, key, Some(Seq(tpe)))
-        case _ => ()
+    // 1. match branch against the pre-merge state
+    val (sub0, subEdges) = planPattern(seed, part)
+    val sub = edgeUniqueness(sub0, subEdges)
+
+    // 2. bindings with no match → create branch (undirected hops create
+    //    outgoing, the openCypher MERGE direction rule)
+    val partOut = part.copy(hops = part.hops.map { case (r, n) =>
+      (if (r.direction == BothDir) r.copy(direction = OutDir) else r, n)
+    })
+    val missLf: Option[LF] =
+      if (shared.isEmpty) {
+        if (sub.df.isEmpty) Some(LF(spark.range(1).toDF().select(), Scope.empty))
+        else None
+      } else {
+        val keyCols = shared.map(v => varKeyCol(seed.df, v))
+        val subKeys = sub.df.select(keyCols.map(col): _*).distinct()
+        var miss = seed.df.join(subKeys, keyCols, "left_anti")
+        // an UNDIRECTED single-hop merge sees (a,b) and (b,a) as the same
+        // pattern: the reference's second pull matches what the first
+        // created (read-your-writes) — collapse symmetric pairs so the
+        // batch creates one edge per unordered pair
+        if (part.hops.size == 1 &&
+          part.hops.head._1.direction == BothDir) {
+          val aV = part.start.variable.filter(shared.contains)
+          val bV = part.hops.head._2.variable.filter(shared.contains)
+          (aV, bV) match {
+            case (Some(a), Some(b)) if a != b =>
+              val aId = s"$a${Frames.Sep}${GraphState.IdCol}"
+              val bId = s"$b${Frames.Sep}${GraphState.IdCol}"
+              val others = keyCols.filterNot(Set(aId, bId))
+              miss = miss
+                .withColumn("__mlo", least(col(aId), col(bId)))
+                .withColumn("__mhi", greatest(col(aId), col(bId)))
+                .dropDuplicates(others ++ Seq("__mlo", "__mhi"))
+                .drop("__mlo", "__mhi")
+            case _ => ()
+          }
+        }
+        Some(LF(miss, seedScope))
       }
+    missLf.foreach { ml =>
+      val created = planCreate(ml, partOut)
+      if (m.onCreate.nonEmpty && !created.df.isEmpty)
+        planSet(created, m.onCreate)
     }
+
+    // 3. ON MATCH SET on the pre-existing matches
+    if (m.onMatch.nonEmpty && !sub.df.isEmpty)
+      planSet(sub, m.onMatch)
+
+    // 4. bind: re-match from the input frame against the post-merge state
+    //    (every input row now has ≥1 match; SET writes are visible)
+    val (bound, newEdges) = planPattern(lf, part)
+    edgeUniqueness(bound, newEdges)
+  }
+
+  /** The single join-key column of a bound variable: `_id` for entities,
+    * the value column otherwise. */
+  private def varKeyCol(df: DataFrame, v: String): String = {
+    val idc = s"$v${Frames.Sep}${GraphState.IdCol}"
+    if (df.columns.contains(idc)) idc
+    else s"$v${Frames.Sep}_val"
   }
 
   /** Constant evaluation for procedure arguments (literals, maps, lists,
@@ -2924,11 +2943,12 @@ final class Planner(
         if (groupCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
         else pre.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
 
-      // 3) rename passthrough group vars to their aliases
+      // 3) rename passthrough group vars to their aliases (duplicate
+      // passthroughs of one source copy the namespace)
+      df = aliasEntities(
+        df, groupSide.collect { case ((alias, Left((n, _))), _) => (alias, n) })
       groupSide.foreach {
-        case ((alias, Left((n, b))), _) =>
-          if (alias != n) df = renameVar(df, n, alias)
-          newScope += (alias -> b)
+        case ((alias, Left((_, b))), _) => newScope += (alias -> b)
         case ((alias, Right(_)), _) => newScope += (alias -> Binding.ValueB)
       }
       aggSide.foreach { case ((alias, _), _) =>
@@ -3069,16 +3089,38 @@ final class Planner(
       d.withColumnRenamed(c, s"$to${c.substring(from.length)}")
     }
 
+  /** Rename each passthrough source namespace to its alias; a source used
+    * by MULTIPLE aliases (`WITH n AS a, n AS b`) copies its columns for
+    * every alias (renaming would leave the later aliases unresolved). */
+  private def aliasEntities(
+      df: DataFrame,
+      mapping: Seq[(String, String)]): DataFrame = {
+    var d = df
+    mapping.groupBy(_._2).foreach { case (src, pairs) =>
+      val aliases = pairs.map(_._1).distinct
+      if (aliases == Seq(src)) ()
+      else if (aliases.size == 1 && !aliases.contains(src))
+        d = renameVar(d, src, aliases.head)
+      else
+        aliases.filter(_ != src).foreach { a =>
+          Frames.colsOf(d, src).foreach { c =>
+            d = d.withColumn(s"$a${c.substring(src.length)}", col(c))
+          }
+        }
+    }
+    d
+  }
+
   private def selectFinal(
       df: DataFrame,
       lowered: Seq[(String, Either[(String, Binding), Column])],
       keep: Seq[String]): DataFrame = {
     var d = df
-    // rename passthroughs to their aliases first
-    lowered.foreach {
-      case (alias, Left((n, _))) if alias != n => d = renameVar(d, n, alias)
-      case _ => ()
-    }
+    // rename passthroughs to their aliases first; a source projected under
+    // SEVERAL aliases (`WITH n AS a, n AS b`) copies its namespace instead
+    // of renaming it away from the other aliases
+    d = aliasEntities(
+      d, lowered.collect { case (alias, Left((n, _))) => (alias, n) })
     val cols: Seq[String] = lowered.flatMap {
       case (alias, Left(_)) => Frames.colsOf(d, alias)
       case (alias, Right(_)) => Seq(s"$alias${Frames.Sep}_val")

@@ -36,7 +36,7 @@ object Expand {
       dstVar: String,
       dstLabel: Option[String]): DataFrame = {
     val withEdge = joinEdge(frame, g, srcVar, edgeVar, types, dir)
-    val nodesDf = dstLabel.map(g.nodes).getOrElse(g.allNodes)
+    val nodesDf = dstLabel.map(g.nodesOrEmpty).getOrElse(g.allNodes)
     val far = farEnd(edgeVar, dir)
     withEdge.join(
       Frames.bind(dstVar)(nodesDf),
