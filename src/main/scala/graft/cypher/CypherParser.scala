@@ -99,7 +99,8 @@ object CypherParser extends RegexParsers {
     "{" ~> repsep(mapKey ~ (":" ~> expr), ",") <~ "}" ^^ (kvs =>
       MapLit(kvs.map { case k ~ v => (k, v) }))
 
-  def param: Parser[Expr] = "$" ~> identP ^^ Param.apply
+  def param: Parser[Expr] =
+    "$" ~> (identP | "\\d+".r) ^^ Param.apply
 
   // ---------- expressions ----------
   def expr: Parser[Expr] = orExpr
@@ -120,7 +121,8 @@ object CypherParser extends RegexParsers {
     kw("NOT") ~> notExpr ^^ Not.apply | comparison
 
   private def compOp: Parser[String] =
-    "<=" ^^^ "<=" | ">=" ^^^ ">=" | "<>" ^^^ "<>" | "=~" ^^^ "=~" |
+    "<=" ^^^ "<=" | ">=" ^^^ ">=" | "<>" ^^^ "<>" | "!=" ^^^ "<>" |
+      "=~" ^^^ "=~" |
       "=" ^^^ "=" | "<" ^^^ "<" | ">" ^^^ ">" |
       kw("IN") ^^^ "IN" | kw("CONTAINS") ^^^ "CONTAINS" |
       (kw("STARTS") ~ kw("WITH")) ^^^ "STARTS WITH" |
@@ -243,9 +245,10 @@ object CypherParser extends RegexParsers {
     patternPartWithHops ^^ (p => PatternPredicate(p, negated = false))
 
   def patternComprehension: Parser[Expr] =
-    "[" ~> patternPartWithHops ~ opt(kw("WHERE") ~> expr) ~
-      ("|" ~> expr) <~ "]" ^^ { case p ~ w ~ proj =>
-      PatternComprehension(p, w, proj)
+    "[" ~> opt(ident <~ "=") ~ patternPartWithHops ~
+      opt(kw("WHERE") ~> expr) ~ ("|" ~> expr) <~ "]" ^^ {
+      case pv ~ p ~ w ~ proj =>
+        PatternComprehension(p.copy(pathVar = pv), w, proj)
     }
 
   def mapProjItem: Parser[MapProjItem] =
@@ -356,7 +359,8 @@ object CypherParser extends RegexParsers {
     }
 
   def relPattern: Parser[RelPattern] =
-    ("<-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = InDir)) |
+    ("<-" ~> opt(relDetail) <~ "->") ^^ (r => fill(r).copy(direction = BothDir)) |
+      ("<-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = InDir)) |
       ("-" ~> opt(relDetail) <~ "->") ^^ (r => fill(r).copy(direction = OutDir)) |
       ("-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = BothDir))
 
@@ -607,7 +611,8 @@ object CypherParser extends RegexParsers {
     kw("SET") ~> rep1sep(setItem, ",") ^^ SetCl.apply
 
   def deleteClause: Parser[Clause] =
-    opt(kw("DETACH")) ~ (kw("DELETE") ~> rep1sep(ident, ",")) ^^ {
+    opt(kw("DETACH")) ~
+      (kw("DELETE") ~> rep1sep(ident | ("(" ~> ident <~ ")"), ",")) ^^ {
       case d ~ vs => DeleteCl(d.isDefined, vs)
     }
 

@@ -28,11 +28,17 @@ final class ExprLowering(
     val enums: Map[String, Seq[String]] = Map.empty,
     /** getHopsCounter() value when statically known (statement plans no
       * expansion → 0); None = reference's lazy pull count, unsupported. */
-    val hopsCounter: Option[Long] = None) {
+    val hopsCounter: Option[Long] = None,
+    /** Static element types of lambda variables (typeOf cannot resolve a
+      * namedlambdavariable, so `n.key` over `[n IN nodes(p) | …]` needs
+      * the list's element type carried in). */
+    lambdaTypes: Map[String, DataType] = Map.empty) {
 
-  private def withLambda(name: String, c: Column) =
+  private def withLambda(
+      name: String, c: Column, t: Option[DataType] = None) =
     new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums,
-      hopsCounter)
+      hopsCounter,
+      t.map(x => lambdaTypes + (name -> x)).getOrElse(lambdaTypes - name))
 
   /** Zero-row frame with `df`'s schema: resolving a column against this
     * LocalRelation costs a constant-size analyzer pass instead of
@@ -97,7 +103,11 @@ final class ExprLowering(
       } else lit(null)
     case Prop(of, key) =>
       val c = lower(of)
-      typeOf(c) match {
+      val tHint = typeOf(c).orElse(of match {
+        case Var(n) => lambdaTypes.get(n)
+        case _ => None
+      })
+      tHint match {
         case Some(_: MapType) => element_at(c, lit(key))
         case Some(s: StructType)
             if Functions.isPointStruct(s) && Functions.isPointAccessor(key) =>
@@ -167,12 +177,14 @@ final class ExprLowering(
 
     case ListComprehension(v, listE, whereE, projE) =>
       val listC = lower(listE)
+      val elemT = typeOf(listC).collect { case ArrayType(et, _) => et }
       val filtered = whereE match {
-        case Some(p) => filter(listC, x => withLambda(v, x).lower(p))
+        case Some(p) => filter(listC, x => withLambda(v, x, elemT).lower(p))
         case None => listC
       }
       projE match {
-        case Some(p) => transform(filtered, x => withLambda(v, x).lower(p))
+        case Some(p) =>
+          transform(filtered, x => withLambda(v, x, elemT).lower(p))
         case None => filtered
       }
 
@@ -200,7 +212,8 @@ final class ExprLowering(
             lit(false))
         case _ =>
           val listC = lower(listE)
-          def pred(x: Column) = withLambda(v, x).lower(predE)
+          val elemT = typeOf(listC).collect { case ArrayType(et, _) => et }
+          def pred(x: Column) = withLambda(v, x, elemT).lower(predE)
           (size(filter(listC, x => pred(x) <=> lit(true))),
             size(filter(listC, x => pred(x).isNull)),
             size(filter(listC, x => pred(x) <=> lit(false))),

@@ -83,7 +83,6 @@ final class Planner(
   private var hopsLimit: Option[Long] = None
   /** True while planning a FOREACH body (Unwind skips the comprehension
     * rewrite there — see ForeachCl). */
-  private var inForeach: Boolean = false
 
   /** Owning-frame hints: which label frames (node vars) / type frames
     * (edge vars) a bound variable's rows can live in. A by-id mutation
@@ -168,17 +167,59 @@ final class Planner(
 
     case Unwind(listE, v) =>
       // pattern comprehensions / degree calls in the UNWIND list lower
-      // through the same frame rewrite WITH/RETURN items use (not inside
-      // FOREACH — see ForeachCl)
-      val (lf1, items) =
-        if (inForeach) (lf, Seq(("__u", listE)))
-        else rewritePatternComprehensions(lf, Seq(("__u", listE)))
-      val c0 = lowering(lf1).lower(items.head._2)
+      // through the same frame rewrite WITH/RETURN items use (a FOREACH
+      // list too — it evaluates against the pre-body state)
+      var (lf1, items) =
+        rewritePatternComprehensions(lf, Seq(("__u", listE)))
+      // `UNWIND nodes(p)` / `FOREACH (n IN nodes(p) | …)` need path
+      // ENTITY arrays (ids alone can't rebind the loop var as a node)
+      varsIn(items.head._2, skipLengthOnly = true).foreach { n =>
+        lf1.scope.get(n) match {
+          case Some(Binding.PathB) => lf1 = materializePathEntities(lf1, n)
+          case Some(Binding.EdgeListB) =>
+            lf1 = materializeEdgeListEntities(lf1, n)
+          case _ => ()
+        }
+      }
+      val c1 = lowering(lf1).lower(items.head._2)
+      // UNWIND NULL yields zero rows (typed null array explodes to none)
+      val c0 = lf1.df.select(c1).schema.head.dataType match {
+        case org.apache.spark.sql.types.NullType =>
+          lit(null).cast("array<int>")
+        case _ => c1
+      }
       val out = s"$v${Frames.Sep}_val"
-      val df =
+      // an inner FOREACH/UNWIND may SHADOW an outer variable — replace
+      // rather than duplicate its columns
+      val keepCols = lf1.df.columns.filterNot(
+        c => c == out || c.startsWith(s"$v${Frames.Sep}"))
+      val df0 =
         if (lf1.df.columns.isEmpty) lf1.df.select(explode(c0).as(out))
-        else lf1.df.select(col("*"), explode(c0).as(out))
-      LF(df, lf1.scope + (v -> Binding.ValueB))
+        else lf1.df.select(keepCols.map(col) :+ explode(c0).as(out): _*)
+      // exploding a list of ENTITIES rebinds the loop var as a node/edge
+      // (reference FOREACH/UNWIND loop vars are typed values —
+      // `FOREACH (n IN nodes(p) | SET n.x = 1)` mutates the node)
+      import org.apache.spark.sql.types.StructType
+      df0.schema(out).dataType match {
+        // virtual (derive()) edges embed _startNode/_endNode VALUES —
+        // they stay plain values (Functions resolves their accessors)
+        case s: StructType
+            if s.fieldNames.contains(GraphState.IdCol) &&
+              !s.fieldNames.contains("_startNode") =>
+          val isEdge = s.fieldNames.contains(GraphState.SrcCol) ||
+            s.fieldNames.contains(GraphState.TypeCol)
+          var d2 = df0
+          s.fieldNames.foreach { f =>
+            d2 = d2.withColumn(s"$v${Frames.Sep}$f", col(out).getField(f))
+          }
+          d2 = d2.drop(out)
+          LF(
+            d2,
+            lf1.scope +
+              (v -> (if (isEdge) Binding.EdgeB else Binding.NodeB)))
+        case _ =>
+          LF(df0, lf1.scope + (v -> Binding.ValueB))
+      }
 
     case With(body, where) => project(lf, body, where, isReturn = false)
     case Return(body) => project(lf, body, None, isReturn = true)
@@ -410,16 +451,36 @@ final class Planner(
     case m: MergeCl => planMergeAndBind(lf, m)
     case ForeachCl(v, listE, updates) =>
       // Foreach (operator.hpp:3032): run the update clauses against the
-      // exploded frame; the outer frame and scope are unchanged. Pattern
-      // comprehensions in the list raise here (the body's mutations and
-      // the comprehension's scan would need read-your-writes ordering the
-      // frame rewrite cannot express).
-      inForeach = true
-      try {
-        val exploded = planClause(lf, Unwind(listE, v))
-        updates.foldLeft(exploded)(planClause)
-      } finally inForeach = false
-      lf
+      // exploded frame; the outer frame and scope are unchanged. The list
+      // (and any comprehension in it) evaluates against the pre-body
+      // state; body clauses run statement-serially, so a comprehension in
+      // a later body clause sees the earlier clauses' writes — the
+      // reference's read-your-writes at clause granularity.
+      val exploded = planClause(lf, Unwind(listE, v))
+      updates.foldLeft(exploded)(planClause)
+      // writes to OUTER-scope entities inside the body must be visible to
+      // the rest of the statement (`FOREACH (… | SET n.prop = …) RETURN
+      // n.prop`): refresh those bound columns from the post-body state
+      def setTargets(cs: Seq[Clause]): Seq[(String, String)] = cs.flatMap {
+        case SetCl(items) => items.collect {
+          case SetProp(sv, k, _) => (sv, k)
+          case SetNestedProp(sv, path, _) => (sv, path.head)
+        }
+        case ForeachCl(_, _, us) => setTargets(us)
+        case mc: MergeCl =>
+          (mc.onCreate ++ mc.onMatch).collect {
+            case SetProp(sv, k, _) => (sv, k)
+            case SetNestedProp(sv, path, _) => (sv, path.head)
+          }
+        case _ => Nil
+      }
+      setTargets(updates)
+        .distinct
+        .filter { case (sv, _) =>
+          lf.scope.get(sv).exists(b =>
+            b == Binding.NodeB || b == Binding.EdgeB)
+        }
+        .foldLeft(lf) { case (cur, (sv, k)) => refreshVarProp(cur, sv, k) }
 
     case CallSubquery(inner) =>
       // An UNCORRELATED subquery that WRITES must still run once per input
@@ -570,6 +631,12 @@ final class Planner(
 
   // ---------------- pattern comprehension (RollUpApply) ----------------
 
+  /** [[rewritePatternComprehensions]] for a single expression. */
+  private def rewriteOneExpr(lf: LF, e: Expr): (LF, Expr) = {
+    val (lf2, items) = rewritePatternComprehensions(lf, Seq(("__r1", e)))
+    (lf2, items.head._2)
+  }
+
   /** Replace every PatternComprehension in `items` with a fresh ValueB
     * variable computed by [[planRollUp]]; returns the extended frame. */
   private def rewritePatternComprehensions(
@@ -637,7 +704,11 @@ final class Planner(
       case FnCall(fn, _, Seq(Var(n)))
           if Set("startnode", "endnode")(fn.toLowerCase) &&
             cur.scope.get(n).contains(Binding.EdgeB) &&
-            !bound(n) =>
+            !bound(n) &&
+            // virtual edges (derive()) EMBED their endpoint node values —
+            // Functions resolves those; only real edges join the node set
+            !cur.df.columns.contains(
+              s"$n${Frames.Sep}_startNode") =>
         val name = fresh("ep")
         cur = planEndpointNode(cur, name, n, fn.toLowerCase == "startnode")
         Var(name)
@@ -739,22 +810,35 @@ final class Planner(
 
   /** RollUpApply (operator.hpp:3185): plan the comprehension's pattern from
     * the distinct shared bindings, collect the projection per binding, and
-    * left-join the list back (no match → empty list, per Cypher). */
+    * left-join the list back (no match → empty list, per Cypher).
+    * Correlation runs through the pattern's bound variables AND any frame
+    * variable its WHERE/projection references (a FOREACH loop var, a WITH
+    * alias); nested comprehensions in the projection recurse through the
+    * same rewrite against the sub-frame. */
   private def planRollUp(lf: LF, name: String, pc: PatternComprehension): LF = {
     val patVars = pc.pattern.start.variable.toSeq ++
       pc.pattern.hops.flatMap { case (r, n) =>
         r.variable.toSeq ++ n.variable.toSeq
       }
-    val shared = patVars.filter(lf.scope.contains).distinct
+    // local (shadowing) names: the pattern's own vars + its path var
+    val localVars = patVars.toSet ++ pc.pattern.pathVar
+    val exprShared = (pc.where.toSeq :+ pc.proj)
+      .flatMap(e => varsIn(e))
+      .filterNot(localVars)
+    val shared =
+      (patVars ++ exprShared).distinct.filter(lf.scope.contains)
+    val outCol = s"$name${Frames.Sep}_val"
     if (shared.isEmpty) {
       // UNCORRELATED comprehension: one list over the whole pattern match,
       // cross-joined in (a single row either way — empty match gives [])
       var (sub, subEdges) = planPattern(initial, pc.pattern)
       sub = edgeUniqueness(sub, subEdges)
       pc.where.foreach { w => sub = planWhere(sub, w) }
+      val (sub2, projItems) =
+        rewritePatternComprehensions(sub, Seq(("__rp", pc.proj)))
+      sub = sub2
       val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
-      val outCol = s"$name${Frames.Sep}_val"
-      val listDf = sub.df.agg(collect_list(low.lower(pc.proj)).as(outCol))
+      val listDf = sub.df.agg(collect_list(low.lower(projItems.head._2)).as(outCol))
       val df =
         if (lf.df.columns.isEmpty) listDf else lf.df.crossJoin(listDf)
       return LF(df, lf.scope + (name -> Binding.ValueB))
@@ -766,15 +850,19 @@ final class Planner(
     var (sub, subEdges) = planPattern(seed, pc.pattern)
     sub = edgeUniqueness(sub, subEdges)
     pc.where.foreach { w => sub = planWhere(sub, w) }
+    val (sub2, projItems) =
+      rewritePatternComprehensions(sub, Seq(("__rp", pc.proj)))
+    sub = sub2
     val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
-    val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
-    val outCol = s"$name${Frames.Sep}_val"
+    val keyCols = shared.map(v => varKeyCol(seed.df, v))
     val grouped = sub.df
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(low.lower(pc.proj)).as(outCol))
+      .agg(collect_list(low.lower(projItems.head._2)).as(outCol))
     val renamed = keyCols.foldLeft(grouped)((d, c) =>
       d.withColumnRenamed(c, s"__rc_$c"))
-    val cond = keyCols.map(c => col(c) === col(s"__rc_$c")).reduce(_ && _)
+    // null-safe equality: a NULL-valued correlation key (value vars) still
+    // joins its list back
+    val cond = keyCols.map(c => col(c) <=> col(s"__rc_$c")).reduce(_ && _)
     var joined = lf.df
       .join(renamed, cond, "left_outer")
       .drop(keyCols.map(c => s"__rc_$c"): _*)
@@ -813,16 +901,22 @@ final class Planner(
       val name = n.variable.getOrElse(fresh("cn"))
       if (n.variable.exists(cur.scope.contains)) (cur, name)
       else {
-        val base =
+        val base0 =
           if (cur.df.columns.isEmpty) spark.range(1).toDF().select()
           else cur.df
-        val low = new ExprLowering(base, cur.scope, params, enums = state.enums)
+        // pattern comprehensions in CREATE properties evaluate against the
+        // pre-create state (reference CreateNode pulls operand exprs first)
+        val (baseLf, propItems) = rewritePatternComprehensions(
+          LF(base0, cur.scope), n.props)
+        val base = baseLf.df
+        val low = new ExprLowering(
+          base, baseLf.scope, params, enums = state.enums)
         val labelsArr =
           if (n.labels.isEmpty) array().cast("array<string>")
           else array(n.labels.map(lit): _*)
         var withNew = base
           .withColumn(s"$name${Frames.Sep}${GraphState.LabelsCol}", labelsArr)
-        n.props.foreach { case (k, e) =>
+        propItems.foreach { case (k, e) =>
           withNew = withNew.withColumn(s"$name${Frames.Sep}$k", low.lower(e))
         }
         if (oneRow) {
@@ -868,12 +962,15 @@ final class Planner(
         if (rel.direction == InDir) (Frames.id(bName), Frames.id(aName))
         else (Frames.id(aName), Frames.id(bName))
       val eName = rel.variable.getOrElse(fresh("ce"))
-      val low = new ExprLowering(cur.df, cur.scope, params, enums = state.enums)
-      var withE = cur.df
+      val (curLf, propItems) =
+        rewritePatternComprehensions(cur, rel.props)
+      val low = new ExprLowering(
+        curLf.df, curLf.scope, params, enums = state.enums)
+      var withE = curLf.df
         .withColumn(s"$eName${Frames.Sep}${GraphState.SrcCol}", src)
         .withColumn(s"$eName${Frames.Sep}${GraphState.DstCol}", dst)
         .withColumn(s"$eName${Frames.Sep}${GraphState.TypeCol}", lit(tpe))
-      rel.props.foreach { case (k, e) =>
+      propItems.foreach { case (k, e) =>
         withE = withE.withColumn(s"$eName${Frames.Sep}$k", low.lower(e))
       }
       if (oneRow) {
@@ -938,7 +1035,11 @@ final class Planner(
     * sees them — the reference's Accumulate visibility (operator.hpp:1870).
     */
   private def planSet(lf: LF, items: Seq[SetItem]): LF = items.foldLeft(lf) {
-    case (cur, SetProp(v, key, e)) =>
+    case (cur0, SetProp(v, key, e0)) =>
+      // pattern comprehensions / degree calls in SET values go through the
+      // same frame rewrite as WITH/RETURN items (evaluated against the
+      // pre-SET state, reference Merge/SetProperty operand order)
+      val (cur, e) = rewriteOneExpr(cur0, e0)
       val low = lowering(cur)
       val value = low.lower(e)
       cur.scope.get(v) match {
@@ -953,7 +1054,8 @@ final class Planner(
       }
       LF(cur.df.withColumn(s"$v${Frames.Sep}$key", value), cur.scope)
     // SetNestedProperty (operator.hpp:1490): SET n.p.k1…kn = v.
-    case (cur, SetNestedProp(v, path, e)) =>
+    case (cur0, SetNestedProp(v, path, e0)) =>
+      val (cur, e) = rewriteOneExpr(cur0, e0)
       val low = lowering(cur)
       val value = low.lower(e)
       val updates = dedupUpdates(cur, low, v, value)
@@ -1004,6 +1106,18 @@ final class Planner(
         case MapLit(items) =>
           val low = lowering(lf)
           items.map { case (k, e) => k -> low.lower(e) }
+        // SET a = b / SET a += b with b a bound entity: the keys are b's
+        // promoted property columns (statically known from the frame)
+        case Var(src)
+            if lf.scope.get(src).exists(b =>
+              b == Binding.NodeB || b == Binding.EdgeB) =>
+          val meta = Set(
+            GraphState.IdCol, GraphState.LabelsCol, GraphState.TypeCol,
+            GraphState.SrcCol, GraphState.DstCol)
+          Frames.colsOf(lf.df, src)
+            .map(_.substring(src.length + Frames.Sep.length))
+            .filterNot(meta)
+            .map(k => k -> Frames.f(src, k))
         case Param(name) =>
           params.getOrElse(
             name,
@@ -1211,9 +1325,14 @@ final class Planner(
       return
     }
 
-    val want = oneRow(lf)
-      .select(n.props.map { case (k, e) => low.lower(e).as(k) }: _*)
-      .distinct()
+    val want = {
+      val (wl, wItems) = rewritePatternComprehensions(
+        LF(oneRow(lf), lf.scope), n.props)
+      val wLow = new ExprLowering(wl.df, wl.scope, params, enums = state.enums)
+      wl.df
+        .select(wItems.map { case (k, e) => wLow.lower(e).as(k) }: _*)
+        .distinct()
+    }
 
     {
       // the scan may lack some merge-prop columns entirely (e.g. unlabeled
@@ -1340,12 +1459,36 @@ final class Planner(
     edgeUniqueness(bound, newEdges)
   }
 
+  /** Re-read one bound property column from the current state (post-body
+    * FOREACH visibility): id-equi-join against the node/edge set. */
+  private def refreshVarProp(lf: LF, v: String, key: String): LF = {
+    val isNode = lf.scope.get(v).contains(Binding.NodeB)
+    val src0 = if (isNode) state.allNodes else state.allEdges
+    val src =
+      if (src0.columns.contains(key))
+        src0.select(col(GraphState.IdCol).as("__rfid"), col(key).as("__rfval"))
+      else
+        src0.select(
+          col(GraphState.IdCol).as("__rfid"), lit(null).as("__rfval"))
+    val colName = s"$v${Frames.Sep}$key"
+    val df = lf.df
+      .drop(colName)
+      .join(src, Frames.id(v) === col("__rfid"), "left_outer")
+      .withColumnRenamed("__rfval", colName)
+      .drop("__rfid")
+    LF(df, lf.scope)
+  }
+
   /** The single join-key column of a bound variable: `_id` for entities,
     * the value column otherwise. */
   private def varKeyCol(df: DataFrame, v: String): String = {
     val idc = s"$v${Frames.Sep}${GraphState.IdCol}"
     if (df.columns.contains(idc)) idc
-    else s"$v${Frames.Sep}_val"
+    else {
+      val valc = s"$v${Frames.Sep}_val"
+      if (df.columns.contains(valc)) valc
+      else Frames.colsOf(df, v).headOption.getOrElse(valc)
+    }
   }
 
   /** Constant evaluation for procedure arguments (literals, maps, lists,
@@ -1422,6 +1565,55 @@ final class Planner(
           srcVar, eVar, types, dir, dstBound))
 
       rel.varLength match {
+        case None if rel.variable.exists(v =>
+              cur.scope.get(v).contains(Binding.EdgeB)) =>
+          // re-match of an ALREADY-BOUND relationship variable
+          // (`MATCH (a)-[r]->(b) … MATCH (x)-[r]->(y)`): the reference
+          // frame holds one symbol per variable, so the second pattern
+          // VALIDATES r's endpoints/type against the new pattern instead
+          // of re-binding — constrain, don't re-join the edge frame.
+          val e = eVar
+          var df = cur.df
+          if (types.nonEmpty)
+            df = df.filter(
+              Frames.f(e, GraphState.TypeCol).isin(types.map(x => x: Any): _*))
+          val srcId = Frames.id(srcVar)
+          val eSrc = Frames.src(e)
+          val eDst = Frames.dst(e)
+          if (dstBound) {
+            val dstId = Frames.id(dstName)
+            val cond = dir match {
+              case Expand.Out => eSrc === srcId && eDst === dstId
+              case Expand.In => eDst === srcId && eSrc === dstId
+              case Expand.Both =>
+                (eSrc === srcId && eDst === dstId) ||
+                  (eDst === srcId && eSrc === dstId)
+            }
+            cur = LF(df.filter(cond), cur.scope)
+            cur = nodeConstraints(cur, dstName, node.labels, node.props)
+          } else {
+            val (nearCond, farCol) = dir match {
+              case Expand.Out => (eSrc === srcId, eDst)
+              case Expand.In => (eDst === srcId, eSrc)
+              case Expand.Both => (
+                eSrc === srcId || eDst === srcId,
+                when(eSrc === srcId, eDst).otherwise(eSrc))
+            }
+            val filtered = df.filter(nearCond).withColumn("__farid", farCol)
+            val nodesDf = Frames.bind(dstName)(
+              node.labels.headOption
+                .map(state.nodesOrEmpty)
+                .getOrElse(state.allNodes))
+            val joined = filtered
+              .join(nodesDf, col("__farid") === Frames.id(dstName))
+              .drop("__farid")
+            cur = LF(joined, cur.scope + (dstName -> Binding.NodeB))
+            setHint(dstName, node.labels.headOption.map(Set(_)))
+            cur = nodeConstraints(cur, dstName, node.labels, node.props)
+          }
+          cur = relConstraints(cur, e, rel.props)
+          // no new edge binding → not part of this MATCH's cyphermorphism
+
         case None =>
           if (dstBound) {
             val df = Expand.toExisting(cur.df, state, srcVar, eVar, types, dir, dstName)
@@ -2422,20 +2614,24 @@ final class Planner(
       v: String,
       extraLabels: Seq[String],
       props: Seq[(String, Expr)]): LF = {
-    var df = lf.df
+    var cur = lf
     extraLabels.foreach { l =>
-      df = df.filter(array_contains(Frames.f(v, GraphState.LabelsCol), l))
+      cur = LF(
+        cur.df.filter(array_contains(Frames.f(v, GraphState.LabelsCol), l)),
+        cur.scope)
     }
-    if (props.nonEmpty) {
-      val low = new ExprLowering(df, lf.scope, params, enums = state.enums)
-      props.foreach { case (k, e) =>
-        val c =
-          if (df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
-          else lit(null)
-        df = df.filter(c === low.lower(e))
-      }
+    props.foreach { case (k, e0) =>
+      // property patterns may hold pattern comprehensions
+      // (`MERGE (n {val: [(x)--() | 1]})` re-match) — frame rewrite first
+      val (cur2, e) = rewriteOneExpr(cur, e0)
+      cur = cur2
+      val low = new ExprLowering(cur.df, cur.scope, params, enums = state.enums)
+      val c =
+        if (cur.df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
+        else lit(null)
+      cur = LF(cur.df.filter(c === low.lower(e)), cur.scope)
     }
-    LF(df, lf.scope)
+    cur
   }
 
   private def relConstraints(lf: LF, v: String, props: Seq[(String, Expr)]): LF =
@@ -2840,12 +3036,21 @@ final class Planner(
       case (alias, Var(n)) if alias != n && lf0.scope.contains(n) => alias -> n
     }.toMap
     val obRaw = body.orderBy
+    // an AGGREGATING projection rewrites its WHERE/ORDER BY comprehensions
+    // against the post-aggregation frame instead (the pre-agg helper
+    // columns would not survive the groupBy)
+    val hasAggPre = {
+      val l0 = lowering(lf0)
+      itemsRaw.exists { case (_, e) => l0.hasAgg(e) }
+    }
     val waRaw = whereAfter.toSeq.map(e => ("__wa", substVars(e, aliasBack)))
     val obItems = obRaw.zipWithIndex.map { case ((e, _), i) =>
       (s"__ob$i", substVars(e, aliasBack))
     }
     val (lfR, rewrittenAll) =
-      rewritePatternComprehensions(lf0, itemsRaw ++ waRaw ++ obItems)
+      rewritePatternComprehensions(
+        lf0,
+        if (hasAggPre) itemsRaw else itemsRaw ++ waRaw ++ obItems)
     val items = rewrittenAll.take(itemsRaw.size)
     // id-array paths (BFS / var-length) and var-length edge lists
     // projected as VALUES get their entity arrays materialized here — the
@@ -2872,13 +3077,19 @@ final class Planner(
         }
       }
     }
-    val whereAfter2: Option[Expr] = rewrittenAll
-      .slice(itemsRaw.size, itemsRaw.size + waRaw.size)
-      .headOption.map(_._2)
-    val orderBy2: Seq[(Expr, Boolean)] = rewrittenAll
-      .drop(itemsRaw.size + waRaw.size)
-      .map(_._2)
-      .zip(obRaw.map(_._2))
+    val whereAfter2: Option[Expr] =
+      if (hasAggPre) whereAfter
+      else
+        rewrittenAll
+          .slice(itemsRaw.size, itemsRaw.size + waRaw.size)
+          .headOption.map(_._2)
+    val orderBy2: Seq[(Expr, Boolean)] =
+      if (hasAggPre) obRaw
+      else
+        rewrittenAll
+          .drop(itemsRaw.size + waRaw.size)
+          .map(_._2)
+          .zip(obRaw.map(_._2))
     val low0 = lowering(lf)
 
     val hasAgg = items.exists { case (_, e) => low0.hasAgg(e) }
@@ -2998,22 +3209,41 @@ final class Planner(
     }
 
     if (hasAgg) {
-      // HAVING-style WHERE + ORDER BY on the aggregated frame
-      val lowA = new ExprLowering(df, newScope, params, enums = state.enums)
-      whereAfter2.foreach { w =>
-        df = df.withColumn("__waflag", lowA.lower(resolveAlias(w, items)))
+      // HAVING-style WHERE + ORDER BY on the aggregated frame; their
+      // pattern comprehensions rewrite HERE (post-agg) where group-key
+      // entities are still bound under their aliases
+      val (lfA, postItems) = rewritePatternComprehensions(
+        LF(df, newScope),
+        whereAfter2.toSeq.map(e => ("__wa", resolveAlias(e, items))) ++
+          orderBy2.zipWithIndex.map { case ((e, _), i) =>
+            (s"__ob$i", resolveAlias(e, items))
+          })
+      df = lfA.df
+      val waPost = postItems.take(whereAfter2.size).headOption.map(_._2)
+      val obPost = postItems
+        .drop(whereAfter2.size)
+        .map(_._2)
+        .zip(orderBy2.map(_._2))
+      val lowA = new ExprLowering(df, lfA.scope, params, enums = state.enums)
+      waPost.foreach { w => df = df.withColumn("__waflag", lowA.lower(w)) }
+      // sort keys are computed BEFORE the final select (helper columns
+      // would be dropped there), carried through, then dropped
+      val sortCols = obPost.zipWithIndex.map { case ((e, _), i) =>
+        (s"__sorta$i", lowA.lower(e))
       }
+      sortCols.foreach { case (nm, c) => df = df.withColumn(nm, c) }
       df = selectFinal(
         df, lowered,
-        keep = if (whereAfter2.isDefined) Seq("__waflag") else Nil)
-      if (orderBy2.nonEmpty) {
-        val lowF = new ExprLowering(df, newScope, params, enums = state.enums)
-        val order = orderBy2.map { case (e, asc) =>
-          val c = lowF.lower(resolveAlias(e, items))
-          if (asc) c.asc_nulls_last else c.desc_nulls_first
+        keep = sortCols.map(_._1) ++
+          (if (waPost.isDefined) Seq("__waflag") else Nil))
+      if (obPost.nonEmpty) {
+        val order = obPost.zipWithIndex.map { case (((_, asc)), i) =>
+          if (asc) col(s"__sorta$i").asc_nulls_last
+          else col(s"__sorta$i").desc_nulls_first
         }
         df = df.orderBy(order: _*)
       }
+      df = df.drop(sortCols.map(_._1): _*)
     } else if (body.distinct) {
       df = df.dropDuplicates()
       if (orderBy2.nonEmpty) {

@@ -12,42 +12,42 @@ class GqlBehaveSpec extends GqlHarness {
   // into skips fails the floor, not just wrong answers.
   // map_operations.feature is all map-valued cells (not comparable here).
   protected lazy val targets: Seq[(String, Int)] = Seq(
-    "aggregations.feature" -> 66,
+    "aggregations.feature" -> 68,
     // r9: exists(pattern) now evaluates in general expression positions,
     // so the reference's "exists does not work in CASE" error scenario
     // runs leniently (we accept what it rejects) - one pass became lenient
     "case.feature" -> 9,
-    "with.feature" -> 21,
+    "with.feature" -> 22,
     "union.feature" -> 14,
     "list_operations.feature" -> 28,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
     "create.feature" -> 22,
     "delete.feature" -> 10,
-    "update_clauses.feature" -> 10,
+    "update_clauses.feature" -> 18,
     "map_projection.feature" -> 4,
     "nested_property_update.feature" -> 28,
-    "match.feature" -> 43,
-    "foreach.feature" -> 6,
-    "merge.feature" -> 16,
+    "match.feature" -> 45,
+    "foreach.feature" -> 12,
+    "merge.feature" -> 26,
     "functions.feature" -> 81,
     "list_comprehension.feature" -> 12,
     "map_operations.feature" -> 4,
     "map.feature" -> 11,
-    "patterns.feature" -> 15,
+    "patterns.feature" -> 19,
     "subqueries.feature" -> 32,
-    "parameters.feature" -> 3,
-    "pattern_comprehensions.feature" -> 26,
+    "parameters.feature" -> 4,
+    "pattern_comprehensions.feature" -> 53,
     "cartesian.feature" -> 32,
     "memgraph_bfs.feature" -> 20,
     "memgraph_wshortest.feature" -> 22,
     "memgraph_allshortest.feature" -> 26,
-    "memgraph_exists.feature" -> 51,
+    "memgraph_exists.feature" -> 53,
     "hops_limit.feature" -> 13,
     "memgraph.feature" -> 7,
     "indices.feature" -> 16,
     "edge_indices_usage.feature" -> 3,
-    "caching.feature" -> 6,
+    "caching.feature" -> 7,
     "descriptions.feature" -> 19,
     "periodic_commit.feature" -> 6,
     // r9: USING PERIODIC COMMIT now parses, so the 13 use-after-delete

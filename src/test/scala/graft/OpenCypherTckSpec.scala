@@ -25,10 +25,10 @@ class OpenCypherTckSpec extends GqlHarness {
     "LabelsAcceptance.feature" -> 12,
     "Literals.feature" -> 11,
     "MatchAcceptance.feature" -> 29,
-    "MatchAcceptance2.feature" -> 70,
+    "MatchAcceptance2.feature" -> 80,
     "MatchingSelfRelationships.feature" -> 19,
     "MergeNodeAcceptance.feature" -> 24,
-    "MergeRelationshipAcceptance.feature" -> 14,
+    "MergeRelationshipAcceptance.feature" -> 30,
     "NullAcceptance.feature" -> 8,
     "OptionalMatch.feature" -> 3,
     "OptionalMatchAcceptance.feature" -> 18,
