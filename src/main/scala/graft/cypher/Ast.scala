@@ -60,6 +60,10 @@ object Ast {
       pattern: PatternPart,
       where: Option[Expr],
       proj: Expr) extends Expr
+  /** `EXISTS { <clauses> [UNION <clauses>]… }` — the full-subquery form
+    * (ast.hpp exists.hpp): true iff the inner query yields ≥1 row for the
+    * current binding. Inner names shared with the outer scope correlate. */
+  final case class ExistsSubquery(q: Query) extends Expr
 
   // ---------- patterns ----------
   sealed trait Direction
@@ -103,7 +107,12 @@ object Ast {
         * iff pred holds. The optional third var binds the accumulated
         * path, the optional fourth (WSHORTEST only) the accumulated
         * weight including e. */
-      filterLambda: Option[StepLambda] = None)
+      filterLambda: Option[StepLambda] = None,
+      /** Written `<-[…]->` (both arrowheads). Single-hop: undirected.
+        * Var-length: either-direction steps, but the FIRST edge must
+        * point into the left endpoint and the LAST edge into the right
+        * one (TCK VarLengthAcceptance "mixed directions" semantics). */
+      bothArrows: Boolean = false)
 
   /** Per-expansion lambda `(e, n [, p [, w]] | pred)` — `e` the traversed
     * edge, `n` its target node, `p` the accumulated path INCLUDING e/n,
@@ -239,7 +248,14 @@ object Ast {
       updates: Seq[Clause]) extends Clause
   /** CALL { subquery } (`Apply`, operator.hpp:3061): correlated via a
     * leading import `WITH var, …`, else uncorrelated (cartesian). */
-  final case class CallSubquery(inner: SingleQuery) extends Clause
+  final case class CallSubquery(
+      inner: SingleQuery,
+      /** `CALL (a, b) { }` variable-scoped imports: None = legacy form
+        * (imports via a leading `WITH a, b`); Some(Seq("*")) = all outer
+        * variables; Some(Nil) = none. */
+      scopeImports: Option[Seq[String]] = None,
+      /** UNION branches inside the braces. */
+      unions: Seq[(Boolean, SingleQuery)] = Nil) extends Clause
 
   // ---------- query ----------
   final case class SingleQuery(clauses: Seq[Clause])

@@ -231,7 +231,14 @@ object CypherParser extends RegexParsers {
       } |
       // EXISTS { (a)-[:T]->(b) } — bare-pattern subquery
       kw("EXISTS") ~> "{" ~> patternPart <~ "}" ^^ (p =>
-        PatternPredicate(p, negated = false))
+        PatternPredicate(p, negated = false)) |
+      // EXISTS { <full subquery> } — WITH prefixes, UNION branches
+      kw("EXISTS") ~> "{" ~> (singleQuery ~
+        rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery)) <~ "}" ^^ {
+        case f ~ us =>
+          ExistsSubquery(
+            Query(f, us.map { case a ~ q => (a.isDefined, q) }))
+      }
 
   def countStar: Parser[Expr] =
     ("""(?i)count""".r ~ "(" ~ "*" ~ ")") ^^ (_ => CountStar())
@@ -359,7 +366,8 @@ object CypherParser extends RegexParsers {
     }
 
   def relPattern: Parser[RelPattern] =
-    ("<-" ~> opt(relDetail) <~ "->") ^^ (r => fill(r).copy(direction = BothDir)) |
+    ("<-" ~> opt(relDetail) <~ "->") ^^ (r =>
+      fill(r).copy(direction = BothDir, bothArrows = true)) |
       ("<-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = InDir)) |
       ("-" ~> opt(relDetail) <~ "->") ^^ (r => fill(r).copy(direction = OutDir)) |
       ("-" ~> opt(relDetail) <~ "-") ^^ (r => fill(r).copy(direction = BothDir))
@@ -587,10 +595,18 @@ object CypherParser extends RegexParsers {
   def callSubquery: Parser[Clause] =
     // `IN TRANSACTIONS OF n ROWS` is the same commit-batching hint as
     // USING PERIODIC COMMIT — accepted, batch size ignored (snapshot
-    // semantics yields the identical observable result)
-    (kw("CALL") ~> "{" ~> singleQuery <~ "}") <~
+    // semantics yields the identical observable result).
+    // `CALL (a, b) { }` / `CALL (*) { }` / `CALL () { }` is the
+    // variable-scoped form; UNION branches may appear inside the braces.
+    (kw("CALL") ~>
+      opt("(" ~> repsep("*" ^^^ "*" | ident, ",") <~ ")") ~
+      ("{" ~> singleQuery ~
+        rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery) <~ "}")) <~
       opt(kw("IN") ~> kw("TRANSACTIONS") ~>
-        opt(kw("OF") ~> """\d+""".r ~> kw("ROWS"))) ^^ CallSubquery.apply
+        opt(kw("OF") ~> """\d+""".r ~> kw("ROWS"))) ^^ {
+      case scoped ~ (f ~ us) =>
+        CallSubquery(f, scoped, us.map { case a ~ q => (a.isDefined, q) })
+    }
 
   // ---------- mutation clauses ----------
   def createClause: Parser[Clause] =

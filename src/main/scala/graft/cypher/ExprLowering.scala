@@ -297,6 +297,9 @@ final class ExprLowering(
     case p: PatternComprehension =>
       throw new UnsupportedOperationException(
         "pattern comprehensions are only supported in WITH/RETURN items")
+    case _: ExistsSubquery =>
+      throw new UnsupportedOperationException(
+        "EXISTS { subquery } is only supported as a WHERE conjunct")
   }
 
   /** Is `n` bound to a node or edge (vs a plain value / lambda var)? */

@@ -129,22 +129,73 @@ final class Planner(
   private var hopsCounterStatic: Option[Long] = None
 
   private def statementTraverses(q: Query): Boolean = {
-    def inPart(p: PatternPart): Boolean = p.hops.nonEmpty
+    def inPart(p: PatternPart): Boolean =
+      p.hops.nonEmpty ||
+        (p.start.props ++ p.hops.flatMap { case (r, n) =>
+          r.props ++ n.props
+        }).exists { case (_, e) => inExpr(e) }
+    // FULL recursive walk: a pattern comprehension / exists() / EXISTS { }
+    // ANYWHERE in an expression tree (nested inside OR/CASE/lists, in
+    // projection bodies, UNWIND lists, SET values) is a traversal —
+    // conservative: a false positive only skips getHopsCounter(), never
+    // mis-answers it
     def inExpr(e: Expr): Boolean = e match {
-      case PatternPredicate(p, _) => inPart(p)
-      case _ =>
-        // conservative: any pattern-comprehension-bearing expression is a
-        // traversal (varsIn walks everything else; a false positive only
-        // skips, never mis-answers)
-        e.isInstanceOf[PatternComprehension]
+      case PatternPredicate(p, _) => p.hops.nonEmpty
+      case _: PatternComprehension => true
+      case _: ExistsSubquery => true
+      case BinOp(_, a, b) => inExpr(a) || inExpr(b)
+      case Not(a) => inExpr(a)
+      case Neg(a) => inExpr(a)
+      case IsNull(a, _) => inExpr(a)
+      case Prop(a, _) => inExpr(a)
+      case FnCall(_, _, as) => as.exists(inExpr)
+      case CaseExpr(s, ws, d) =>
+        s.exists(inExpr) ||
+          ws.exists { case (a, b) => inExpr(a) || inExpr(b) } ||
+          d.exists(inExpr)
+      case Subscript(a, b) => inExpr(a) || inExpr(b)
+      case Slice(a, b, c) =>
+        inExpr(a) || b.exists(inExpr) || c.exists(inExpr)
+      case ListLit(is) => is.exists(inExpr)
+      case MapLit(is) => is.exists(kv => inExpr(kv._2))
+      case MapProjection(_, is) =>
+        is.exists { case ProjKV(_, x) => inExpr(x); case _ => false }
+      case Reduce(_, i, _, l, st) => inExpr(i) || inExpr(l) || inExpr(st)
+      case ListComprehension(_, l, w, p) =>
+        inExpr(l) || w.exists(inExpr) || p.exists(inExpr)
+      case Quantifier(_, _, l, p) => inExpr(l) || inExpr(p)
+      case HasLabel(a, _) => inExpr(a)
+      case _ => false
+    }
+    def inBody(b: ProjectionBody): Boolean =
+      b.items.exists(i => inExpr(i.expr)) ||
+        b.orderBy.exists { case (e, _) => inExpr(e) }
+    def inSetItem(s: SetItem): Boolean = s match {
+      case SetProp(_, _, e) => inExpr(e)
+      case SetNestedProp(_, _, e) => inExpr(e)
+      case SetAllProps(_, e, _) => inExpr(e)
+      case _ => false
     }
     def inClause(c: Clause): Boolean = c match {
       case m: Match =>
-        m.patterns.exists(inPart) ||
-          m.where.exists(w => conjuncts(w).exists(inExpr))
-      case m: MergeCl => inPart(m.pattern)
-      case cs: CallSubquery => inSingle(cs.inner)
-      case f: ForeachCl => f.updates.exists(inClause)
+        m.patterns.exists(inPart) || m.where.exists(inExpr)
+      case m: MergeCl =>
+        inPart(m.pattern) || (m.onCreate ++ m.onMatch).exists(inSetItem)
+      case With(b, w) => inBody(b) || w.exists(inExpr)
+      case Return(b) => inBody(b)
+      case Unwind(e, _) => inExpr(e)
+      case SetCl(items) => items.exists(inSetItem)
+      case CreateCl(ps) =>
+        // creating a chain is not an expansion — only its property
+        // EXPRESSIONS can traverse
+        ps.exists(p =>
+          (p.start.props ++ p.hops.flatMap { case (r, n) =>
+            r.props ++ n.props
+          }).exists { case (_, e) => inExpr(e) })
+      case cs: CallSubquery =>
+        (cs.inner +: cs.unions.map(_._2)).exists(inSingle)
+      case f: ForeachCl =>
+        inExpr(f.list) || f.updates.exists(inClause)
       case _ => false
     }
     def inSingle(sq: SingleQuery): Boolean = sq.clauses.exists(inClause)
@@ -461,43 +512,50 @@ final class Planner(
       // writes to OUTER-scope entities inside the body must be visible to
       // the rest of the statement (`FOREACH (… | SET n.prop = …) RETURN
       // n.prop`): refresh those bound columns from the post-body state
-      def setTargets(cs: Seq[Clause]): Seq[(String, String)] = cs.flatMap {
-        case SetCl(items) => items.collect {
-          case SetProp(sv, k, _) => (sv, k)
-          case SetNestedProp(sv, path, _) => (sv, path.head)
-        }
-        case ForeachCl(_, _, us) => setTargets(us)
-        case mc: MergeCl =>
-          (mc.onCreate ++ mc.onMatch).collect {
-            case SetProp(sv, k, _) => (sv, k)
-            case SetNestedProp(sv, path, _) => (sv, path.head)
-          }
-        case _ => Nil
-      }
-      setTargets(updates)
-        .distinct
-        .filter { case (sv, _) =>
-          lf.scope.get(sv).exists(b =>
-            b == Binding.NodeB || b == Binding.EdgeB)
-        }
-        .foldLeft(lf) { case (cur, (sv, k)) => refreshVarProp(cur, sv, k) }
+      refreshSetTargets(lf, updates)
 
-    case CallSubquery(inner) =>
+    case CallSubquery(inner0, scoped, unions) =>
       // An UNCORRELATED subquery that WRITES must still run once per input
       // row (the reference's Apply pipelines rows through it — a counter
       // pattern observes 1,2,3, operator.hpp:3061); decorrelation would
       // collapse those N executions into one. Correlated subqueries keep
       // the decorrelated join (per-distinct-binding ≡ per-row for them).
-      if (inner.clauses.exists(mutatesClause) && callImports(inner).isEmpty)
+      // `CALL (a, b) { }` scoped imports desugar to the leading-WITH form;
+      // `(*)` imports every outer variable, `()` none.
+      val importNames: Seq[String] = scoped match {
+        case Some(Seq("*")) =>
+          lf.scope.vars.map(_._1).filterNot(_.startsWith("__")).toSeq
+        case Some(names) => names
+        case None => Nil
+      }
+      def addImport(sq: SingleQuery): SingleQuery =
+        if (importNames.isEmpty) sq
+        else
+          SingleQuery(
+            With(
+              ProjectionBody(
+                distinct = false,
+                items = importNames.map(n => ReturnItem(Var(n), None)),
+                star = false, orderBy = Nil, skip = None, limit = None),
+              None) +: sq.clauses)
+      val inner = addImport(inner0)
+      val branchesAll = inner +: unions.map { case (_, sq) => addImport(sq) }
+      val dedup = unions.exists(!_._1)
+      if (unions.isEmpty && inner.clauses.exists(mutatesClause) &&
+        callImports(inner).isEmpty)
         planCallSubqueryPerRow(lf, inner)
-      else planCallSubquery(lf, inner)
+      else
+        planCallSubquery(
+          lf, branchesAll, dedup,
+          carryImports = scoped.exists(_.nonEmpty))
   }
 
   private def mutatesClause(c: Clause): Boolean = c match {
     case _: CreateCl | _: SetCl | _: DeleteCl | _: RemoveCl | _: MergeCl =>
       true
     case ForeachCl(_, _, us) => us.exists(mutatesClause)
-    case CallSubquery(inner) => inner.clauses.exists(mutatesClause)
+    case CallSubquery(inner, _, us) =>
+      (inner +: us.map(_._2)).exists(_.clauses.exists(mutatesClause))
     case _ => false
   }
 
@@ -559,32 +617,65 @@ final class Planner(
       newVars.foldLeft(lf.scope)((sc, v) => sc + (v -> Binding.ValueB)))
   }
 
-  /** CALL { [WITH imports] … RETURN items } — the reference's `Apply`
-    * (operator.hpp:3061), decorrelated: the subquery is planned once from
-    * the distinct imported bindings and joined back, instead of being
-    * pulled per input row. */
-  private def planCallSubquery(lf: LF, inner: SingleQuery): LF = {
+  /** CALL { [WITH imports] … RETURN items } (+ UNION branches) — the
+    * reference's `Apply` (operator.hpp:3061), decorrelated: each branch is
+    * planned once from the distinct imported bindings and joined back,
+    * instead of being pulled per input row. A body with no trailing RETURN
+    * is a UNIT subquery: its writes apply, the outer frame is unchanged. */
+  private def planCallSubquery(
+      lf: LF,
+      branches: Seq[SingleQuery],
+      dedup: Boolean,
+      carryImports: Boolean = false): LF = {
     // the subquery plans with this planner instance; its variable names may
     // shadow outer ones, so restore the outer hints afterwards (plus hints
     // for the vars the subquery returns)
     val savedHints = frameHints
-    val imports: Seq[String] = inner.clauses.headOption match {
-      case Some(With(body, None))
-          if body.items.nonEmpty &&
-            body.items.forall(i => i.expr.isInstanceOf[Var] && i.as.isEmpty) =>
-        body.items.map(_.expr.asInstanceOf[Var].name)
-      case _ => Nil
-    }
+    val imports: Seq[String] = callImports(branches.head)
+    val returning =
+      (if (imports.isEmpty) branches.head.clauses
+       else branches.head.clauses.tail).lastOption.exists(_.isInstanceOf[Return])
+    // `CALL (a, b) { }` scoped imports stay VISIBLE through the body's own
+    // WITH projections (memgraph scoped-subquery scoping) — carry them
+    def carryClauses(cs: Seq[Clause]): Seq[Clause] =
+      if (!carryImports) cs
+      else
+        cs.map {
+          case With(b, w) if !b.star =>
+            val produced = b.items.zipWithIndex.map {
+              case (ReturnItem(e2, as), i) => as.getOrElse(deriveAlias(e2, i))
+            }
+            With(
+              b.copy(items = b.items ++ imports
+                .filterNot(produced.contains)
+                .map(n => ReturnItem(Var(n), Some(n)))),
+              w)
+          case c => c
+        }
     if (imports.isEmpty) {
-      val subDf = planSingle(inner)
-      val renamed = subDf.select(
-        subDf.columns.map(c => col(c).as(s"$c${Frames.Sep}_val")).toSeq: _*)
+      if (!returning) {
+        // unit subquery: effects only; outer bound columns its SETs
+        // touched refresh from the new state
+        branches.foreach(planSingle)
+        frameHints = savedHints
+        return refreshSetTargets(lf, branches.flatMap(_.clauses))
+      }
+      val subDfs = branches.map(planSingle)
+      var merged = subDfs
+        .map(d =>
+          d.select(
+            d.columns.map(c => col(c).as(s"$c${Frames.Sep}_val")).toSeq: _*))
+        .reduce(_ unionByName _)
+      if (dedup) merged = merged.dropDuplicates()
       val df =
-        if (lf.df.columns.isEmpty) renamed else lf.df.crossJoin(renamed)
+        if (lf.df.columns.isEmpty) merged else lf.df.crossJoin(merged)
       frameHints = savedHints // subquery outputs re-enter as values
-      LF(
-        df,
-        subDf.columns.foldLeft(lf.scope)((sc, c) => sc + (c -> Binding.ValueB)))
+      refreshSetTargets(
+        LF(
+          df,
+          subDfs.head.columns.foldLeft(lf.scope)((sc, c) =>
+            sc + (c -> Binding.ValueB))),
+        branches.flatMap(_.clauses))
     } else {
       require(
         imports.forall(lf.scope.contains),
@@ -593,18 +684,34 @@ final class Planner(
       val seedScope =
         Scope(lf.scope.vars.filter { case (nm, _) => imports.contains(nm) })
       val seed = LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
-      val rest = inner.clauses.tail
-      val retBody = rest.lastOption match {
-        case Some(Return(b)) => b
-        case _ =>
-          throw new IllegalArgumentException("CALL { } must end with RETURN")
+      if (!returning) {
+        // unit subquery: run each branch for its writes, keep the frame
+        branches.foreach(sq =>
+          carryClauses(sq.clauses.tail).foldLeft(seed)(planClause))
+        frameHints = savedHints
+        return refreshSetTargets(lf, branches.flatMap(_.clauses.tail))
       }
-      val pre = rest.init.foldLeft(seed)(planClause)
-      // project the RETURN items plus the import keys (so we can join back)
-      val body2 = retBody.copy(
-        items = retBody.items ++ imports.map(v => ReturnItem(Var(v), None)),
-        star = false)
-      val subP = project(pre, body2, None, isReturn = false)
+      val subPs = branches.map { sq =>
+        val rest = sq.clauses.tail
+        val retBody = rest.lastOption match {
+          case Some(Return(b)) => b
+          case _ =>
+            throw new IllegalArgumentException(
+              "CALL { } UNION branches must all end with RETURN")
+        }
+        val pre = carryClauses(rest.init).foldLeft(seed)(planClause)
+        // project the RETURN items plus the import keys (join-back keys)
+        val body2 = retBody.copy(
+          items = retBody.items ++ imports.map(v => ReturnItem(Var(v), None)),
+          star = false)
+        project(pre, body2, None, isReturn = false)
+      }
+      val subP = LF(
+        {
+          val u = subPs.map(_.df).reduce(_ unionByName _)
+          if (dedup) u.dropDuplicates() else u
+        },
+        subPs.head.scope)
       val keyCols: Seq[String] = imports.map { v =>
         lf.scope.get(v) match {
           case Some(Binding.NodeB) | Some(Binding.EdgeB) =>
@@ -625,7 +732,9 @@ final class Planner(
       frameHints = savedHints ++ frameHints.filter { case (k, _) =>
         newVars.exists(_._1 == k)
       }
-      LF(joined, newVars.foldLeft(lf.scope)(_ + _))
+      refreshSetTargets(
+        LF(joined, newVars.foldLeft(lf.scope)(_ + _)),
+        branches.flatMap(_.clauses.tail))
     }
   }
 
@@ -808,6 +917,36 @@ final class Planner(
     LF(joined, lf.scope + (name -> Binding.ValueB))
   }
 
+  /** Comprehension projection column: path/edge-list values materialize
+    * their entity arrays first (the projection of `[p = (a)-->(b) | p]`
+    * is the PATH value, not its length). */
+  private def rollUpProj(sub0: LF, proj: Expr): (LF, Column) = {
+    var sub = sub0
+    varsIn(proj, skipLengthOnly = true).foreach { n =>
+      sub.scope.get(n) match {
+        case Some(Binding.PathB) => sub = materializePathEntities(sub, n)
+        case Some(Binding.EdgeListB) =>
+          sub = materializeEdgeListEntities(sub, n)
+        case _ => ()
+      }
+    }
+    val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
+    val c = proj match {
+      case Var(n)
+          if sub.scope.get(n).contains(Binding.PathB) &&
+            sub.df.columns.contains(s"$n${Frames.Sep}_nodestructs") =>
+        struct(
+          col(s"$n${Frames.Sep}_nodestructs").as("nodes"),
+          col(s"$n${Frames.Sep}_edgestructs").as("edges"))
+      case Var(n)
+          if sub.scope.get(n).contains(Binding.EdgeListB) &&
+            sub.df.columns.contains(s"$n${Frames.Sep}_structs") =>
+        col(s"$n${Frames.Sep}_structs")
+      case e => low.lower(e)
+    }
+    (sub, c)
+  }
+
   /** RollUpApply (operator.hpp:3185): plan the comprehension's pattern from
     * the distinct shared bindings, collect the projection per binding, and
     * left-join the list back (no match → empty list, per Cypher).
@@ -837,8 +976,9 @@ final class Planner(
       val (sub2, projItems) =
         rewritePatternComprehensions(sub, Seq(("__rp", pc.proj)))
       sub = sub2
-      val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
-      val listDf = sub.df.agg(collect_list(low.lower(projItems.head._2)).as(outCol))
+      val (sub3, projCol) = rollUpProj(sub, projItems.head._2)
+      sub = sub3
+      val listDf = sub.df.agg(collect_list(projCol).as(outCol))
       val df =
         if (lf.df.columns.isEmpty) listDf else lf.df.crossJoin(listDf)
       return LF(df, lf.scope + (name -> Binding.ValueB))
@@ -853,11 +993,12 @@ final class Planner(
     val (sub2, projItems) =
       rewritePatternComprehensions(sub, Seq(("__rp", pc.proj)))
     sub = sub2
-    val low = new ExprLowering(sub.df, sub.scope, params, enums = state.enums)
+    val (sub3, projCol) = rollUpProj(sub, projItems.head._2)
+    sub = sub3
     val keyCols = shared.map(v => varKeyCol(seed.df, v))
     val grouped = sub.df
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(low.lower(projItems.head._2)).as(outCol))
+      .agg(collect_list(projCol).as(outCol))
     val renamed = keyCols.foldLeft(grouped)((d, c) =>
       d.withColumnRenamed(c, s"__rc_$c"))
     // null-safe equality: a NULL-valued correlation key (value vars) still
@@ -1459,6 +1600,33 @@ final class Planner(
     edgeUniqueness(bound, newEdges)
   }
 
+  /** Refresh the outer frame's bound columns for every (var, key) a body's
+    * SET clauses touched — FOREACH / unit-CALL visibility. */
+  private def refreshSetTargets(lf: LF, body: Seq[Clause]): LF = {
+    def setTargets(cs: Seq[Clause]): Seq[(String, String)] = cs.flatMap {
+      case SetCl(items) => items.collect {
+        case SetProp(sv, k, _) => (sv, k)
+        case SetNestedProp(sv, path, _) => (sv, path.head)
+      }
+      case ForeachCl(_, _, us) => setTargets(us)
+      case CallSubquery(inner, _, us) =>
+        setTargets(inner.clauses) ++ us.flatMap(u => setTargets(u._2.clauses))
+      case mc: MergeCl =>
+        (mc.onCreate ++ mc.onMatch).collect {
+          case SetProp(sv, k, _) => (sv, k)
+          case SetNestedProp(sv, path, _) => (sv, path.head)
+        }
+      case _ => Nil
+    }
+    setTargets(body)
+      .distinct
+      .filter { case (sv, _) =>
+        lf.scope.get(sv).exists(b =>
+          b == Binding.NodeB || b == Binding.EdgeB)
+      }
+      .foldLeft(lf) { case (cur, (sv, k)) => refreshVarProp(cur, sv, k) }
+  }
+
   /** Re-read one bound property column from the current state (post-body
     * FOREACH visibility): id-equi-join against the node/edge set. */
   private def refreshVarProp(lf: LF, v: String, key: String): LF = {
@@ -1749,6 +1917,31 @@ final class Planner(
               }
           }
       }
+      // `<-[*…]->` both-arrow var-length: steps go either way, but the
+      // FIRST edge must point into the left endpoint and the LAST edge
+      // into the right one (TCK VarLengthAcceptance mixed-direction
+      // semantics; a zero-length path has no edge to constrain)
+      if (rel.bothArrows && rel.varLength.isDefined &&
+        cur.scope.get(eVar).contains(Binding.EdgeListB)) {
+        val idsC = col(s"$eVar${Frames.Sep}_ids")
+        def endpointOk(pickFirst: Boolean, nodeId: Column): LF = {
+          val tag = if (pickFirst) "f" else "l"
+          val eds = state.edgesOfTypes(types).select(
+            col(GraphState.IdCol).as(s"__ba${tag}_id"),
+            col(GraphState.DstCol).as(s"__ba${tag}_dst"))
+          val pick = expr(
+            s"try_element_at(`$eVar${Frames.Sep}_ids`, ${if (pickFirst) 1 else -1})")
+          val df = cur.df
+            .join(eds, pick === col(s"__ba${tag}_id"), "left_outer")
+            .filter(
+              size(idsC) === 0 || col(s"__ba${tag}_dst") === nodeId)
+            .drop(s"__ba${tag}_id", s"__ba${tag}_dst")
+          LF(df, cur.scope)
+        }
+        cur = endpointOk(pickFirst = true, Frames.id(srcVar))
+        cur = endpointOk(pickFirst = false, Frames.id(dstName))
+      }
+
       edgeSeq :+= ((eVar, rel.varLength.isDefined))
       nodeSeq :+= dstName
       srcVar = dstName
@@ -2683,6 +2876,9 @@ final class Planner(
     conjuncts(where).foldLeft(lf) {
       case (cur, PatternPredicate(p, _)) => patternJoin(cur, p, anti = false)
       case (cur, Not(PatternPredicate(p, _))) => patternJoin(cur, p, anti = true)
+      case (cur, ExistsSubquery(q)) => planExistsSubquery(cur, q, anti = false)
+      case (cur, Not(ExistsSubquery(q))) =>
+        planExistsSubquery(cur, q, anti = true)
       case (cur, e) =>
         // frame-dependent rewrites (degree calls, pattern comprehensions)
         // apply in WHERE too; helper columns wash out at the next projection
@@ -2700,6 +2896,68 @@ final class Planner(
         }
         LF(cur3.df.filter(lowering(cur3).lower(items.head._2)), cur3.scope)
     }
+
+  /** EXISTS { <subquery> } (exists.hpp full form): the inner query plans
+    * FROM the outer frame (inner names shared with the outer scope are the
+    * same variables — cypher EXISTS correlation), tagged with a per-row
+    * key; rows whose key survives any branch pass the semi (anti) join.
+    * Inner WITH/RETURN projections implicitly carry the outer variables
+    * (subquery scoping keeps them visible). */
+  private def planExistsSubquery(lf: LF, q: Query, anti: Boolean): LF = {
+    val branches = q.first +: q.unions.map(_._2)
+    // the reference rejects updating clauses inside EXISTS (exists.hpp)
+    require(
+      !branches.exists(_.clauses.exists(mutatesClause)),
+      "EXISTS { } subquery cannot contain updating clauses")
+    if (lf.df.columns.isEmpty) {
+      // no outer bindings: plain non-emptiness of any branch
+      val any = branches.exists { sq =>
+        !sq.clauses.foldLeft(initial)(planClause).df.isEmpty
+      }
+      return if (any != anti) lf else LF(lf.df.limit(0), lf.scope)
+    }
+    val kv = fresh("exk").stripPrefix("__") // no __ prefix: survives WITH *
+    val keyCol = s"$kv${Frames.Sep}_val"
+    // the key must be STABLE across branch re-evaluations →
+    // localCheckpoint pins the assignment (general-form EXISTS only; the
+    // common pattern shapes keep the cheaper decorrelated patternJoin)
+    val seeded = LF(
+      lf.df.withColumn(keyCol, monotonically_increasing_id())
+        .localCheckpoint(true),
+      lf.scope + (kv -> Binding.ValueB))
+    val outer = lf.scope.vars.map(_._1) :+ kv
+    def planInner(sq: SingleQuery): DataFrame = {
+      var s = seeded
+      def carryInto(body: ProjectionBody): ProjectionBody =
+        if (body.star) body
+        else {
+          val produced = body.items.zipWithIndex.map {
+            case (ReturnItem(e, as), i) => as.getOrElse(deriveAlias(e, i))
+          }
+          val keep = outer.filter(n =>
+            s.scope.contains(n) && !produced.contains(n))
+          body.copy(items =
+            body.items ++ keep.map(n => ReturnItem(Var(n), Some(n))))
+        }
+      sq.clauses.foreach {
+        case With(body, w) => s = planClause(s, With(carryInto(body), w))
+        case Return(body) =>
+          // a trailing RETURN cannot change row existence — plan it as a
+          // carrying WITH so the key column survives
+          s = planClause(s, With(carryInto(body), None))
+        case c => s = planClause(s, c)
+      }
+      s.df
+    }
+    val matched = branches
+      .map(sq => planInner(sq).select(col(keyCol)))
+      .reduce(_ unionByName _)
+      .distinct()
+    val joined = seeded.df
+      .join(matched, Seq(keyCol), if (anti) "left_anti" else "left_semi")
+      .drop(keyCol)
+    LF(joined, lf.scope)
+  }
 
   /** Decorrelated pattern predicate: seed the sub-pattern from the distinct
     * bindings of its shared variables, expand, then semi/anti join back —
@@ -2954,6 +3212,18 @@ final class Planner(
       case HasLabel(a, _) => g(a)
       case PatternPredicate(p, _) => gPart(p)
       case PatternComprehension(p, w, proj) => gPart(p); w.foreach(g); g(proj)
+      case ExistsSubquery(q) =>
+        (q.first.clauses ++ q.unions.flatMap(_._2.clauses)).foreach {
+          case Match(_, ps, w) => ps.foreach(gPart); w.foreach(g)
+          case With(b, w) =>
+            b.items.foreach(i => g(i.expr)); w.foreach(g)
+            b.orderBy.foreach { case (e2, _) => g(e2) }
+          case Return(b) =>
+            b.items.foreach(i => g(i.expr))
+            b.orderBy.foreach { case (e2, _) => g(e2) }
+          case Unwind(e2, _) => g(e2)
+          case _ => ()
+        }
       case _ => ()
     }
     g(e)

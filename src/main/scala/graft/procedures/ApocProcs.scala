@@ -227,18 +227,20 @@ object ApocProcs {
 
   // ---------------- neighbors (neighbors_module) ----------------
 
-  /** Layered BFS shared by at_hop/by_hop: returns layers 1..distance
-    * (reference `Neighbors::AtHop`: a node counts at the FIRST hop it is
-    * reachable at — later layers exclude everything seen before).
-    * `stopWhenEmpty` mirrors AtHop's early return (ByHop keeps going and
-    * reports empty layers). */
-  private def bfsLayers(
-      ctx: ProcContext,
-      stopWhenEmpty: Boolean): Seq[(Int, Seq[Long])] = {
+  /** Layered BFS shared by at_hop/by_hop as a hop-tagged FRAME (hop, n):
+    * a node counts at the FIRST hop it is reachable at (reference
+    * `Neighbors::AtHop` — later layers exclude everything seen before).
+    * The distributed branch never collects a layer to the driver — the
+    * per-hop driver signal is one isEmpty boolean (the loop-termination
+    * check both cursors need); a supernode frontier stays an executor-side
+    * frame end to end. */
+  private def bfsLayers(ctx: ProcContext): DataFrame = {
     val starts = startIds(ctx)
     val distance = ctx.optInt("distance", 1)
     val st = parseNeighborRels(optStrings(ctx, "rel_types"))
     require(distance >= 0, "distance must be >= 0")
+    val spark = ctx.spark
+    import spark.implicits._
 
     collectEdgesIfSubcritical(ctx.g, st) match {
       case Some(es) =>
@@ -248,69 +250,73 @@ object ApocProcs {
         }
         val seen = mutable.HashSet.empty[Long] ++= starts
         var frontier = starts
-        val layers = mutable.ArrayBuffer.empty[(Int, Seq[Long])]
+        val layers = mutable.ArrayBuffer.empty[(Int, Long)]
         var hop = 1
-        while (hop <= distance && (frontier.nonEmpty || !stopWhenEmpty)) {
+        while (hop <= distance && frontier.nonEmpty) {
           val next = frontier.iterator
             .flatMap(n => adj.getOrElse(n, Nil))
             .filter(seen.add)
             .toSeq.distinct
-          layers += ((hop, next.sorted))
+          layers ++= next.sorted.map((hop, _))
           frontier = next
           hop += 1
         }
-        layers.toSeq
+        layers.toSeq.toDF("hop", "n")
 
       case None =>
-        val spark = ctx.spark
-        import spark.implicits._
         val steps = orientedSteps(ctx.g, st)
           .select(col("s"), col("d")).persist()
         var seen = starts.toDF("n").localCheckpoint(true)
         var frontier = seen
-        val layers = mutable.ArrayBuffer.empty[(Int, Seq[Long])]
+        var layers = spark.emptyDataset[(Int, Long)].toDF("hop", "n")
         var hop = 1
-        var empty = false
-        while (hop <= distance && (!empty || !stopWhenEmpty)) {
+        var empty = frontier.isEmpty
+        while (hop <= distance && !empty) {
           val next = broadcast(frontier)
             .join(steps, col("n") === col("s"))
             .select(col("d").as("n")).distinct()
             .join(seen, Seq("n"), "left_anti")
             .localCheckpoint(true)
-          val layer = next.as[Long].collect().sorted
-          empty = layer.isEmpty
-          layers += ((hop, layer.toSeq))
+          empty = next.isEmpty
+          layers =
+            layers.unionByName(next.select(lit(hop).as("hop"), col("n")))
           seen = seen.union(next).localCheckpoint(true)
           frontier = next
           hop += 1
         }
         steps.unpersist()
-        layers.toSeq
+        layers
     }
   }
 
   /** `neighbors.at_hop(node, rel_types, distance)` → nodes at EXACTLY
-    * `distance` hops (reference neighbors.cpp:53). Yields (node). */
+    * `distance` hops (reference neighbors.cpp:53). Yields (node) — row
+    * output stays a distributed frame. */
   def atHop(ctx: ProcContext): DataFrame = {
     val distance = ctx.optInt("distance", 1)
-    val layers = bfsLayers(ctx, stopWhenEmpty = true)
-    val last =
-      layers.collectFirst { case (h, ns) if h == distance => ns }
-        .getOrElse(Seq.empty)
-    val spark = ctx.spark
-    import spark.implicits._
-    last.toDF("node")
+    bfsLayers(ctx)
+      .filter(col("hop") === distance)
+      .select(col("n").as("node"))
   }
 
   /** `neighbors.by_hop(node, rel_types, distance)` → one row per hop
-    * 1..distance with the (possibly empty) node list at that hop
-    * (reference neighbors.cpp:107 — no early stop). Yields (hop, nodes).
-    */
+    * 1..distance with the (possibly empty, sorted) node list at that hop
+    * (reference neighbors.cpp:107 — no early stop). The list-valued yield
+    * is the reference's own driver-sized contract; aggregation happens
+    * executor-side (sort_array ∘ collect_list). */
   def byHop(ctx: ProcContext): DataFrame = {
-    val layers = bfsLayers(ctx, stopWhenEmpty = false)
+    val distance = ctx.optInt("distance", 1)
     val spark = ctx.spark
-    import spark.implicits._
-    layers.map { case (h, ns) => (h.toLong, ns) }.toDF("hop", "nodes")
+    val lists = bfsLayers(ctx)
+      .groupBy("hop")
+      .agg(sort_array(collect_list(col("n"))).as("nodes"))
+    spark.range(1, distance + 1L)
+      .select(col("id").cast("int").as("hop"))
+      .join(lists, Seq("hop"), "left_outer")
+      .select(
+        col("hop").cast("long").as("hop"),
+        coalesce(col("nodes"), array().cast("array<long>")).as("nodes"))
+      .orderBy("hop")
   }
 
   // ---------------- path.expand (path_module) ----------------
@@ -528,8 +534,77 @@ object ApocProcs {
     val spark = ctx.spark
     import spark.implicits._
 
-    // (node, hop) of the visited set, discovery-hop grained
-    val visited: Seq[(Long, Int)] = collectEdgesIfSubcritical(ctx.g, st) match {
+    // start exemption constant: TryInsertNode treats the unfiltered start
+    // as plain whitelisted
+    val startOk =
+      localValid(lf, bl = false, wl = true, tm = false, en = false)
+
+    collectEdgesIfSubcritical(ctx.g, st) match {
+      case None =>
+        // distributed: the visited set stays a hop-tagged FRAME; label
+        // gates are joins against the bool frame, the edge closure is two
+        // semi-joins — nothing driver-sized until a list-valued yield
+        val steps = orientedSteps(ctx.g, st).select(col("s"), col("d")).persist()
+        val steps0 =
+          if (beginSeq) steps
+          else orientedSteps(ctx.g, anySteps).select(col("s"), col("d"))
+        val bools = labelBools(ctx.g, lf).persist()
+        var seen = starts.toDF("n").localCheckpoint(true)
+        var frontier = seen
+        var accDf = starts.map((_, 0)).toDF("n", "hop").localCheckpoint(true)
+        var hop = 0
+        var empty = frontier.isEmpty
+        while (!empty && hop < maxHops) {
+          val contOk = if (hop == 0 && !filterStart) lit(true) else contCol(lf)
+          val src = if (hop == 0) steps0 else steps
+          val next = broadcast(
+              frontier.join(bools, col("n") === col("nid")).filter(contOk)
+                .select(col("n")))
+            .join(src, col("n") === col("s"))
+            .select(col("d").as("n")).distinct()
+            .join(seen, Seq("n"), "left_anti")
+            .localCheckpoint(true)
+          empty = next.isEmpty
+          hop += 1
+          accDf = accDf.unionByName(next.withColumn("hop", lit(hop)))
+          seen = seen.union(next).localCheckpoint(true)
+          frontier = next
+        }
+        steps.unpersist()
+        val returnedDf = accDf
+          .join(bools, col("n") === col("nid"), "left_outer")
+          .filter(
+            col("hop") >= minHops && col("hop") <= maxHops &&
+              when(col("hop") === 0 && lit(!filterStart), lit(startOk))
+                .otherwise(validCol(lf)))
+          .select(col("n"), col("hop"))
+        val out =
+          if (!withRels)
+            returnedDf.select(
+              col("n").as("node"), col("hop").cast("long").as("hop"))
+          else {
+            val nodesDf = returnedDf.select(col("n")).distinct()
+              .localCheckpoint(true)
+            // edges among result nodes, every type (SubgraphAll scans
+            // OutRelationships unfiltered): two semi-joins, collected only
+            // at the single list-valued yield row
+            val keep = ctx.g.allEdges
+              .select(col(SrcCol), col(DstCol), col(TypeCol))
+              .join(nodesDf, col(SrcCol) === col("n"), "left_semi")
+              .join(nodesDf, col(DstCol) === col("n"), "left_semi")
+              .select(
+                concat_ws("",
+                  col(SrcCol).cast("string"), lit(">"),
+                  col(DstCol).cast("string"), lit(":"), col(TypeCol))
+                  .as("r"))
+              .collect().map(_.getString(0)).sorted.toSeq
+            val nodesSorted =
+              nodesDf.collect().map(_.getLong(0)).sorted.toSeq
+            Seq((nodesSorted, keep)).toDF("nodes", "rels")
+          }
+        bools.unpersist()
+        return out
+
       case Some(es) =>
         val bools = localBools(ctx.g, lf)
         val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
@@ -560,86 +635,35 @@ object ApocProcs {
           acc ++= next.map((_, hop))
           frontier = next
         }
-        acc.toSeq
-
-      case None =>
-        val steps = orientedSteps(ctx.g, st).select(col("s"), col("d")).persist()
-        val steps0 =
-          if (beginSeq) steps
-          else orientedSteps(ctx.g, anySteps).select(col("s"), col("d"))
-        val bools = labelBools(ctx.g, lf).persist()
-        var seen = starts.toDF("n").localCheckpoint(true)
-        var frontier = seen
-        val acc = mutable.ArrayBuffer.empty[(Long, Int)] ++= starts.map((_, 0))
-        var hop = 0
-        var empty = false
-        while (!empty && hop < maxHops) {
-          val contOk = if (hop == 0 && !filterStart) lit(true) else contCol(lf)
-          val src = if (hop == 0) steps0 else steps
-          val next = broadcast(
-              frontier.join(bools, col("n") === col("nid")).filter(contOk)
-                .select(col("n")))
-            .join(src, col("n") === col("s"))
-            .select(col("d").as("n")).distinct()
-            .join(seen, Seq("n"), "left_anti")
-            .localCheckpoint(true)
-          val layer = next.as[Long].collect().sorted
-          hop += 1
-          acc ++= layer.map((_, hop))
-          seen = seen.union(next).localCheckpoint(true)
-          frontier = next
-          empty = layer.isEmpty
+        // TryInsertNode: hop in [min,max]; start (unless filterStartNode)
+        // bypasses its own label filter (treated as plain whitelisted)
+        val returned = acc.toSeq.filter { case (n, h) =>
+          if (h < minHops || h > maxHops) false
+          else if (h == 0 && !filterStart) startOk
+          else {
+            val (bl, wl, tm, en) =
+              bools.getOrElse(n, (false, false, false, false))
+            localValid(lf, bl, wl, tm, en)
+          }
         }
-        steps.unpersist(); bools.unpersist()
-        acc.toSeq
+        if (!withRels)
+          returned.map { case (n, h) => (n, h.toLong) }.toDF("node", "hop")
+        else {
+          val nodesSorted = returned.map(_._1).distinct.sorted
+          // edges among result nodes, EVERY type (SubgraphAll scans
+          // OutRelationships unfiltered — es only holds the filtered
+          // types): broadcast-semi-join, no literal id lists
+          val nodesDf = broadcast(nodesSorted.toDF("n"))
+          val keep = ctx.g.allEdges
+            .select(col(SrcCol), col(DstCol), col(TypeCol))
+            .join(nodesDf, col(SrcCol) === col("n"), "left_semi")
+            .join(nodesDf, col(DstCol) === col("n"), "left_semi")
+            .collect()
+            .map(r => s"${r.getLong(0)}>${r.getLong(1)}:${r.getString(2)}")
+            .sorted.toSeq
+          Seq((nodesSorted, keep)).toDF("nodes", "rels")
+        }
     }
-
-    // TryInsertNode: hop in [min,max]; start (unless filterStartNode)
-    // bypasses its own label filter (treated as plain whitelisted)
-    val boolsMap = localOrJoinedBools(ctx.g, lf, visited.map(_._1))
-    val returned = visited.filter { case (n, hop) =>
-      if (hop < minHops || hop > maxHops) false
-      else if (hop == 0 && !filterStart)
-        localValid(lf, bl = false, wl = true, tm = false, en = false)
-      else {
-        val (bl, wl, tm, en) = boolsMap.getOrElse(n, (false, false, false, false))
-        localValid(lf, bl, wl, tm, en)
-      }
-    }
-
-    if (!withRels) {
-      returned.map { case (n, h) => (n, h.toLong) }.toDF("node", "hop")
-    } else {
-      val nodeSet = returned.map(_._1).toSet
-      val nodesSorted = nodeSet.toSeq.sorted
-      // edges among result nodes, every type (SubgraphAll scans
-      // OutRelationships of each node unfiltered)
-      val keep = ctx.g.allEdges
-        .select(col(SrcCol), col(DstCol), col(TypeCol))
-        .filter(
-          col(SrcCol).isin(nodesSorted.map(Long.box): _*) &&
-          col(DstCol).isin(nodesSorted.map(Long.box): _*))
-        .collect()
-        .map(r => s"${r.getLong(0)}>${r.getLong(1)}:${r.getString(2)}")
-        .sorted.toSeq
-      Seq((nodesSorted, keep)).toDF("nodes", "rels")
-    }
-  }
-
-  /** Label bools restricted to a known node set — local map either way
-    * (the visited set was already collected). */
-  private def localOrJoinedBools(
-      g: GraphState,
-      lf: LabelFilter,
-      ids: Seq[Long]): Map[Long, (Boolean, Boolean, Boolean, Boolean)] = {
-    if (ids.isEmpty) return Map.empty
-    labelBools(g, lf)
-      .filter(col("nid").isin(ids.map(Long.box): _*))
-      .collect()
-      .iterator
-      .map(r => r.getLong(0) ->
-        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
-      .toMap
   }
 
   // ---------------- refactor (refactor_module) ----------------

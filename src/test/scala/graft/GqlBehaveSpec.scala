@@ -42,7 +42,7 @@ class GqlBehaveSpec extends GqlHarness {
     "memgraph_bfs.feature" -> 20,
     "memgraph_wshortest.feature" -> 22,
     "memgraph_allshortest.feature" -> 26,
-    "memgraph_exists.feature" -> 53,
+    "memgraph_exists.feature" -> 56,
     "hops_limit.feature" -> 13,
     "memgraph.feature" -> 7,
     "indices.feature" -> 16,
@@ -98,5 +98,10 @@ class GqlBehaveSpec extends GqlHarness {
     "Multiple list pattern comprehensions in Return and label index" ->
       "same upstream 'TheMatrix…' expected-table typo",
     "Function inside pattern comprehension's expression" ->
-      "same upstream 'TheMatrix…' expected-table typo")
+      "same upstream 'TheMatrix…' expected-table typo",
+    "Scoped CALL with collect builds per-group list (performance pattern)" ->
+      ("collect() after an unordered MATCH has no guaranteed order (the " +
+        "reference emits storage-iteration order, openCypher leaves it " +
+        "unspecified); distributed aggregation returns the same multiset " +
+        "in partition order"))
 }
