@@ -174,6 +174,21 @@ final class GraphState(
     else
       edgeTypes.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Point-adjacency access path: the edge union range-partitioned and
+    * sorted by `_src`, persisted in the columnar cache. Cached batches
+    * keep min/max stats, so a tiny-id-list probe prunes batches instead
+    * of rescanning every type frame end-to-end — the single-node analog
+    * of sorting/bucketing the edge materialization by src at load on a
+    * real cluster (the reference's O(deg) adjacency fetch). Built lazily
+    * on the first probe of this state version and shared afterwards. */
+  lazy val adjacencyBySrc: DataFrame = {
+    import org.apache.spark.sql.functions.col
+    allEdges
+      .repartitionByRange(col(GraphState.SrcCol))
+      .sortWithinPartitions(GraphState.SrcCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Scan by label, Cypher-style: a label nothing carries matches nothing
     * (no error) — the planner's `ScanAllByLabel` entry point. */
   def nodesOrEmpty(label: String): DataFrame =

@@ -55,6 +55,7 @@ object Procedures {
     "algo.node_similarity" -> nodeSimilarity,
     "algo.triangle_count" -> triangleCount,
     "algo.walks" -> walks,
+    "algo.node2vec" -> node2vec,
     "schema.info" -> schemaInfo,
     "graph.analyze" -> analyze,
     "graph.dump" -> dump,
@@ -548,6 +549,72 @@ object Procedures {
       out = out.unionByName(cur)
     }
     e.unpersist(blocking = false)
+    out
+  }
+
+  /** Second-order (p/q-biased) deterministic walks — the node2vec
+    * sampling stage (`src/mage/cpp/node2vec_module/algorithm/
+    * second_order_random_walk.hpp`): a step from `cur` (having arrived
+    * from `prev`) weighs candidate `next` by 1/p when next = prev
+    * (return), 1 when next is adjacent to prev (in-out), 1/q otherwise
+    * (forward). The reference samples ∝ weight with true randomness;
+    * this engine's reproducible analog picks the HIGHEST-bias class and
+    * breaks ties by md5("walk:step:nextKey") — same classification
+    * machinery (the prev-adjacency join is the second-order part),
+    * deterministic for the oracle. Distributed shape per step: one
+    * frontier×edges equi-join + one left join against the distinct
+    * adjacency pairs + per-walk argmin — frontier stays (walks × 1)
+    * rows, no all-pairs anywhere. Options: label/type, length (3),
+    * seedMax (12), p (1.0), q (1.0). Yields (walk, step, node). */
+  def node2vec(ctx: ProcContext): DataFrame = {
+    val len = ctx.optInt("length", 3)
+    val seedMax = ctx.optInt("seedMax", 12)
+    val p = ctx.optDouble("p").getOrElse(1.0)
+    val q = ctx.optDouble("q").getOrElse(1.0)
+    val (nodes, edges) = selectGraph(ctx)
+    val keyOf = (c: Column) => c.bitwiseAND(lit((1L << 48) - 1))
+    val e = edges.persist()
+    val adjPairs = e
+      .select(col("src").as("__pa"), col("dst").as("__pb"))
+      .distinct()
+      .persist()
+    var cur = nodes
+      .filter(keyOf(col("node")) < seedMax)
+      .select(
+        keyOf(col("node")).as("walk"), lit(0).as("step"),
+        col("node"), lit(null).cast("long").as("prev"))
+      .localCheckpoint(true)
+    var out = cur.select(col("walk"), col("step"), col("node"))
+    for (s <- 1 to len) {
+      cur = cur
+        .join(e, col("node") === col("src"))
+        .join(
+          adjPairs,
+          col("prev") === col("__pa") && col("dst") === col("__pb"),
+          "left_outer")
+        .select(
+          col("walk"),
+          struct(
+            // highest bias first (negated for the struct-min)
+            when(col("prev").isNull, lit(-1.0))
+              .when(col("dst") === col("prev"), lit(-1.0 / p))
+              .when(col("__pa").isNotNull, lit(-1.0))
+              .otherwise(lit(-1.0 / q)).as("nb"),
+            md5(concat_ws(":", col("walk"), lit(s), keyOf(col("dst"))))
+              .as("h"),
+            keyOf(col("dst")).as("dk"),
+            col("dst").as("d"),
+            col("node").as("pv")).as("__ch"))
+        .groupBy("walk")
+        .agg(min("__ch").as("__ch"))
+        .select(
+          col("walk"), lit(s).as("step"),
+          col("__ch")("d").as("node"), col("__ch")("pv").as("prev"))
+        .localCheckpoint(true)
+      out = out.unionByName(cur.select(col("walk"), col("step"), col("node")))
+    }
+    e.unpersist(blocking = false)
+    adjPairs.unpersist(blocking = false)
     out
   }
 

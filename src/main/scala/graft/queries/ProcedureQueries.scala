@@ -529,6 +529,53 @@ object ProcedureQueries {
            |ORDER BY walk, step""".stripMargin
       }),
 
+    // p/q-biased (second-order) node2vec walks over NEAR (the
+    // triangle-bearing block graph): q = 0.25 biases AWAY from
+    // prev-adjacent candidates (forward bias 1/q = 4 dominates), so the
+    // oracle's chained CTEs replay the same class-then-md5-argmin choice
+    // with the prev-adjacency LEFT JOIN deciding the class.
+    cq(
+      "call_node2vec",
+      """CALL algo.node2vec({type: 'NEAR', length: 3, seedMax: 12,
+        |                    p: 4.0, q: 0.25}) YIELD walk, step, node
+        |RETURN walk, step, node % 281474976710656 AS k
+        |ORDER BY walk, step""".stripMargin, {
+        val steps = (1 to 3).map { s =>
+          s"""s$s AS MATERIALIZED (
+             |  SELECT walk, cur, prev FROM (
+             |    SELECT w.walk, a.dst AS cur, w.cur AS prev,
+             |      row_number() OVER (PARTITION BY w.walk ORDER BY
+             |        (CASE WHEN w.prev IS NULL THEN -1.0
+             |              WHEN a.dst = w.prev THEN -0.25
+             |              WHEN pa.src IS NOT NULL THEN -1.0
+             |              ELSE -4.0 END),
+             |        md5(CAST(w.walk AS VARCHAR) || ':$s:' ||
+             |            CAST(a.dst AS VARCHAR)),
+             |        a.dst) AS rk
+             |    FROM s${s - 1} w JOIN adj a ON a.src = w.cur
+             |    LEFT JOIN adj pa ON pa.src = w.prev AND pa.dst = a.dst)
+             |  WHERE rk = 1)""".stripMargin
+        }
+        s"""WITH mk AS (SELECT max(c_custkey) AS m FROM customer),
+           |adj AS MATERIALIZED (
+           |  SELECT c_custkey AS src, c_custkey + 1 AS dst FROM customer
+           |  WHERE c_custkey % 4 < 3 AND c_custkey + 1 <= (SELECT m FROM mk)
+           |  UNION ALL
+           |  SELECT c_custkey, c_custkey + 2 FROM customer
+           |  WHERE c_custkey % 4 < 2 AND c_custkey + 2 <= (SELECT m FROM mk)),
+           |s0 AS MATERIALIZED (
+           |  SELECT c_custkey AS walk, c_custkey AS cur,
+           |         CAST(NULL AS BIGINT) AS prev
+           |  FROM customer WHERE c_custkey < 12),
+           |${steps.mkString(",\n")}
+           |SELECT walk, step, k FROM (
+           |  SELECT walk, 0 AS step, cur AS k FROM s0
+           |  ${(1 to 3)
+              .map(s => s"UNION ALL SELECT walk, $s, cur FROM s$s")
+              .mkString("\n  ")})
+           |ORDER BY walk, step""".stripMargin
+      }),
+
     // `do` module conditional execution (do.when / do.case, apoc
     // heritage): constant conditions select a Cypher query at plan time;
     // both fall through to their else branch here.
