@@ -119,6 +119,14 @@ final class Planner(
   def planSingle(sq: SingleQuery): DataFrame =
     sq.clauses.foldLeft(initial)(planClause).df
 
+  /** Plan a SingleQuery from a caller-provided seed frame — the
+    * periodic.iterate batch driver's entry point. */
+  def planSeeded(
+      df: DataFrame,
+      scope: Scope,
+      sq: SingleQuery): DataFrame =
+    sq.clauses.foldLeft(LF(df, scope))(planClause).df
+
   private def lowering(lf: LF) = new ExprLowering(
     lf.df, lf.scope, params, enums = state.enums,
     hopsCounter = hopsCounterStatic)
@@ -328,6 +336,109 @@ final class Planner(
             df,
             yields.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
       }
+
+    case CallProc(name, args, yieldsRaw, callWhere)
+        if name == "periodic.iterate" =>
+      // `periodic.iterate(input_query, running_query, {batch_size})`
+      // (reference `src/mage/cpp/periodic_module/periodic.cpp`): run the
+      // input query, split its rows into batches, and execute the running
+      // query once per batch with the input's columns bound (entities
+      // rebind by id, primitives as values). Batches run statement-serial
+      // (the reference's own contract); a failing batch rolls back to its
+      // pre-batch snapshot and reports success=false.
+      val cv = args.map(constValue)
+      require(cv.size >= 2,
+        "periodic.iterate(input_query, running_query[, config])")
+      val inputQ = cv(0).toString
+      val runningQ = cv(1).toString
+      val cfg: Map[String, Any] = cv.lift(2) match {
+        case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
+        case _ => Map.empty
+      }
+      val batchSize =
+        cfg.get("batch_size").map(_.toString.toDouble.toInt).getOrElse(1000)
+      require(batchSize > 0, "batch_size must be > 0")
+      val inP = new Planner(spark, rebased, params)
+      val inDf0 = inP.plan(CypherParser.parse(inputQ))
+      state = inP.currentState
+      subHigh = math.max(subHigh, inP.idHighWater)
+      val inDf = withSeqId(inDf0, "__pb_row", 0L)
+      val total = inDf.count()
+      val nBatches = (total + batchSize - 1) / batchSize
+      require(
+        nBatches <= 10000,
+        s"periodic.iterate would run $nBatches driver-sequenced batches — " +
+          "raise batch_size")
+      val runParsed = CypherParser.parse(runningQ)
+      require(
+        runParsed.unions.isEmpty,
+        "periodic.iterate running query cannot contain UNION")
+      val fields = inDf0.schema.fields
+      var success = true
+      var executed = 0L
+      var b = 0L
+      while (success && b < nBatches) {
+        val preBatch = state
+        try {
+          val batch = inDf
+            .filter(
+              col("__pb_row") >= b * batchSize.toLong &&
+                col("__pb_row") < (b + 1) * batchSize.toLong)
+            .drop("__pb_row")
+          var df = batch
+          var scope = Scope.empty
+          fields.foreach { f =>
+            f.dataType match {
+              case s: org.apache.spark.sql.types.StructType
+                  if s.fieldNames.contains(GraphState.IdCol) =>
+                val isEdge = s.fieldNames.contains(GraphState.SrcCol) ||
+                  s.fieldNames.contains(GraphState.TypeCol)
+                s.fieldNames.foreach { sf =>
+                  df = df.withColumn(
+                    s"${f.name}${Frames.Sep}$sf", col(f.name).getField(sf))
+                }
+                df = df.drop(f.name)
+                scope = scope +
+                  (f.name -> (if (isEdge) Binding.EdgeB else Binding.NodeB))
+              case _ =>
+                df = df.withColumnRenamed(
+                  f.name, s"${f.name}${Frames.Sep}_val")
+                scope = scope + (f.name -> Binding.ValueB)
+            }
+          }
+          val sub = new Planner(spark, rebased, params)
+          sub.planSeeded(df, scope, runParsed.first)
+          state = sub.currentState
+          subHigh = math.max(subHigh, sub.idHighWater)
+          executed += 1
+        } catch {
+          case _: Exception =>
+            state = preBatch
+            success = false
+        }
+        b += 1
+      }
+      val yields = yieldsRaw.map { case (n2, a) => a.getOrElse(n2) }
+      import spark.implicits._
+      val out0 = Seq((success, executed))
+        .toDF("success", "number_of_executed_batches")
+      val avail = Seq("success", "number_of_executed_batches")
+      val ys = if (yields.isEmpty) avail else yields
+      val missing0 = (if (yieldsRaw.isEmpty) Nil
+        else yieldsRaw.map(_._1)).filterNot(avail.contains)
+      require(missing0.isEmpty, s"periodic.iterate does not yield: $missing0")
+      val selected = out0.select(
+        (if (yieldsRaw.isEmpty) avail.map(c => (c, c))
+         else yieldsRaw.map { case (n2, a) => (n2, a.getOrElse(n2)) })
+          .map { case (n2, a) => col(n2).as(s"$a${Frames.Sep}_val") }: _*)
+      val dfOut =
+        if (lf.df.columns.isEmpty) selected else lf.df.crossJoin(selected)
+      val lfOut = LF(
+        dfOut,
+        ys.foldLeft(lf.scope)((sc, y) => sc + (y -> Binding.ValueB)))
+      callWhere
+        .map(w => LF(lfOut.df.filter(lowering(lfOut).lower(w)), lfOut.scope))
+        .getOrElse(lfOut)
 
     case CallProc(name, args, yields, callWhere) =>
       val cargs = args.map(constValue)

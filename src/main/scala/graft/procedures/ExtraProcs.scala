@@ -28,6 +28,7 @@ object ExtraProcs {
   val registry: Map[String, Proc] = Map(
     "union_find.connected" -> unionFindConnected,
     "max_flow.get_flow" -> maxFlowGetFlow,
+    "bipartite_matching.max" -> bipartiteMatchingMax,
     "graph_util.ancestors" -> (ctx => reachability(ctx, forward = false)),
     "graph_util.descendants" -> (ctx => reachability(ctx, forward = true)),
     "graph_util.topological_sort" -> topologicalSort,
@@ -105,6 +106,77 @@ object ExtraProcs {
       .select(
         col("node1"), col("node2"),
         (col("c1") === col("c2")).as("connected"))
+  }
+
+  // ------------- bipartite_matching (cpp/bipartite_matching_module) ----
+
+  /** `bipartite_matching.max()` — size of a maximum bipartite matching
+    * (bipartite_matching_module.cpp kProcedureMax). Mirrors the
+    * reference: 2-color the UNDIRECTED graph first (self-loop or odd
+    * cycle → not bipartite → 0), then augmenting-path search from every
+    * left-color node (BipartiteMatchingDFS). Sequential augmenting paths
+    * don't decompose, so this runs on the collected subcritical graph and
+    * refuses loudly above the threshold — the max_flow contract. Options:
+    * type (edge-type restriction). Yields (maximum_bipartite_matching).
+    */
+  def bipartiteMatchingMax(ctx: ProcContext): DataFrame = {
+    val spark = ctx.spark
+    import spark.implicits._
+    val rows = Procedures
+      .collectIfSubcritical(
+        typedEdges(ctx).select(col(SrcCol), col(DstCol)))
+      .getOrElse(throw new IllegalStateException(
+        "bipartite_matching: graph above spark.graft.local.edges — " +
+          "sequential augmenting-path search does not distribute (the " +
+          "reference module is single-node C++); raise the threshold"))
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+    Seq(localBipartiteMatching(edges))
+      .toDF("maximum_bipartite_matching")
+  }
+
+  private[graft] def localBipartiteMatching(
+      edges: Array[(Long, Long)]): Long = {
+    if (edges.isEmpty) return 0L
+    // undirected adjacency
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, mutable.ArrayBuffer.empty) += a
+    }
+    // 2-coloring (IsGraphBipartiteColoring): BFS per component; a
+    // self-loop or same-color neighbor → not bipartite → 0
+    val color = mutable.HashMap.empty[Long, Int]
+    val nodesSorted = adj.keys.toSeq.sorted
+    for (start <- nodesSorted if !color.contains(start)) {
+      color(start) = 1
+      val queue = mutable.Queue(start)
+      while (queue.nonEmpty) {
+        val cur = queue.dequeue()
+        for (nb <- adj(cur)) {
+          if (nb == cur) return 0L // self loop
+          if (!color.contains(nb)) {
+            color(nb) = -color(cur)
+            queue += nb
+          } else if (color(nb) == color(cur)) return 0L
+        }
+      }
+    }
+    // augmenting DFS from every left (color 1) node
+    val matched = mutable.HashMap.empty[Long, Long] // right -> left
+    def augment(node: Long, visited: mutable.HashSet[Long]): Boolean = {
+      if (!visited.add(node)) return false
+      adj(node).exists { next =>
+        matched.get(next) match {
+          case None => matched(next) = node; true
+          case Some(m) if augment(m, visited) => matched(next) = node; true
+          case _ => false
+        }
+      }
+    }
+    var size = 0L
+    for (n <- nodesSorted if color(n) == 1)
+      if (augment(n, mutable.HashSet.empty)) size += 1
+    size
   }
 
   // ---------------- max_flow (python/max_flow.py) ----------------

@@ -589,6 +589,35 @@ object ProcedureQueries {
       """SELECT (SELECT count(*) FROM nation) AS a,
         |       (SELECT count(*) FROM region) AS b""".stripMargin),
 
+    // bipartite_matching.max (cpp/bipartite_matching_module) over the
+    // Customer→Nation bipartite graph: every nation with ≥1 customer can
+    // be matched (customers are plentiful), so the maximum matching size
+    // is the distinct-nation count — closed form.
+    cq(
+      "call_bipartite",
+      """CALL bipartite_matching.max({type: 'FROM_NATION'})
+        |YIELD maximum_bipartite_matching
+        |RETURN maximum_bipartite_matching""".stripMargin,
+      """SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT)
+        |         AS maximum_bipartite_matching
+        |FROM customer""".stripMargin),
+
+    // periodic.iterate (cpp/periodic_module): batch-driver bulk update —
+    // 5 regions in batches of 2 → 3 batches, every row SET by the
+    // running query (the post-CALL MATCH observes the writes).
+    cq(
+      "call_periodic",
+      """CALL periodic.iterate(
+        |  'MATCH (n:Region) RETURN n',
+        |  'SET n.r_visited = 1',
+        |  {batch_size: 2}) YIELD success, number_of_executed_batches
+        |MATCH (n:Region) WHERE n.r_visited = 1
+        |RETURN success, number_of_executed_batches,
+        |       count(*) AS marked""".stripMargin,
+      """SELECT true AS success,
+        |       CAST(3 AS BIGINT) AS number_of_executed_batches,
+        |       (SELECT count(*) FROM region) AS marked""".stripMargin),
+
     // DUMP DATABASE analog (src/query/dump.cpp): recreate-Cypher text for
     // Nation nodes + IN_REGION edges, byte-identical to the oracle's
     // string construction (props name-sorted, strings \'-quoted).

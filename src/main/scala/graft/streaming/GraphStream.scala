@@ -107,29 +107,48 @@ object GraphStream {
     * topic, partition, offset, timestamp, …) — the [[Transformation]] sees
     * raw messages exactly like the reference's `mgp_messages` API. */
   final case class SourceSpec(
-      format: String, // "kafka" | "json" | "parquet" | "csv"
+      format: String, // "kafka" | "pulsar" | "json" | "parquet" | "csv"
       path: Option[String] = None, // file sources
       schema: Option[StructType] = None, // file sources
       topics: Seq[String] = Nil,
       bootstrapServers: Option[String] = None,
       consumerGroup: Option[String] = None,
+      /** Pulsar broker URL (`src/integrations/pulsar/consumer.hpp:56`
+        * `service_url`; `CREATE PULSAR STREAM … SERVICE_URL`). */
+      serviceUrl: Option[String] = None,
       batchIntervalMs: Option[Long] = None,
       batchSize: Option[Long] = None,
       configs: Map[String, String] = Map.empty)
 
-  /** Pure option mapping (unit-testable without a broker). */
+  /** Pure option mapping (unit-testable without a broker). The reference
+    * consumes KAFKA and PULSAR streams through one `CommonStreamInfo`
+    * (common.hpp:46 StreamSourceType); here both map declaratively onto
+    * a Structured Streaming source — Pulsar via the Apache
+    * pulsar-spark connector's option surface (`service.url`, `topics`,
+    * `predefinedSubscription`). */
   def sourceOptions(s: SourceSpec): Map[String, String] =
-    if (s.format == "kafka") {
-      require(s.topics.nonEmpty, "kafka source needs topics")
-      require(s.bootstrapServers.nonEmpty, "kafka source needs bootstrap_servers")
-      Map("subscribe" -> s.topics.mkString(",")) ++
-        s.bootstrapServers.map("kafka.bootstrap.servers" -> _) ++
-        s.consumerGroup.map("kafka.group.id" -> _) ++
-        s.batchSize.map("maxOffsetsPerTrigger" -> _.toString) ++
-        s.configs.map { case (k, v) =>
-          (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
-        }
-    } else Map.empty
+    s.format match {
+      case "kafka" =>
+        require(s.topics.nonEmpty, "kafka source needs topics")
+        require(
+          s.bootstrapServers.nonEmpty, "kafka source needs bootstrap_servers")
+        Map("subscribe" -> s.topics.mkString(",")) ++
+          s.bootstrapServers.map("kafka.bootstrap.servers" -> _) ++
+          s.consumerGroup.map("kafka.group.id" -> _) ++
+          s.batchSize.map("maxOffsetsPerTrigger" -> _.toString) ++
+          s.configs.map { case (k, v) =>
+            (if (k.startsWith("kafka.")) k else s"kafka.$k") -> v
+          }
+      case "pulsar" =>
+        require(s.topics.nonEmpty, "pulsar source needs topics")
+        require(s.serviceUrl.nonEmpty, "pulsar source needs service_url")
+        Map("topics" -> s.topics.mkString(",")) ++
+          s.serviceUrl.map("service.url" -> _) ++
+          s.consumerGroup.map("predefinedSubscription" -> _) ++
+          s.batchSize.map("maxEntriesPerTrigger" -> _.toString) ++
+          s.configs
+      case _ => Map.empty
+    }
 
   /** batch_interval → ProcessingTime; unset → AvailableNow (the bounded
     * analog the tests run; a production Kafka stream sets the interval). */
@@ -140,8 +159,8 @@ object GraphStream {
 
   /** Build the streaming reader for a spec (no action taken here). */
   def reader(spark: SparkSession, s: SourceSpec): DataFrame = {
-    if (s.format == "kafka") {
-      sourceOptions(s).foldLeft(spark.readStream.format("kafka")) {
+    if (s.format == "kafka" || s.format == "pulsar") {
+      sourceOptions(s).foldLeft(spark.readStream.format(s.format)) {
         case (r, (k, v)) => r.option(k, v)
       }.load()
     } else {

@@ -119,4 +119,56 @@ class ExtraProcsSpec extends SparkTestBase {
     val (la, da) = bothWays(anc())
     assert(la == Seq(4L) && da == la)
   }
+
+  test("bipartite matching: closed-form sizes, odd cycle -> 0") {
+    // perfect matching on a 2x2 biclique minus nothing: K(2,2) -> 2
+    assert(ExtraProcs.localBipartiteMatching(
+      Array((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))) == 2L)
+    // star: one center, three leaves -> 1
+    assert(ExtraProcs.localBipartiteMatching(
+      Array((1L, 10L), (1L, 11L), (1L, 12L))) == 1L)
+    // path of 3 edges -> 2
+    assert(ExtraProcs.localBipartiteMatching(
+      Array((1L, 2L), (2L, 3L), (3L, 4L))) == 2L)
+    // odd cycle (triangle): not bipartite -> 0
+    assert(ExtraProcs.localBipartiteMatching(
+      Array((1L, 2L), (2L, 3L), (3L, 1L))) == 0L)
+    // self loop: not bipartite -> 0
+    assert(ExtraProcs.localBipartiteMatching(Array((1L, 1L))) == 0L)
+    // augmenting-path case: greedy 1-10, 2 stuck unless 1 re-routes
+    assert(ExtraProcs.localBipartiteMatching(
+      Array((1L, 10L), (1L, 11L), (2L, 10L))) == 2L)
+  }
+
+  test("periodic.iterate: batches run, a failing batch rolls back") {
+    val g = Cypher.execute(
+      spark,
+      TpchGraphLoader(spark, sfDir),
+      "CREATE (:PiV {v: 1}), (:PiV {v: 2}), (:PiV {v: 3})").graph
+    val ok = Cypher.run(
+      spark, g,
+      """CALL periodic.iterate('MATCH (n:PiV) RETURN n',
+        |  'SET n.w = n.v * 2', {batch_size: 2})
+        |YIELD success, number_of_executed_batches
+        |MATCH (m:PiV)
+        |RETURN success, number_of_executed_batches,
+        |       sum(m.w) AS total""".stripMargin).collect()
+    assert(ok.length == 1)
+    assert(ok(0).getBoolean(0) && ok(0).getLong(1) == 2L &&
+      ok(0).getLong(2) == 12L)
+    // a running query that raises per batch: success=false, 0 batches,
+    // and NO writes stick (pre-batch snapshot restored)
+    val bad = Cypher.run(
+      spark, g,
+      """CALL periodic.iterate('MATCH (n:PiV) RETURN n',
+        |  'SET n.w = assert(false)', {batch_size: 2})
+        |YIELD success, number_of_executed_batches
+        |MATCH (m:PiV)
+        |RETURN success, number_of_executed_batches,
+        |       sum(CASE WHEN m.w IS NULL THEN 0 ELSE 1 END)
+        |         AS written""".stripMargin).collect()
+    assert(bad.length == 1)
+    assert(!bad(0).getBoolean(0) && bad(0).getLong(1) == 0L &&
+      bad(0).getLong(2) == 0L)
+  }
 }

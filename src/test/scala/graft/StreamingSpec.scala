@@ -88,6 +88,32 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("pulsar CREATE STREAM config maps to connector options") {
+    val spec = GraphStream.SourceSpec(
+      format = "pulsar",
+      topics = Seq("events", "audit"),
+      serviceUrl = Some("pulsar://broker1:6650"),
+      consumerGroup = Some("graft-sub"),
+      batchIntervalMs = Some(250L),
+      batchSize = Some(500L),
+      configs = Map("pulsar.client.authPluginClassName" -> "X"))
+    val opts = GraphStream.sourceOptions(spec)
+    assert(opts("topics") == "events,audit")
+    assert(opts("service.url") == "pulsar://broker1:6650")
+    assert(opts("predefinedSubscription") == "graft-sub")
+    assert(opts("maxEntriesPerTrigger") == "500")
+    assert(opts("pulsar.client.authPluginClassName") == "X")
+    assert(GraphStream.triggerOf(spec) ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L))
+    // missing required pulsar fields fail loudly at declaration time
+    intercept[IllegalArgumentException] {
+      GraphStream.sourceOptions(spec.copy(serviceUrl = None))
+    }
+    intercept[IllegalArgumentException] {
+      GraphStream.sourceOptions(spec.copy(topics = Nil))
+    }
+  }
+
   test("kafka live ingestion (broker-gated)") {
     // live end-to-end needs a broker + the kafka connector jar; conf-gated
     assume(sys.env.contains("GRAFT_KAFKA_BROKER"),
