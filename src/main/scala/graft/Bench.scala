@@ -29,7 +29,15 @@ object Bench {
         System.err.println(s"[bench] warmup load failed: ${e.getMessage}")
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (scale-point benches
+    // over the heavy tail — sf3 runs don't need the 160-query sweep)
+    val only: Option[Set[String]] = sys.env
+      .get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch {

@@ -174,6 +174,22 @@ final class GraphState(
     else
       edgeTypes.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** Memoized per-label node-count estimates — the planner's
+    * VariableStartPlanner analog costs MATCH start alternatives with them
+    * (reference `plan/vertex_count_cache.hpp`). A plain label-frame count
+    * is footer-metadata cheap on parquet scans; memoized per state
+    * version. */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def labelCountEstimate(label: String): Long =
+    if (!hasLabel(label)) 0L
+    else countCache.getOrElseUpdate(label, nodes(label).count())
+
+  def totalNodeEstimate: Long =
+    countCache.getOrElseUpdate(
+      " all", nodeLabels.map(labelCountEstimate).sum)
+
   /** Point-adjacency access path: the edge union range-partitioned and
     * sorted by `_src`, persisted in the columnar cache. Cached batches
     * keep min/max stats, so a tiny-id-list probe prunes batches instead

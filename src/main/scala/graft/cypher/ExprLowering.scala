@@ -56,6 +56,38 @@ final class ExprLowering(
   def lower(e: Expr): Column = e match {
     case Lit(null) => lit(null)
     case Lit(v) => lit(v)
+    case ListLit(items) if items.nonEmpty =>
+      // heterogeneous list literals ([[1], 2, 3], [1, 'a']) cannot share
+      // one Spark element type — encode each element as a VARIANT
+      // (reference TypedValue lists are heterogeneous, typed_value.hpp
+      // TVector). Homogeneous lists keep the plain (codegen-friendly)
+      // array; the switch happens only when the array probe fails with a
+      // type mismatch (lambda-scoped lists keep the plain form).
+      val cols = items.map(lower)
+      val plain = array(cols: _*)
+      def baseKind(t: DataType): String = t match {
+        case _: NumericType => "num"
+        case NullType => "null"
+        case StringType => "str"
+        case BooleanType => "bool"
+        case _ => "other"
+      }
+      val kinds = cols.flatMap(typeOf).map(baseKind).filterNot(_ == "null")
+      def variantEnc = array(cols.map(c =>
+        try_variant_get(
+          parse_json(to_json(struct(c.as("v")))), "$.v", "variant")): _*)
+      // mixed SCALAR kinds would silently coerce (num + str → array of
+      // strings) — variant-encode before Spark gets the chance
+      if (kinds.size == items.size && kinds.distinct.size > 1 &&
+        kinds.forall(k => k == "num" || k == "str" || k == "bool"))
+        variantEnc
+      else
+        Try(typeProbe.select(plain).schema) match {
+          case scala.util.Failure(ex)
+              if String.valueOf(ex.getMessage).contains("DATA_DIFF_TYPES") =>
+            variantEnc
+          case _ => plain
+        }
     case ListLit(items) => array(items.map(lower): _*)
     case MapLit(items) =>
       // Cypher maps are heterogeneous RECORDS — lower to a named struct so
@@ -158,9 +190,21 @@ final class ExprLowering(
               throw new UnsupportedOperationException(
                 "dynamic key access on a record-typed map")
           }
+        // a VARIANT value (heterogeneous-list element) indexes through a
+        // JSON path for literal indexes
+        case Some(VariantType) =>
+          idx match {
+            case Lit(n: Long) if n >= 0 =>
+              try_variant_get(c, s"$$[$n]", "variant")
+            case _ =>
+              throw new UnsupportedOperationException(
+                "dynamic index into a heterogeneous-list element")
+          }
         case _ =>
-          // Cypher lists are 0-based, element_at is 1-based; negatives from end.
-          element_at(c, when(i >= 0, i + 1).otherwise(i).cast("int"))
+          // Cypher lists are 0-based, element_at is 1-based; negatives
+          // from the end; out-of-range (incl. any index into an empty
+          // list) is NULL, never an error
+          try_element_at(c, when(i >= 0, i + 1).otherwise(i).cast("int"))
       }
 
     case Slice(of, fromE, toE) =>
@@ -234,11 +278,16 @@ final class ExprLowering(
       when(listNull, nullB).otherwise(res)
 
     case Reduce(acc, initE, v, listE, stepE) =>
+      val listC = lower(listE)
+      val initC = lower(initE)
+      val elemT = typeOf(listC).collect { case ArrayType(et, _) => et }
+      val accT = typeOf(initC)
       aggregate(
-        lower(listE),
-        lower(initE),
+        listC,
+        initC,
         (a, x) => new ExprLowering(df, scope, params,
-          lambdaVars + (acc -> a) + (v -> x), enums, hopsCounter)
+          lambdaVars + (acc -> a) + (v -> x), enums, hopsCounter,
+          lambdaTypes ++ accT.map(acc -> _) ++ elemT.map(v -> _))
           .lower(stepE))
 
     // `n:Label` label test (LabelsTest): membership in the entity's
@@ -412,7 +461,7 @@ final class ExprLowering(
           case DateType | TimestampType | TimestampNTZType => true
           case _ => false
         }
-        (typeOf(lc), typeOf(rc)) match {
+        (typeOf(lc).orElse(hintOf(l)), typeOf(rc).orElse(hintOf(r))) match {
           // string literal vs temporal column: cast the string side (the
           // reference parses the literal into the temporal type; silently
           // NULLing would drop all rows of a valid date predicate)
@@ -420,6 +469,12 @@ final class ExprLowering(
             cmp(lc.cast(t), rc)
           case (Some(t), Some(StringType)) if temporal(t) =>
             cmp(lc, rc.cast(t))
+          // a VARIANT side (heterogeneous-list element) compares through
+          // the other side's type; wrong-kind variants compare NULL
+          case (Some(VariantType), Some(t2)) if !temporal(t2) =>
+            cmp(variantAs(lc, t2), rc)
+          case (Some(t2), Some(VariantType)) if !temporal(t2) =>
+            cmp(lc, variantAs(rc, t2))
           case (Some(a), Some(b)) if !orderable(a, b) =>
             lit(null).cast("boolean")
           case _ => cmp(lc, rc)
@@ -445,15 +500,101 @@ final class ExprLowering(
             }
             if (compatible.isEmpty) lit(false)
             else lc.isin(compatible: _*)
-          case _ => array_contains(rc, lc)
+          case ListLit(items) =>
+            // general list literal (nested/mixed/expression elements):
+            // element-wise unrolled membership so each element keeps its
+            // own static type — array() would coerce or reject
+            // `[1] IN [[1], 2, 3]`. Ternary: any true → true, else any
+            // null-valued comparison → null, else false; statically
+            // type-incompatible pairs compare false (cross-type equality
+            // is false, matching the isin branch).
+            if (items.isEmpty) lit(false)
+            else {
+              val eqs = items.map { e =>
+                val ec = lower(e)
+                (typeOf(lc), typeOf(ec)) match {
+                  case (Some(a2), Some(b2)) if !orderable(a2, b2) =>
+                    lit(false)
+                  case _ => binOp("=", l, e)
+                }
+              }
+              val anyTrue = eqs.map(c => c <=> lit(true)).reduce(_ || _)
+              val anyNull = eqs.map(_.isNull).reduce(_ || _)
+              when(anyTrue, lit(true))
+                .when(anyNull, lit(null).cast("boolean"))
+                .otherwise(lit(false))
+            }
+          case _ =>
+            typeOf(rc) match {
+              // membership over a VARIANT-encoded heterogeneous list:
+              // per-element typed comparison (numbers compare as doubles,
+              // lists/maps by canonical JSON)
+              case Some(ArrayType(VariantType, _)) =>
+                val eq: Column => Column = x => typeOf(lc) match {
+                  case Some(_: NumericType) =>
+                    schema_of_variant(x).rlike(
+                      "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL.*)$") &&
+                      try_variant_get(x, "$", "double") === lc.cast("double")
+                  case Some(StringType) =>
+                    schema_of_variant(x) === "STRING" &&
+                      try_variant_get(x, "$", "string") === lc
+                  case Some(BooleanType) =>
+                    schema_of_variant(x) === "BOOLEAN" &&
+                      try_variant_get(x, "$", "boolean") === lc
+                  case _ => to_json(x) === to_json(lc)
+                }
+                when(lc.isNull, lit(null).cast("boolean"))
+                  .otherwise(exists(rc, eq))
+              case _ => array_contains(rc, lc)
+            }
         }
       case "=~" => lc.rlike_(rc)
-      case "CONTAINS" => lc.contains(rc)
-      case "STARTS WITH" => lc.startsWith(rc)
-      case "ENDS WITH" => lc.endsWith(rc)
+      case "CONTAINS" | "STARTS WITH" | "ENDS WITH" =>
+        // non-string operands yield NULL (the reference's ternary type
+        // error), including non-string VARIANT elements
+        def strSide(c: Column, t: Option[DataType]): Column = t match {
+          case Some(StringType) => c
+          case Some(VariantType) =>
+            when(
+              schema_of_variant(c) === "STRING",
+              try_variant_get(c, "$", "string"))
+          case Some(_) => lit(null).cast("string")
+          case None => c
+        }
+        val ls = strSide(lc, typeOf(lc))
+        val rs = strSide(rc, typeOf(rc))
+        op match {
+          case "CONTAINS" => ls.contains(rs)
+          case "STARTS WITH" => ls.startsWith(rs)
+          case _ => ls.endsWith(rs)
+        }
       case other =>
         throw new UnsupportedOperationException(s"operator $other")
     }
+  }
+
+  /** Static type hint for a lambda variable (typeOf cannot resolve a
+    * namedlambdavariable). */
+  private[cypher] def hintOf(e: Expr): Option[DataType] = e match {
+    case Var(n) => lambdaTypes.get(n)
+    case _ => None
+  }
+
+  /** A VARIANT value narrowed to `t`'s comparison kind; other kinds are
+    * NULL (cypher cross-type comparison). */
+  private def variantAs(c: Column, t: DataType): Column = t match {
+    case _: NumericType =>
+      when(
+        schema_of_variant(c).rlike(
+          "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL.*)$"),
+        try_variant_get(c, "$", "double"))
+    case StringType =>
+      when(schema_of_variant(c) === "STRING", try_variant_get(c, "$", "string"))
+    case BooleanType =>
+      when(
+        schema_of_variant(c) === "BOOLEAN",
+        try_variant_get(c, "$", "boolean"))
+    case _ => lit(null)
   }
 
   private implicit class RichCol(c: Column) {

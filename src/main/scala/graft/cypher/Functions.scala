@@ -14,6 +14,67 @@ import Ast._
   */
 object Functions {
 
+  /** Cypher value conversion (toBoolean/toInteger/toFloat/toString and
+    * their list forms — awesome_memgraph_functions.cpp:2078-2086):
+    * unconvertible VALUES yield NULL (never a cast error, ANSI or not),
+    * numeric strings parse through double ('2.9' → toInteger 2),
+    * heterogeneous (VARIANT) elements convert by their runtime kind, and
+    * statically unconvertible TYPES (lists/maps) are NULL. */
+  private def cyConvert(
+      c: Column,
+      t: Option[DataType],
+      target: String): Column = {
+    val numericKinds =
+      "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL.*)$"
+    t match {
+      case Some(VariantType) =>
+        val s = schema_of_variant(c)
+        val num = s.rlike(numericKinds)
+        target match {
+          case "long" =>
+            when(num, try_variant_get(c, "$", "double").cast("long"))
+              .when(
+                s === "STRING",
+                try_variant_get(c, "$", "string")
+                  .try_cast("double").cast("long"))
+              .when(
+                s === "BOOLEAN",
+                try_variant_get(c, "$", "boolean").cast("long"))
+          case "double" =>
+            when(num, try_variant_get(c, "$", "double"))
+              .when(
+                s === "STRING",
+                try_variant_get(c, "$", "string").try_cast("double"))
+          case "boolean" =>
+            // bool, string, and INTEGER kinds convert; floats are invalid
+            when(s === "BOOLEAN", try_variant_get(c, "$", "boolean"))
+              .when(
+                s === "STRING",
+                try_variant_get(c, "$", "string").try_cast("boolean"))
+              .when(
+                s.rlike("^(TINYINT|SMALLINT|INT|BIGINT)$"),
+                try_variant_get(c, "$", "double") =!= 0.0)
+          case _ =>
+            when(
+              !s.rlike("^(ARRAY|OBJECT|STRUCT|MAP)"),
+              try_variant_get(c, "$", "string"))
+        }
+      case Some(_: ArrayType) | Some(_: MapType) | Some(_: StructType)
+          if target != "string" =>
+        lit(null).cast(target)
+      case Some(StringType) if target == "long" =>
+        c.try_cast("double").cast("long")
+      case Some(StringType) => c.try_cast(target)
+      case Some(t2: NumericType) if target == "boolean" =>
+        t2 match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            c.cast("double") =!= 0.0
+          case _ => lit(null).cast("boolean") // floats don't convert
+        }
+      case _ => c.try_cast(target)
+    }
+  }
+
   private val aggregates =
     Set("count", "sum", "avg", "min", "max", "collect", "stdev", "stdevp",
       "percentilecont", "percentiledisc", "project", "derive")
@@ -27,7 +88,9 @@ object Functions {
       args: Seq[Expr]): Column = {
 
     def a(i: Int): Column = ctx.lower(args(i))
-    def argType(i: Int): Option[DataType] = ctx.typeOf(a(i))
+    def argType(i: Int): Option[DataType] =
+      ctx.typeOf(a(i))
+        .orElse(args.lift(i).flatMap(ctx.hintOf))
 
     // graph-aware functions on node/edge variables
     def nodeEdgeVar(i: Int): Option[String] = args.lift(i) match {
@@ -355,6 +418,10 @@ object Functions {
             val known = Set(
               "x", "y", "z", "height", "longitude", "latitude", "crs",
               "srid")
+            // unknown keys short-circuit to the NULL point BEFORE any
+            // crs/srid consistency check (the reference returns NULL for
+            // unknown keys even alongside a contradicting crs)
+            if ((keys -- known).nonEmpty) return lit(null).cast(PointType)
             val hasGeoKeys =
               keys.contains("longitude") || keys.contains("latitude")
             val hasCartKeys = keys.contains("x") || keys.contains("y")
@@ -500,17 +567,24 @@ object Functions {
       case "isempty" => size(a(0)) === 0
       case "exists" => a(0).isNotNull
       case "coalesce" => coalesce(args.map(ctx.lower): _*)
-      case "toboolean" => a(0).cast("boolean")
-      case "tointeger" => a(0).cast("long")
-      case "tofloat" => a(0).cast("double")
-      case "tostring" => a(0).cast("string")
-      case "tointegerornull" => a(0).cast("long") // cast already yields null on failure (ANSI off)
-      case "tofloatornull" => a(0).cast("double")
-      case "tobooleanornull" => a(0).cast("boolean")
-      case "tostringornull" => a(0).cast("string")
-      case "tointegerlist" => transform(a(0), _.cast("long"))
-      case "tofloatlist" => transform(a(0), _.cast("double"))
-      case "tostringlist" => transform(a(0), _.cast("string"))
+      case "toboolean" | "tobooleanornull" =>
+        cyConvert(a(0), argType(0), "boolean")
+      case "tointeger" | "tointegerornull" =>
+        cyConvert(a(0), argType(0), "long")
+      case "tofloat" | "tofloatornull" =>
+        cyConvert(a(0), argType(0), "double")
+      case "tostring" | "tostringornull" =>
+        cyConvert(a(0), argType(0), "string")
+      case "tointegerlist" | "tofloatlist" | "tostringlist" |
+          "tobooleanlist" =>
+        val target = name.toLowerCase match {
+          case "tointegerlist" => "long"
+          case "tofloatlist" => "double"
+          case "tobooleanlist" => "boolean"
+          case _ => "string"
+        }
+        val elemT = argType(0).collect { case ArrayType(et, _) => et }
+        transform(a(0), x => cyConvert(x, elemT, target))
       case "valuetype" => typeof(a(0))
 
       // ---- list ----
@@ -525,8 +599,19 @@ object Functions {
               case _ => size(a(0)).cast("long")
             }
         }
-      case "head" => element_at(a(0), 1)
-      case "last" => element_at(a(0), -1)
+      case "head" =>
+        argType(0) match {
+          case Some(NullType) => lit(null)
+          case _ => element_at(a(0), 1)
+        }
+      case "last" =>
+        argType(0) match {
+          case Some(NullType) => lit(null)
+          case _ =>
+            // empty list → NULL, not an index error
+            when(size(a(0)) === 0, lit(null))
+              .otherwise(try_element_at(a(0), lit(-1)))
+        }
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
       case "range" =>
         // Cypher range(a,b[,step]) is EMPTY when the step's sign can't reach
@@ -734,6 +819,12 @@ object Functions {
             val T = """(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?""".r
             s match {
               case T(h, mi, se, fr) =>
+                // component range check (ParseLocalTimeParameters — the
+                // reference rejects '25:99')
+                if (h.toLong >= 24 || mi.toLong >= 60 ||
+                  Option(se).exists(_.toLong >= 60))
+                  throw new IllegalArgumentException(
+                    s"local time components out of range: $s")
                 val frac = Option(fr)
                   .map(f => f.padTo(6, '0').take(6).toLong / 1e6)
                   .getOrElse(0.0)

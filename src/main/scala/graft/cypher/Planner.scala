@@ -58,6 +58,18 @@ final class Planner(
   private def rebased: GraphState =
     state.withIdBase(math.max(idHighWater, myBase))
 
+  /** ONE statement-wide hops quota shared by every emulated partial
+    * traversal (the reference's single `USING HOPS LIMIT` counter —
+    * hops_limit.hpp; a statement with several expansions must not get a
+    * fresh budget per expansion). */
+  private var lhQuotaCache: Option[graft.operators.LocalHops.Quota] = None
+  private def lhQuota(cap: Long): graft.operators.LocalHops.Quota =
+    lhQuotaCache.getOrElse {
+      val q = new graft.operators.LocalHops.Quota(cap)
+      lhQuotaCache = Some(q)
+      q
+    }
+
   /** Append a sequential id column `start, start+1, …` in row order.
     * The input is localCheckpoint-ed FIRST: `zipWithIndex` submits a
     * partition-count job at construction, so without the checkpoint the
@@ -1803,10 +1815,11 @@ final class Planner(
     * bound in it (for the cyphermorphism filter). */
   private def planPattern(
       lf: LF,
-      part: PatternPart,
+      part0: PatternPart,
       pushWhere: Option[Expr] = None): (LF, Seq[String]) = {
-    if (part.shortest.isDefined || part.hops.exists(_._1.mode != "DFS"))
-      return (planShortest(lf, part, pushWhere), Nil)
+    if (part0.shortest.isDefined || part0.hops.exists(_._1.mode != "DFS"))
+      return (planShortest(lf, part0, pushWhere), Nil)
+    val part = choosePatternOrientation(lf, part0)
     val (cur0, startName) = bindNode(lf, part.start)
     var cur = cur0
     var srcVar = startName
@@ -1965,8 +1978,8 @@ final class Planner(
                 graft.operators.LocalHops.dfs(
                   le, srcIds,
                   dirOut = dir != Expand.In, dirIn = dir != Expand.Out,
-                  minH, maxH.map(_.toLong).getOrElse(Long.MaxValue), cap,
-                  allowedIds)
+                  minH, maxH.map(_.toLong).getOrElse(Long.MaxValue),
+                  lhQuota(cap), allowedIds)
               }
             }
           lhEmu match {
@@ -2076,7 +2089,8 @@ final class Planner(
                   preSrc.collect().map(_.getLong(0)).sorted.toSeq
                 val emu = graft.operators.LocalHops.singleHop(
                   le, srcIds,
-                  dirOut = d != Expand.In, dirIn = d != Expand.Out, lim)
+                  dirOut = d != Expand.In, dirIn = d != Expand.Out,
+                  lhQuota(lim))
                 if (emu.breached) {
                   import spark.implicits._
                   val allowedDf = emu.rows
@@ -2434,25 +2448,32 @@ final class Planner(
           .cast("double"))
         .otherwise(w)
     }
-    var oriented = withTarget.select(
+    // optional 2-var filter lambda / property map: keep allowed
+    // traversals. Applied BEFORE the weight projection — the reference
+    // evaluates the filter before weighing an expansion, so a
+    // null/negative weight on an edge the lambda excludes never raises.
+    val withTargetF = edgesOv match {
+      case Some(allowed) =>
+        withTarget.join(
+          allowed.select(
+            col(GraphState.IdCol).as("__ov_id"),
+            col(GraphState.SrcCol).as("__ov_s"),
+            col(GraphState.DstCol).as("__ov_d")),
+          Frames.id(wev) === col("__ov_id") &&
+            col("__fo_src") === col("__ov_s") &&
+            col("__fo_dst") === col("__ov_d"),
+          "left_semi")
+      case None => withTarget
+    }
+    val oriented = withTargetF.select(
       Seq(
         Frames.id(wev).as("__sp_eid"),
         col("__fo_src").as(GraphState.SrcCol),
         col("__fo_dst").as(GraphState.DstCol),
         wChecked.as(ShortestPath.EdgeWeightCol)) ++
         (if (needStruct)
-           Seq(varStructCol(withTarget, wev).as(ShortestPath.EStructCol))
+           Seq(varStructCol(withTargetF, wev).as(ShortestPath.EStructCol))
          else Nil): _*)
-    // optional 2-var filter lambda / property map: keep allowed traversals
-    edgesOv.foreach { allowed =>
-      oriented = oriented.join(
-        allowed.select(
-          col(GraphState.IdCol).as("__sp_eid"),
-          col(GraphState.SrcCol),
-          col(GraphState.DstCol)),
-        Seq("__sp_eid", GraphState.SrcCol, GraphState.DstCol),
-        "left_semi")
-    }
     // edge-only weight lambdas (`e.w`) have a NULL → 0 init for every
     // seed — skip the init join entirely (the common/gate-scale shape)
     val wSeeds =
@@ -2703,10 +2724,10 @@ final class Planner(
           graft.operators.LocalHops.st(
             le,
             for (s <- srcIds; t <- sinkIds) yield (s, t),
-            dirOut, dirIn, minH, maxHL, cap, allowedIds)
+            dirOut, dirIn, minH, maxHL, lhQuota(cap), allowedIds)
         } else
           graft.operators.LocalHops.bfs(
-            le, srcIds, dirOut, dirIn, minH, maxHL, cap, allowedIds)
+            le, srcIds, dirOut, dirIn, minH, maxHL, lhQuota(cap), allowedIds)
       if (!emu.breached) None
       else {
         import spark.implicits._
@@ -2890,6 +2911,52 @@ final class Planner(
     if (!dstBound)
       out = nodeConstraints(out, dstName, node.labels, node.props)
     out
+  }
+
+  /** VariableStartPlanner analog (reference
+    * plan/variable_start_planner.hpp + cost_estimator.hpp): a MATCH chain
+    * whose textual start would SCAN a big side while the other end is
+    * already bound (cost 0) or carries a much smaller label reverses, so
+    * the cheap side drives the expansion. Estimates come from memoized
+    * label-frame counts ([[GraphState.labelCountEstimate]] — the
+    * VertexCountCache analog). Reversal is skipped whenever orientation
+    * is observable: named paths (node order), per-step lambdas (their
+    * per-step target flips), USING HOPS LIMIT (the reference's partial
+    * order is traversal-order-defined). */
+  private def choosePatternOrientation(lf: LF, p: PatternPart): PatternPart = {
+    if (p.hops.isEmpty || p.pathVar.isDefined) return p
+    if (p.hops.exists { case (r, _) =>
+        r.filterLambda.isDefined || r.weight.isDefined || r.bothArrows ||
+          r.variable.exists(lf.scope.contains) ||
+          // a NAMED var-length list's element order is observable and
+          // orientation-defined — don't flip it
+          (r.varLength.isDefined && r.variable.isDefined)
+      }) return p
+    if (hopsLimit.isDefined) return p
+    val startBound = p.start.variable.exists(lf.scope.contains)
+    if (startBound) return p
+    val endNode = p.hops.last._2
+    val endBound = endNode.variable.exists(lf.scope.contains)
+    def est(n: NodePattern): Double =
+      n.labels.headOption
+        .map(l => state.labelCountEstimate(l).toDouble)
+        .getOrElse(state.totalNodeEstimate.toDouble)
+    val doReverse =
+      endBound || (endNode.labels.nonEmpty &&
+        est(endNode) * 2 < est(p.start))
+    if (!doReverse) p
+    else {
+      val nodes = p.start +: p.hops.map(_._2)
+      val rels = p.hops.map(_._1)
+      def flip(r: RelPattern): RelPattern = r.direction match {
+        case OutDir => r.copy(direction = InDir)
+        case InDir => r.copy(direction = OutDir)
+        case BothDir => r
+      }
+      p.copy(
+        start = nodes.last,
+        hops = rels.indices.reverse.map(i => (flip(rels(i)), nodes(i))))
+    }
   }
 
   /** Bind (or re-constrain) the first node of a pattern part. */
@@ -3764,6 +3831,15 @@ object Cypher {
     "(?is)^\\s*SHOW\\s+DESCRIPTIONS\\s*;?\\s*$".r
   private val ShowParametersR =
     "(?is)^\\s*SHOW\\s+PARAMETERS\\s*;?\\s*$".r
+  private val ShowEnumsR = "(?is)^\\s*SHOW\\s+ENUMS\\s*;?\\s*$".r
+  private val AlterEnumAddR =
+    "(?is)^\\s*ALTER\\s+ENUM\\s+(\\w+)\\s+ADD\\s+VALUE\\s+(\\w+)\\s*;?\\s*$".r
+  private val AlterEnumUpdateR =
+    ("(?is)^\\s*ALTER\\s+ENUM\\s+(\\w+)\\s+UPDATE\\s+VALUE\\s+(\\w+)\\s+TO" +
+      "\\s+(\\w+)\\s*;?\\s*$").r
+  private val AlterEnumRemoveR =
+    "(?is)^\\s*ALTER\\s+ENUM\\s+(\\w+)\\s+REMOVE\\s+VALUE\\s+.*$".r
+  private val DropEnumR = "(?is)^\\s*DROP\\s+ENUM\\b.*$".r
 
   /** Effective parameters: client bindings shadow server-side ones
     * (server_side_parameters.feature). */
@@ -3799,6 +3875,40 @@ object Cypher {
       ExecResult(g, graft.procedures.IndexProcs.showDescriptions(spark, g))
     case ShowParametersR() =>
       ExecResult(g, graft.procedures.IndexProcs.showParameters(spark, g))
+    // enum DDL beyond CREATE (enum_store.hpp): SHOW / ALTER ADD / ALTER
+    // UPDATE; REMOVE VALUE and DROP ENUM raise like the reference
+    // (values may be stored in properties — the store refuses)
+    case ShowEnumsR() =>
+      import spark.implicits._
+      ExecResult(
+        g,
+        g.enums.toSeq.sortBy(_._1)
+          .toDF("Enum Name", "Enum Values"))
+    case AlterEnumAddR(name, value) =>
+      val vs = g.enums.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"unknown enum '$name'"))
+      require(!vs.contains(value), s"enum '$name' already has '$value'")
+      ExecResult(
+        g.withEnum(name, vs :+ value),
+        spark.range(0).toDF().select())
+    case AlterEnumUpdateR(name, from, to) =>
+      val vs = g.enums.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"unknown enum '$name'"))
+      require(vs.contains(from), s"enum '$name' has no value '$from'")
+      require(!vs.contains(to), s"enum '$name' already has '$to'")
+      ExecResult(
+        g.withEnum(name, vs.map(v => if (v == from) to else v)),
+        spark.range(0).toDF().select())
+    case AlterEnumRemoveR(name) =>
+      throw new UnsupportedOperationException(
+        s"ALTER ENUM $name REMOVE VALUE is not supported (stored " +
+          "properties may reference the value — the reference refuses too)")
+    case DropEnumR() =>
+      throw new UnsupportedOperationException(
+        "DROP ENUM is not supported (stored properties may reference " +
+          "its values — the reference refuses too)")
     case ExplainPrefix(kind, rest) =>
       val planner = new Planner(spark, g, mergedParams(g, params))
       val df = planner.plan(CypherParser.parse(rest))

@@ -48,7 +48,11 @@ private[graft] object LocalHops {
   /** The reference's `SharedQuota` fetch accounting: a vertex's typed
     * edge list costs one hop per edge; on exhaustion the list truncates
     * and every later fetch returns empty. */
-  private final class Quota(cap: Long) {
+  /** Statement-wide fetch budget (`USING HOPS LIMIT` counter,
+    * hops_limit.hpp): the reference shares ONE counter across every
+    * expansion of a statement — callers create one Quota per statement
+    * and pass it to each emulated traversal. */
+  final class Quota(cap: Long) {
     var used = 0L
     var reached = false
     def fetch[E](list: Seq[E]): Seq[E] = {
@@ -88,9 +92,8 @@ private[graft] object LocalHops {
       sources: Seq[Long],
       dirOut: Boolean,
       dirIn: Boolean,
-      cap: Long): Emu = {
+      q: Quota): Emu = {
     val adj = new Adj(edges)
-    val q = new Quota(cap)
     val rows = mutable.ArrayBuffer.empty[PathRow]
     sources.foreach { v =>
       q.fetch(adj.of(v, dirOut, dirIn, outFirst = false)).foreach {
@@ -111,10 +114,9 @@ private[graft] object LocalHops {
       dirIn: Boolean,
       minH: Int,
       maxH: Long,
-      cap: Long,
+      q: Quota,
       allowed: Option[Set[Long]]): Emu = {
     val adj = new Adj(edges)
-    val q = new Quota(cap)
     val rows = mutable.ArrayBuffer.empty[PathRow]
     sources.foreach { v =>
       if (minH == 0) rows += PathRow(v, v, Seq(v), Nil)
@@ -155,12 +157,14 @@ private[graft] object LocalHops {
       dirIn: Boolean,
       minH: Int,
       maxH: Long,
-      cap: Long,
+      q: Quota,
       allowed: Option[Set[Long]]): Emu = {
     val adj = new Adj(edges)
-    val q = new Quota(cap)
     val rows = mutable.ArrayBuffer.empty[PathRow]
     sources.foreach { src =>
+      // zero-length path: the source itself at depth 0 (reference BFS
+      // emits the seed when the lower bound admits it)
+      if (minH == 0) rows += PathRow(src, src, Seq(src), Nil)
       val visited = mutable.HashSet(src)
       val paths =
         mutable.HashMap[Long, (List[Long], List[Long])](src -> (List(src), Nil))
@@ -200,13 +204,15 @@ private[graft] object LocalHops {
       dirIn: Boolean,
       minH: Int,
       maxH: Long,
-      cap: Long,
+      q: Quota,
       allowed: Option[Set[Long]]): Emu = {
     val adj = new Adj(edges)
-    val q = new Quota(cap)
     val rows = mutable.ArrayBuffer.empty[PathRow]
     pairs.foreach { case (source, sink) =>
-      if (source != sink) {
+      // self-reaching pair: the zero-length path (when minH admits it)
+      if (source == sink) {
+        if (minH == 0) rows += PathRow(source, source, Seq(source), Nil)
+      } else {
         // per-side parent maps: v -> (eid, predecessor on that side)
         val inEdge = mutable.HashMap[Long, Option[(Long, Long)]](source -> None)
         val outEdge = mutable.HashMap[Long, Option[(Long, Long)]](sink -> None)

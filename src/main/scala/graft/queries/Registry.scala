@@ -7,7 +7,8 @@ object Registry {
     Relational.defs ++ CypherQueries.defs ++ ShortestPathQueries.defs ++
       LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs ++
       CypherMutationQueries.defs ++ FrontendQueries.defs ++
-      StreamingQueries.defs ++ Round3Queries.defs ++ Round9Queries.defs
+      StreamingQueries.defs ++ Round3Queries.defs ++ Round9Queries.defs ++
+      Round10Queries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(

@@ -214,4 +214,30 @@ class CypherSpec extends SparkTestBase {
         |RETURN r.r_name AS name, nn ORDER BY name""".stripMargin).collect()
     assert(rows.length == 5 && rows.map(_.getLong(1)).sum == g.nodes("Nation").count())
   }
+
+  test("start-point chooser: the smaller label side drives the expansion") {
+    // Customer (large) -> Nation (25): the VariableStartPlanner analog
+    // must reverse, so the LEFTMOST leaf of the optimized plan is the
+    // Nation relation (n_* columns), not a full Customer scan
+    val df = run(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE n.n_name = 'FRANCE'
+        |RETURN count(*) AS cnt""".stripMargin)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val firstCols = leaves.head.output.map(_.name)
+    assert(
+      firstCols.exists(_.contains("n_name")),
+      s"expected the Nation scan to drive; leftmost leaf columns: $firstCols")
+    // and the answer is still the join count
+    val expected = g.nodes("Customer")
+      .join(
+        g.nodes("Nation")
+          .filter(org.apache.spark.sql.functions.col("n_name") === "FRANCE")
+          .select(org.apache.spark.sql.functions
+            .col("n_nationkey").as("__nk")),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("__nk"))
+      .count()
+    assert(df.collect()(0).getLong(0) == expected)
+  }
 }

@@ -19,10 +19,10 @@ class GqlBehaveSpec extends GqlHarness {
     "case.feature" -> 9,
     "with.feature" -> 22,
     "union.feature" -> 14,
-    "list_operations.feature" -> 28,
+    "list_operations.feature" -> 38,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
-    "create.feature" -> 22,
+    "create.feature" -> 23,
     "delete.feature" -> 10,
     "update_clauses.feature" -> 18,
     "map_projection.feature" -> 4,
@@ -30,12 +30,12 @@ class GqlBehaveSpec extends GqlHarness {
     "match.feature" -> 45,
     "foreach.feature" -> 12,
     "merge.feature" -> 26,
-    "functions.feature" -> 81,
+    "functions.feature" -> 94,
     "list_comprehension.feature" -> 12,
     "map_operations.feature" -> 4,
     "map.feature" -> 11,
     "patterns.feature" -> 19,
-    "subqueries.feature" -> 32,
+    "subqueries.feature" -> 42,
     "parameters.feature" -> 4,
     "pattern_comprehensions.feature" -> 53,
     "cartesian.feature" -> 32,
@@ -44,12 +44,12 @@ class GqlBehaveSpec extends GqlHarness {
     "memgraph_allshortest.feature" -> 26,
     "memgraph_exists.feature" -> 56,
     "hops_limit.feature" -> 13,
-    "memgraph.feature" -> 7,
+    "memgraph.feature" -> 17,
     "indices.feature" -> 16,
     "edge_indices_usage.feature" -> 3,
     "caching.feature" -> 7,
     "descriptions.feature" -> 19,
-    "periodic_commit.feature" -> 6,
+    "periodic_commit.feature" -> 7,
     // r9: USING PERIODIC COMMIT now parses, so the 13 use-after-delete
     // error scenarios execute (leniently — snapshot reads see pre-delete
     // values, same class as delete.feature's lenient tally) instead of
@@ -69,9 +69,6 @@ class GqlBehaveSpec extends GqlHarness {
       ("EXPLAIN prints this engine's operator tree — a Catalyst optimized " +
         "plan, not the reference's Produce/Once operator names; the " +
         "expected table pins the reference's internal plan format"),
-    "In test2" ->
-      ("heterogeneous list literals coerce to a common Spark array type, " +
-        "so 2 IN [1,'2',3,4] sees strings — cross-type IN diverges"),
     "Set test" ->
       ("memgraph applies SET per input row with read-your-writes, so a " +
         "node matched k times accumulates k increments; snapshot batch " +

@@ -475,6 +475,12 @@ abstract class GqlHarness extends SparkTestBase {
 
   private def sparkV(a: Any): Option[V] = a match {
     case null => Some(NullV)
+    // VARIANT values (heterogeneous-list elements) decode through their
+    // canonical JSON — the cell grammar is a superset of JSON scalars /
+    // arrays, so parseCell reads it back; entity structs that went
+    // through the encoding come back as their EV form
+    case v: org.apache.spark.unsafe.types.VariantVal =>
+      parseCell(v.toString).map(jsonNormalize)
     case b: Boolean => Some(BV(b))
     case n: Byte => Some(NV(n.toDouble))
     case n: Short => Some(NV(n.toDouble))
@@ -551,6 +557,34 @@ abstract class GqlHarness extends SparkTestBase {
     Some(PV(nodeVs.flatten.toSeq, edgeVs.flatten.toSeq, fwd.flatten.toSeq))
   }
 
+  /** Normalize a JSON-decoded value: strip double-quoted map keys, turn
+    * entity-shaped maps (_labels / _type markers) back into EV values. */
+  private def jsonNormalize(x: V): V = x match {
+    case LV(xs) => LV(xs.map(jsonNormalize))
+    case MV(m0) =>
+      val m = m0.map { case (k, v) =>
+        k.stripPrefix("\"").stripSuffix("\"") -> jsonNormalize(v)
+      }
+      val meta = Set("_id", "_labels", "_type", "_src", "_dst")
+      def props = m.view.filterKeys(k => !meta(k)).toMap
+        .filter(_._2 != NullV)
+      if (m.contains("_labels"))
+        EV(
+          edge = false,
+          m("_labels") match {
+            case LV(ls) => ls.collect { case SV(s) => s }.toSet
+            case _ => Set.empty
+          },
+          props)
+      else if (m.contains("_type"))
+        EV(
+          edge = true,
+          m("_type") match { case SV(s) => Set(s); case _ => Set.empty },
+          props)
+      else MV(m)
+    case other => other
+  }
+
   private def vEq(a: V, b: V): Boolean = (a, b) match {
     case (NV(x), NV(y)) =>
       x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(
@@ -564,6 +598,13 @@ abstract class GqlHarness extends SparkTestBase {
       n1.length == n2.length && e1.length == e2.length && f1 == f2 &&
         n1.zip(n2).forall { case (p, q) => vEq(p, q) } &&
         e1.zip(e2).forall { case (p, q) => vEq(p, q) }
+    // the reference prints enum VALUES as {__type: mg_enum, __value:
+    // 'Name::Value'} maps; this engine's enums are validated strings —
+    // same information, normalize for comparison
+    case (MV(m), sv: SV) if m.get("__type").contains(SV("mg_enum")) =>
+      m.get("__value").exists(vEq(_, sv))
+    case (sv: SV, MV(m)) if m.get("__type").contains(SV("mg_enum")) =>
+      m.get("__value").exists(vEq(_, sv))
     case (MV(m1), MV(m2)) =>
       // a NULL entry and an absent key are interchangeable across engines
       // (memgraph prints maps without null entries in some shapes)
@@ -599,23 +640,36 @@ abstract class GqlHarness extends SparkTestBase {
       val failures: scala.collection.mutable.Buffer[String] =
         scala.collection.mutable.Buffer.empty)
 
+  /** Enum DDL survives `Given an empty graph` within a feature file (the
+    * reference wipes nodes/edges, not the enum store — memgraph.feature
+    * "Values will be used from the previous scenario"). */
+  private var carriedEnums: Map[String, Seq[String]] = Map.empty
+
   private def runScenario(sc: Scenario, tally: Tally): Unit = {
     if (sc.unsupported.isDefined || sc.query.isEmpty || sc.expect.isEmpty) {
       tally.skip += 1; return
     }
     if (excluded.contains(sc.name)) { tally.skip += 1; return }
     val attempt = scala.util.Try {
-      var g = GraphState(Map.empty, Map.empty)
+      var g = carriedEnums.foldLeft(GraphState(Map.empty, Map.empty)) {
+        case (gg, (n, vs)) => gg.withEnum(n, vs)
+      }
       sc.setups.foreach { q =>
         g = Cypher.execute(spark, g, q, sc.params).graph
+        carriedEnums = g.enums
       }
       val res = Cypher.execute(spark, g, sc.query.get, sc.params)
+      carriedEnums = res.graph.enums
       // a statement without RETURN produces EmptyResult (operator.hpp:1819)
       // — except SHOW statements, whose result IS their table
       if ("(?i)\\bRETURN\\b".r.findFirstIn(sc.query.get).isEmpty &&
         !sc.query.get.trim.toUpperCase.startsWith("SHOW"))
         Array.empty[org.apache.spark.sql.Row]
       else res.result.collect()
+    }
+    if (sys.env.contains("GRAFT_GQL_PASSES")) attempt match {
+      case scala.util.Success(_) => info(s"  RAN ${sc.name}")
+      case _ => ()
     }
     (sc.expect.get, attempt) match {
       case (ErrorExpected, scala.util.Failure(_)) => tally.pass += 1
@@ -664,6 +718,7 @@ abstract class GqlHarness extends SparkTestBase {
     test(s"gql_behave: $file") {
       val scenarios = parseFeature(s"$featureDir/$file")
       val tally = Tally()
+      carriedEnums = Map.empty // enum DDL is per-feature-file
       scenarios.foreach(runScenario(_, tally))
       info(
         s"$file: ${tally.pass} pass, ${tally.skip} skip, " +

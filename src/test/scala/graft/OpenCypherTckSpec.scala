@@ -25,7 +25,7 @@ class OpenCypherTckSpec extends GqlHarness {
     "LabelsAcceptance.feature" -> 12,
     "Literals.feature" -> 11,
     "MatchAcceptance.feature" -> 29,
-    "MatchAcceptance2.feature" -> 80,
+    "MatchAcceptance2.feature" -> 86,
     "MatchingSelfRelationships.feature" -> 19,
     "MergeNodeAcceptance.feature" -> 24,
     "MergeRelationshipAcceptance.feature" -> 30,
@@ -33,19 +33,19 @@ class OpenCypherTckSpec extends GqlHarness {
     "OptionalMatch.feature" -> 3,
     "OptionalMatchAcceptance.feature" -> 18,
     "OrderByAcceptance.feature" -> 19,
-    "PatternComprehension.feature" -> 6,
+    "PatternComprehension.feature" -> 14,
     "RemoveAcceptance.feature" -> 8,
     "ReturnAcceptance.feature" -> 16,
     "ReturnAcceptance2.feature" -> 32,
     "SetAcceptance.feature" -> 13,
     "StartingPointAcceptance.feature" -> 3,
-    "StartsWithAcceptance.feature" -> 21,
+    "StartsWithAcceptance.feature" -> 24,
     "TernaryLogicAcceptance.feature" -> 5,
     "TriadicSelection.feature" -> 19,
-    "TypeConversionFunctions.feature" -> 18,
+    "TypeConversionFunctions.feature" -> 24,
     "UnionAcceptance.feature" -> 5,
-    "UnwindAcceptance.feature" -> 10,
-    "VarLengthAcceptance.feature" -> 25,
+    "UnwindAcceptance.feature" -> 12,
+    "VarLengthAcceptance.feature" -> 26,
     "WhereAcceptance.feature" -> 1,
     "WithAcceptance.feature" -> 16)
 
