@@ -81,7 +81,11 @@ object Ast {
   final case class NodePattern(
       variable: Option[String],
       labels: Seq[String],
-      props: Seq[(String, Expr)])
+      props: Seq[(String, Expr)],
+      /** `(n:A|B)` label ALTERNATION (memgraph label expressions): node
+        * matches when it carries ANY of these; `labels` stays the
+        * conjunction list. */
+      orLabels: Seq[String] = Nil)
 
   final case class RelPattern(
       variable: Option[String],

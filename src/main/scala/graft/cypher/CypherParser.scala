@@ -282,12 +282,17 @@ object CypherParser extends RegexParsers {
 
   // ---------- patterns ----------
   def nodePattern: Parser[NodePattern] =
-    "(" ~> opt(ident) ~ rep(":" ~> (ident | identP)) ~
+    "(" ~> opt(ident) ~
+      rep(":" ~> rep1sep(ident | identP, "|")) ~
       opt(mapLit) <~ ")" ^^ { case v ~ ls ~ props =>
+      // `:A:B` = conjunction of single labels; `:A|B` = alternation
+      // (memgraph label expressions — match.feature OR scenarios)
+      val (ands, ors) = ls.partition(_.size == 1)
       NodePattern(
         v,
-        ls,
-        props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil))
+        ands.map(_.head),
+        props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
+        orLabels = ors.flatten.distinct)
     }
 
   /** (lo, hi, bare): `bare` marks the single-number `*n` form — shortest

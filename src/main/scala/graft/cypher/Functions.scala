@@ -727,7 +727,18 @@ object Functions {
                   f("year", 1970), f("month", 1), f("day", 1),
                   f("hour", 0), f("minute", 0), sec)
             }
-          case Some(_) => to_timestamp(a(0))
+          case Some(_) =>
+            // ISO strings may carry a trailing [Zone] id (the reference's
+            // ZonedDateTime prints '…T08:11:31[Etc/UTC]'): convert in that
+            // zone; a numeric offset (or none) casts directly
+            val s0 = a(0)
+            val zone = regexp_extract(s0, "\\[([^\\]]+)\\]$", 1)
+            val base = regexp_replace(s0, "\\[[^\\]]+\\]$", "")
+            val hasOffset = base.rlike("([+-]\\d{2}:?\\d{2}|Z)$")
+            when(zone === "", s0.try_cast("timestamp"))
+              .when(hasOffset, base.try_cast("timestamp"))
+              .otherwise(
+                to_utc_timestamp(base.try_cast("timestamp_ntz"), zone))
         }
       case "timestamp" => unix_micros(current_timestamp())
 

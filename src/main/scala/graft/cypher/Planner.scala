@@ -1846,10 +1846,27 @@ final class Planner(
         case BothDir => Expand.Both
       }
 
-      // per-step filter lambda: pre-filter the oriented edge set (RAISES on
-      // the unsupported accumulated-path form — never silently dropped)
-      val edgesOv = rel.filterLambda.map(l =>
-        filteredOrientedEdges(types, dir, l, outer = Some(cur)))
+      // per-step filter lambda: pre-filter the oriented edge set; the
+      // accumulated-path form (e, n, p | …) on a DFS var-length expansion
+      // applies per-prefix AFTER the expansion instead
+      val pathLam: Option[StepLambda] = rel.filterLambda.filter(l =>
+        l.path.isDefined && l.weightVar.isEmpty && rel.varLength.isDefined)
+      val edgesOvLam = rel.filterLambda
+        .filterNot(l => pathLam.contains(l))
+        .map(l => filteredOrientedEdges(types, dir, l, outer = Some(cur)))
+      // `-[r:T*1..2 {k: v}]-` property maps constrain EVERY step's edge
+      // (reference ExpandVariable applies the map per traversed edge)
+      val edgesOvProps: Option[DataFrame] =
+        if (rel.varLength.isEmpty || rel.props.isEmpty) None
+        else Some(propFilteredOrientedEdges(cur, types, dir, rel.props))
+      val edgesOv: Option[DataFrame] = (edgesOvLam, edgesOvProps) match {
+        case (Some(a), Some(b)) =>
+          Some(a.join(
+            b.select(col(GraphState.IdCol).as("__pp_id")),
+            col(GraphState.IdCol) === col("__pp_id"),
+            "left_semi"))
+        case (x, y) => x.orElse(y)
+      }
 
       if (hopsLimit.isDefined && rel.varLength.isEmpty)
         hopMeta :+= ((
@@ -1882,7 +1899,7 @@ final class Planner(
                   (eDst === srcId && eSrc === dstId)
             }
             cur = LF(df.filter(cond), cur.scope)
-            cur = nodeConstraints(cur, dstName, node.labels, node.props)
+            cur = nodeConstraints(cur, dstName, node.labels, node.props, node.orLabels)
           } else {
             val (nearCond, farCol) = dir match {
               case Expand.Out => (eSrc === srcId, eDst)
@@ -1901,7 +1918,7 @@ final class Planner(
               .drop("__farid")
             cur = LF(joined, cur.scope + (dstName -> Binding.NodeB))
             setHint(dstName, node.labels.headOption.map(Set(_)))
-            cur = nodeConstraints(cur, dstName, node.labels, node.props)
+            cur = nodeConstraints(cur, dstName, node.labels, node.props, node.orLabels)
           }
           cur = relConstraints(cur, e, rel.props)
           // no new edge binding → not part of this MATCH's cyphermorphism
@@ -1924,7 +1941,7 @@ final class Planner(
               cur.scope + (eVar -> Binding.EdgeB) + (dstName -> Binding.NodeB))
             setHint(eVar, if (types.nonEmpty) Some(types.toSet) else None)
             setHint(dstName, dstLabel.map(Set(_)))
-            cur = nodeConstraints(cur, dstName, node.labels, node.props)
+            cur = nodeConstraints(cur, dstName, node.labels, node.props, node.orLabels)
           }
           cur = relConstraints(cur, eVar, rel.props)
           edgeVars :+= eVar
@@ -1942,9 +1959,6 @@ final class Planner(
         case Some((lo, hi)) =>
           val minH = lo.getOrElse(1)
           val maxH = hi // None = unbounded → fixpoint iteration
-          if (rel.props.nonEmpty)
-            throw new UnsupportedOperationException(
-              "property map on variable-length relationships")
           // `-[rs*]->` with rs ALREADY bound to a relationship list must
           // traverse exactly those edges — unsupported; matching as a
           // fresh variable would be a silent wrong answer
@@ -2011,7 +2025,7 @@ final class Planner(
                   cur.scope + (eVar -> Binding.EdgeListB) +
                     (dstName -> Binding.NodeB))
                 setHint(dstName, node.labels.headOption.map(Set(_)))
-                cur = nodeConstraints(cur, dstName, node.labels, node.props)
+                cur = nodeConstraints(cur, dstName, node.labels, node.props, node.orLabels)
               }
             case None =>
               // no emulation possible (supercritical / cap too large for
@@ -2037,10 +2051,16 @@ final class Planner(
                   cur.scope + (eVar -> Binding.EdgeListB) +
                     (dstName -> Binding.NodeB))
                 setHint(dstName, node.labels.headOption.map(Set(_)))
-                cur = nodeConstraints(cur, dstName, node.labels, node.props)
+                cur = nodeConstraints(cur, dstName, node.labels, node.props, node.orLabels)
               }
           }
       }
+      // DFS accumulated-path filter lambda: per-prefix pruning evaluated
+      // over the materialized edge-struct arrays
+      if (pathLam.isDefined &&
+        cur.scope.get(eVar).contains(Binding.EdgeListB))
+        cur = applyDfsPathLambda(cur, eVar, pathLam.get)
+
       // `<-[*…]->` both-arrow var-length: steps go either way, but the
       // FIRST edge must point into the left endpoint and the LAST edge
       // into the right one (TCK VarLengthAcceptance mixed-direction
@@ -2267,6 +2287,119 @@ final class Planner(
         Frames.id(ev).as(GraphState.IdCol),
         col("__fo_src").as(GraphState.SrcCol),
         col("__fo_dst").as(GraphState.DstCol))
+  }
+
+  /** DFS `(e, n, p | pred)` filter lambda over the ACCUMULATED path
+    * (ast.hpp:1899): a path survives iff EVERY prefix satisfied the
+    * predicate when its last edge was traversed — exactly the reference's
+    * per-step pruning, evaluated here as a per-prefix `forall` over the
+    * materialized edge-struct array (executor-side higher-order function;
+    * no driver loop). Predicates may read the traversed edge `e` and the
+    * path's RELATIONSHIPS (`size(p)`, `relationships(p)`); node access
+    * raises (the id array alone can't answer it). */
+  private def applyDfsPathLambda(
+      lf0: LF,
+      eVar: String,
+      lam: StepLambda): LF = {
+    val pv = lam.path.get
+    val lamE = "__lamE"
+    def rw(x: Expr): Expr = x match {
+      case FnCall(f, d, Seq(Var(`pv`)))
+          if Set("relationships", "rels")(f.toLowerCase) =>
+        Var(lamE)
+      case FnCall(f, d, Seq(Var(`pv`)))
+          if Set("size", "length")(f.toLowerCase) =>
+        FnCall("size", d, Seq(Var(lamE)))
+      case FnCall(f, _, Seq(Var(`pv`))) if f.toLowerCase == "nodes" =>
+        throw new UnsupportedOperationException(
+          "DFS path filter lambdas may read the path's relationships, " +
+            "not its nodes")
+      case Var(`pv`) =>
+        throw new UnsupportedOperationException(
+          "whole-path value in a DFS filter lambda is not supported")
+      case BinOp(o, a2, b2) => BinOp(o, rw(a2), rw(b2))
+      case Not(a2) => Not(rw(a2))
+      case Neg(a2) => Neg(rw(a2))
+      case IsNull(a2, n2) => IsNull(rw(a2), n2)
+      case Prop(a2, k) => Prop(rw(a2), k)
+      case FnCall(n2, d, as) => FnCall(n2, d, as.map(rw))
+      case CaseExpr(s2, ws, d2) =>
+        CaseExpr(
+          s2.map(rw), ws.map { case (a2, b2) => (rw(a2), rw(b2)) },
+          d2.map(rw))
+      case Subscript(a2, b2) => Subscript(rw(a2), rw(b2))
+      case Slice(a2, b2, c2) => Slice(rw(a2), b2.map(rw), c2.map(rw))
+      case ListLit(is) => ListLit(is.map(rw))
+      case Quantifier(k, v2, l2, p2) => Quantifier(k, v2, rw(l2), rw(p2))
+      case ListComprehension(v2, l2, w2, p2) =>
+        ListComprehension(v2, rw(l2), w2.map(rw), p2.map(rw))
+      case other => other
+    }
+    val pred = rw(lam.pred)
+    val lf = materializeEdgeListEntities(lf0, eVar)
+    val structsCol = col(s"$eVar${Frames.Sep}_structs")
+    val elemT = lf.df.schema(s"$eVar${Frames.Sep}_structs")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType
+    val ok = forall(
+      sequence(lit(1), size(structsCol)),
+      k => {
+        val low = new ExprLowering(
+          lf.df, lf.scope, params,
+          lambdaVars = Map(
+            lam.e -> element_at(structsCol, k.cast("int")),
+            lamE -> slice(structsCol, lit(1), k.cast("int"))),
+          enums = state.enums,
+          lambdaTypes = Map(
+            lam.e -> elemT,
+            lamE -> org.apache.spark.sql.types.ArrayType(elemT)))
+        low.lower(pred) <=> lit(true)
+      })
+    LF(lf.df.filter(size(structsCol) === 0 || ok), lf.scope)
+  }
+
+  /** Pre-oriented (id, src, dst) edge frame filtered by a var-length
+    * pattern's property map — the `edgesOverride` shape VarExpand steps
+    * Out against. Property expressions may reference outer frame vars
+    * only when they are statement-constant (same contract as lambda
+    * captures); plain literals are the common case. */
+  private def propFilteredOrientedEdges(
+      cur: LF,
+      types: Seq[String],
+      dir: Expand.Direction,
+      props: Seq[(String, Expr)]): DataFrame = {
+    val ev = fresh("vp")
+    val eframe = Frames.bind(ev)(state.edgesOfTypes(types))
+    val low = new ExprLowering(
+      eframe, Scope.empty + (ev -> Binding.EdgeB), params,
+      enums = state.enums)
+    var f = eframe
+    props.foreach { case (k, e) =>
+      val c =
+        if (f.columns.contains(s"$ev${Frames.Sep}$k")) Frames.f(ev, k)
+        else lit(null)
+      f = f.filter(c === low.lower(e))
+    }
+    val base = f.select(
+      Frames.id(ev).as(GraphState.IdCol),
+      Frames.src(ev).as(GraphState.SrcCol),
+      Frames.dst(ev).as(GraphState.DstCol))
+    dir match {
+      case Expand.Both =>
+        base.unionByName(
+          base
+            .filter(col(GraphState.SrcCol) =!= col(GraphState.DstCol))
+            .select(
+              col(GraphState.IdCol),
+              col(GraphState.DstCol).as(GraphState.SrcCol),
+              col(GraphState.SrcCol).as(GraphState.DstCol)))
+      case Expand.In =>
+        base.select(
+          col(GraphState.IdCol),
+          col(GraphState.DstCol).as(GraphState.SrcCol),
+          col(GraphState.SrcCol).as(GraphState.DstCol))
+      case _ => base
+    }
   }
 
   /** Largest USING HOPS LIMIT the driver replay accepts: emitted rows are
@@ -2662,7 +2795,7 @@ final class Planner(
       // ranks are unaffected, so filtering after rank-k is equivalent
       var out = LF(joined, scope)
       if (!dstBound)
-        out = nodeConstraints(out, dstName, node.labels, node.props)
+        out = nodeConstraints(out, dstName, node.labels, node.props, node.orLabels)
       return out
     }
 
@@ -2909,7 +3042,7 @@ final class Planner(
 
     var out = LF(joined, scope)
     if (!dstBound)
-      out = nodeConstraints(out, dstName, node.labels, node.props)
+      out = nodeConstraints(out, dstName, node.labels, node.props, node.orLabels)
     out
   }
 
@@ -2964,19 +3097,28 @@ final class Planner(
     val name = n.variable.getOrElse(fresh("n"))
     if (n.variable.exists(lf.scope.contains)) {
       // already bound: apply label/prop constraints as filters
-      (nodeConstraints(lf, name, n.labels, n.props), name)
+      (nodeConstraints(lf, name, n.labels, n.props, n.orLabels), name)
     } else {
-      val scan = n.labels.headOption match {
-        case Some(l) => state.nodesOrEmpty(l)
-        case None => state.allNodes
-      }
+      val scan =
+        if (n.orLabels.nonEmpty)
+          // label ALTERNATION: union of the label frames (the label
+          // index), deduped by id (multi-label rows live in every frame)
+          n.orLabels
+            .map(state.nodesOrEmpty)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .dropDuplicates(GraphState.IdCol)
+        else
+          n.labels.headOption match {
+            case Some(l) => state.nodesOrEmpty(l)
+            case None => state.allNodes
+          }
       val bound = Frames.bind(name)(scan)
       val df =
         if (lf.df.columns.isEmpty) bound // first scan replaces Once
         else lf.df.crossJoin(bound) // Cartesian (operator.hpp:2797)
       val lf2 = LF(df, lf.scope + (name -> Binding.NodeB))
       setHint(name, n.labels.headOption.map(Set(_)))
-      (nodeConstraints(lf2, name, n.labels, n.props), name)
+      (nodeConstraints(lf2, name, n.labels, n.props, n.orLabels), name)
     }
   }
 
@@ -2984,8 +3126,15 @@ final class Planner(
       lf: LF,
       v: String,
       extraLabels: Seq[String],
-      props: Seq[(String, Expr)]): LF = {
+      props: Seq[(String, Expr)],
+      orLabels: Seq[String] = Nil): LF = {
     var cur = lf
+    if (orLabels.nonEmpty)
+      cur = LF(
+        cur.df.filter(arrays_overlap(
+          Frames.f(v, GraphState.LabelsCol),
+          array(orLabels.sorted.map(lit): _*))),
+        cur.scope)
     extraLabels.foreach { l =>
       cur = LF(
         cur.df.filter(array_contains(Frames.f(v, GraphState.LabelsCol), l)),

@@ -27,7 +27,7 @@ class GqlBehaveSpec extends GqlHarness {
     "update_clauses.feature" -> 18,
     "map_projection.feature" -> 4,
     "nested_property_update.feature" -> 28,
-    "match.feature" -> 45,
+    "match.feature" -> 55,
     "foreach.feature" -> 12,
     "merge.feature" -> 26,
     "functions.feature" -> 94,
