@@ -3332,7 +3332,13 @@ final class Planner(
       p.start.variable.toSeq ++ p.hops.flatMap { case (r, n) =>
         r.variable.toSeq ++ n.variable.toSeq
       })
-    val shared = patVars.filter(lf.scope.contains).distinct
+    // the OPTIONAL branch's WHERE may reference outer vars that are not
+    // in the pattern (`OPTIONAL MATCH (a2)<-[r]-(b2) WHERE a1 = a2`) —
+    // they correlate too
+    val whereVars =
+      where.toSeq.flatMap(w => varsIn(w)).filterNot(patVars.contains)
+    val shared =
+      (patVars ++ whereVars).filter(lf.scope.contains).distinct
 
     // plan the optional branch seeded from distinct shared bindings
     val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
@@ -3359,14 +3365,15 @@ final class Planner(
       return LF(joined, sub.scope.vars.foldLeft(lf.scope)(_ + _))
     }
 
-    val keyCols = shared.map(v => s"$v${Frames.Sep}${GraphState.IdCol}")
+    val keyCols = shared.map(v => varKeyCol(seed.df, v))
     // drop the duplicated shared columns from the sub side, keep its new vars
     val newVars = sub.scope.vars.map(_._1).filterNot(shared.contains)
     val subKeep =
       keyCols ++ newVars.flatMap(v => Frames.colsOf(sub.df, v))
     val subRenamed = keyCols.foldLeft(sub.df.select(subKeep.distinct.map(col): _*))(
       (d, c) => d.withColumnRenamed(c, s"__om_$c"))
-    val cond = keyCols.map(c => col(c) === col(s"__om_$c")).reduce(_ && _)
+    // null-safe: a NULL-valued correlation key (value vars) still joins
+    val cond = keyCols.map(c => col(c) <=> col(s"__om_$c")).reduce(_ && _)
     val joined = lf.df
       .join(subRenamed, cond, "left_outer")
       .drop(keyCols.map(c => s"__om_$c"): _*)
