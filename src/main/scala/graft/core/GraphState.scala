@@ -80,7 +80,14 @@ final class GraphState(
     /** Server-side parameter store (`SET [GLOBAL] PARAMETER` /
       * `SHOW PARAMETERS`): name → (value, scope). Client-supplied
       * parameters shadow these at lowering time. */
-    val serverParams: Map[String, (Any, String)] = Map.empty) {
+    val serverParams: Map[String, (Any, String)] = Map.empty,
+    /** Src-sorted adjacency cache, SHARED across GraphState versions whose
+      * edge frames are unchanged (node-only mutations carry it through;
+      * [[withEdges]] invalidates + mints a fresh one). The reference builds
+      * its edge index at ingest (`src/storage/v2/indices/`), so the loader
+      * kicks the build off at load time rather than on first probe. */
+    private val adjCache: GraphState.AdjacencyCache =
+      new GraphState.AdjacencyCache) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -125,9 +132,20 @@ final class GraphState(
       lbl: String, df: DataFrame, kind: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val covering = indexes.filter(d =>
-      d.kind == kind && d.label.contains(lbl) && d.props.nonEmpty)
+      d.kind == kind && d.props.nonEmpty &&
+        d.label.exists(GraphState.LabelSpec.coversFrame(_, lbl)))
     covering.foldLeft(df) { (f, d) =>
       val p = d.props.head
+      // composite specs gate per row: an AND combo only covers rows
+      // carrying EVERY label; wildcard covers all
+      val rowGate: org.apache.spark.sql.Column = d.label match {
+        case Some(spec)
+            if kind == "vector" &&
+              (GraphState.LabelSpec.isWildcard(spec) ||
+                GraphState.LabelSpec.parts(spec).size > 1) =>
+          GraphState.LabelSpec.rowPredicate(spec, col(GraphState.LabelsCol))
+        case _ => lit(true)
+      }
       if (!f.columns.contains(p)) f
       else {
         val scalar =
@@ -148,7 +166,8 @@ final class GraphState(
           else transform(arr, x => x.cast("float").cast("double"))
         f.withColumn(
           p,
-          when(col(p).isNull, lit(null).cast("array<double>"))
+          when(!rowGate, col(p).cast("array<double>"))
+            .when(col(p).isNull, lit(null).cast("array<double>"))
             .otherwise(coalesce(dimOk, stored)))
       }
     }
@@ -197,12 +216,23 @@ final class GraphState(
     * of sorting/bucketing the edge materialization by src at load on a
     * real cluster (the reference's O(deg) adjacency fetch). Built lazily
     * on the first probe of this state version and shared afterwards. */
-  lazy val adjacencyBySrc: DataFrame = {
+  def adjacencyBySrc: DataFrame = adjCache.getOrBuild {
     import org.apache.spark.sql.functions.col
     allEdges
       .repartitionByRange(col(GraphState.SrcCol))
       .sortWithinPartitions(GraphState.SrcCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Kick the adjacency build off in the background (load/ANALYZE time —
+    * the ingest-time index build). Idempotent; errors are swallowed (a
+    * later probe rebuilds synchronously and surfaces them). */
+  def prewarmAdjacency(): Unit = {
+    val t = new Thread(() =>
+      try { adjacencyBySrc.count(); () } catch { case _: Throwable => () })
+    t.setName("graft-adjacency-prewarm")
+    t.setDaemon(true)
+    t.start()
   }
 
   /** Scan by label, Cypher-style: a label nothing carries matches nothing
@@ -228,70 +258,124 @@ final class GraphState(
   def withNodes(label: String, mk: () => DataFrame): GraphState =
     new GraphState(
       nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums,
-      GraphState.freshTag(), indexes, descriptions, serverParams)
+      GraphState.freshTag(), indexes, descriptions, serverParams, adjCache)
 
-  def withEdges(tpe: String, mk: () => DataFrame): GraphState =
+  def withEdges(tpe: String, mk: () => DataFrame): GraphState = {
+    // edge frames changed: the src-sorted adjacency view is stale — drop
+    // the old persisted copy and give the new version a fresh cache
+    adjCache.invalidate()
     new GraphState(
       nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
-      GraphState.freshTag(), indexes, descriptions, serverParams)
+      GraphState.freshTag(), indexes, descriptions, serverParams,
+      new GraphState.AdjacencyCache)
+  }
 
   /** New version with the id high-water mark advanced (never lowered) —
     * no frame content changes, so the index tag carries over. */
   def withIdBase(base: Long): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums,
-      indexTag, indexes, descriptions, serverParams)
+      indexTag, indexes, descriptions, serverParams, adjCache)
 
   /** Mark that node rows may now live in more than one label frame. */
   def withOverlap: GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap = true, enums, indexTag,
-      indexes, descriptions, serverParams)
+      indexes, descriptions, serverParams, adjCache)
 
   /** Register (or replace) an enum type (`CREATE ENUM`). */
   def withEnum(name: String, values: Seq[String]): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap,
       enums + (name -> values), indexTag, indexes, descriptions,
-      serverParams)
+      serverParams, adjCache)
 
   /** Register an index (CREATE ... INDEX). */
   def withIndex(d: GraphState.IndexDef): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
-      indexes :+ d, descriptions, serverParams)
+      indexes :+ d, descriptions, serverParams, adjCache)
 
   /** Upsert a schema description (same-key SET replaces). */
   def withDescription(d: GraphState.DescEntry): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams)
+      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams, adjCache)
 
   /** Delete every description matching the predicate. */
   def dropDescriptions(p: GraphState.DescEntry => Boolean): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions.filterNot(p), serverParams)
+      descriptions.filterNot(p), serverParams, adjCache)
 
   /** Set / unset a server-side parameter. */
   def withServerParam(name: String, value: Any, scope: String): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions, serverParams + (name -> ((value, scope))))
+      descriptions, serverParams + (name -> ((value, scope))), adjCache)
 
   def withoutServerParam(name: String): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions, serverParams - name)
+      descriptions, serverParams - name, adjCache)
 
   /** Drop every index matching the predicate. */
   def dropIndexes(p: GraphState.IndexDef => Boolean): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
-      indexes.filterNot(p), descriptions, serverParams)
+      indexes.filterNot(p), descriptions, serverParams, adjCache)
 }
 
 object GraphState {
+
+  /** Composite index label specs (reference vector-index modes,
+    * `src/storage/v2/indices/vector_index.hpp`): a plain label "A", an
+    * OR combo "A|B" (any label), an AND combo "A&B" (all labels), or the
+    * wildcard "*" (every node / edge type). */
+  object LabelSpec {
+    def isWildcard(s: String): Boolean = s == "*"
+    def isAnd(s: String): Boolean = s.contains("&")
+    def parts(s: String): Seq[String] =
+      if (isWildcard(s)) Nil
+      else s.split("[|&]").map(_.trim).filter(_.nonEmpty).toSeq
+    /** Could label `l`'s frame hold rows of this spec? (AND combos still
+      * need the row-level predicate.) */
+    def coversFrame(spec: String, l: String): Boolean =
+      isWildcard(spec) || parts(spec).contains(l)
+    /** Row-level membership test against a node `_labels` array. */
+    def rowPredicate(spec: String, labels: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{array_contains, lit}
+      if (isWildcard(spec)) lit(true)
+      else {
+        val ps = parts(spec).map(p => array_contains(labels, p))
+        if (isAnd(spec)) ps.reduce(_ && _) else ps.reduce(_ || _)
+      }
+    }
+    /** Row-level test for an edge `_type` column. */
+    def edgePredicate(spec: String, tpe: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.lit
+      if (isWildcard(spec)) lit(true)
+      else parts(spec).map(p => tpe === p).reduce(_ || _)
+    }
+  }
+
+  /** Mutable holder for the src-sorted adjacency view. One instance is
+    * shared by every GraphState version with identical edge frames, so a
+    * node-only mutation does NOT trigger a rebuild; [[invalidate]]
+    * unpersists the stale copy when edges change (the reference rebuilds
+    * its indexes on write). */
+  final class AdjacencyCache {
+    @volatile private var cached: Option[DataFrame] = None
+    def getOrBuild(build: => DataFrame): DataFrame = synchronized {
+      cached.getOrElse { val d = build; cached = Some(d); d }
+    }
+    def invalidate(): Unit = synchronized {
+      cached.foreach(_.unpersist(false))
+      cached = None
+    }
+  }
 
   /** One declared index (reference `src/storage/v2/indices/` families).
     * `kind`: "label" | "label+property" | "point" | "text" | "edge" |

@@ -448,13 +448,20 @@ object CypherParser extends RegexParsers {
       kw("TEXT") ^^ (_ => "text") |
       kw("EDGE") ^^ (_ => "edge")
 
-  /** `ON :L[(p, …)]` (labeled) or `ON :(p, …)` (global edge). */
+  /** `ON :L[(p, …)]` (labeled), `ON :(p, …)` (global edge), `ON (p, …)`
+    * (wildcard vector index, label spec "*"), and the composite label
+    * specs `ON :A|:B(p)` / `:A|B(p)` (OR) and `:A&B(p)` / `:A&:B(p)`
+    * (AND) — reference vector-index modes (vector_index.hpp). */
   private def indexTarget: Parser[(Option[String], Seq[String])] =
     kw("ON") ~> ":" ~> "(" ~> rep1sep(propPath, ",") <~ ")" ^^ (ps =>
       (None, ps)) |
+      kw("ON") ~> "(" ~> rep1sep(propPath, ",") <~ ")" ^^ (ps =>
+        (Some("*"), ps)) |
       kw("ON") ~> ":" ~> (ident | identP) ~
-        opt("(" ~> rep1sep(propPath, ",") <~ ")") ^^ { case l ~ ps =>
-        (Some(l), ps.getOrElse(Nil))
+        rep(("|" | "&") ~ (opt(":") ~> (ident | identP))) ~
+        opt("(" ~> rep1sep(propPath, ",") <~ ")") ^^ { case l ~ more ~ ps =>
+        val spec = l + more.map { case op ~ m => op + m }.mkString
+        (Some(spec), ps.getOrElse(Nil))
       }
 
   /** Index DDL (reference storage index families; see
@@ -584,17 +591,23 @@ object CypherParser extends RegexParsers {
   def returnClause: Parser[Clause] =
     kw("RETURN") ~> projectionBody ^^ Return.apply
 
+  /** Yield names are output-column labels, never expressions — reserved
+    * words are legal here (`node.relationship_exists` yields `exists`). */
+  private def yieldName: Parser[String] =
+    backtickRe ^^ (s => s.substring(1, s.length - 1)) | identP
+
   private def yieldItem: Parser[(String, Option[String])] =
-    ident ~ opt(kw("AS") ~> ident) ^^ { case n ~ a => (n, a) }
+    yieldName ~ opt(kw("AS") ~> yieldName) ^^ { case n ~ a => (n, a) }
 
   def callClause: Parser[Clause] =
     kw("CALL") ~> fnName ~ opt("(" ~> repsep(expr, ",") <~ ")") ~
-      (kw("YIELD") ~> (
+      opt(kw("YIELD") ~> (
         "*" ^^ (_ => Nil: Seq[(String, Option[String])]) |
           rep1sep(yieldItem, ","))) ~
       opt(kw("WHERE") ~> expr) ^^ { case n ~ args ~ ys ~ w =>
-      // YIELD * (empty list) → the planner binds every output column
-      CallProc(n.toLowerCase, args.getOrElse(Nil), ys, w)
+      // YIELD * (empty list) and a standalone YIELD-less call both bind
+      // every output column (openCypher standalone CALL)
+      CallProc(n.toLowerCase, args.getOrElse(Nil), ys.getOrElse(Nil), w)
     }
 
   def callSubquery: Parser[Clause] =

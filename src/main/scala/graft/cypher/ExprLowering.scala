@@ -32,13 +32,18 @@ final class ExprLowering(
     /** Static element types of lambda variables (typeOf cannot resolve a
       * namedlambdavariable, so `n.key` over `[n IN nodes(p) | …]` needs
       * the list's element type carried in). */
-    lambdaTypes: Map[String, DataType] = Map.empty) {
+    lambdaTypes: Map[String, DataType] = Map.empty,
+    /** Declared index registry (GraphState.indexes) — propertySize needs
+      * the vector-index coverage of a property to mirror the reference's
+      * external-storage encoding. */
+    val indexes: Seq[graft.core.GraphState.IndexDef] = Nil) {
 
   private def withLambda(
       name: String, c: Column, t: Option[DataType] = None) =
     new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums,
       hopsCounter,
-      t.map(x => lambdaTypes + (name -> x)).getOrElse(lambdaTypes - name))
+      t.map(x => lambdaTypes + (name -> x)).getOrElse(lambdaTypes - name),
+      indexes)
 
   /** Zero-row frame with `df`'s schema: resolving a column against this
     * LocalRelation costs a constant-size analyzer pass instead of
@@ -169,7 +174,14 @@ final class ExprLowering(
         case Some(s) =>
           val sc = lower(s)
           whens.map { case (w, t) => (sc === lower(w), lower(t)) }
-        case None => whens.map { case (w, t) => (lower(w), lower(t)) }
+        case None => whens.map { case (w, t) =>
+          // a missing-property condition lowers to an UNTYPED null
+          // literal; CASE needs a boolean (ANSI rejects VOID conditions)
+          val c = lower(w)
+          val typed =
+            if (typeOf(c).contains(NullType)) c.cast("boolean") else c
+          (typed, lower(t))
+        }
       }
       val start = when(branches.head._1, branches.head._2)
       val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) =>
@@ -287,7 +299,8 @@ final class ExprLowering(
         initC,
         (a, x) => new ExprLowering(df, scope, params,
           lambdaVars + (acc -> a) + (v -> x), enums, hopsCounter,
-          lambdaTypes ++ accT.map(acc -> _) ++ elemT.map(v -> _))
+          lambdaTypes ++ accT.map(acc -> _) ++ elemT.map(v -> _),
+          indexes)
           .lower(stepE))
 
     // `n:Label` label test (LabelsTest): membership in the entity's
@@ -354,6 +367,10 @@ final class ExprLowering(
   /** Is `n` bound to a node or edge (vs a plain value / lambda var)? */
   def isNodeOrEdgeVar(n: String): Boolean =
     scope.get(n).exists(b => b == Binding.NodeB || b == Binding.EdgeB)
+
+  /** Is `n` bound to an edge? */
+  def isEdgeVar(n: String): Boolean =
+    scope.get(n).contains(Binding.EdgeB)
 
   /** Is `n` a named shortest-path binding? */
   def isPathVar(n: String): Boolean =

@@ -34,9 +34,13 @@ object Functions {
           case "long" =>
             when(num, try_variant_get(c, "$", "double").cast("long"))
               .when(
-                s === "STRING",
-                try_variant_get(c, "$", "string")
-                  .try_cast("double").cast("long"))
+                s === "STRING", {
+                  // direct int64 parse first — exact above 2^53; double
+                  // round-trip only for '2.9'-style fractional strings
+                  val sv = try_variant_get(c, "$", "string")
+                  when(sv.try_cast("long").isNotNull, sv.try_cast("long"))
+                    .otherwise(sv.try_cast("double").cast("long"))
+                })
               .when(
                 s === "BOOLEAN",
                 try_variant_get(c, "$", "boolean").cast("long"))
@@ -63,7 +67,11 @@ object Functions {
           if target != "string" =>
         lit(null).cast(target)
       case Some(StringType) if target == "long" =>
-        c.try_cast("double").cast("long")
+        // exact int64 strings parse directly (no double round-trip — values
+        // above 2^53 would lose precision); '2.9'-style strings fall back
+        // through double (reference truncates toward zero)
+        when(c.try_cast("long").isNotNull, c.try_cast("long"))
+          .otherwise(c.try_cast("double").cast("long"))
       case Some(StringType) => c.try_cast(target)
       case Some(t2: NumericType) if target == "boolean" =>
         t2 match {
@@ -599,10 +607,81 @@ object Functions {
               case _ => size(a(0)).cast("long")
             }
         }
+      case "propertysize" =>
+        // Byte size of the property in the reference's PropertyStore
+        // (awesome_memgraph_functions.cpp:547 PropertySize,
+        // property_store.cpp DecodePropertyValueSize): 1 metadata byte +
+        // 1 property-id byte + the typed payload. A property covered by K
+        // vector indexes is externalized — the store keeps only the
+        // index-id list: 1 + 1 + count(1) + 8*K bytes.
+        val entity = args.headOption.getOrElse(
+          throw new IllegalArgumentException("propertySize(entity, name)"))
+        val propName = args.lift(1) match {
+          case Some(Lit(s: String)) => s
+          case _ => throw new IllegalArgumentException(
+            "propertySize: property name must be a string literal")
+        }
+        val v = ctx.lower(Prop(entity, propName))
+        val vt = ctx.typeOf(v)
+        def intBytes(c: Column): Column =
+          when(c.between(-128L, 127L), 1L)
+            .when(c.between(-32768L, 32767L), 2L)
+            .when(c.between(Int.MinValue.toLong, Int.MaxValue.toLong), 4L)
+            .otherwise(8L)
+        val encoded: Column = vt match {
+          case Some(ArrayType(DoubleType | FloatType, _)) =>
+            // ListType::DOUBLE — list_type(1) + count(1) + 8 per element
+            lit(4L) + lit(8L) * size(v.cast("array<double>"))
+          case Some(ArrayType(LongType | IntegerType | ShortType, _)) =>
+            // ListType::INT — each int stored as int32
+            lit(4L) + lit(4L) * size(v)
+          case Some(LongType | IntegerType | ShortType | ByteType) =>
+            lit(2L) + intBytes(v.cast("long"))
+          case Some(DoubleType | FloatType) => lit(10L)
+          case Some(BooleanType) => lit(2L)
+          case Some(StringType) =>
+            lit(2L) +
+              when(length(v) < 256, 1L)
+                .when(length(v) < 65536, 2L).otherwise(4L) +
+              length(v).cast("long")
+          case Some(st: StructType) if st.fieldNames.contains("srid") =>
+            // POINT: 2 or 3 int64 members
+            lit(2L) + when(v.getField("z").isNull, 16L).otherwise(24L)
+          case Some(NullType) | None => lit(0L)
+          case Some(other) =>
+            throw new UnsupportedOperationException(
+              s"propertySize over $other is not supported")
+        }
+        // vector-index coverage: one externalized id per covering index
+        val vecCovering = ctx.indexes.filter(d =>
+          d.props.headOption.contains(propName) &&
+            (d.kind == "vector" || d.kind == "vector-edge"))
+        val kCol: Column = {
+          val terms = vecCovering.flatMap { d =>
+            val spec = d.label.getOrElse("*")
+            args.headOption match {
+              case Some(Var(n)) if ctx.isEdgeVar(n) && d.kind == "vector-edge" =>
+                Some(when(GraphState.LabelSpec.edgePredicate(
+                  spec, Frames.f(n, GraphState.TypeCol)), 1L).otherwise(0L))
+              case Some(Var(n))
+                  if ctx.isNodeOrEdgeVar(n) && !ctx.isEdgeVar(n) &&
+                    d.kind == "vector" =>
+                Some(when(GraphState.LabelSpec.rowPredicate(
+                  spec, Frames.f(n, GraphState.LabelsCol)), 1L).otherwise(0L))
+              case _ => None
+            }
+          }
+          if (terms.isEmpty) lit(0L) else terms.reduce(_ + _)
+        }
+        when(v.isNull, lit(0L))
+          .when(kCol > 0L, lit(3L) + lit(8L) * kCol)
+          .otherwise(encoded)
+
       case "head" =>
         argType(0) match {
           case Some(NullType) => lit(null)
-          case _ => element_at(a(0), 1)
+          // empty list → NULL, not INVALID_ARRAY_INDEX under ANSI mode
+          case _ => try_element_at(a(0), lit(1))
         }
       case "last" =>
         argType(0) match {
@@ -613,6 +692,127 @@ object Functions {
               .otherwise(try_element_at(a(0), lit(-1)))
         }
       case "tail" => slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0)))
+      // ---- MAGE collections module (src/mage/cpp/collections_module/
+      // algorithm/collections.hpp) — pure Column expressions, so they
+      // vectorize over any column, not just literals ----
+      case "collections.sum_longs" =>
+        aggregate(a(0).cast("array<long>"), lit(0L), (acc, x) => acc + x)
+      case "collections.sum" =>
+        aggregate(a(0).cast("array<double>"), lit(0.0), (acc, x) => acc + x)
+      case "collections.avg" =>
+        aggregate(a(0).cast("array<double>"), lit(0.0), (acc, x) => acc + x) /
+          size(a(0))
+      case "collections.max" => array_max(a(0))
+      case "collections.min" => array_min(a(0))
+      case "collections.contains" | "collections.contains_sorted" =>
+        array_contains(a(0), a(1))
+      case "collections.contains_all" =>
+        forall(a(1), v => array_contains(a(0), v))
+      case "collections.intersection" => array_intersect(a(0), a(1))
+      case "collections.union" => array_union(a(0), a(1))
+      case "collections.union_all" => concat(a(0), a(1))
+      case "collections.remove_all" | "collections.subtract" =>
+        array_except(a(0), a(1))
+      case "collections.disjunction" =>
+        array_union(array_except(a(0), a(1)), array_except(a(1), a(0)))
+      case "collections.sort" => array_sort(a(0))
+      case "collections.to_set" => array_distinct(a(0))
+      case "collections.flatten" => flatten(a(0))
+      case "collections.duplicates" =>
+        filter(array_distinct(a(0)),
+          x => size(filter(a(0), y => y === x)) > 1)
+      case "collections.pairs" =>
+        // consecutive pairs [[a,b],[b,c],…]; singleton/empty slices are
+        // empty, so the zip is [] without a guard
+        zip_with(
+          slice(a(0), lit(1), greatest(size(a(0)) - 1, lit(0))),
+          slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0))),
+          (x, y) => array(x, y))
+      case "collections.frequencies_as_map" =>
+        map_from_entries(transform(array_distinct(a(0)),
+          x => struct(
+            x.cast("string").as("key"),
+            size(filter(a(0), y => y === x)).cast("long").as("value"))))
+
+      // ---- MAGE map module (src/mage/cpp/map_module/algorithm/map.hpp);
+      // second map / explicit entry wins on key conflicts (apoc heritage)
+      case "map.from_pairs" =>
+        map_from_entries(transform(a(0),
+          p => struct(
+            element_at(p, 1).cast("string").as("key"),
+            element_at(p, 2).as("value"))))
+      case "map.from_lists" => map_from_arrays(a(0), a(1))
+      // Cypher map LITERALS lower to structs (static field names), while
+      // from_pairs/from_lists produce real MAP columns — the map.*
+      // helpers dispatch on the argument's static type and handle both
+      case "map.merge" =>
+        (argType(0), argType(1)) match {
+          case (Some(s1: StructType), Some(s2: StructType)) =>
+            val keep = s1.fieldNames.filterNot(s2.fieldNames.contains)
+            struct(
+              keep.map(f => a(0).getField(f).as(f)) ++
+                s2.fieldNames.map(f => a(1).getField(f).as(f)): _*)
+          case _ =>
+            map_concat(
+              map_filter(a(0), (k, _) => !map_contains_key(a(1), k)), a(1))
+        }
+      case "map.merge_list" =>
+        // fold the maps left-to-right seeded by the head, later maps win
+        aggregate(
+          slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0))),
+          element_at(a(0), 1),
+          (acc, m) =>
+            map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m))
+      case "map.remove_key" | "map.remove_keys" =>
+        val dropKeys: Seq[String] = args.lift(1) match {
+          case Some(Lit(s: String)) => Seq(s)
+          case Some(ListLit(items)) => items.collect { case Lit(s: String) => s }
+          case _ => Nil
+        }
+        argType(0) match {
+          case Some(s: StructType) =>
+            require(
+              dropKeys.nonEmpty,
+              s"$name over a map literal needs literal key(s)")
+            struct(s.fieldNames.filterNot(dropKeys.contains)
+              .map(f => a(0).getField(f).as(f)): _*)
+          case _ if name.toLowerCase == "map.remove_key" =>
+            map_filter(a(0), (k, _) => k =!= a(1))
+          case _ =>
+            map_filter(a(0), (k, _) => !array_contains(a(1), k))
+        }
+      case "map.set_key" =>
+        (argType(0), args.lift(1)) match {
+          case (Some(s: StructType), Some(Lit(key: String))) =>
+            struct(s.fieldNames.filterNot(_ == key)
+              .map(f => a(0).getField(f).as(f)) :+ a(2).as(key): _*)
+          case _ =>
+            map_concat(
+              map_filter(a(0), (k, _) => k =!= a(1)),
+              map_from_arrays(array(a(1)), array(a(2))))
+        }
+      case "map.from_values" =>
+        // [k1, v1, k2, v2, …] → map
+        map_from_entries(transform(
+          sequence(lit(1), (size(a(0)) / 2).cast("int")),
+          i => struct(
+            element_at(a(0), i * 2 - 1).cast("string").as("key"),
+            element_at(a(0), i * 2).as("value"))))
+      case "map.get" =>
+        val base = (argType(0), args.lift(1)) match {
+          case (Some(s: StructType), Some(Lit(key: String))) =>
+            if (s.fieldNames.contains(key)) a(0).getField(key) else lit(null)
+          case _ => element_at(a(0), a(1))
+        }
+        if (args.size >= 3) coalesce(base, a(2)) else base
+
+      // ---- MAGE label module ----
+      case "label.exists" =>
+        val labelsC = nodeEdgeVar(0)
+          .map(n => Frames.f(n, GraphState.LabelsCol))
+          .getOrElse(a(0).getField(GraphState.LabelsCol))
+        coalesce(array_contains(labelsC, a(1)), lit(false))
+
       case "range" =>
         // Cypher range(a,b[,step]) is EMPTY when the step's sign can't reach
         // b from a (range(1,-1) = []); Spark's `sequence` instead auto-picks

@@ -141,7 +141,7 @@ final class Planner(
 
   private def lowering(lf: LF) = new ExprLowering(
     lf.df, lf.scope, params, enums = state.enums,
-    hopsCounter = hopsCounterStatic)
+    hopsCounter = hopsCounterStatic, indexes = state.indexes)
 
   /** Whether any clause of the statement expands relationships (incl.
     * pattern predicates / comprehensions and CALL subqueries) — the
@@ -276,7 +276,13 @@ final class Planner(
         // they stay plain values (Functions resolves their accessors)
         case s: StructType
             if s.fieldNames.contains(GraphState.IdCol) &&
-              !s.fieldNames.contains("_startNode") =>
+              !s.fieldNames.contains("_startNode") &&
+              // require the FULL entity signature — a plain map literal
+              // like {_id: 1, name: 'x'} must stay a value, not rebind
+              (s.fieldNames.contains(GraphState.LabelsCol) ||
+                (s.fieldNames.contains(GraphState.SrcCol) &&
+                  s.fieldNames.contains(GraphState.DstCol) &&
+                  s.fieldNames.contains(GraphState.TypeCol))) =>
           val isEdge = s.fieldNames.contains(GraphState.SrcCol) ||
             s.fieldNames.contains(GraphState.TypeCol)
           var d2 = df0
@@ -451,6 +457,44 @@ final class Planner(
       callWhere
         .map(w => LF(lfOut.df.filter(lowering(lfOut).lower(w)), lfOut.scope))
         .getOrElse(lfOut)
+
+    case CallProc(name, args, yieldsRaw, callWhere)
+        if HelperCalls.textForms.contains(name) =>
+      // MAGE helper-module write procedures with CONSTANT args
+      // (create/merge/nodes modules): re-expressed as the equivalent
+      // Cypher statement at plan time and run through a sub-planner —
+      // one batch plan over the normal mutation path (HelperCalls).
+      val q = HelperCalls.render(name, args.map(constValue))
+      val sub = new Planner(spark, rebased, params)
+      val out = sub.plan(CypherParser.parse(q))
+      state = sub.currentState
+      subHigh = math.max(subHigh, sub.idHighWater)
+      val yields1: Seq[(String, String)] =
+        if (yieldsRaw.isEmpty) out.columns.toSeq.map(c => (c, c))
+        else yieldsRaw.map { case (n, a) => (n, a.getOrElse(n)) }
+      if (yields1.isEmpty) lf // yield-less write (nodes.delete)
+      else {
+        val missing = yields1.map(_._1).filterNot(out.columns.contains)
+        require(missing.isEmpty, s"procedure $name does not yield: $missing")
+        val selected = out.select(
+          yields1.map { case (n, al) =>
+            col(n).as(s"$al${Frames.Sep}_val")
+          }: _*)
+        val df =
+          if (lf.df.columns.isEmpty) selected
+          else lf.df.crossJoin(selected)
+        val lf2 = LF(
+          df,
+          yields1.foldLeft(lf.scope)((sc, y) =>
+            sc + (y._2 -> Binding.ValueB)))
+        callWhere
+          .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
+          .getOrElse(lf2)
+      }
+
+    case CallProc(name, args, yieldsRaw, callWhere)
+        if HelperCalls.entityForms.contains(name) =>
+      planHelperRelationship(lf, name, args, yieldsRaw, callWhere)
 
     case CallProc(name, args, yields, callWhere) =>
       val cargs = args.map(constValue)
@@ -3199,6 +3243,80 @@ final class Planner(
       }
     }
 
+  /** Constant value → literal AST (helper-call props). */
+  private def valueExpr(v: Any): Expr = v match {
+    case m: Map[_, _] =>
+      MapLit(m.toSeq.map { case (k, x) => k.toString -> valueExpr(x) })
+    case xs: Seq[_] => ListLit(xs.map(valueExpr))
+    case other => Lit(other)
+  }
+
+  /** `create.relationship(from, type, props, to)` /
+    * `merge.relationship(start, type, identProps, createProps, end,
+    * matchProps)` (reference create_module.cpp:105, merge_module.cpp:31):
+    * endpoints are BOUND node variables, so the call is synthesized as a
+    * Create/Merge clause against the current frame — a single batch plan
+    * per statement (the reference runs the procedure once per input row;
+    * same result, one shuffle instead of a driver loop). */
+  private def planHelperRelationship(
+      lf: LF,
+      name: String,
+      args: Seq[Expr],
+      yieldsRaw: Seq[(String, Option[String])],
+      callWhere: Option[Expr]): LF = {
+    def nodeVar(i: Int, what: String): String = args.lift(i) match {
+      case Some(Var(n)) if lf.scope.get(n).contains(Binding.NodeB) => n
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name: $what must be a bound node variable, got $other")
+    }
+    def constMapExprs(i: Int): Seq[(String, Expr)] =
+      args.lift(i).map(constValue).orNull match {
+        case null => Nil
+        case m: Map[_, _] =>
+          m.toSeq.map { case (k, x) => k.toString -> valueExpr(x) }
+        case other =>
+          throw new IllegalArgumentException(s"$name: need a map, got $other")
+      }
+    val tpe = constValue(args(1)).toString
+    val rv = fresh("hrel")
+    def chain(fromV: String, toV: String, props: Seq[(String, Expr)]) =
+      PatternPart(
+        None,
+        NodePattern(Some(fromV), Nil, Nil),
+        Seq((
+          RelPattern(Some(rv), Seq(tpe), props, OutDir, None),
+          NodePattern(Some(toV), Nil, Nil))))
+    val (lf2, dfltYield) = name match {
+      case "create.relationship" =>
+        val part = chain(nodeVar(0, "from"), nodeVar(3, "to"), constMapExprs(2))
+        (planClause(lf, CreateCl(Seq(part))), "relationship")
+      case _ => // merge.relationship
+        val part =
+          chain(nodeVar(0, "startNode"), nodeVar(4, "endNode"), constMapExprs(2))
+        def setAll(i: Int): Seq[SetItem] = constMapExprs(i) match {
+          case Nil => Nil
+          case kvs => Seq(SetAllProps(rv, MapLit(kvs), update = true))
+        }
+        (planClause(lf, MergeCl(part, setAll(3), setAll(5))), "rel")
+    }
+    val alias = yieldsRaw match {
+      case Seq() => dfltYield
+      case Seq((n, a)) if n == dfltYield => a.getOrElse(n)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name yields only '$dfltYield', got $other")
+    }
+    val renamed = Frames.colsOf(lf2.df, rv).foldLeft(lf2.df)((d, c) =>
+      d.withColumnRenamed(c, alias + c.substring(rv.length)))
+    val lf3 = LF(
+      renamed,
+      Scope(lf2.scope.vars.filterNot(_._1 == rv) :+ (alias -> Binding.EdgeB)))
+    callWhere
+      .map(w => LF(lf3.df.filter(lowering(lf3).lower(w)), lf3.scope))
+      .getOrElse(lf3)
+  }
+
   private def planWhere(lf: LF, where: Expr): LF =
     conjuncts(where).foldLeft(lf) {
       case (cur, PatternPredicate(p, _)) => patternJoin(cur, p, anti = false)
@@ -3266,7 +3384,31 @@ final class Planner(
           body.copy(items =
             body.items ++ keep.map(n => ReturnItem(Var(n), Some(n))))
         }
+      def aggOnly(body: ProjectionBody): Boolean = {
+        val l = lowering(s)
+        !body.star && body.items.nonEmpty &&
+          body.items.forall(it => l.hasAgg(it.expr))
+      }
+      // An aggregate-only projection yields exactly ONE row per outer
+      // binding even when zero rows matched (count(*) = 0 still produces a
+      // row, so EXISTS { … RETURN count(*) } is always true in Cypher).
+      // The carried-key groupBy would drop zero-match bindings — union the
+      // missing keys back with the aggregate's empty-input defaults.
+      def planAggProjection(body: ProjectionBody, w: Option[Expr]): Unit = {
+        val before = s
+        val grouped = planClause(before, With(carryInto(body), None))
+        val defaults =
+          planClause(LF(before.df.limit(0), before.scope), With(body, None)).df
+        val missing = seeded.df
+          .join(grouped.df.select(col(keyCol)), Seq(keyCol), "left_anti")
+        val carried = grouped.df.columns.filterNot(defaults.columns.contains)
+        val fill = missing.select(carried.map(col): _*).crossJoin(defaults)
+        s = LF(grouped.df.unionByName(fill), grouped.scope)
+        w.foreach(e => s = planWhere(s, e))
+      }
       sq.clauses.foreach {
+        case With(body, w) if aggOnly(body) => planAggProjection(body, w)
+        case Return(body) if aggOnly(body) => planAggProjection(body, None)
         case With(body, w) => s = planClause(s, With(carryInto(body), w))
         case Return(body) =>
           // a trailing RETURN cannot change row existence — plan it as a

@@ -270,14 +270,16 @@ object ApocProcs {
         var frontier = seen
         var layers = spark.emptyDataset[(Int, Long)].toDF("hop", "n")
         var hop = 1
-        var empty = frontier.isEmpty
-        while (hop <= distance && !empty) {
-          val next = broadcast(frontier)
+        // one action per round: the count doubles as the emptiness probe
+        // and the broadcast gate (never force-broadcast a big frontier)
+        var frontierN = frontier.count()
+        while (hop <= distance && frontierN > 0) {
+          val next = graft.operators.Scratch.gatedBroadcast(frontier, frontierN)
             .join(steps, col("n") === col("s"))
             .select(col("d").as("n")).distinct()
             .join(seen, Seq("n"), "left_anti")
             .localCheckpoint(true)
-          empty = next.isEmpty
+          frontierN = next.count()
           layers =
             layers.unionByName(next.select(lit(hop).as("hop"), col("n")))
           seen = seen.union(next).localCheckpoint(true)
@@ -553,18 +555,20 @@ object ApocProcs {
         var frontier = seen
         var accDf = starts.map((_, 0)).toDF("n", "hop").localCheckpoint(true)
         var hop = 0
-        var empty = frontier.isEmpty
-        while (!empty && hop < maxHops) {
+        // frontier count = emptiness probe + broadcast gate (the filtered
+        // frontier is a subset, so gating on the full count is safe)
+        var frontierN = frontier.count()
+        while (frontierN > 0 && hop < maxHops) {
           val contOk = if (hop == 0 && !filterStart) lit(true) else contCol(lf)
           val src = if (hop == 0) steps0 else steps
-          val next = broadcast(
+          val next = graft.operators.Scratch.gatedBroadcast(
               frontier.join(bools, col("n") === col("nid")).filter(contOk)
-                .select(col("n")))
+                .select(col("n")), frontierN)
             .join(src, col("n") === col("s"))
             .select(col("d").as("n")).distinct()
             .join(seen, Seq("n"), "left_anti")
             .localCheckpoint(true)
-          empty = next.isEmpty
+          frontierN = next.count()
           hop += 1
           accDf = accDf.unionByName(next.withColumn("hop", lit(hop)))
           seen = seen.union(next).localCheckpoint(true)

@@ -345,19 +345,22 @@ object ExtraProcs {
           acc.toSeq
         case None =>
           val steps = dirEdges.persist()
-          // seed = direct neighbors (start deliberately NOT in visited)
+          // seed = direct neighbors (start deliberately NOT in visited;
+          // the single-id seed is always broadcast-safe)
           var frontier = broadcast(Seq(start).toDF("n"))
             .join(steps, col("n") === col("s"))
             .select(col("d").as("n")).distinct().localCheckpoint(true)
           var visited = frontier
-          var empty = frontier.isEmpty
-          while (!empty) {
-            val next = broadcast(frontier)
+          // count = emptiness probe + broadcast gate, one action per round
+          var frontierN = frontier.count()
+          while (frontierN > 0) {
+            val next = graft.operators.Scratch
+              .gatedBroadcast(frontier, frontierN)
               .join(steps, col("n") === col("s"))
               .select(col("d").as("n")).distinct()
               .join(visited, Seq("n"), "left_anti")
               .localCheckpoint(true)
-            empty = next.isEmpty
+            frontierN = next.count()
             visited = visited.union(next).localCheckpoint(true)
             frontier = next
           }
@@ -413,9 +416,14 @@ object ExtraProcs {
           val acc = mutable.ArrayBuffer.empty[Long]
           var total = 0L
           var done = false
+          // `remaining` starts as ALL nodes — broadcast only when the
+          // tracked count (decremented per peeled layer) is under the
+          // frontier gate; otherwise the semi-join shuffles
+          var remainingN = remaining.count()
           while (!done) {
             val live = e.join(
-              broadcastIfSmall(remaining.select(col("node").as("s"))),
+              graft.operators.Scratch.gatedBroadcast(
+                remaining.select(col("node").as("s")), remainingN),
               Seq("s"), "leftsemi")
             val layer = remaining
               .join(live.select(col("d").as("node")).distinct(),
@@ -425,6 +433,7 @@ object ExtraProcs {
             else {
               acc ++= layer
               total += layer.length
+              remainingN -= layer.length
               remaining = remaining
                 .join(layer.toSeq.toDF("node"), Seq("node"), "left_anti")
                 .localCheckpoint(true)
@@ -437,8 +446,6 @@ object ExtraProcs {
       }
     Seq(Tuple1(ordered)).toDF("sorted_nodes")
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** `graph_util.connect_nodes({nodes})` — every edge whose BOTH
     * endpoints are in the given list (connect_nodes.hpp). Yields (src,

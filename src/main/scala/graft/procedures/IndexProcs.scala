@@ -47,8 +47,24 @@ object IndexProcs {
 
   private def frameOf(g: GraphState, d: IndexDef): DataFrame =
     if (isEdgeKind(d.kind))
-      d.label.map(l => g.edgesOfTypes(Seq(l))).getOrElse(g.allEdges)
-    else d.label.map(g.nodesOrEmpty).getOrElse(GraphState.emptyNodeFrame)
+      d.label match {
+        case Some(spec) if GraphState.LabelSpec.isWildcard(spec) => g.allEdges
+        case Some(spec) if GraphState.LabelSpec.parts(spec).size > 1 =>
+          g.edgesOfTypes(GraphState.LabelSpec.parts(spec))
+        case Some(l) => g.edgesOfTypes(Seq(l))
+        case None => g.allEdges
+      }
+    else
+      d.label match {
+        case Some(spec) if GraphState.LabelSpec.isWildcard(spec) => g.allNodes
+        case Some(spec) if GraphState.LabelSpec.parts(spec).size > 1 =>
+          // composite spec: row-level label predicate over the full node
+          // union (AND needs every label; OR dedups a multi-label row)
+          g.allNodes.filter(GraphState.LabelSpec.rowPredicate(
+            spec, col(GraphState.LabelsCol)))
+        case Some(l) => g.nodesOrEmpty(l)
+        case None => GraphState.emptyNodeFrame
+      }
 
   /** Nested-path column (`a.b.c`); None when the top column is absent. */
   private def pathCol(f: DataFrame, p: String): Option[Column] = {
@@ -86,6 +102,7 @@ object IndexProcs {
         !listPropCell(d.kind) && d.props.size == 1)
     val rows = g.indexes.map { d =>
       val labelCell = d.label match {
+        case Some("*") => "*"
         case Some(l) if d.kind.startsWith("vector") => s":$l"
         case Some(l) => l
         case None => null
@@ -182,7 +199,7 @@ object IndexProcs {
         roundCapacity(num("capacity", 64)),
         num("dimension", 0),
         d.name.getOrElse(""),
-        d.label.map(":" + _).orNull,
+        d.label.map(l => if (l == "*") "*" else ":" + l).orNull,
         d.props.headOption.orNull,
         cfg.get("metric").map(_.toString).getOrElse("l2sq"),
         countOf(g, d),

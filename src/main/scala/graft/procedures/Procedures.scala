@@ -64,7 +64,8 @@ object Procedures {
     "text.phrase" -> textPhrase,
     "vector.search" -> vectorSearch,
     "mg.procedures" -> mgProcedures) ++ ApocProcs.registry ++
-    ExtraProcs.registry ++ IndexProcs.registry
+    ExtraProcs.registry ++ IndexProcs.registry ++ HelperProcs.registry ++
+    MlProcs.registry
 
   /** `CALL mg.procedures()` — registry introspection (the reference's
     * `mg` module lists loaded mgp procedures). */

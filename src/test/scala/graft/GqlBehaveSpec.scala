@@ -57,11 +57,11 @@ class GqlBehaveSpec extends GqlHarness {
     "periodic_delete.feature" -> 6,
     "procedure_call.feature" -> 4,
     "server_side_parameters.feature" -> 12,
-    "spatial.feature" -> 73,
+    "spatial.feature" -> 90,
     "text_search.feature" -> 37,
     "text_edge_search.feature" -> 23,
-    "vector_search.feature" -> 16,
-    "vector_edge_search.feature" -> 13,
+    "vector_search.feature" -> 32,
+    "vector_edge_search.feature" -> 16,
     "vector_cosine_similarity.feature" -> 7)
 
   protected lazy val excluded: Map[String, String] = Map(

@@ -113,9 +113,12 @@ abstract class GqlHarness extends SparkTestBase {
     def table(): Seq[Seq[String]] = {
       val rows = Seq.newBuilder[Seq[String]]
       while (i < lines.length && lines(i).trim.startsWith("|")) {
+        // `\|` inside a cell is an ESCAPED pipe (':KNOWS\|LIKES' label
+        // combos), not a column separator
         val cells = lines(i).trim
           .stripPrefix("|").stripSuffix("|")
-          .split("\\|", -1).map(_.trim).toSeq
+          .split("(?<!\\\\)\\|", -1)
+          .map(_.trim.replace("\\|", "|")).toSeq
         rows += cells
         i += 1
       }
@@ -337,6 +340,19 @@ abstract class GqlHarness extends SparkTestBase {
         Some(SV(unescapeCell(c.substring(1, c.length - 1))))
       case IntR() => Some(NV(cell.toDouble))
       case FloatR() => Some(NV(cell.toDouble))
+      case c if c.toUpperCase.startsWith("POINT(") && c.endsWith(")") =>
+        // POINT({x: 1.0, y: 2.0, srid: 7203}) expected cells — the engine
+        // represents points as {x, y, z, srid} structs (geographic keys
+        // normalize to x/y/z), which sparkV surfaces as a map value
+        parseCell(c.substring("POINT(".length, c.length - 1).trim).flatMap {
+          case MV(m) =>
+            val remap = Map(
+              "longitude" -> "x", "latitude" -> "y", "height" -> "z")
+            Some(MV(m.map { case (k, v) =>
+              remap.getOrElse(k.toLowerCase, k.toLowerCase) -> v
+            }))
+          case _ => None
+        }
       case c if (c.startsWith("P") || c.startsWith("-P")) && c.length > 1 =>
         scala.util.Try(java.time.Duration.parse(c)).toOption
           .map(d => DV(d.toNanos / 1000))
@@ -645,8 +661,13 @@ abstract class GqlHarness extends SparkTestBase {
     * "Values will be used from the previous scenario"). */
   private var carriedEnums: Map[String, Seq[String]] = Map.empty
 
+  private def dbg(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_GQL_DEBUG")) info(msg)
+
   private def runScenario(sc: Scenario, tally: Tally): Unit = {
     if (sc.unsupported.isDefined || sc.query.isEmpty || sc.expect.isEmpty) {
+      dbg(s"  SKIP(step) ${sc.name}: unsupported=${sc.unsupported} " +
+        s"query=${sc.query.isDefined} expect=${sc.expect.isDefined}")
       tally.skip += 1; return
     }
     if (excluded.contains(sc.name)) { tally.skip += 1; return }
@@ -686,7 +707,11 @@ abstract class GqlHarness extends SparkTestBase {
         else tally.failures += s"${sc.name}: expected empty, got ${rows.length} rows"
       case (Rows(header, expRaw, ordered), scala.util.Success(rows)) =>
         val expParsed = expRaw.map(r => r.map(parseCell))
-        if (expParsed.exists(_.exists(_.isEmpty))) { tally.skip += 1; return }
+        if (expParsed.exists(_.exists(_.isEmpty))) {
+          dbg(s"  SKIP(expcell) ${sc.name}: " + expRaw.flatten.zip(expParsed.flatten)
+            .collectFirst { case (raw, None) => raw }.getOrElse(""))
+          tally.skip += 1; return
+        }
         val exp = expParsed.map(_.flatten)
         // expected tables are keyed by header NAME (|n|r| may list columns
         // in any order) — align actual columns to the header when every
@@ -701,7 +726,10 @@ abstract class GqlHarness extends SparkTestBase {
         val gotParsed = rows.toSeq.map(r =>
           fieldIdx.map(k =>
             if (k >= 0 && k < r.length) sparkV(r.get(k)) else None))
-        if (gotParsed.exists(_.exists(_.isEmpty))) { tally.skip += 1; return }
+        if (gotParsed.exists(_.exists(_.isEmpty))) {
+          dbg(s"  SKIP(gotcell) ${sc.name}")
+          tally.skip += 1; return
+        }
         val got = gotParsed.map(_.flatten.toSeq)
         val ok =
           if (ordered)

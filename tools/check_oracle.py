@@ -38,8 +38,14 @@ for name in sorted(oracle):
     if len(got) != len(exp):
         status.append(f"rows {len(got)} != {len(exp)}")
     if not status:
-        gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
-        es = exp.sort_values(by=list(exp.columns)).reset_index(drop=True)
+        # array-valued cells (ndarray/list) are unhashable for sort keys —
+        # sort on a stringified view, keep originals for comparison
+        def sorted_frame(df):
+            key = df.astype(str)
+            order = key.sort_values(by=list(key.columns)).index
+            return df.loc[order].reset_index(drop=True)
+        gs = sorted_frame(got)
+        es = sorted_frame(exp)
         try:
             gs = gs.astype(es.dtypes.to_dict())
         except Exception:
