@@ -700,8 +700,10 @@ object Functions {
       case "collections.sum" =>
         aggregate(a(0).cast("array<double>"), lit(0.0), (acc, x) => acc + x)
       case "collections.avg" =>
-        aggregate(a(0).cast("array<double>"), lit(0.0), (acc, x) => acc + x) /
-          size(a(0))
+        // avg([]) is NULL, not DIVIDE_BY_ZERO (ANSI mode is on repo-wide)
+        when(size(a(0)) === 0, lit(null)).otherwise(
+          aggregate(a(0).cast("array<double>"), lit(0.0), (acc, x) => acc + x) /
+            size(a(0)))
       case "collections.max" => array_max(a(0))
       case "collections.min" => array_min(a(0))
       case "collections.contains" | "collections.contains_sorted" =>
@@ -716,7 +718,8 @@ object Functions {
       case "collections.disjunction" =>
         array_union(array_except(a(0), a(1)), array_except(a(1), a(0)))
       case "collections.sort" => array_sort(a(0))
-      case "collections.to_set" => array_distinct(a(0))
+      case "collections.reverse" => reverse(a(0))
+      case "collections.to_set" | "collections.toset" => array_distinct(a(0))
       case "collections.flatten" => flatten(a(0))
       case "collections.duplicates" =>
         filter(array_distinct(a(0)),
@@ -736,12 +739,12 @@ object Functions {
 
       // ---- MAGE map module (src/mage/cpp/map_module/algorithm/map.hpp);
       // second map / explicit entry wins on key conflicts (apoc heritage)
-      case "map.from_pairs" =>
+      case "map.from_pairs" | "map.frompairs" =>
         map_from_entries(transform(a(0),
           p => struct(
             element_at(p, 1).cast("string").as("key"),
             element_at(p, 2).as("value"))))
-      case "map.from_lists" => map_from_arrays(a(0), a(1))
+      case "map.from_lists" | "map.fromlists" => map_from_arrays(a(0), a(1))
       // Cypher map LITERALS lower to structs (static field names), while
       // from_pairs/from_lists produce real MAP columns — the map.*
       // helpers dispatch on the argument's static type and handle both
@@ -756,14 +759,18 @@ object Functions {
             map_concat(
               map_filter(a(0), (k, _) => !map_contains_key(a(1), k)), a(1))
         }
-      case "map.merge_list" =>
-        // fold the maps left-to-right seeded by the head, later maps win
+      case "map.merge_list" | "map.mergelist" =>
+        // fold the maps left-to-right seeded by the head, later maps win;
+        // try_element_at so merge_list([]) is NULL instead of an ANSI error
         aggregate(
           slice(a(0), lit(2), greatest(size(a(0)) - 1, lit(0))),
-          element_at(a(0), 1),
+          try_element_at(a(0), lit(1)),
           (acc, m) =>
             map_concat(map_filter(acc, (k, _) => !map_contains_key(m, k)), m))
-      case "map.remove_key" | "map.remove_keys" =>
+      case "map.remove_key" | "map.removekey" | "map.remove_keys" |
+          "map.removekeys" =>
+        val single = Set("map.remove_key", "map.removekey")
+          .contains(name.toLowerCase)
         val dropKeys: Seq[String] = args.lift(1) match {
           case Some(Lit(s: String)) => Seq(s)
           case Some(ListLit(items)) => items.collect { case Lit(s: String) => s }
@@ -776,12 +783,12 @@ object Functions {
               s"$name over a map literal needs literal key(s)")
             struct(s.fieldNames.filterNot(dropKeys.contains)
               .map(f => a(0).getField(f).as(f)): _*)
-          case _ if name.toLowerCase == "map.remove_key" =>
+          case _ if single =>
             map_filter(a(0), (k, _) => k =!= a(1))
           case _ =>
             map_filter(a(0), (k, _) => !array_contains(a(1), k))
         }
-      case "map.set_key" =>
+      case "map.set_key" | "map.setkey" =>
         (argType(0), args.lift(1)) match {
           case (Some(s: StructType), Some(Lit(key: String))) =>
             struct(s.fieldNames.filterNot(_ == key)
@@ -791,10 +798,13 @@ object Functions {
               map_filter(a(0), (k, _) => k =!= a(1)),
               map_from_arrays(array(a(1)), array(a(2))))
         }
-      case "map.from_values" =>
-        // [k1, v1, k2, v2, …] → map
+      case "map.from_values" | "map.fromvalues" =>
+        // [k1, v1, k2, v2, …] → map; guard the pair-index stream so
+        // from_values([]) is an empty map (sequence(1,0) would DESCEND)
+        val pairsN = (size(a(0)) / 2).cast("int")
         map_from_entries(transform(
-          sequence(lit(1), (size(a(0)) / 2).cast("int")),
+          when(pairsN >= 1, sequence(lit(1), pairsN))
+            .otherwise(array().cast("array<int>")),
           i => struct(
             element_at(a(0), i * 2 - 1).cast("string").as("key"),
             element_at(a(0), i * 2).as("value"))))
@@ -1118,54 +1128,6 @@ object Functions {
       // ---- misc ----
       case "randomuuid" => uuid()
 
-      // ---- MAGE-style module helpers (src/mage/cpp/collections, text) ----
-      case "collections.sort" => sort_array(a(0))
-      case "collections.reverse" => reverse(a(0))
-      case "collections.sum" => aggregate(a(0), lit(0L), _ + _)
-      case "collections.contains" => array_contains(a(0), a(1))
-      case "collections.avg" =>
-        aggregate(a(0), lit(0.0), (acc, x) => acc + x.cast("double")) /
-          size(a(0))
-      case "collections.toset" | "collections.to_set" => array_distinct(a(0))
-      case "collections.min" => array_min(a(0))
-      case "collections.max" => array_max(a(0))
-
-      // map_module (src/mage/cpp — apoc heritage). Cypher map literals
-      // lower to RECORDS here (typed per key), so each helper has a
-      // struct branch beside the MapType one.
-      case "map.frompairs" | "map.from_pairs" =>
-        map_from_entries(transform(
-          a(0),
-          p => struct(
-            element_at(p, 1).cast("string").as("key"),
-            element_at(p, 2).as("value"))))
-      case "map.merge" =>
-        (argType(0), argType(1)) match {
-          case (Some(s1: StructType), Some(s2: StructType)) =>
-            // later map wins on key collision (apoc.map.merge contract)
-            val keys = (s1.fieldNames ++ s2.fieldNames).distinct.toSeq
-            struct(keys.map { k =>
-              (if (s2.fieldNames.contains(k)) a(1).getField(k)
-               else a(0).getField(k)).as(k)
-            }: _*)
-          case _ =>
-            map_concat(
-              map_filter(a(0), (k, _) => !map_contains_key(a(1), k)),
-              a(1))
-        }
-      case "map.removekey" | "map.remove_key" =>
-        argType(0) match {
-          case Some(s: StructType) =>
-            val k = args(1) match {
-              case Lit(k0: String) => k0
-              case _ =>
-                throw new IllegalArgumentException(
-                  "map.removeKey on a record needs a literal key")
-            }
-            struct(s.fieldNames.filterNot(_ == k).toSeq
-              .map(f => a(0).getField(f).as(f)): _*)
-          case _ => map_filter(a(0), (k, _) => k =!= a(1))
-        }
       case "text.join" =>
         args(1) match {
           case Lit(s: String) => array_join(a(0), s)

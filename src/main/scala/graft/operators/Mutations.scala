@@ -71,12 +71,12 @@ object Mutations {
       ids: DataFrame, // single column: _id
       detach: Boolean,
       only: Option[Seq[String]] = None): GraphState = {
-    val key = ids.select(col(ids.columns.head).as(IdCol))
+    val keyG = new GatedKey(ids.select(col(ids.columns.head).as(IdCol)))
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
-        () => g.nodes(l).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
+        () => g.nodes(l).join(keyG(), Seq(IdCol), "left_anti"))
     }
     if (detach) {
       g.edgeTypes.foreach { t =>
@@ -85,11 +85,11 @@ object Mutations {
           () =>
             g.edges(t)
               .join(
-                broadcastIfSmall(key.select(col(IdCol).as(SrcCol))),
+                keyG(_.select(col(IdCol).as(SrcCol))),
                 Seq(SrcCol),
                 "left_anti")
               .join(
-                broadcastIfSmall(key.select(col(IdCol).as(DstCol))),
+                keyG(_.select(col(IdCol).as(DstCol))),
                 Seq(DstCol),
                 "left_anti"))
       }
@@ -99,10 +99,10 @@ object Mutations {
 
   /** Delete edges of one type by edge id. */
   def deleteEdges(g: GraphState, tpe: String, ids: DataFrame): GraphState = {
-    val key = ids.select(col(ids.columns.head).as(IdCol))
+    val keyG = new GatedKey(ids.select(col(ids.columns.head).as(IdCol)))
     g.withEdges(
       tpe,
-      () => g.edges(tpe).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
+      () => g.edges(tpe).join(keyG(), Seq(IdCol), "left_anti"))
   }
 
   /** SET n.prop = expr for every node of a label (expr over the node
@@ -159,6 +159,7 @@ object Mutations {
       updates: DataFrame, // columns: _id, __nv
       prop: String,
       only: Option[Seq[String]] = None): GraphState = {
+    val upG = new GatedKey(updates.withColumn("__hit", lit(true)))
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
@@ -173,9 +174,7 @@ object Mutations {
           // `SET n.p = null` REMOVES the property (reference SetProperty
           // null semantics); a coalesce would silently keep the old value
           base
-            .join(
-              broadcastIfSmall(updates.withColumn("__hit", lit(true))),
-              Seq(IdCol), "left_outer")
+            .join(upG(), Seq(IdCol), "left_outer")
             .withColumn(
               prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
             .drop("__nv", "__hit")
@@ -190,6 +189,7 @@ object Mutations {
       updates: DataFrame, // columns: _id, __nv
       prop: String,
       only: Option[Seq[String]] = None): GraphState = {
+    val upG = new GatedKey(updates.withColumn("__hit", lit(true)))
     var out = g
     prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
@@ -204,9 +204,7 @@ object Mutations {
           // `SET n.p = null` REMOVES the property (reference SetProperty
           // null semantics); a coalesce would silently keep the old value
           base
-            .join(
-              broadcastIfSmall(updates.withColumn("__hit", lit(true))),
-              Seq(IdCol), "left_outer")
+            .join(upG(), Seq(IdCol), "left_outer")
             .withColumn(
               prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
             .drop("__nv", "__hit")
@@ -226,11 +224,12 @@ object Mutations {
       keys: Seq[String],
       replace: Boolean,
       only: Option[Seq[String]] = None): GraphState = {
+    val upG = new GatedKey(updates)
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
         l,
-        () => applyProps(g.nodes(l), GraphState.nodeMeta, updates, keys, replace))
+        () => applyProps(g.nodes(l), GraphState.nodeMeta, upG, keys, replace))
     }
     out
   }
@@ -241,11 +240,12 @@ object Mutations {
       keys: Seq[String],
       replace: Boolean,
       only: Option[Seq[String]] = None): GraphState = {
+    val upG = new GatedKey(updates)
     var out = g
     prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
         t,
-        () => applyProps(g.edges(t), GraphState.edgeMeta, updates, keys, replace))
+        () => applyProps(g.edges(t), GraphState.edgeMeta, upG, keys, replace))
     }
     out
   }
@@ -253,10 +253,11 @@ object Mutations {
   private def applyProps(
       frame: DataFrame,
       meta: Seq[String],
-      updates: DataFrame,
+      updatesG: GatedKey,
       keys: Seq[String],
       replace: Boolean): DataFrame = {
-    val joined = frame.join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+    val updates = updatesG.df
+    val joined = frame.join(updatesG(), Seq(IdCol), "left_outer")
     val hit = col("__hit").isNotNull
     var out = joined
     if (replace)
@@ -340,10 +341,10 @@ object Mutations {
     * NULL. Legacy map-typed properties keep map upsert semantics. */
   private def nestedApply(
       frame: DataFrame,
-      updates: DataFrame, // columns: _id, __nv, __hit
+      updatesG: GatedKey, // columns: _id, __nv, __hit
       prop: String,
       path: Seq[String]): DataFrame = {
-    val joined = frame.join(broadcastIfSmall(updates), Seq(IdCol), "left_outer")
+    val joined = frame.join(updatesG(), Seq(IdCol), "left_outer")
     val t: DataType =
       if (frame.columns.contains(prop)) frame.schema(prop).dataType
       else NullType
@@ -412,9 +413,10 @@ object Mutations {
       path: Seq[String],
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested SET needs at least two path segments")
+    val upG = new GatedKey(updates)
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
-      out = out.withNodes(l, () => nestedApply(g.nodes(l), updates, prop, path))
+      out = out.withNodes(l, () => nestedApply(g.nodes(l), upG, prop, path))
     }
     out
   }
@@ -427,9 +429,10 @@ object Mutations {
       path: Seq[String],
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested SET needs at least two path segments")
+    val upG = new GatedKey(updates)
     var out = g
     prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(t, () => nestedApply(g.edges(t), updates, prop, path))
+      out = out.withEdges(t, () => nestedApply(g.edges(t), upG, prop, path))
     }
     out
   }
@@ -446,9 +449,11 @@ object Mutations {
       path: Seq[String],
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
+    val (rmG, upG) = nestedRemoveKeys(ids)
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
-      out = out.withNodes(l, () => nestedRemove(g.nodes(l), ids, prop, path))
+      out = out.withNodes(
+        l, () => nestedRemove(g.nodes(l), rmG, upG, prop, path))
     }
     out
   }
@@ -461,23 +466,35 @@ object Mutations {
       path: Seq[String],
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
+    val (rmG, upG) = nestedRemoveKeys(ids)
     var out = g
     prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(t, () => nestedRemove(g.edges(t), ids, prop, path))
+      out = out.withEdges(
+        t, () => nestedRemove(g.edges(t), rmG, upG, prop, path))
     }
     out
   }
 
+  /** The two key shapes nested REMOVE can need (map-typed frames filter by
+    * `__rm`; record-typed frames reuse the nested-SET-to-NULL path), both
+    * gated once per statement regardless of how many frames they touch. */
+  private def nestedRemoveKeys(ids: DataFrame): (GatedKey, GatedKey) = {
+    val key = ids.select(col(ids.columns.head).as(IdCol))
+    (
+      new GatedKey(key.withColumn("__rm", lit(1))),
+      new GatedKey(
+        key.withColumn("__nv", lit(null)).withColumn("__hit", lit(1))))
+  }
+
   private def nestedRemove(
       frame: DataFrame,
-      ids: DataFrame,
+      rmG: GatedKey, // columns: _id, __rm
+      upG: GatedKey, // columns: _id, __nv(null), __hit
       prop: String,
       path: Seq[String]): DataFrame = {
     if (!frame.columns.contains(prop)) return frame
     frame.schema(prop).dataType match {
       case mType: MapType =>
-        val key = ids.select(col(ids.columns.head).as(IdCol))
-          .withColumn("__rm", lit(1))
         def dropAt(m: Column, mt: DataType, p: Seq[String]): Column = {
           val valueT = mt match {
             case MapType(_, vt, _) => vt
@@ -498,17 +515,14 @@ object Mutations {
                 .otherwise(m)
           }
         }
-        frame.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+        frame.join(rmG(), Seq(IdCol), "left_outer")
           .withColumn(
             prop,
             when(col("__rm").isNotNull, dropAt(col(prop), mType, path))
               .otherwise(col(prop)))
           .drop("__rm")
       case _ =>
-        val updates = ids.select(col(ids.columns.head).as(IdCol))
-          .withColumn("__nv", lit(null))
-          .withColumn("__hit", lit(1))
-        nestedApply(frame, updates, prop, path)
+        nestedApply(frame, upG, prop, path)
     }
   }
 
@@ -518,8 +532,8 @@ object Mutations {
       ids: DataFrame,
       prop: String,
       only: Option[Seq[String]] = None): GraphState = {
-    val key = ids.select(col(ids.columns.head).as(IdCol))
-      .withColumn("__rm", lit(1))
+    val keyG = new GatedKey(
+      ids.select(col(ids.columns.head).as(IdCol)).withColumn("__rm", lit(1)))
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
@@ -529,7 +543,7 @@ object Mutations {
           if (!n.columns.contains(prop)) n
           else {
             val t = n.schema(prop).dataType
-            n.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+            n.join(keyG(), Seq(IdCol), "left_outer")
               .withColumn(
                 prop,
                 when(col("__rm").isNotNull, lit(null).cast(t))
@@ -548,8 +562,8 @@ object Mutations {
       ids: DataFrame,
       prop: String,
       only: Option[Seq[String]] = None): GraphState = {
-    val key = ids.select(col(ids.columns.head).as(IdCol))
-      .withColumn("__rm", lit(1))
+    val keyG = new GatedKey(
+      ids.select(col(ids.columns.head).as(IdCol)).withColumn("__rm", lit(1)))
     var out = g
     prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
@@ -559,7 +573,7 @@ object Mutations {
           if (!e.columns.contains(prop)) e
           else {
             val vt = e.schema(prop).dataType
-            e.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+            e.join(keyG(), Seq(IdCol), "left_outer")
               .withColumn(
                 prop,
                 when(col("__rm").isNotNull, lit(null).cast(vt))
@@ -578,8 +592,8 @@ object Mutations {
       labels: Seq[String],
       add: Boolean,
       only: Option[Seq[String]] = None): GraphState = {
-    val key = ids.select(col(ids.columns.head).as(IdCol))
-      .withColumn("__hit", lit(1))
+    val keyG = new GatedKey(
+      ids.select(col(ids.columns.head).as(IdCol)).withColumn("__hit", lit(1)))
     var out = g
     prune(g.nodeLabels, only).foreach { l =>
       out = out.withNodes(
@@ -589,7 +603,7 @@ object Mutations {
           val alter =
             if (add) array_union(col(LabelsCol), array(labels.map(lit): _*))
             else array_except(col(LabelsCol), array(labels.map(lit): _*))
-          n.join(broadcastIfSmall(key), Seq(IdCol), "left_outer")
+          n.join(keyG(), Seq(IdCol), "left_outer")
             .withColumn(
               LabelsCol,
               when(col("__hit").isNotNull, alter).otherwise(col(LabelsCol)))
@@ -602,11 +616,10 @@ object Mutations {
     // deletion — scans re-filter on `_labels`, which the in-place update
     // above already shrank.
     if (add) {
-      val keyIds = ids.select(col(ids.columns.head).as(IdCol))
       val matched = prune(g.nodeLabels, only)
         .map(src =>
           g.nodes(src)
-            .join(broadcastIfSmall(keyIds), Seq(IdCol), "left_semi"))
+            .join(keyG(_.drop("__hit")), Seq(IdCol), "left_semi"))
         .reduceOption(_.unionByName(_, allowMissingColumns = true))
         .map(
           _.dropDuplicates(IdCol)
@@ -640,12 +653,12 @@ object Mutations {
       g: GraphState,
       ids: DataFrame,
       only: Option[Seq[String]] = None): GraphState = {
-    val key = ids.select(col(ids.columns.head).as(IdCol))
+    val keyG = new GatedKey(ids.select(col(ids.columns.head).as(IdCol)))
     var out = g
     prune(g.edgeTypes, only).foreach { t =>
       out = out.withEdges(
         t,
-        () => g.edges(t).join(broadcastIfSmall(key), Seq(IdCol), "left_anti"))
+        () => g.edges(t).join(keyG(), Seq(IdCol), "left_anti"))
     }
     out
   }
@@ -674,9 +687,27 @@ object Mutations {
     }
   }
 
-  // Mutation key-sets are usually tiny relative to the frames they prune;
-  // broadcasting keeps DELETE from shuffling the whole graph. Spark's AQE
-  // does this automatically when sizes are known — the hint covers the
-  // unknown-size lazy case.
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+  /** Count-gated broadcast hint for a mutation statement's key/updates
+    * frame. Mutation key-sets are usually tiny relative to the frames they
+    * prune, and broadcasting keeps DELETE/SET from shuffling the whole
+    * graph — but the frames are MATCH-derived, so `MATCH (n:BigLabel)
+    * SET …` makes them the whole label: an unconditional hint is a forced
+    * multi-GB broadcast at cluster scale (8 GB limit / driver OOM). The
+    * gate is an early-exit `limit(max+1).count()` probe, run lazily at
+    * most ONCE per statement (memoized across the per-frame loops, first
+    * thunk force). Above the gate the join falls back to shuffle, where
+    * AQE may still pick broadcast from real runtime stats. */
+  private final class GatedKey(val df: DataFrame) {
+    private lazy val small: Boolean = {
+      val max = df.sparkSession.conf
+        .get("spark.graft.mutation.broadcastKeys", "100000").toLong
+      df.limit(math.min(max + 1L, Int.MaxValue.toLong).toInt).count() <= max
+    }
+    /** The key frame, broadcast-hinted only under the gate. */
+    def apply(): DataFrame = if (small) broadcast(df) else df
+    /** A projection of the key frame, same (memoized) gate decision. */
+    def apply(tx: DataFrame => DataFrame): DataFrame = {
+      val t = tx(df); if (small) broadcast(t) else t
+    }
+  }
 }

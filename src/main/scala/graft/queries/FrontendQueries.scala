@@ -188,7 +188,7 @@ object FrontendQueries {
         |       map.merge({a: 1, b: 2}, {b: 3, c: 4})['c'] AS mmc,
         |       map.removeKey({a: 1, b: 2}, 'a')['b'] AS rkb,
         |       size(keys(map.removeKey({a: 1, b: 2}, 'a'))) AS rkn""".stripMargin,
-      """SELECT CAST(6 AS BIGINT) AS s, CAST(3.0 AS DOUBLE) AS av,
+      """SELECT CAST(6.0 AS DOUBLE) AS s, CAST(3.0 AS DOUBLE) AS av,
         |  true AS c, '3,1,2' AS ts,
         |  CAST(2 AS BIGINT) AS mn, CAST(9 AS BIGINT) AS mx,
         |  '2' AS fpb, CAST(3 AS BIGINT) AS mmb, CAST(4 AS BIGINT) AS mmc,

@@ -92,13 +92,17 @@ object Round11Queries {
         |       collections.sum_longs([1, 2, 3]) AS sl,
         |       collections.avg([2.0, 4.0]) AS av,
         |       collections.contains([1, 2, 3], 2) AS c,
-        |       collections.to_set([1, 2, 2, 3]) AS ts,
-        |       collections.sort([3, 1, 2]) AS so,
-        |       collections.intersection([1, 2, 3], [2, 3, 4]) AS xs,
-        |       collections.flatten([[1, 2], [3]]) AS fl""".stripMargin,
+        |       text.join([x IN collections.to_set([1, 2, 2, 3]) |
+        |                  toString(x)], ',') AS ts,
+        |       text.join([x IN collections.sort([3, 1, 2]) |
+        |                  toString(x)], ',') AS so,
+        |       text.join([x IN collections.intersection([1, 2, 3],
+        |                  [2, 3, 4]) | toString(x)], ',') AS xs,
+        |       text.join([x IN collections.flatten([[1, 2], [3]]) |
+        |                  toString(x)], ',') AS fl""".stripMargin,
       """SELECT 4.0 AS s, CAST(6 AS BIGINT) AS sl, 3.0 AS av, true AS c,
-        |       [1, 2, 3] AS ts, [1, 2, 3] AS so, [2, 3] AS xs,
-        |       [1, 2, 3] AS fl""".stripMargin),
+        |       '1,2,3' AS ts, '1,2,3' AS so, '2,3' AS xs,
+        |       '1,2,3' AS fl""".stripMargin),
 
     // map.* value helpers
     cq(
