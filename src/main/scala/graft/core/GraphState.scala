@@ -83,9 +83,10 @@ final class GraphState(
     val serverParams: Map[String, (Any, String)] = Map.empty,
     /** Src-sorted adjacency cache, SHARED across GraphState versions whose
       * edge frames are unchanged (node-only mutations carry it through;
-      * [[withEdges]] invalidates + mints a fresh one). The reference builds
-      * its edge index at ingest (`src/storage/v2/indices/`), so the loader
-      * kicks the build off at load time rather than on first probe. */
+      * [[withEdges]] mints the derived version a fresh one and leaves this
+      * version's view intact). The reference builds its edge index at
+      * ingest (`src/storage/v2/indices/`), so the loader runs the build as
+      * a bounded load-time step rather than on first probe. */
     private val adjCache: GraphState.AdjacencyCache =
       new GraphState.AdjacencyCache) {
 
@@ -216,23 +217,28 @@ final class GraphState(
     * of sorting/bucketing the edge materialization by src at load on a
     * real cluster (the reference's O(deg) adjacency fetch). Built lazily
     * on the first probe of this state version and shared afterwards. */
-  def adjacencyBySrc: DataFrame = adjCache.getOrBuild {
+  def adjacencyBySrc: DataFrame = adjCache.getOrBuild(buildAdjacency())
+
+  private def buildAdjacency(): DataFrame = {
     import org.apache.spark.sql.functions.col
-    allEdges
+    val df = allEdges
       .repartitionByRange(col(GraphState.SrcCol))
       .sortWithinPartitions(GraphState.SrcCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // mutation-derived views are query-lifetime: let the harness sweep
+    // free their blocks (persist-only — a premature sweep just recomputes)
+    if (!adjCache.pinned) graft.operators.Scratch.trackPersisted(df)
+    df
   }
 
-  /** Kick the adjacency build off in the background (load/ANALYZE time —
-    * the ingest-time index build). Idempotent; errors are swallowed (a
-    * later probe rebuilds synchronously and surfaces them). */
+  /** Ingest-time adjacency build (load/ANALYZE — where the reference pays
+    * for its edge index): bounded background materialization; a probe
+    * arriving mid-build awaits it instead of racing a duplicate sort.
+    * Pins this version's cache for the session. Idempotent; errors are
+    * swallowed (a later probe rebuilds synchronously and surfaces them). */
   def prewarmAdjacency(): Unit = {
-    val t = new Thread(() =>
-      try { adjacencyBySrc.count(); () } catch { case _: Throwable => () })
-    t.setName("graft-adjacency-prewarm")
-    t.setDaemon(true)
-    t.start()
+    adjCache.pin()
+    adjCache.warm(buildAdjacency())
   }
 
   /** Scan by label, Cypher-style: a label nothing carries matches nothing
@@ -260,15 +266,14 @@ final class GraphState(
       nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums,
       GraphState.freshTag(), indexes, descriptions, serverParams, adjCache)
 
-  def withEdges(tpe: String, mk: () => DataFrame): GraphState = {
-    // edge frames changed: the src-sorted adjacency view is stale — drop
-    // the old persisted copy and give the new version a fresh cache
-    adjCache.invalidate()
+  def withEdges(tpe: String, mk: () => DataFrame): GraphState =
+    // edge frames changed: the src-sorted adjacency view is stale FOR THE
+    // NEW VERSION only — mint it a fresh cache and leave this (possibly
+    // still-live, possibly prewarmed-base) version's view alone
     new GraphState(
       nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
       GraphState.freshTag(), indexes, descriptions, serverParams,
       new GraphState.AdjacencyCache)
-  }
 
   /** New version with the id high-water mark advanced (never lowered) —
     * no frame content changes, so the index tag carries over. */
@@ -363,17 +368,55 @@ object GraphState {
 
   /** Mutable holder for the src-sorted adjacency view. One instance is
     * shared by every GraphState version with identical edge frames, so a
-    * node-only mutation does NOT trigger a rebuild; [[invalidate]]
-    * unpersists the stale copy when edges change (the reference rebuilds
-    * its indexes on write). */
+    * node-only mutation does NOT trigger a rebuild; an edge write mints
+    * the DERIVED version a fresh cache and leaves this one untouched —
+    * prior versions are still live and their view is still correct
+    * (unpersisting it here would silently re-charge every later reader
+    * of the base graph for a full rebuild).
+    *
+    * [[pin]] marks the loader's base-graph instance: pinned views live for
+    * the session (the ingest-time index); unpinned (mutation-derived)
+    * views are query-lifetime and get registered with
+    * [[graft.operators.Scratch]] so the harness sweep frees their blocks —
+    * they are `persist`ed, not checkpointed, so an early sweep only costs
+    * a recompute, never correctness.
+    *
+    * [[warm]] is the bounded ingest-time build: one background thread
+    * materializes the view, and any probe arriving meanwhile AWAITS that
+    * build (in [[getOrBuild]]) instead of racing it for cores with a
+    * duplicate sort. */
   final class AdjacencyCache {
     @volatile private var cached: Option[DataFrame] = None
-    def getOrBuild(build: => DataFrame): DataFrame = synchronized {
-      cached.getOrElse { val d = build; cached = Some(d); d }
+    @volatile private var warmLatch: Option[java.util.concurrent.CountDownLatch] = None
+    @volatile var pinned: Boolean = false
+    def pin(): Unit = pinned = true
+    def getOrBuild(build: => DataFrame): DataFrame = {
+      warmLatch.foreach(
+        _.await(10, java.util.concurrent.TimeUnit.MINUTES))
+      synchronized {
+        cached.getOrElse { val d = build; cached = Some(d); d }
+      }
     }
-    def invalidate(): Unit = synchronized {
-      cached.foreach(_.unpersist(false))
-      cached = None
+    def warm(build: => DataFrame): Unit = {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val mine = synchronized {
+        if (cached.nonEmpty || warmLatch.nonEmpty) false
+        else { warmLatch = Some(latch); true }
+      }
+      if (mine) {
+        val t = new Thread(() =>
+          try {
+            val d = synchronized {
+              cached.getOrElse { val b = build; cached = Some(b); b }
+            }
+            d.count()
+            ()
+          } catch { case _: Throwable => () }
+          finally latch.countDown())
+        t.setName("graft-adjacency-prewarm")
+        t.setDaemon(true)
+        t.start()
+      }
     }
   }
 

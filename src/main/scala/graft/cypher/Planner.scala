@@ -459,38 +459,39 @@ final class Planner(
         .getOrElse(lfOut)
 
     case CallProc(name, args, yieldsRaw, callWhere)
-        if HelperCalls.textForms.contains(name) =>
-      // MAGE helper-module write procedures with CONSTANT args
-      // (create/merge/nodes modules): re-expressed as the equivalent
-      // Cypher statement at plan time and run through a sub-planner —
-      // one batch plan over the normal mutation path (HelperCalls).
-      val q = HelperCalls.render(name, args.map(constValue))
-      val sub = new Planner(spark, rebased, params)
-      val out = sub.plan(CypherParser.parse(q))
-      state = sub.currentState
-      subHigh = math.max(subHigh, sub.idHighWater)
-      val yields1: Seq[(String, String)] =
-        if (yieldsRaw.isEmpty) out.columns.toSeq.map(c => (c, c))
-        else yieldsRaw.map { case (n, a) => (n, a.getOrElse(n)) }
-      if (yields1.isEmpty) lf // yield-less write (nodes.delete)
-      else {
-        val missing = yields1.map(_._1).filterNot(out.columns.contains)
-        require(missing.isEmpty, s"procedure $name does not yield: $missing")
-        val selected = out.select(
-          yields1.map { case (n, al) =>
-            col(n).as(s"$al${Frames.Sep}_val")
-          }: _*)
-        val df =
-          if (lf.df.columns.isEmpty) selected
-          else lf.df.crossJoin(selected)
-        val lf2 = LF(
-          df,
-          yields1.foldLeft(lf.scope)((sc, y) =>
-            sc + (y._2 -> Binding.ValueB)))
-        callWhere
-          .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
-          .getOrElse(lf2)
+        if HelperCalls.textForms.contains(name) &&
+          (lf.df.columns.nonEmpty || args.exists(constValueOpt(_).isEmpty)) =>
+      // PER-ROW helper write (`UNWIND rows AS r CALL create.node(r.labels,
+      // r.props)`): the reference runs these once per input row
+      // (create_module.cpp:49, merge_module.cpp:20) — a preceding
+      // row-producing clause or a non-constant argument means the
+      // standalone constant rewrite below would be wrong (one write,
+      // cross-joined). Creates get genuinely per-row plans; id-targeted
+      // property/label writes are idempotent, so the one-batch rewrite IS
+      // the per-row result — only the creates need the distinction.
+      name match {
+        case "create.node" =>
+          planHelperCreateNodeRows(lf, args, yieldsRaw, callWhere)
+        case "merge.node" =>
+          planHelperMergeNodeRows(lf, args, yieldsRaw, callWhere)
+        case "create.set_property" | "create.set_properties" |
+            "create.remove_properties" | "create.remove_labels" |
+            "create.set_rel_property" | "nodes.delete"
+            if args.forall(constValueOpt(_).isDefined) =>
+          planHelperTextForm(lf, name, args, yieldsRaw, callWhere)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"$other: per-row / non-constant argument form not supported — " +
+              "use a standalone CALL with constant arguments")
       }
+
+    case CallProc(name, args, yieldsRaw, callWhere)
+        if HelperCalls.textForms.contains(name) =>
+      // Standalone CALL with constant args: re-expressed as the
+      // equivalent Cypher statement at plan time and run through a
+      // sub-planner — one batch plan over the normal mutation path
+      // (HelperCalls).
+      planHelperTextForm(lf, name, args, yieldsRaw, callWhere)
 
     case CallProc(name, args, yieldsRaw, callWhere)
         if HelperCalls.entityForms.contains(name) =>
@@ -1836,6 +1837,10 @@ final class Planner(
       throw new IllegalArgumentException(
         s"WITH CONFIG must be a map, got: $other")
   }
+
+  /** constValue without the throw — None means "not a constant". */
+  private def constValueOpt(e: Expr): Option[Any] =
+    try Some(constValue(e)) catch { case _: IllegalArgumentException => None }
 
   private def constValue(e: Expr): Any = e match {
     case Lit(v) => v
@@ -3249,6 +3254,321 @@ final class Planner(
       MapLit(m.toSeq.map { case (k, x) => k.toString -> valueExpr(x) })
     case xs: Seq[_] => ListLit(xs.map(valueExpr))
     case other => Lit(other)
+  }
+
+  /** The constant-argument rewrite for helper write procedures: render
+    * the equivalent Cypher and run it through a sub-planner (standalone
+    * CALLs, or id-targeted idempotent writes where once == per-row). */
+  private def planHelperTextForm(
+      lf: LF,
+      name: String,
+      args: Seq[Expr],
+      yieldsRaw: Seq[(String, Option[String])],
+      callWhere: Option[Expr]): LF = {
+    val q = HelperCalls.render(name, args.map(constValue))
+    val sub = new Planner(spark, rebased, params)
+    val out = sub.plan(CypherParser.parse(q))
+    state = sub.currentState
+    subHigh = math.max(subHigh, sub.idHighWater)
+    val yields1: Seq[(String, String)] =
+      if (yieldsRaw.isEmpty) out.columns.toSeq.map(c => (c, c))
+      else yieldsRaw.map { case (n, a) => (n, a.getOrElse(n)) }
+    if (yields1.isEmpty) lf // yield-less write (nodes.delete)
+    else {
+      val missing = yields1.map(_._1).filterNot(out.columns.contains)
+      require(missing.isEmpty, s"procedure $name does not yield: $missing")
+      val selected = out.select(
+        yields1.map { case (n, al) =>
+          col(n).as(s"$al${Frames.Sep}_val")
+        }: _*)
+      val df =
+        if (lf.df.columns.isEmpty) selected
+        else lf.df.crossJoin(selected)
+      val lf2 = LF(
+        df,
+        yields1.foldLeft(lf.scope)((sc, y) =>
+          sc + (y._2 -> Binding.ValueB)))
+      callWhere
+        .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
+        .getOrElse(lf2)
+    }
+  }
+
+  /** The single yield alias of a helper node write (`YIELD node [AS x]`;
+    * empty YIELD = the reference's declared name). */
+  private def helperNodeAlias(
+      name: String,
+      yieldsRaw: Seq[(String, Option[String])]): String = yieldsRaw match {
+    case Nil => "node"
+    case Seq(("node", a)) => a.getOrElse("node")
+    case other =>
+      throw new IllegalArgumentException(
+        s"$name yields only `node`, got ${other.map(_._1)}")
+  }
+
+  /** `CALL create.node(labels, props)` with a row-producing prefix and/or
+    * per-row arguments (reference create_module.cpp:49 — the procedure
+    * runs once per input row): ONE distributed plan creates one node per
+    * input row, labels and properties evaluated as expressions over the
+    * frame. Dynamic label LISTS are supported by grouping the created
+    * rows per distinct label-set (driver-bounded: the distinct label
+    * combinations of a create call are schema-like, not data-like);
+    * dynamic property maps need static keys (struct-typed lowering or a
+    * map column, whose key set is collected once). */
+  private def planHelperCreateNodeRows(
+      lf: LF,
+      args: Seq[Expr],
+      yieldsRaw: Seq[(String, Option[String])],
+      callWhere: Option[Expr]): LF = {
+    import org.apache.spark.sql.types.{
+      ArrayType, MapType, NullType, StringType, StructType}
+    val alias = helperNodeAlias("create.node", yieldsRaw)
+    val low = lowering(lf)
+    val labelsC0 = low.lower(
+      args.headOption.getOrElse(
+        throw new IllegalArgumentException("create.node needs labels")))
+    def typeOf(c: Column): org.apache.spark.sql.types.DataType =
+      lf.df.select(c.as("__t")).schema("__t").dataType
+    val labelsC = typeOf(labelsC0) match {
+      case StringType => array(labelsC0)
+      case NullType => array().cast("array<string>")
+      case _: ArrayType => labelsC0.cast("array<string>")
+      case other =>
+        throw new IllegalArgumentException(
+          s"create.node labels: need string(s), got $other")
+    }
+    var withNew = lf.df.withColumn(
+      s"$alias${Frames.Sep}${GraphState.LabelsCol}", labelsC)
+    // property columns — static keys, per-row values
+    var propNames = Vector.empty[String]
+    args.lift(1).foreach { pe =>
+      val pc = low.lower(pe)
+      typeOf(pc) match {
+        case s: StructType =>
+          s.fieldNames.foreach { f =>
+            propNames :+= f
+            withNew = withNew.withColumn(
+              s"$alias${Frames.Sep}$f", pc.getField(f))
+          }
+        case _: MapType =>
+          // key set collected ONCE (schema-sized, not data-sized)
+          val keys = lf.df
+            .select(explode(map_keys(pc)).as("__k")).distinct()
+            .collect().map(_.getString(0)).filter(_ != null).sorted
+          keys.foreach { f =>
+            propNames :+= f
+            withNew = withNew.withColumn(
+              s"$alias${Frames.Sep}$f", element_at(pc, lit(f)))
+          }
+        case NullType => ()
+        case other =>
+          throw new IllegalArgumentException(
+            s"create.node props: need a map, got $other")
+      }
+    }
+    withNew = withSeqId(
+      withNew,
+      s"$alias${Frames.Sep}${GraphState.IdCol}",
+      (myBase << 48) + nodeCursor)
+      .localCheckpoint(true) // ids assigned exactly once
+    nodeCursor += withNew.count()
+    val rows = withNew.select(
+      col(s"$alias${Frames.Sep}${GraphState.IdCol}").as(GraphState.IdCol) +:
+        col(s"$alias${Frames.Sep}${GraphState.LabelsCol}")
+          .as(GraphState.LabelsCol) +:
+        propNames.map(f => col(s"$alias${Frames.Sep}$f").as(f)): _*)
+    // per distinct label-set, append into every named frame (frames are
+    // the label index; multi-label rows live in each, allNodes dedups)
+    val labelSets = rows
+      .select(col(GraphState.LabelsCol)).distinct()
+      .collect().map(r => Option(r.getSeq[String](0)).getOrElse(Nil))
+    labelSets.foreach { ls =>
+      val sub =
+        if (ls.isEmpty) rows.filter(size(col(GraphState.LabelsCol)) === 0)
+        else rows.filter(
+          col(GraphState.LabelsCol) === array(ls.map(lit): _*))
+      val targets = if (ls.isEmpty) Seq("_") else ls
+      targets.foreach(l => state = Mutations.createNodes(state, l, sub))
+      if (targets.size > 1) state = state.withOverlap
+    }
+    setHint(
+      alias,
+      Some(labelSets.flatMap(ls => if (ls.isEmpty) Seq("_") else ls).toSet))
+    val lf2 = LF(withNew, lf.scope + (alias -> Binding.NodeB))
+    callWhere
+      .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
+      .getOrElse(lf2)
+  }
+
+  /** `CALL merge.node(labels, identProps, createProps, matchProps)` with a
+    * row-producing prefix and/or per-row property arguments
+    * (merge_module.cpp:20 — the reference runs MATCH-or-CREATE once per
+    * input row): planned as ONE distributed match/create split. Rows whose
+    * ident props hit an existing node apply matchProps; the rest create —
+    * the FIRST row per distinct ident creates (with identProps ∪
+    * createProps), later duplicates of the same ident match it and apply
+    * matchProps, mirroring the reference's serial order. Labels must be
+    * constant (a per-row dynamic-label MERGE has no batch key); property
+    * maps need static keys; conflicting per-row match values for one node
+    * resolve by max (the batch analog of last-write-wins). */
+  private def planHelperMergeNodeRows(
+      lf: LF,
+      args: Seq[Expr],
+      yieldsRaw: Seq[(String, Option[String])],
+      callWhere: Option[Expr]): LF = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.StructType
+    val alias = helperNodeAlias("merge.node", yieldsRaw)
+    val labels = constValueOpt(args.headOption.getOrElse(Lit(null))) match {
+      case Some(s: String) => Seq(s)
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ =>
+        throw new UnsupportedOperationException(
+          "merge.node: labels must be constant (a per-row dynamic-label " +
+            "merge has no batch key)")
+    }
+    require(labels.nonEmpty, "merge.node: need at least one label")
+    val low = lowering(lf)
+    def mapCols(e: Option[Expr], what: String): Seq[(String, Column)] =
+      e match {
+        case None | Some(Lit(null)) => Nil
+        case Some(MapLit(items)) =>
+          items.map { case (k, v) => k -> low.lower(v) }
+        case Some(p @ Param(_)) =>
+          constValue(p) match {
+            case null => Nil
+            case m: Map[_, _] =>
+              m.toSeq.map { case (k, v) =>
+                k.toString -> low.lower(Lit(v))
+              }
+            case other =>
+              throw new IllegalArgumentException(
+                s"merge.node $what: need a map, got $other")
+          }
+        case Some(dyn) =>
+          val c = low.lower(dyn)
+          lf.df.select(c.as("__t")).schema("__t").dataType match {
+            case s: StructType =>
+              s.fieldNames.toSeq.map(f => f -> c.getField(f))
+            case other =>
+              throw new UnsupportedOperationException(
+                s"merge.node $what: need a map with static keys, got $other")
+          }
+      }
+    val ident = mapCols(args.lift(1), "identProps")
+    val onCreate = mapCols(args.lift(2), "createProps")
+    val onMatch = mapCols(args.lift(3), "matchProps")
+    if (ident.isEmpty)
+      throw new UnsupportedOperationException(
+        "merge.node: per-row form needs non-empty identProps " +
+          "(match-anything merge: use a standalone constant CALL)")
+    val identKeys = ident.map(_._1)
+    // pin the input ONCE: ids, first-row-wins order, and the output
+    // re-bind all read this same frame
+    val base = graft.operators.Scratch.cp(
+      ident.zipWithIndex.foldLeft(
+        onMatch.zipWithIndex.foldLeft(
+          onCreate.zipWithIndex.foldLeft(
+            lf.df.withColumn("__mg_row", monotonically_increasing_id())) {
+            case (d, ((k, c), i)) => d.withColumn(s"__mg_c$i", c)
+          }) { case (d, ((k, c), i)) => d.withColumn(s"__mg_m$i", c) }) {
+        case (d, ((k, c), i)) => d.withColumn(s"__mg_k$i", c)
+      })
+    val identCols = ident.indices.map(i => s"__mg_k$i")
+    // existing nodes carrying ALL the labels, ident columns padded
+    val existing0 = labels.foldLeft(state.nodesOrEmpty(labels.head))(
+      (d, l) => d.filter(array_contains(col(GraphState.LabelsCol), l)))
+    val existing = identKeys.foldLeft(existing0)((d, p) =>
+      if (d.columns.contains(p)) d
+      else d.withColumn(
+        p, lit(null).cast(base.schema(s"__mg_k${identKeys.indexOf(p)}").dataType)))
+    val eKeyed = existing.select(
+      col(GraphState.IdCol).as("__mg_eid") +:
+        identKeys.zipWithIndex.map { case (p, i) =>
+          col(p).as(s"__mg_k$i")
+        }: _*)
+    val missing = base.join(eKeyed, identCols, "left_anti")
+    // FIRST row per distinct ident creates; its props = ident ∪ onCreate
+    val firstRows = missing
+      .withColumn(
+        "__mg_rn",
+        row_number().over(
+          Window.partitionBy(identCols.map(col): _*)
+            .orderBy(col("__mg_row"))))
+      .filter(col("__mg_rn") === 1)
+    val createdPropNames =
+      (identKeys ++ onCreate.map(_._1).filterNot(identKeys.contains)).distinct
+    val created = withSeqId(
+      firstRows.select(
+        array(labels.map(lit): _*).as(GraphState.LabelsCol) +:
+          createdPropNames.map { p =>
+            val ki = identKeys.indexOf(p)
+            val ci = onCreate.indexWhere(_._1 == p)
+            // onCreate overrides an ident key of the same name
+            (if (ci >= 0) col(s"__mg_c$ci") else col(s"__mg_k$ki")).as(p)
+          }: _*),
+      GraphState.IdCol,
+      (myBase << 48) + nodeCursor).localCheckpoint(true)
+    nodeCursor += created.count()
+    labels.foreach(l => state = Mutations.createNodes(state, l, created))
+    if (labels.size > 1) state = state.withOverlap
+    // ON MATCH applies to: rows that hit a pre-existing node, plus
+    // duplicate-ident rows that matched a node created just above
+    if (onMatch.nonEmpty) {
+      val hitExisting = base
+        .join(eKeyed, identCols)
+        .select(col("__mg_eid").as(GraphState.IdCol) +:
+          onMatch.indices.map(i => col(s"__mg_m$i")): _*)
+      val cKeyed = created.select(
+        col(GraphState.IdCol).as("__mg_eid") +:
+          identKeys.zipWithIndex.map { case (p, i) =>
+            col(p).as(s"__mg_k$i")
+          }: _*)
+      val hitCreated = missing
+        .withColumn(
+          "__mg_rn",
+          row_number().over(
+            Window.partitionBy(identCols.map(col): _*)
+              .orderBy(col("__mg_row"))))
+        .filter(col("__mg_rn") > 1)
+        .join(cKeyed, identCols)
+        .select(col("__mg_eid").as(GraphState.IdCol) +:
+          onMatch.indices.map(i => col(s"__mg_m$i")): _*)
+      val updates = hitExisting.unionByName(hitCreated)
+        .groupBy(GraphState.IdCol)
+        .agg(
+          max(col(s"__mg_m0")).as(s"__nv_${onMatch.head._1}"),
+          onMatch.zipWithIndex.tail.map { case ((k, _), i) =>
+            max(col(s"__mg_m$i")).as(s"__nv_$k")
+          }: _*)
+        .withColumn("__hit", lit(true))
+      state = Mutations.setNodePropertiesByIds(
+        state, updates, onMatch.map(_._1), replace = false,
+        Some(Seq(labels.head)))
+    }
+    setHint(alias, Some(Set(labels.head)))
+    // re-bind per input row against the POST-merge state on the ident key
+    val post0 = labels.foldLeft(state.nodesOrEmpty(labels.head))(
+      (d, l) => d.filter(array_contains(col(GraphState.LabelsCol), l)))
+    val post = identKeys.zipWithIndex.foldLeft(post0) { case (d, (p, i)) =>
+      if (d.columns.contains(p)) d
+      else d.withColumn(p, lit(null).cast(base.schema(s"__mg_k$i").dataType))
+    }
+    val postB = Frames.bind(alias)(post)
+    val joinCond = identKeys.zipWithIndex
+      .map { case (p, i) =>
+        col(s"__mg_k$i") <=> Frames.f(alias, p)
+      }
+      .reduce(_ && _)
+    val outDf = base.join(postB, joinCond)
+      .drop("__mg_row")
+      .drop(identCols: _*)
+      .drop(onCreate.indices.map(i => s"__mg_c$i"): _*)
+      .drop(onMatch.indices.map(i => s"__mg_m$i"): _*)
+    val lf2 = LF(outDf, lf.scope + (alias -> Binding.NodeB))
+    callWhere
+      .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
+      .getOrElse(lf2)
   }
 
   /** `create.relationship(from, type, props, to)` /

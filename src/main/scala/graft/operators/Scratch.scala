@@ -54,18 +54,44 @@ object Scratch {
     else df
   }
 
-  /** Unpersist every registered block (non-blocking) and clear the
-    * registry. Returns how many live RDDs were swept. */
-  def sweep(): Int = tracked.synchronized {
-    var n = 0
-    tracked.foreach { ref =>
-      val rdd = ref.get()
-      if (rdd != null) {
-        try { rdd.unpersist(blocking = false); n += 1 }
-        catch { case _: Throwable => () }
-      }
+  private val trackedDfs =
+    scala.collection.mutable.ArrayBuffer
+      .empty[java.lang.ref.WeakReference[DataFrame]]
+
+  /** Register a `persist`ed (NOT checkpointed) query-lifetime DataFrame —
+    * e.g. a mutation-derived adjacency view — for the next [[sweep]].
+    * Safe to sweep early: persisted frames recompute, they don't die. */
+  def trackPersisted(df: DataFrame): DataFrame = {
+    trackedDfs.synchronized {
+      trackedDfs += new java.lang.ref.WeakReference[DataFrame](df)
     }
-    tracked.clear()
+    df
+  }
+
+  /** Unpersist every registered block (non-blocking) and clear the
+    * registry. Returns how many live entries were swept. */
+  def sweep(): Int = {
+    var n = 0
+    tracked.synchronized {
+      tracked.foreach { ref =>
+        val rdd = ref.get()
+        if (rdd != null) {
+          try { rdd.unpersist(blocking = false); n += 1 }
+          catch { case _: Throwable => () }
+        }
+      }
+      tracked.clear()
+    }
+    trackedDfs.synchronized {
+      trackedDfs.foreach { ref =>
+        val df = ref.get()
+        if (df != null) {
+          try { df.unpersist(blocking = false); n += 1 }
+          catch { case _: Throwable => () }
+        }
+      }
+      trackedDfs.clear()
+    }
     n
   }
 }

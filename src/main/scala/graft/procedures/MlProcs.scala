@@ -237,8 +237,11 @@ object MlProcs {
     }
     val nb = neighborsOf(ctx.g, Seq(src), types).select(col("nb")).persist()
     val e = ctx.g.edgesOfTypes(types).select(col(SrcCol), col(DstCol))
+    // distinct: parallel edges (or one pair under several types) must
+    // count once per common neighbor — mirrors linkPredict's neighbor SETS
     val und = e.select(col(SrcCol).as("z"), col(DstCol).as("cand"))
       .unionByName(e.select(col(DstCol).as("z"), col(SrcCol).as("cand")))
+      .distinct()
     val scored = und
       .join(nb.withColumnRenamed("nb", "z"), Seq("z"))
       .filter(col("cand") =!= src)
