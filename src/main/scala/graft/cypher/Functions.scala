@@ -858,6 +858,55 @@ object Functions {
           case _ => reverse(a(0))
         }
 
+      // ---- MAGE util / math modules (util.cpp:15, math.cpp:33) ----
+      case "util.md5" =>
+        argType(0) match {
+          case Some(_: ArrayType) =>
+            // list input concatenates element string forms (util.cpp:16)
+            md5(aggregate(
+              a(0), lit(""), (acc, x) => concat(acc, x.cast("string"))))
+          case _ => md5(a(0).cast("string"))
+        }
+      case "math.round" =>
+        // math.round(value, precision=0, mode='HALF_UP'); the eight Java
+        // RoundingMode variants (math.cpp ApplyRounding:33-95)
+        val value = a(0).cast("double")
+        val precision =
+          if (args.size > 1) a(1).cast("int") else lit(0)
+        val mode = args.lift(2) match {
+          case None => "HALF_UP"
+          case Some(Lit(s: String)) => s.toUpperCase
+          case Some(other) =>
+            throw new IllegalArgumentException(
+              s"math.round: mode must be a literal string, got $other")
+        }
+        val p = pow(lit(10.0), precision)
+        val scaled = value * p
+        val fl = floor(scaled)
+        val ce = ceil(scaled)
+        val frac = scaled - fl
+        val rounded: Column = mode match {
+          case "CEILING" => ce
+          case "FLOOR" => fl
+          case "UP" => when(value >= 0, ce).otherwise(fl)
+          case "DOWN" => when(value >= 0, fl).otherwise(ce)
+          case "HALF_UP" => // std::round — half away from zero
+            when(scaled >= 0, floor(scaled + 0.5))
+              .otherwise(ceil(scaled - 0.5))
+          case "HALF_DOWN" => when(frac > 0.5, ce).otherwise(fl)
+          case "HALF_EVEN" =>
+            when(frac < 0.5, fl)
+              .when(frac > 0.5, ce)
+              .otherwise(when(fl.cast("long") % 2 === 0, fl).otherwise(ce))
+          case "UNNECESSARY" =>
+            when(scaled === fl, fl).otherwise(
+              raise_error(lit("Rounding necessary for UNNECESSARY mode")))
+          case other =>
+            throw new IllegalArgumentException(
+              s"math.round: unknown rounding mode $other")
+        }
+        rounded.cast("double") / p
+
       // ---- math (:2102-2124) ----
       case "abs" => abs(a(0))
       case "ceil" => ceil(a(0)).cast("double")

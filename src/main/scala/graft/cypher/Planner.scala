@@ -497,6 +497,57 @@ final class Planner(
         if HelperCalls.entityForms.contains(name) =>
       planHelperRelationship(lf, name, args, yieldsRaw, callWhere)
 
+    case CallProc(name, args, yieldsRaw, callWhere)
+        if name.startsWith("set_property.copyproperty") =>
+      // set_property module (set_property_module.cpp:220-262): copy
+      // properties between BOUND entities, once per input row — lowered
+      // to the equivalent per-row SET items (one batch plan; the
+      // Node2Node/Node2Rel/Rel2Node/Rel2Rel variants only differ in the
+      // binding kinds, which planSet dispatches on anyway)
+      val srcVar = args.headOption match {
+        case Some(Var(v)) => v
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name: source must be a bound entity variable, got $other")
+      }
+      val dstVar = args.lift(2) match {
+        case Some(Var(v)) => v
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name: target must be a bound entity variable, got $other")
+      }
+      def propNames(e: Option[Expr], what: String): Seq[String] =
+        e.map(constValue) match {
+          case Some(s: String) => Seq(s)
+          case Some(xs: Seq[_]) => xs.map(_.toString)
+          case other =>
+            throw new IllegalArgumentException(
+              s"$name $what: need property name(s), got $other")
+        }
+      val sp = propNames(args.lift(1), "source_properties")
+      val tp = propNames(args.lift(3), "target_properties")
+      require(
+        sp.size == tp.size,
+        s"$name: source/target property lists must match in length")
+      val lf2 = planSet(
+        lf,
+        sp.zip(tp).map { case (s, t) =>
+          SetProp(dstVar, t, Prop(Var(srcVar), s))
+        })
+      val alias = yieldsRaw match {
+        case Nil => "result"
+        case Seq(("result", a)) => a.getOrElse("result")
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name yields only `result`, got ${other.map(_._1)}")
+      }
+      val lf3 = LF(
+        lf2.df.withColumn(s"$alias${Frames.Sep}_val", lit(true)),
+        lf2.scope + (alias -> Binding.ValueB))
+      callWhere
+        .map(w => LF(lf3.df.filter(lowering(lf3).lower(w)), lf3.scope))
+        .getOrElse(lf3)
+
     case CallProc(name, args, yields, callWhere) =>
       val cargs = args.map(constValue)
       // refactor.* procedures WRITE: they return the next graph version

@@ -1,0 +1,204 @@
+package graft.procedures
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.GraphState
+
+/** `uuid` / `util` / `meta` MAGE modules (reference
+  * `src/mage/cpp/uuid_module/uuid_module.cpp:37`,
+  * `util_module/algorithm/util.cpp:15`,
+  * `meta_module/algorithm/meta.cpp:158`), re-expressed as distributed
+  * aggregations over the label/type frames — the reference walks every
+  * node and relationship single-threaded; here each tally is one
+  * column-pruned scan + map-side-combined aggregation, so the same
+  * answers hold at cluster scale. `meta.stats_online` ==
+  * `meta.stats_offline` here: states are immutable snapshots, so the
+  * "online" delta-maintained counters and a fresh scan cannot disagree
+  * (the reference needs the distinction only because its counters are
+  * mutated mid-transaction). */
+object MetaProcs {
+
+  import GraphState.{DstCol, IdCol, LabelsCol, SrcCol, TypeCol}
+
+  /** `CALL uuid.get() YIELD uuid` — one random v4 UUID. */
+  def uuidGet(ctx: ProcContext): DataFrame =
+    ctx.spark.range(1).select(expr("uuid()").as("uuid"))
+
+  /** The reference's `Value::ToString` flattening for md5 input: a list
+    * argument concatenates its elements' string forms (util.cpp:16-22). */
+  private def md5Input(v: Any): String = v match {
+    case null => ""
+    case xs: Seq[_] => xs.map(md5Input).mkString("")
+    case other => other.toString
+  }
+
+  /** `CALL util.md5(values) YIELD result`. */
+  def utilMd5(ctx: ProcContext): DataFrame =
+    ctx.spark.range(1).select(
+      md5(lit(md5Input(ctx.args.headOption.orNull))).as("result"))
+
+  /** Property keys PRESENT on at least one entity of the frame (a column
+    * that exists but is all-NULL carries no key — matches the reference's
+    * per-entity key walk, meta.cpp:102). One agg per frame. */
+  private def presentKeys(df: DataFrame, meta: Seq[String]): Seq[String] = {
+    val props = df.columns.filterNot(meta.contains).toSeq
+    if (props.isEmpty) Nil
+    else {
+      val row = df
+        .agg(
+          count(col(props.head)).as(props.head),
+          props.tail.map(p => count(col(p)).as(p)): _*)
+        .collect()(0)
+      props.filter(p => row.getAs[Long](p) > 0)
+    }
+  }
+
+  /** `CALL meta.stats[_online|_offline]()` (meta.cpp:158-209). */
+  def metaStats(ctx: ProcContext): DataFrame = {
+    val g = ctx.g
+    val spark = ctx.spark
+    val nodes = g.allNodes
+    val edges = g.allEdges
+
+    val labelCounts: Map[String, Long] = nodes
+      .select(explode(col(LabelsCol)).as("l"))
+      .groupBy("l").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val typeCounts: Map[String, Long] = edges
+      .groupBy(TypeCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nodeCount = nodes.count()
+    val relationshipCount = typeCounts.values.sum
+
+    // "(:A)-[:T]->()" / "()-[:T]->(:B)" / "()-[:T]->()" pattern tallies
+    // (meta.cpp:113-127): two label joins + the plain type tally
+    val nodeLabels = nodes.select(col(IdCol), col(LabelsCol))
+    val srcSide = edges.select(col(TypeCol), col(SrcCol).as(IdCol))
+      .join(nodeLabels, Seq(IdCol))
+      .select(col(TypeCol), explode(col(LabelsCol)).as("__l"))
+      .select(
+        concat(
+          lit("(:"), col("__l"),
+          lit(")-[:"), col(TypeCol), lit("]->()")).as("k"))
+    val dstSide = edges.select(col(TypeCol), col(DstCol).as(IdCol))
+      .join(nodeLabels, Seq(IdCol))
+      .select(col(TypeCol), explode(col(LabelsCol)).as("__l"))
+      .select(
+        concat(
+          lit("()-[:"), col(TypeCol),
+          lit("]->(:"), col("__l"), lit(")")).as("k"))
+    val relPatterns: Map[String, Long] =
+      srcSide.unionByName(dstSide)
+        .groupBy("k").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++
+        typeCounts.map { case (t, n) => s"()-[:$t]->()" -> n }
+
+    val propKeys: Set[String] =
+      (g.nodeLabels.flatMap(l =>
+        presentKeys(g.nodes(l), GraphState.nodeMeta)) ++
+        g.edgeTypes.flatMap(t =>
+          presentKeys(g.edges(t), GraphState.edgeMeta))).toSet
+
+    import spark.implicits._
+    val mapT = "map<string,bigint>"
+    Seq((
+      labelCounts.size.toLong,
+      typeCounts.size.toLong,
+      propKeys.size.toLong,
+      nodeCount,
+      relationshipCount,
+      labelCounts,
+      relPatterns,
+      typeCounts))
+      .toDF(
+        "labelCount", "relationshipTypeCount", "propertyKeyCount",
+        "nodeCount", "relationshipCount", "labels", "relationshipTypes",
+        "relationshipTypesCount")
+      .withColumn(
+        "stats",
+        struct(
+          col("labelCount"), col("relationshipTypeCount"),
+          col("propertyKeyCount"), col("nodeCount"),
+          col("relationshipCount"), col("labels").cast(mapT),
+          col("relationshipTypes").cast(mapT),
+          col("relationshipTypesCount").cast(mapT)))
+  }
+
+  /** `search.node` / `search.node_all` (search_module/algorithm/
+    * search.cpp:143): label→property disjunction search with a STRING
+    * operand — the reference compares `n.p <op> $value` with a string
+    * parameter, so non-string properties never match (Cypher mixed-type
+    * comparison is NULL); string-only operators are type-guarded. `node`
+    * dedups by id across every (label, property) pair, `node_all` emits
+    * one row per matching pair. One pushed-down filter per label frame. */
+  private def searchRun(dedup: Boolean)(ctx: ProcContext): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val pairs: Seq[(String, Seq[String])] = ctx.args.headOption match {
+      case Some(m: Map[_, _]) =>
+        m.toSeq.map { case (k, v) =>
+          k.toString -> (v match {
+            case s: String => Seq(s)
+            case xs: Seq[_] => xs.map(_.toString)
+            case other =>
+              throw new IllegalArgumentException(
+                s"label_property_map values must be string(s), got $other")
+          })
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"label_property_map must be a map, got $other")
+    }
+    val op = ctx.args.lift(1).map(_.toString.trim.toLowerCase).getOrElse("=")
+    val value = ctx.args.lift(2) match {
+      case Some(null) | None => null
+      case Some(v) => v.toString
+    }
+    val g = ctx.g
+    def matchedRows(label: String, prop: String): Option[DataFrame] = {
+      val frame = g.nodesOrEmpty(label)
+      if (value == null || !frame.columns.contains(prop)) return None
+      if (frame.schema(prop).dataType != StringType) return None
+      val c = col(prop)
+      val v = lit(value)
+      val pred = op match {
+        case "=" | "exact" => c === v
+        case "<>" => c =!= v
+        case "<" => c < v
+        case "<=" => c <= v
+        case ">" => c > v
+        case ">=" => c >= v
+        case "starts with" => c.startsWith(value)
+        case "ends with" => c.endsWith(value)
+        case "contains" => c.contains(value)
+        case "=~" =>
+          // Cypher =~ is a FULL match (std::regex_match)
+          c.rlike("^(?:" + value + ")$")
+        case other =>
+          throw new IllegalArgumentException(
+            s"operator `$other` invalid, it must be one of (case " +
+              "insensitive): [<=, =~, contains, <>, ends with, " +
+              "starts with, exact, <, =, >, >=].")
+      }
+      Some(frame.filter(pred))
+    }
+    val hits = pairs.flatMap { case (l, props) =>
+      props.flatMap(matchedRows(l, _))
+    }
+    val combined = hits
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map(d => if (dedup) d.dropDuplicates(IdCol) else d)
+      .getOrElse(ctx.spark.range(0).select(lit(0L).as(IdCol)))
+    combined.select(
+      struct(combined.columns.map(col).toSeq: _*).as("node"))
+  }
+
+  val registry: Map[String, ProcContext => DataFrame] = Map(
+    "uuid.get" -> uuidGet,
+    "util.md5" -> utilMd5,
+    "meta.stats" -> metaStats,
+    "meta.stats_online" -> metaStats,
+    "meta.stats_offline" -> metaStats,
+    "search.node" -> searchRun(dedup = true),
+    "search.node_all" -> searchRun(dedup = false))
+}
