@@ -99,8 +99,18 @@ object CypherParser extends RegexParsers {
     "{" ~> repsep(mapKey ~ (":" ~> expr), ",") <~ "}" ^^ (kvs =>
       MapLit(kvs.map { case k ~ v => (k, v) }))
 
+  /** Backquoted name with `` escapes (`$`a ``b`` → parameter "a `b"). */
+  private val backtickEscRe = "`(?:``|[^`])+`".r
+  private def bqName: Parser[String] =
+    backtickEscRe ^^ (s => s.substring(1, s.length - 1).replace("``", "`"))
+
   def param: Parser[Expr] =
-    "$" ~> (identP | "\\d+".r) ^^ Param.apply
+    "$" ~> (bqName | identP | "\\d+".r) ^^ Param.apply
+
+  /** `$name` in label position (parameters.feature label parameters) —
+    * marked with the `$` prefix, resolved by the planner against params. */
+  private def paramLabel: Parser[String] =
+    "$" ~> (bqName | identP) ^^ ("$" + _)
 
   // ---------- expressions ----------
   def expr: Parser[Expr] = orExpr
@@ -283,7 +293,7 @@ object CypherParser extends RegexParsers {
   // ---------- patterns ----------
   def nodePattern: Parser[NodePattern] =
     "(" ~> opt(ident) ~
-      rep(":" ~> rep1sep(ident | identP, "|")) ~
+      rep(":" ~> rep1sep(ident | identP | paramLabel, "|")) ~
       opt(mapLit) <~ ")" ^^ { case v ~ ls ~ props =>
       // `:A:B` = conjunction of single labels; `:A|B` = alternation
       // (memgraph label expressions — match.feature OR scenarios)
@@ -635,7 +645,7 @@ object CypherParser extends RegexParsers {
       case v ~ Seq(k) ~ e => SetProp(v, k, e)
       case v ~ path ~ e => SetNestedProp(v, path, e)
     } |
-      ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
+      ident ~ rep1(":" ~> (ident | identP | paramLabel)) ^^ { case v ~ ls =>
         SetLabelsItem(v, ls)
       } |
       ident ~ ("+=" ~> expr) ^^ { case v ~ e => SetAllProps(v, e, update = true) } |
@@ -655,7 +665,7 @@ object CypherParser extends RegexParsers {
       case v ~ Seq(k) => RemoveProp(v, k)
       case v ~ path => RemoveNestedProp(v, path)
     } |
-      ident ~ rep1(":" ~> (ident | identP)) ^^ { case v ~ ls =>
+      ident ~ rep1(":" ~> (ident | identP | paramLabel)) ^^ { case v ~ ls =>
         RemoveLabelsItem(v, ls)
       }
 

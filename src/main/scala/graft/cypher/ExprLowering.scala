@@ -58,6 +58,29 @@ final class ExprLowering(
   def typeOf(c: Column): Option[DataType] =
     Try(typeProbe.select(c).schema.head.dataType).toOption
 
+  /** A driver value as a literal Column. `lit` only takes scalars —
+    * parameter maps lower to RECORDS (same as MapLit: every value keeps
+    * its own type) and lists to arrays, recursively, so `$m.k` / `$xs[0]`
+    * work exactly like the literal forms. */
+  def literalColumn(v: Any): Column = v match {
+    case null => lit(null)
+    case xs: Seq[_] =>
+      if (xs.isEmpty) array()
+      else array(xs.map(literalColumn): _*)
+    case m: Map[_, _] =>
+      val sm = m.map { case (k, x) => k.toString -> x }
+      // driver-protocol enum encoding ({__type: 'mg_enum', __value:
+      // 'Name::Value'}) — lowers like EnumLit, to the canonical string
+      if (sm.get("__type").contains("mg_enum"))
+        lit(String.valueOf(sm.getOrElse("__value", "")))
+      else if (m.isEmpty) map()
+      else
+        struct(sm.toSeq.map { case (k, x) =>
+          literalColumn(x).as(k)
+        }: _*)
+    case other => lit(other)
+  }
+
   def lower(e: Expr): Column = e match {
     case Lit(null) => lit(null)
     case Lit(v) => lit(v)
@@ -102,7 +125,7 @@ final class ExprLowering(
       if (items.isEmpty) map()
       else struct(items.map { case (k, v) => lower(v).as(k) }: _*)
     case Param(name) =>
-      lit(params.getOrElse(
+      literalColumn(params.getOrElse(
         name,
         throw new IllegalArgumentException(s"missing parameter $$$name")))
 
@@ -189,18 +212,66 @@ final class ExprLowering(
       }
       default.map(d => chained.otherwise(lower(d))).getOrElse(chained)
 
+    // `n['nam' + 'e']` — dynamic property access on a bound entity
+    // (reference eval.hpp SubscriptOperator on a vertex): CASE over the
+    // variable's PROP columns (meta columns are not properties)
+    case Subscript(Var(n), idx)
+        if scope.get(n).exists(b =>
+          b == Binding.NodeB || b == Binding.EdgeB) =>
+      idx match {
+        case Lit(k: String) => lower(Prop(Var(n), k))
+        case _ =>
+          val i = lower(idx)
+          val props = Frames.colsOf(df, n)
+            .map(_.substring(n.length + Frames.Sep.length))
+            .filterNot(_.startsWith("_"))
+          if (props.isEmpty) lit(null)
+          else
+            props.tail
+              .foldLeft(when(i === props.head, Frames.f(n, props.head)))(
+                (acc, k) => acc.when(i === k, Frames.f(n, k)))
+              .otherwise(lit(null))
+      }
+
     case Subscript(of, idx) =>
       val c = lower(of)
       val i = lower(idx)
+      val idxT = typeOf(i)
+      def requireStringIndex(): Unit = idxT.foreach {
+        case StringType | NullType => ()
+        case other =>
+          throw new IllegalArgumentException(
+            s"maps must be indexed with a string, got $other")
+      }
+      def requireIntIndex(): Unit = idxT.foreach {
+        case LongType | IntegerType | ShortType | ByteType | NullType => ()
+        case other =>
+          throw new IllegalArgumentException(
+            s"lists must be indexed with an integer, got $other")
+      }
       typeOf(c) match {
-        case Some(_: MapType) => element_at(c, i)
+        case Some(_: MapType) =>
+          requireStringIndex()
+          element_at(c, i)
         case Some(s: StructType) =>
           idx match {
             case Lit(k: String) if s.fieldNames.contains(k) => c.getField(k)
             case Lit(_: String) => lit(null)
             case _ =>
-              throw new UnsupportedOperationException(
-                "dynamic key access on a record-typed map")
+              // dynamic key over a RECORD-typed map: CASE chain per field
+              // (n['nam' + 'e'], expr[$idx] — one branch per static field;
+              // mixed-type records only coerce when Spark can unify them,
+              // same contract as CASE itself)
+              requireStringIndex()
+              if (s.fields.isEmpty) lit(null)
+              else {
+                val first =
+                  when(i === s.fields.head.name, c.getField(s.fields.head.name))
+                s.fields.tail
+                  .foldLeft(first)((acc, f) =>
+                    acc.when(i === f.name, c.getField(f.name)))
+                  .otherwise(lit(null))
+              }
           }
         // a VARIANT value (heterogeneous-list element) indexes through a
         // JSON path for literal indexes
@@ -212,10 +283,17 @@ final class ExprLowering(
               throw new UnsupportedOperationException(
                 "dynamic index into a heterogeneous-list element")
           }
-        case _ =>
+        case Some(_: ArrayType) =>
           // Cypher lists are 0-based, element_at is 1-based; negatives
           // from the end; out-of-range (incl. any index into an empty
-          // list) is NULL, never an error
+          // list) is NULL, never an error — but a non-integer index IS
+          // one (reference eval.hpp subscript type checks)
+          requireIntIndex()
+          try_element_at(c, when(i >= 0, i + 1).otherwise(i).cast("int"))
+        case Some(t @ (_: NumericType | StringType | BooleanType)) =>
+          throw new IllegalArgumentException(
+            s"expected a map or a list to index, got $t")
+        case _ =>
           try_element_at(c, when(i >= 0, i + 1).otherwise(i).cast("int"))
       }
 

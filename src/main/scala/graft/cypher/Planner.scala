@@ -222,8 +222,89 @@ final class Planner(
     inSingle(q.first) || q.unions.exists { case (_, sq) => inSingle(sq) }
   }
 
-  private def planClause(lf: LF, c: Clause): LF = c match {
-    case Match(false, patterns, where) =>
+  /** `(n:$label)` / `SET n:$label` — parameter-valued labels
+    * (parameters.feature; the reference's LabelIx parameter lookup): the
+    * parser marks them `$name`, resolved against params where consumed. */
+  private def resolveLabel(l: String): String =
+    if (!l.startsWith("$")) l
+    else params.getOrElse(
+      l.drop(1),
+      throw new IllegalArgumentException(
+        s"missing parameter $$${l.drop(1)}")) match {
+      case s: String => s
+      case other =>
+        throw new IllegalArgumentException(
+          s"label parameter $$${l.drop(1)} must be a string, got $other")
+    }
+  private def resolveNp(n: NodePattern): NodePattern =
+    if ((n.labels ++ n.orLabels).exists(_.startsWith("$")))
+      n.copy(
+        labels = n.labels.map(resolveLabel),
+        orLabels = n.orLabels.map(resolveLabel))
+    else n
+  private def resolvePart(p: PatternPart): PatternPart =
+    p.copy(
+      start = resolveNp(p.start),
+      hops = p.hops.map { case (r, nn) => (r, resolveNp(nn)) })
+  private def resolveClause(c: Clause): Clause = c match {
+    case m: Match => m.copy(patterns = m.patterns.map(resolvePart))
+    case CreateCl(ps) => CreateCl(ps.map(resolvePart))
+    case m: MergeCl => m.copy(pattern = resolvePart(m.pattern))
+    case SetCl(items) => SetCl(items.map {
+      case SetLabelsItem(v, ls) => SetLabelsItem(v, ls.map(resolveLabel))
+      case o => o
+    })
+    case RemoveCl(items) => RemoveCl(items.map {
+      case RemoveLabelsItem(v, ls) =>
+        RemoveLabelsItem(v, ls.map(resolveLabel))
+      case o => o
+    })
+    case o => o
+  }
+
+  private def planClause(lf: LF, c0: Clause): LF = resolveClause(c0) match {
+    case Match(false, patterns0, where) =>
+      // Comma patterns are join-order free (they conjunct through shared
+      // variables + edge uniqueness): plan the CHEAPEST-starting pattern
+      // first, so its variables are bound before the expensive ones plan
+      // and each later pattern drives from an already-bound side — the
+      // reference's VariableStartPlanner costs all per-pattern start
+      // alternatives the same way (variable_start_planner.hpp:161-204).
+      // Shortest/path-named/quota'd patterns keep written order (their
+      // planning depends on what is bound when they run).
+      // a pattern whose property expressions read a SIBLING pattern's
+      // variable pins the written order (the dependency must bind first)
+      lazy val siblingBound: Set[String] = patterns0.flatMap(p =>
+        p.start.variable.toSeq ++ p.hops.flatMap { case (r, n) =>
+          r.variable.toSeq ++ n.variable.toSeq
+        }).toSet
+      lazy val crossRefs = patterns0.exists { p =>
+        (p.start.props ++ p.hops.flatMap(h => h._1.props ++ h._2.props))
+          .flatMap { case (_, e) => varsIn(e) }
+          .exists(v => siblingBound.contains(v) && !lf.scope.contains(v))
+      }
+      val patterns =
+        if (patterns0.size <= 1 || hopsLimit.isDefined ||
+          patterns0.exists(p =>
+            p.shortest.isDefined || p.pathVar.isDefined ||
+              p.hops.exists(_._1.mode != "DFS")) || crossRefs)
+          patterns0
+        else {
+          def nodeEst(n: NodePattern): Double = {
+            val base =
+              if (n.variable.exists(lf.scope.contains)) 1.0
+              else
+                n.labels.headOption
+                  .map(l => state.labelCountEstimate(l).toDouble)
+                  .getOrElse(state.totalNodeEstimate.toDouble)
+            // a property map is a point-ish lookup — same 1/16 discount
+            // shape the reference's filter-selectivity estimate applies
+            if (n.props.nonEmpty) base / 16.0 else base
+          }
+          def cost(p: PatternPart): Double =
+            (p.start +: p.hops.map(_._2)).map(nodeEst).min
+          patterns0.sortBy(cost) // stable: ties keep written order
+        }
       var cur = lf
       var newEdges = Vector.empty[String]
       patterns.foreach { p =>
@@ -548,6 +629,13 @@ final class Planner(
         .map(w => LF(lf3.df.filter(lowering(lf3).lower(w)), lf3.scope))
         .getOrElse(lf3)
 
+    case CallProc(name, args, yields, callWhere)
+        if lf.df.columns.nonEmpty && args.exists(constValueOpt(_).isEmpty) =>
+      // expression-valued args after a row-producing clause (`WITH
+      // collect(n.id) AS pts CALL tsp.solve(pts)`) — the mgp contract
+      // runs the procedure once per input row
+      planCallPerRow(lf, name, args, yields, callWhere)
+
     case CallProc(name, args, yields, callWhere) =>
       val cargs = args.map(constValue)
       // refactor.* procedures WRITE: they return the next graph version
@@ -787,6 +875,96 @@ final class Planner(
         body.items.map(_.expr.asInstanceOf[Var].name)
       case _ => Nil
     }
+
+  /** Generic `CALL proc(expr, …)` with expression-valued arguments after a
+    * row-producing clause: the mgp contract dispatches the procedure once
+    * per input row (`mgp_proc` receives one argument pack per pulled row),
+    * so the outer frame is collected (bounded — every row is a full
+    * driver-side procedure dispatch; aggregate first for the driver-sized
+    * shapes like `WITH collect(…) CALL tsp.solve(…)`), the procedure runs
+    * per row, and each result unions back tagged with its source row. */
+  private def planCallPerRow(
+      lf: LF,
+      name: String,
+      args: Seq[Expr],
+      yieldsRaw: Seq[(String, Option[String])],
+      callWhere: Option[Expr]): LF = {
+    val low = lowering(lf)
+    val outerCols = lf.df.columns.toSeq
+    val argCols = args.zipWithIndex.map { case (a, i) =>
+      low.lower(a).as(s"__call_arg_$i")
+    }
+    val maxCalls = 256
+    val collected = lf.df
+      .select(outerCols.map(col) ++ argCols: _*)
+      .limit(maxCalls + 1)
+      .collect()
+    require(
+      collected.length <= maxCalls,
+      s"$name: dynamic-argument CALL dispatches once per input row — got " +
+        s"more than $maxCalls rows; aggregate first (WITH collect(…))")
+    // Spark row values → the driver-value protocol procedures consume
+    def toScala(v: Any): Any = v match {
+      case r: org.apache.spark.sql.Row =>
+        r.schema.fieldNames.zip(r.toSeq.map(toScala)).toMap[String, Any]
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => String.valueOf(k) -> toScala(x) }.toMap
+      case s: scala.collection.Seq[_] => s.map(toScala).toList
+      case other => other
+    }
+    val writeP = graft.procedures.ApocProcs.writeRegistry.get(name)
+    val readP = graft.procedures.Procedures.registry.get(name)
+    require(
+      writeP.isDefined || readP.isDefined, s"unknown procedure: $name")
+    var yields1: Seq[(String, String)] =
+      yieldsRaw.map { case (n, a) => (n, a.getOrElse(n)) }
+    if (collected.isEmpty) {
+      // zero input rows → zero dispatches → zero output rows (yield
+      // column types are unknowable without a dispatch: string nulls)
+      require(
+        yields1.nonEmpty,
+        s"$name: YIELD * needs at least one input row to infer columns")
+      val zero = yields1.foldLeft(lf.df.filter(lit(false)))((d, y) =>
+        d.withColumn(s"${y._2}${Frames.Sep}_val", lit(null).cast("string")))
+      return LF(
+        zero,
+        yields1.foldLeft(lf.scope)((sc, y) => sc + (y._2 -> Binding.ValueB)))
+    }
+    val outerSchema = lf.df.schema
+    val pieces = collected.toSeq.map { row =>
+      val cargs =
+        args.indices.map(i => toScala(row.get(outerCols.length + i)))
+      val out = writeP match {
+        case Some(wp) =>
+          val (ng, df) =
+            wp(graft.procedures.ProcContext(spark, state, cargs))
+          state = ng
+          df
+        case None =>
+          readP.get(graft.procedures.ProcContext(spark, state, cargs))
+      }
+      if (yields1.isEmpty) yields1 = out.columns.toSeq.map(c => (c, c))
+      val missing = yields1.map(_._1).filterNot(out.columns.contains)
+      require(missing.isEmpty, s"procedure $name does not yield: $missing")
+      val selected = out.select(
+        yields1.map { case (n, a) => col(n).as(s"$a${Frames.Sep}_val") }: _*)
+      if (outerCols.isEmpty) selected
+      else {
+        val one = spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row.fromSeq(
+              row.toSeq.take(outerCols.length))),
+          outerSchema)
+        one.crossJoin(selected)
+      }
+    }
+    val lf2 = LF(
+      pieces.reduce(_.unionByName(_)),
+      yields1.foldLeft(lf.scope)((sc, y) => sc + (y._2 -> Binding.ValueB)))
+    callWhere
+      .map(w => LF(lf2.df.filter(lowering(lf2).lower(w)), lf2.scope))
+      .getOrElse(lf2)
+  }
 
   /** Pipelined per-row CALL { } for uncorrelated mutating subqueries: the
     * i-th input row's execution sees the writes of rows 0..i-1 — inherently

@@ -105,10 +105,29 @@ object VarExpand {
         reached.reduce(_ unionByName _)
       case bound => // fixpoint loop (unbounded or large bound)
         val limit = bound.getOrElse(HardHopLimit)
-        // the (possibly multi-type union) edge frame is re-joined every
-        // round — cache it for the duration of the loop
-        val e = edges.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // The (possibly multi-type union) edge frame is re-joined every
+        // round. Persist it LAZILY — only the first round whose frontier
+        // is too large for id-pruning pays the materialization: a tiny
+        // frontier instead collects its node ids and pushes an `isin`
+        // into the edge scan (parquet row-group / cache-batch pruning —
+        // the single-node reference's O(deg) adjacency fetch analog), so
+        // a point-seeded traversal never scans the full edge corpus.
+        var ePersisted: Option[DataFrame] = None
+        def edgesFor(frontierIds: Option[Seq[Long]]): DataFrame =
+          frontierIds match {
+            case Some(ids) =>
+              edges.filter(
+                col(GraphState.SrcCol).isin(ids.map(Long.box): _*))
+            case None =>
+              ePersisted.getOrElse {
+                val p = edges.persist(
+                  org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                ePersisted = Some(p)
+                p
+              }
+          }
+        val pruneMax = frame.sparkSession.conf
+          .get("spark.graft.varexpand.pruneFrontier", "1000").toLong
         var cur = base.transform(Scratch.cp)
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
@@ -126,7 +145,17 @@ object VarExpand {
         var empty = curN == 0L
         while (!empty && k < limit) {
           k += 1
-          cur = step(cur, e, stepDir, bcastFrontier = curN <= bcastMax)
+          // a ≤pruneMax-row CHECKPOINTED frontier re-reads for the id
+          // collect, not recomputes — two cheap actions beat one full
+          // edge-corpus scan
+          val frontierIds: Option[Seq[Long]] =
+            if (curN <= pruneMax)
+              Some(cur.select(col(CUR)).filter(col(CUR).isNotNull)
+                .distinct().collect().map(_.getLong(0)).toSeq)
+            else None
+          cur = step(
+            cur, edgesFor(frontierIds), stepDir,
+            bcastFrontier = curN <= bcastMax)
             .transform(Scratch.cp)
           // one action per round: the frontier count serves the emptiness
           // probe, the hops cap check, and the next broadcast decision
@@ -143,7 +172,7 @@ object VarExpand {
           empty = curN == 0L
           if (!empty && k >= minHops) reached = reached :+ cur
         }
-        e.unpersist(blocking = false)
+        ePersisted.foreach(_.unpersist(blocking = false))
         if (!empty && bound.isEmpty)
           throw new IllegalStateException(
             s"unbounded variable expansion exceeded $HardHopLimit hops — " +

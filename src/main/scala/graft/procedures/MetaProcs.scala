@@ -54,22 +54,30 @@ object MetaProcs {
     }
   }
 
-  /** `CALL meta.stats[_online|_offline]()` (meta.cpp:158-209). */
+  /** `CALL meta.stats[_online|_offline]()` (meta.cpp:158-209).
+    *
+    * Every tally is an independent read-only action over an immutable
+    * snapshot, so they run CONCURRENTLY (one Future per job) — the
+    * sequential form pays ~20 job latencies back-to-back (one per label
+    * frame's key walk alone), which at cluster scale leaves the whole
+    * cluster idle between tiny jobs. */
   def metaStats(ctx: ProcContext): DataFrame = {
     val g = ctx.g
     val spark = ctx.spark
     val nodes = g.allNodes
     val edges = g.allEdges
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
 
-    val labelCounts: Map[String, Long] = nodes
+    val labelCountsF = Future(nodes
       .select(explode(col(LabelsCol)).as("l"))
       .groupBy("l").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val typeCounts: Map[String, Long] = edges
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val typeCountsF = Future(edges
       .groupBy(TypeCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nodeCount = nodes.count()
-    val relationshipCount = typeCounts.values.sum
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val nodeCountF = Future(nodes.count())
 
     // "(:A)-[:T]->()" / "()-[:T]->(:B)" / "()-[:T]->()" pattern tallies
     // (meta.cpp:113-127): two label joins + the plain type tally
@@ -88,17 +96,26 @@ object MetaProcs {
         concat(
           lit("()-[:"), col(TypeCol),
           lit("]->(:"), col("__l"), lit(")")).as("k"))
-    val relPatterns: Map[String, Long] =
+    val relPatternsF = Future(
       srcSide.unionByName(dstSide)
         .groupBy("k").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ++
-        typeCounts.map { case (t, n) => s"()-[:$t]->()" -> n }
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
 
-    val propKeys: Set[String] =
-      (g.nodeLabels.flatMap(l =>
-        presentKeys(g.nodes(l), GraphState.nodeMeta)) ++
-        g.edgeTypes.flatMap(t =>
-          presentKeys(g.edges(t), GraphState.edgeMeta))).toSet
+    val propKeysF = Future.sequence(
+      g.nodeLabels.map(l =>
+        Future(presentKeys(g.nodes(l), GraphState.nodeMeta))) ++
+        g.edgeTypes.map(t =>
+          Future(presentKeys(g.edges(t), GraphState.edgeMeta))))
+      .map(_.flatten.toSet)
+
+    val labelCounts = Await.result(labelCountsF, Duration.Inf)
+    val typeCounts = Await.result(typeCountsF, Duration.Inf)
+    val nodeCount = Await.result(nodeCountF, Duration.Inf)
+    val relationshipCount = typeCounts.values.sum
+    val relPatterns: Map[String, Long] =
+      Await.result(relPatternsF, Duration.Inf) ++
+        typeCounts.map { case (t, n) => s"()-[:$t]->()" -> n }
+    val propKeys: Set[String] = Await.result(propKeysF, Duration.Inf)
 
     import spark.implicits._
     val mapT = "map<string,bigint>"

@@ -139,6 +139,147 @@ object Round12Queries {
       """SELECT CAST(n_nationkey AS BIGINT) AS k, r_name AS rn,
         |       true AS result
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |WHERE n_nationkey < 3 ORDER BY 1""".stripMargin)
+        |WHERE n_nationkey < 3 ORDER BY 1""".stripMargin),
+
+    // two comma patterns with a shared variable: the planner must start
+    // from the SMALL side of each (Region{ASIA} first, then drive the
+    // Customer pattern from the bound nation) — the reference's
+    // VariableStartPlanner order (variable_start_planner.hpp:161)
+    cq(
+      "cy_two_pattern_start",
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation),
+        |      (n)-[:IN_REGION]->(r:Region {r_name: 'ASIA'})
+        |RETURN count(*) AS cnt""".stripMargin,
+      """SELECT CAST(count(*) AS BIGINT) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'""".stripMargin),
+
+    // tsp.solve (tsp.py:15, greedy = travelling_salesman.py:69): four
+    // points on a parallel, collected-ids → per-row CALL dispatch; ids
+    // sort back to creation order, so greedy starts at i=0 and walks the
+    // line 0-1-2-3, closing 3→0; legs read back via id() matches
+    cq(
+      "call_tsp",
+      """CALL create.nodes(['TspPt'], [
+        |  {i: 0, lat: 10.0, lng: 0.0}, {i: 1, lat: 10.0, lng: 0.01},
+        |  {i: 2, lat: 10.0, lng: 0.02}, {i: 3, lat: 10.0, lng: 0.03}])
+        |YIELD node
+        |WITH collect(id(node)) AS pts0
+        |WITH collections.sort(pts0) AS pts
+        |CALL tsp.solve(pts, 'greedy') YIELD sources, destinations
+        |UNWIND range(0, size(sources) - 1) AS k
+        |MATCH (a:TspPt), (b:TspPt)
+        |WHERE id(a) = sources[k] AND id(b) = destinations[k]
+        |RETURN k, a.i AS s, b.i AS d ORDER BY k""".stripMargin,
+      """SELECT CAST(k AS BIGINT) AS k, CAST(s AS BIGINT) AS s,
+        |       CAST(d AS BIGINT) AS d
+        |FROM (VALUES (0, 0, 1), (1, 1, 2), (2, 2, 3), (3, 3, 0)) t(k, s, d)
+        |ORDER BY k""".stripMargin),
+
+    // vrp.route (vrp.py:65, sweep heuristic): depot at the origin, two
+    // points east and two west; two vehicles split the bearing sweep into
+    // the east and west sectors, each routed greedily from the depot
+    cq(
+      "call_vrp",
+      """CALL create.nodes(['VrpPt'], [
+        |  {i: 0, lat: 0.0, lng: 0.0},
+        |  {i: 1, lat: 0.0, lng: 0.01}, {i: 2, lat: 0.0, lng: 0.02},
+        |  {i: 3, lat: 0.0, lng: -0.01}, {i: 4, lat: 0.0, lng: -0.02}])
+        |YIELD node
+        |WITH collect(id(node)) AS ids0
+        |WITH collections.sort(ids0) AS ids
+        |CALL vrp.route(ids[0], 2) YIELD from_vertex, to_vertex
+        |MATCH (a:VrpPt), (b:VrpPt)
+        |WHERE id(a) = from_vertex AND id(b) = to_vertex
+        |RETURN a.i AS s, b.i AS d ORDER BY s, d""".stripMargin,
+      """SELECT CAST(s AS BIGINT) AS s, CAST(d AS BIGINT) AS d
+        |FROM (VALUES (0, 1), (0, 3), (1, 2), (2, 0), (3, 4), (4, 0)) t(s, d)
+        |ORDER BY s, d""".stripMargin),
+
+    // temporal.format (temporal.py:8): strftime directives lowered to one
+    // date_format expression
+    cq(
+      "call_temporal_format",
+      """CALL temporal.format('2011-03-02 05:06:07', '%Y/%m/%d %H:%M')
+        |YIELD formatted RETURN formatted""".stripMargin,
+      "SELECT '2011/03/02 05:06' AS formatted"),
+
+    // json_util.load_from_str (json_util.py:99): a top-level array
+    // explodes into one row per object
+    cq(
+      "call_json_str",
+      """CALL json_util.load_from_str('[{"a": 1}, {"a": 2}, {"a": 5}]')
+        |YIELD objects RETURN objects.a AS a ORDER BY a""".stripMargin,
+      """SELECT CAST(a AS BIGINT) AS a FROM (VALUES (1), (2), (5)) t(a)
+        |ORDER BY a""".stripMargin),
+
+    // embeddings.compute (embeddings.py, hashing-trick stand-in): every
+    // vector has the requested width and unit L2 norm
+    cq(
+      "call_embeddings",
+      """CALL create.nodes(['DocE'], [{txt: 'alpha beta gamma'},
+        |                             {txt: 'delta epsilon'}]) YIELD node
+        |WITH count(*) AS created
+        |CALL embeddings.compute({label: 'DocE', property: 'txt',
+        |                         dimensions: 8})
+        |YIELD node, embedding
+        |RETURN count(*) AS n, min(size(embedding)) AS dims,
+        |       round(min(reduce(acc = 0.0, x IN embedding | acc + x * x)), 6)
+        |         AS mn,
+        |       round(max(reduce(acc = 0.0, x IN embedding | acc + x * x)), 6)
+        |         AS mx""".stripMargin,
+      """SELECT CAST(2 AS BIGINT) AS n, CAST(8 AS BIGINT) AS dims,
+        |       1.0 AS mn, 1.0 AS mx""".stripMargin),
+
+    // graph_coloring.color_graph (graph_coloring.py:10, distributed
+    // Jones–Plassmann): a planted 5-cycle must come back fully colored
+    // with zero same-color edges (validity is the contract both engines
+    // share; chromatic minimality is best-effort in both)
+    QueryDef(
+      "call_coloring",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import graft.core.GraphState
+        import graft.operators.Mutations
+        import graft.procedures.{ProcContext, PyTailProcs}
+        // standalone planted state: the procedure's contract is to colour
+        // the WHOLE graph, so the gate plants only the ring (the TPC-H
+        // corpus would be a million always-colour-0 bystanders)
+        val n = 5
+        val base = 949L << 48
+        // n ring nodes + one isolated bystander (exercises the isolated
+        // → colour-0 map-side path; the ring tally below excludes it)
+        val ring = s.range(n + 1).select(
+          (lit(base) + col("id")).as(GraphState.IdCol),
+          array(lit("RingN")).as(GraphState.LabelsCol))
+        val e = s.range(n).select(
+          (lit(base + 1024) + col("id")).as(GraphState.IdCol),
+          (lit(base) + col("id")).as(GraphState.SrcCol),
+          (lit(base) + (col("id") + 1) % n).as(GraphState.DstCol),
+          lit("RING").as(GraphState.TypeCol))
+        val g1 = Mutations.createEdges(
+          Mutations.createNodes(
+            GraphState(Map.empty, Map.empty), "RingN", ring),
+          "RING", e)
+        val colors = PyTailProcs.colorGraph(
+          ProcContext(s, g1, Seq(Map("edge_types" -> Seq("RING")))))
+        val conflicts = g1.edges("RING")
+          .select(
+            col(GraphState.SrcCol).as("a"), col(GraphState.DstCol).as("b"))
+          .join(
+            colors.select(col("node").as("a"), col("color").as("ca")),
+            Seq("a"))
+          .join(
+            colors.select(col("node").as("b"), col("color").as("cb")),
+            Seq("b"))
+          .filter(col("ca") === col("cb"))
+        conflicts.agg(count(lit(1)).as("conflicts")).crossJoin(
+          colors
+            .filter(col("node") >= base && col("node") < base + n)
+            .agg(count(lit(1)).as("ring_colored")))
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS conflicts,
+             |       CAST(5 AS BIGINT) AS ring_colored""".stripMargin))
   )
 }

@@ -172,6 +172,61 @@ object StreamingQueries {
              |  CAST(1 AS BIGINT) AS update_batches,
              |  (SELECT count(*) FROM e WHERE value < 50) AS deleted_n""".stripMargin)),
 
+    // BEFORE COMMIT trigger (trigger.hpp:93): runs inside the batch
+    // transaction against the candidate state — it ENRICHES the created
+    // rows (validated flag) and ABORTS the whole batch when the diff
+    // violates its rule (an odd event_id here). Two single-batch ingest
+    // runs: the clean batch commits enriched, the dirty batch rolls back
+    // completely.
+    QueryDef(
+      "stream_triggers_before",
+      (s, dir) => {
+        def run(g: GraphState, rows: DataFrame, tag: String): GraphState = {
+          val src =
+            s"/root/repo/target/stream_before/src_${tag}_${UUID.randomUUID()}"
+          val ckpt =
+            s"/root/repo/target/stream_before/ck_${tag}_${UUID.randomUUID()}"
+          rows.coalesce(1).write.json(src)
+          val transform: GraphStream.Transformation = (g0, batch) => {
+            val staged = batch.select(
+              (lit(959L << 48) + col("event_id")).as(GraphState.IdCol),
+              array(lit("Staged")).as(GraphState.LabelsCol),
+              col("event_id"),
+              col("value"))
+            GraphStream.IngestResult(
+              Mutations.createNodes(g0, "Staged", staged),
+              createdNodes = Map("Staged" -> staged))
+          }
+          val validate: GraphStream.TriggerFn = (cand, res) => {
+            val created = res.createdNodes("Staged")
+            if (created.filter(col("event_id") % 2 === 1).limit(1).count() > 0)
+              throw new GraphStream.TriggerAbort("odd event_id staged")
+            Mutations.setPropertyByIds(
+              cand,
+              created.select(col(GraphState.IdCol), lit(true).as("__nv")),
+              "validated",
+              Some(Seq("Staged")))
+          }
+          GraphStream.ingestAvailable(
+            s, src, rows.schema, "json", g, transform,
+            Seq(GraphStream.TriggerDef(
+              "validate", GraphStream.TriggerEvent.OnCreate, validate,
+              GraphStream.TriggerPhase.Before)),
+            ckpt)
+        }
+        val ev = TpchGraphLoader.table(s, dir, "events")
+          .filter(col("event_id") < 80)
+          .select("event_id", "value")
+        val g0 = TpchGraphLoader(s, dir)
+        val g1 = run(g0, ev.filter(col("event_id") % 2 === 0), "clean")
+        val g2 = run(g1, ev, "dirty") // contains odd ids → aborts
+        g2.nodes("Staged").agg(
+          count(lit(1)).as("staged"),
+          count(when(col("validated"), 1)).as("validated"))
+      },
+      Some("""SELECT count(*) AS staged, count(*) AS validated
+             |FROM events WHERE event_id < 80 AND event_id % 2 = 0""".stripMargin)),
+
     // TTL sweep (TtlQuery ast.hpp:4357): stamp orders with a ttl from their
     // order date, expire everything before 1995, count the surviving graph.
     QueryDef(

@@ -80,13 +80,33 @@ object GraphStream {
     }
   }
 
-  /** AFTER-COMMIT trigger: receives the post-batch state + diffs, returns
-    * the (possibly further-mutated) state. */
+  /** Trigger body: receives a state + the batch diffs, returns the
+    * (possibly further-mutated) state. */
   type TriggerFn = (GraphState, IngestResult) => GraphState
 
-  /** Registered trigger (`CREATE TRIGGER name ON <event> AFTER COMMIT`,
-    * trigger.hpp:93): fires only when the batch diff contains its event. */
-  final case class TriggerDef(name: String, event: TriggerEvent, fn: TriggerFn)
+  /** Trigger phase (`CREATE TRIGGER … BEFORE|AFTER COMMIT`,
+    * trigger.hpp:93): BEFORE runs INSIDE the batch transaction, against
+    * the candidate (not-yet-published) state — it may mutate the
+    * candidate, and raising [[TriggerAbort]] (or any exception) aborts
+    * the whole batch, exactly the reference's in-transaction contract.
+    * AFTER runs against the committed state. */
+  sealed trait TriggerPhase
+  object TriggerPhase {
+    case object Before extends TriggerPhase
+    case object After extends TriggerPhase
+  }
+
+  /** Raised by a BEFORE-COMMIT trigger to abort its batch. */
+  final class TriggerAbort(msg: String) extends RuntimeException(msg)
+
+  /** Registered trigger (`CREATE TRIGGER name ON <event> BEFORE|AFTER
+    * COMMIT`, trigger.hpp:93): fires only when the batch diff contains
+    * its event. */
+  final case class TriggerDef(
+      name: String,
+      event: TriggerEvent,
+      fn: TriggerFn,
+      phase: TriggerPhase = TriggerPhase.After)
 
   /** `CREATE STREAM` source declaration — the union of the reference's
     * `CommonStreamInfo` (common.hpp:34-40: batch_interval, batch_size) and
@@ -189,9 +209,18 @@ object GraphStream {
       .trigger(triggerOf(source))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = transform(state, batch)
-        state = triggers
+        val (before, after) = triggers
           .filter(t => res.has(t.event))
-          .foldLeft(res.graph)((g, t) => t.fn(g, res))
+          .partition(_.phase == TriggerPhase.Before)
+        // BEFORE COMMIT: runs against the CANDIDATE version, inside the
+        // batch "transaction" — an exception rolls the whole batch back
+        // (state stays at the pre-batch snapshot; nothing published)
+        val candidate =
+          try Some(before.foldLeft(res.graph)((g, t) => t.fn(g, res)))
+          catch { case _: TriggerAbort => None }
+        candidate.foreach { committed =>
+          state = after.foldLeft(committed)((g, t) => t.fn(g, res))
+        }
       }
       .start()
     q.awaitTermination()

@@ -36,8 +36,8 @@ class GqlBehaveSpec extends GqlHarness {
     "map.feature" -> 11,
     "patterns.feature" -> 19,
     "subqueries.feature" -> 42,
-    "parameters.feature" -> 4,
-    "pattern_comprehensions.feature" -> 53,
+    "parameters.feature" -> 12,
+    "pattern_comprehensions.feature" -> 56,
     "cartesian.feature" -> 32,
     "memgraph_bfs.feature" -> 20,
     "memgraph_wshortest.feature" -> 22,
@@ -56,7 +56,7 @@ class GqlBehaveSpec extends GqlHarness {
     // passing via parse failure
     "periodic_delete.feature" -> 6,
     "procedure_call.feature" -> 4,
-    "server_side_parameters.feature" -> 12,
+    "server_side_parameters.feature" -> 13,
     "spatial.feature" -> 90,
     "text_search.feature" -> 37,
     "text_edge_search.feature" -> 23,

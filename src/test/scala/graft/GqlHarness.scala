@@ -37,7 +37,10 @@ abstract class GqlHarness extends SparkTestBase {
   private case class Rows(
       header: Seq[String],
       rows: Seq[Seq[String]],
-      ordered: Boolean) extends Expect
+      ordered: Boolean,
+      /** "(ignoring element order for lists)" — list cells compare as
+        * multisets: both sides' lists are canonically sorted first. */
+      sortLists: Boolean = false) extends Expect
   private case object EmptyResult extends Expect
   private case object ErrorExpected extends Expect
 
@@ -172,7 +175,17 @@ abstract class GqlHarness extends SparkTestBase {
         t.startsWith("Given having executed")) {
         i += 1
         val q = block()
-        cur = cur.map(s => s.copy(setups = s.setups :+ q))
+        // a setup arriving AFTER a pending "When executing query" must
+        // run after it (steps execute in file order — e.g. SET PARAMETER
+        // then a CREATE that reads it); flush the pending query into the
+        // setup chain first
+        cur = cur.map(s =>
+          s.query match {
+            case Some(prev) =>
+              s.copy(setups = s.setups :+ prev :+ q, query = None,
+                expect = None)
+            case None => s.copy(setups = s.setups :+ q)
+          })
       } else if (t.startsWith("When executing query") ||
         t.startsWith("When executing control query")) {
         i += 1
@@ -198,15 +211,21 @@ abstract class GqlHarness extends SparkTestBase {
         cur = cur.map(_.copy(params = ps))
       } else if (t.startsWith("Then the result should be empty")) {
         cur = cur.map(_.copy(expect = Some(EmptyResult))); i += 1
-      } else if (t.startsWith("Then an error should be raised")) {
+      } else if (t.startsWith("Then an error should be raised") ||
+        (t.startsWith("Then a") && t.contains("should be raised"))) {
+        // "Then a TypeError should be raised at runtime: X" /
+        // "Then a SyntaxError should be raised at compile time: X" — the
+        // openCypher TCK typed-error steps; same expected-failure contract
         cur = cur.map(_.copy(expect = Some(ErrorExpected))); i += 1
       } else if (t.startsWith("Then the result should be")) {
         val ordered = t.contains("in order")
+        val sortLists = t.contains("ignoring element order for lists")
         i += 1
         val rows = table()
         if (rows.nonEmpty)
           cur = cur.map(
-            _.copy(expect = Some(Rows(rows.head, rows.tail, ordered))))
+            _.copy(expect =
+              Some(Rows(rows.head, rows.tail, ordered, sortLists))))
       } else if (t.startsWith("And the side effects") ||
         t.startsWith("Then the side effects")) {
         i += 1
@@ -705,14 +724,14 @@ abstract class GqlHarness extends SparkTestBase {
       case (EmptyResult, scala.util.Success(rows)) =>
         if (rows.isEmpty) tally.pass += 1
         else tally.failures += s"${sc.name}: expected empty, got ${rows.length} rows"
-      case (Rows(header, expRaw, ordered), scala.util.Success(rows)) =>
+      case (Rows(header, expRaw, ordered, sortLists), scala.util.Success(rows)) =>
         val expParsed = expRaw.map(r => r.map(parseCell))
         if (expParsed.exists(_.exists(_.isEmpty))) {
           dbg(s"  SKIP(expcell) ${sc.name}: " + expRaw.flatten.zip(expParsed.flatten)
             .collectFirst { case (raw, None) => raw }.getOrElse(""))
           tally.skip += 1; return
         }
-        val exp = expParsed.map(_.flatten)
+        val expBase = expParsed.map(_.flatten)
         // expected tables are keyed by header NAME (|n|r| may list columns
         // in any order) — align actual columns to the header when every
         // header name resolves in the result schema
@@ -730,7 +749,17 @@ abstract class GqlHarness extends SparkTestBase {
           dbg(s"  SKIP(gotcell) ${sc.name}")
           tally.skip += 1; return
         }
-        val got = gotParsed.map(_.flatten.toSeq)
+        val got0 = gotParsed.map(_.flatten.toSeq)
+        // canonically sort list cells on BOTH sides when the step says
+        // "(ignoring element order for lists)"
+        def sortLV(v: V): V = v match {
+          case LV(xs) => LV(xs.map(sortLV).sortBy(_.toString))
+          case o => o
+        }
+        val (exp, got) =
+          if (sortLists)
+            (expBase.map(_.map(sortLV)), got0.map(_.map(sortLV)))
+          else (expBase, got0)
         val ok =
           if (ordered)
             exp.length == got.length &&

@@ -14,29 +14,29 @@ class OpenCypherTckSpec extends GqlHarness {
 
   protected lazy val targets: Seq[(String, Int)] = Seq(
     "Aggregation.feature" -> 10,
-    "AggregationAcceptance.feature" -> 24,
+    "AggregationAcceptance.feature" -> 25,
     "Create.feature" -> 5,
-    "CreateAcceptance.feature" -> 29,
+    "CreateAcceptance.feature" -> 30,
     "DeleteAcceptance.feature" -> 11,
     "EqualsAcceptance.feature" -> 4,
-    "ExpressionAcceptance.feature" -> 6,
+    "ExpressionAcceptance.feature" -> 19,
     "JoinAcceptance.feature" -> 2,
-    "KeysAcceptance.feature" -> 8,
+    "KeysAcceptance.feature" -> 9,
     "LabelsAcceptance.feature" -> 12,
     "Literals.feature" -> 11,
-    "MatchAcceptance.feature" -> 29,
-    "MatchAcceptance2.feature" -> 86,
+    "MatchAcceptance.feature" -> 30,
+    "MatchAcceptance2.feature" -> 89,
     "MatchingSelfRelationships.feature" -> 19,
     "MergeNodeAcceptance.feature" -> 24,
     "MergeRelationshipAcceptance.feature" -> 30,
     "NullAcceptance.feature" -> 8,
     "OptionalMatch.feature" -> 3,
-    "OptionalMatchAcceptance.feature" -> 18,
-    "OrderByAcceptance.feature" -> 19,
+    "OptionalMatchAcceptance.feature" -> 19,
+    "OrderByAcceptance.feature" -> 20,
     "PatternComprehension.feature" -> 14,
     "RemoveAcceptance.feature" -> 8,
     "ReturnAcceptance.feature" -> 16,
-    "ReturnAcceptance2.feature" -> 32,
+    "ReturnAcceptance2.feature" -> 33,
     "SetAcceptance.feature" -> 13,
     "StartingPointAcceptance.feature" -> 3,
     "StartsWithAcceptance.feature" -> 24,
@@ -44,8 +44,8 @@ class OpenCypherTckSpec extends GqlHarness {
     "TriadicSelection.feature" -> 19,
     "TypeConversionFunctions.feature" -> 24,
     "UnionAcceptance.feature" -> 5,
-    "UnwindAcceptance.feature" -> 12,
-    "VarLengthAcceptance.feature" -> 26,
+    "UnwindAcceptance.feature" -> 14,
+    "VarLengthAcceptance.feature" -> 28,
     "WhereAcceptance.feature" -> 1,
     "WithAcceptance.feature" -> 16)
 
