@@ -36,8 +36,8 @@ import org.apache.spark.sql.DataFrame
   * `src/storage/v2/delta_action.hpp:27-41`).
   */
 final class GraphState(
-    nodeThunks: Map[String, () => DataFrame],
-    edgeThunks: Map[String, () => DataFrame],
+    private val nodeThunks: Map[String, () => DataFrame],
+    private val edgeThunks: Map[String, () => DataFrame],
     /** High-water mark of the id-namespace bases consumed by statements run
       * against (ancestors of) this version. Each statement's Planner starts
       * allocating above it, so chained `Cypher.execute` calls never reuse an
@@ -185,14 +185,14 @@ final class GraphState(
     else {
       val u = nodeLabels
         .map(nodes)
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .reduce(GraphState.unionReconciled)
       if (mayOverlap) u.dropDuplicates(GraphState.IdCol) else u
     }
 
   def allEdges: DataFrame =
     if (edgeTypes.isEmpty) GraphState.emptyEdgeFrame
     else
-      edgeTypes.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+      edgeTypes.map(edges).reduce(GraphState.unionReconciled)
 
   /** Memoized per-label node-count estimates — the planner's
     * VariableStartPlanner analog costs MATCH start alternatives with them
@@ -254,7 +254,7 @@ final class GraphState(
       val present = types.filter(hasType)
       if (present.isEmpty) GraphState.emptyEdgeFrame
       else
-        present.map(edges).reduce(_.unionByName(_, allowMissingColumns = true))
+        present.map(edges).reduce(GraphState.unionReconciled)
     }
 
   /** New graph version with one node frame replaced/added — the snapshot
@@ -274,6 +274,30 @@ final class GraphState(
       nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
       GraphState.freshTag(), indexes, descriptions, serverParams,
       new GraphState.AdjacencyCache)
+
+  /** Materialize (localCheckpoint) every frame whose thunk CHANGED vs
+    * `prev` — the per-batch commit step of periodic.iterate: (a) a
+    * failing write expression surfaces inside ITS batch (the thunks are
+    * lazy; without forcing, the error would escape to the first later
+    * read), and (b) thousands of driver-sequenced batches would
+    * otherwise layer thunk-over-thunk into an exploding logical plan.
+    * Untouched frames carry over for free (reference-equality compare). */
+  private[graft] def materializeChangesFrom(prev: GraphState): GraphState = {
+    var out = this
+    nodeThunks.foreach { case (l, th) =>
+      if (!prev.nodeThunks.get(l).exists(_ eq th)) {
+        val d = nodes(l).localCheckpoint(true)
+        out = out.withNodes(l, () => d)
+      }
+    }
+    edgeThunks.foreach { case (t, th) =>
+      if (!prev.edgeThunks.get(t).exists(_ eq th)) {
+        val d = edges(t).localCheckpoint(true)
+        out = out.withEdges(t, () => d)
+      }
+    }
+    out
+  }
 
   /** New version with the id high-water mark advanced (never lowered) —
     * no frame content changes, so the index tag carries over. */
@@ -476,6 +500,48 @@ object GraphState {
   val SrcCol = "_src"
   val DstCol = "_dst"
   val TypeCol = "_type"
+
+  /** Variant encoding of one value column — the engine's mixed-type
+    * property representation (same JSON round-trip the heterogeneous
+    * list literal lowering uses). */
+  private def asVariant(c: org.apache.spark.sql.Column)
+    : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    try_variant_get(parse_json(to_json(struct(c.as("v")))), "$.v", "variant")
+  }
+
+  /** unionByName with TYPE RECONCILIATION: a property column typed
+    * differently on the two sides (string vs boolean, struct vs long, …)
+    * would make Spark insert an implicit cast that throws under ANSI on
+    * the first non-castable value (or silently coerce). Cypher properties
+    * are dynamically typed, so conflicting columns variant-encode on both
+    * sides instead; numeric↔numeric (and element-wise array) widening is
+    * native and left alone. Used by the write path (create/merge append)
+    * AND the read path (allNodes/allEdges/edgesOfTypes label-frame
+    * unions). */
+  def unionReconciled(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DataType, NullType, NumericType, VariantType}
+    val at = a.schema.fields.map(f => f.name -> f.dataType).toMap
+    val bt = b.schema.fields.map(f => f.name -> f.dataType).toMap
+    def ok(x: DataType, y: DataType): Boolean = (x, y) match {
+      case _ if x == y || x == NullType || y == NullType => true
+      case (_: NumericType, _: NumericType) => true
+      case (xa: ArrayType, ya: ArrayType) =>
+        ok(xa.elementType, ya.elementType)
+      case _ => false
+    }
+    val conflicts = at.keySet.intersect(bt.keySet)
+      .filter(k => !ok(at(k), bt(k)))
+    if (conflicts.isEmpty) a.unionByName(b, allowMissingColumns = true)
+    else {
+      def fix(d: DataFrame, t: Map[String, DataType]) =
+        conflicts.foldLeft(d)((x, k) =>
+          if (t(k) == VariantType) x
+          else x.withColumn(k, asVariant(col(k))))
+      fix(a, at).unionByName(fix(b, bt), allowMissingColumns = true)
+    }
+  }
 
   val nodeMeta: Seq[String] = Seq(IdCol, LabelsCol)
   val edgeMeta: Seq[String] = Seq(IdCol, SrcCol, DstCol, TypeCol)

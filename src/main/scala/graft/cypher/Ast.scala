@@ -233,11 +233,20 @@ object Ast {
   /** `SET n.p.k1.k2 = v` — the reference's SetNestedProperty
     * (operator.hpp:1490): path into a map-valued property, creating
     * intermediate maps on demand. */
-  final case class SetNestedProp(variable: String, path: Seq[String], value: Expr) extends SetItem
+  final case class SetNestedProp(
+      variable: String,
+      path: Seq[String],
+      value: Expr,
+      /** `SET n.p.k += {…}` — merge the map value into the existing one
+        * (update semantics) instead of replacing it. */
+      merge: Boolean = false) extends SetItem
   /** SET items (`SetProperty` operator.hpp:1448, `SetLabels` :1590). */
   final case class SetCl(items: Seq[SetItem]) extends Clause
   /** [DETACH] DELETE vars (`Delete` operator.hpp:1396). */
-  final case class DeleteCl(detach: Boolean, vars: Seq[String]) extends Clause
+  /** [DETACH] DELETE exprs — bare variables, or entity-valued
+    * expressions (`DELETE friends[0]`, `DELETE map.key`, TCK
+    * DeleteAcceptance). */
+  final case class DeleteCl(detach: Boolean, exprs: Seq[Expr]) extends Clause
   sealed trait RemoveItem
   final case class RemoveProp(variable: String, key: String) extends RemoveItem
   /** `REMOVE n.p.k1.k2` — RemoveNestedProperty (operator.hpp:1671). */

@@ -13,7 +13,10 @@ import Ast._
   */
 object CypherParser extends RegexParsers {
 
-  override protected val whiteSpace = """(\s|//[^\n]*)+""".r
+  // NBSP & friends appear in real query text (the reference lexer
+  // treats unicode spaces as whitespace too)
+  override protected val whiteSpace =
+    ("""(\s|\u00A0|\u2007|\u202F|//[^\n]*)+""").r
 
   private val reserved = Set(
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "UNWIND", "AS", "UNION",
@@ -111,6 +114,16 @@ object CypherParser extends RegexParsers {
     * marked with the `$` prefix, resolved by the planner against params. */
   private def paramLabel: Parser[String] =
     "$" ~> (bqName | identP) ^^ ("$" + _)
+
+  /** `:var.k1.k2` — DYNAMIC label/edge-type from a property path
+    * (memgraph dynamic labels, with.feature 17-28): encoded `$.var.k1.k2`,
+    * resolved per row by the planner in CREATE/SET/REMOVE positions;
+    * MATCH/MERGE reject it, same as the reference. Requires ≥1 dot, so
+    * plain labels never reach this branch. */
+  private def dynLabel: Parser[String] =
+    identP ~ rep1("." ~> identP) ^^ { case v ~ path =>
+      "$." + (v +: path).mkString(".")
+    }
 
   // ---------- expressions ----------
   def expr: Parser[Expr] = orExpr
@@ -293,7 +306,7 @@ object CypherParser extends RegexParsers {
   // ---------- patterns ----------
   def nodePattern: Parser[NodePattern] =
     "(" ~> opt(ident) ~
-      rep(":" ~> rep1sep(ident | identP | paramLabel, "|")) ~
+      rep(":" ~> rep1sep(dynLabel | ident | identP | paramLabel, "|")) ~
       opt(mapLit) <~ ")" ^^ { case v ~ ls ~ props =>
       // `:A:B` = conjunction of single labels; `:A|B` = alternation
       // (memgraph label expressions — match.feature OR scenarios)
@@ -345,7 +358,7 @@ object CypherParser extends RegexParsers {
 
   def relDetail: Parser[RelPattern] =
     "[" ~> opt(ident) ~
-      opt(":" ~> rep1sep(opt(":") ~> (ident | identP), "|")) ~
+      opt(":" ~> rep1sep(opt(":") ~> (dynLabel | ident | identP), "|")) ~
       opt(varSpec) ~ opt(mapLit) <~ "]" ^^ { case v ~ ts ~ vs ~ props =>
       val mode = vs.map(_.mode).getOrElse("DFS")
       // WSHORTEST and ALLSHORTEST minimize a weight: first lambda is the
@@ -569,8 +582,15 @@ object CypherParser extends RegexParsers {
       kw("ANALYZE") ~ kw("GRAPH") ~ kw("DELETE") ~ kw("STATISTICS") ^^ (
         _ => MaintenanceCl("analyze-delete"))
 
+  /** The token after AS is always the alias, so soft keywords (`AS all`,
+    * `AS any`, `AS single`) are unambiguous output-column names here —
+    * only the raw identifier grammar applies, not the reserved-word
+    * filter. */
+  private def aliasName: Parser[String] =
+    backtickRe ^^ (s => s.substring(1, s.length - 1)) | identP
+
   def returnItem: Parser[ReturnItem] =
-    expr ~ opt(kw("AS") ~> ident) ^^ { case e ~ a => ReturnItem(e, a) }
+    expr ~ opt(kw("AS") ~> aliasName) ^^ { case e ~ a => ReturnItem(e, a) }
 
   def orderItem: Parser[(Expr, Boolean)] =
     expr ~ opt(kw("ASCENDING") | kw("ASC") | kw("DESCENDING") | kw("DESC")) ^^ {
@@ -641,12 +661,13 @@ object CypherParser extends RegexParsers {
     kw("CREATE") ~> rep1sep(patternPart, ",") ^^ CreateCl.apply
 
   def setItem: Parser[SetItem] =
-    (ident <~ ".") ~ rep1sep(ident | identP, ".") ~ ("=" ~> expr) ^^ {
-      case v ~ Seq(k) ~ e => SetProp(v, k, e)
-      case v ~ path ~ e => SetNestedProp(v, path, e)
+    (ident <~ ".") ~ rep1sep(ident | identP, ".") ~ (("+=" | "=") ~ expr) ^^ {
+      case v ~ path ~ ("+=" ~ e) => SetNestedProp(v, path, e, merge = true)
+      case v ~ Seq(k) ~ (_ ~ e) => SetProp(v, k, e)
+      case v ~ path ~ (_ ~ e) => SetNestedProp(v, path, e)
     } |
-      ident ~ rep1(":" ~> (ident | identP | paramLabel)) ^^ { case v ~ ls =>
-        SetLabelsItem(v, ls)
+      ident ~ rep1(":" ~> (dynLabel | ident | identP | paramLabel)) ^^ {
+        case v ~ ls => SetLabelsItem(v, ls)
       } |
       ident ~ ("+=" ~> expr) ^^ { case v ~ e => SetAllProps(v, e, update = true) } |
       ident ~ ("=" ~> expr) ^^ { case v ~ e => SetAllProps(v, e, update = false) }
@@ -656,8 +677,8 @@ object CypherParser extends RegexParsers {
 
   def deleteClause: Parser[Clause] =
     opt(kw("DETACH")) ~
-      (kw("DELETE") ~> rep1sep(ident | ("(" ~> ident <~ ")"), ",")) ^^ {
-      case d ~ vs => DeleteCl(d.isDefined, vs)
+      (kw("DELETE") ~> rep1sep(expr, ",")) ^^ {
+      case d ~ es => DeleteCl(d.isDefined, es)
     }
 
   def removeItem: Parser[RemoveItem] =
@@ -665,8 +686,8 @@ object CypherParser extends RegexParsers {
       case v ~ Seq(k) => RemoveProp(v, k)
       case v ~ path => RemoveNestedProp(v, path)
     } |
-      ident ~ rep1(":" ~> (ident | identP | paramLabel)) ^^ { case v ~ ls =>
-        RemoveLabelsItem(v, ls)
+      ident ~ rep1(":" ~> (dynLabel | ident | identP | paramLabel)) ^^ {
+        case v ~ ls => RemoveLabelsItem(v, ls)
       }
 
   def removeClause: Parser[Clause] =

@@ -409,18 +409,38 @@ final class ExprLowering(
     // subject (OPTIONAL MATCH miss) projects to NULL, not a record.
     case MapProjection(v, items) =>
       val metaKeys = Set("_id", "_labels", "_src", "_dst", "_type")
+      val entity = isNodeOrEdgeVar(v)
+      // MAP-valued subjects project too (map_projection.feature: `WITH
+      // {…} AS actor RETURN actor {.*, .name}`) — fields come off the
+      // record/map value instead of promoted columns
+      lazy val subj = lower(Var(v))
+      lazy val subjT = typeOf(subj)
       val fields: Seq[Column] = items.flatMap {
-        case ProjAll =>
-          require(isNodeOrEdgeVar(v), s"$v {.*}: $v is not a node/edge")
+        case ProjAll if entity =>
           Frames.colsOf(df, v)
             .map(_.substring(v.length + Frames.Sep.length))
             .filterNot(metaKeys)
             .map(k => Frames.f(v, k).as(k))
-        case ProjProp(k) =>
+        case ProjAll =>
+          subjT match {
+            case Some(s: StructType) =>
+              s.fieldNames.toSeq.map(f => subj.getField(f).as(f))
+            case other =>
+              throw new IllegalArgumentException(
+                s"$v {.*}: $v is not a node/edge/map (got $other)")
+          }
+        case ProjProp(k) if entity =>
           val c =
             if (df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
             else lit(null)
           Seq(c.as(k))
+        case ProjProp(k) =>
+          Seq((subjT match {
+            case Some(s: StructType) if s.fieldNames.contains(k) =>
+              subj.getField(k)
+            case Some(_: MapType) => try_element_at(subj, lit(k))
+            case _ => lit(null)
+          }).as(k))
         case ProjKV(k, e) => Seq(lower(e).as(k))
         case ProjVar(n) => Seq(lower(Var(n)).as(n))
       }
@@ -518,7 +538,52 @@ final class ExprLowering(
     lazy val rc = lower(r)
     op match {
       case "+" =>
-        (typeOf(lc), typeOf(rc)) match {
+        // Entity/record-list concat chains (`[a] + collect(n) + [b]`)
+        // whose element STRUCTS disagree (a.prop string vs n.prop long):
+        // concat needs ONE exact element type, and the INTERMEDIATE
+        // concat of a chain cannot even be type-probed (aggregate and
+        // non-aggregate leaves mix) — so flatten the whole `+` chain,
+        // type each leaf alone, and align every leaf to the union struct
+        // (conflicting fields variant-encode, the engine's mixed-type
+        // representation).
+        val alignedChain: Option[Column] = {
+          def flat(e: Expr): Seq[Expr] = e match {
+            case BinOp("+", x, y) => flat(x) ++ flat(y)
+            case o => Seq(o)
+          }
+          val leaves = flat(l) ++ flat(r)
+          val leafCols = leaves.map(lower)
+          val structs = leafCols.map(typeOf).map {
+            case Some(ArrayType(s: StructType, _)) => Some(s)
+            case _ => None
+          }
+          if (leaves.size < 2 || structs.exists(_.isEmpty) ||
+            structs.flatten.distinct.size <= 1) None
+          else {
+            val ss = structs.flatten
+            val names = ss.flatMap(_.fieldNames).distinct
+            def tsOf(f: String): Seq[DataType] =
+              ss.flatMap(_.fields.find(_.name == f).map(_.dataType))
+                .distinct
+            def enc(c: Column): Column = try_variant_get(
+              parse_json(to_json(struct(c.as("v")))), "$.v", "variant")
+            val aligned = leafCols.zip(ss).map { case (c, s) =>
+              transform(c, x => struct(names.map { f =>
+                val all = tsOf(f)
+                s.fields.find(_.name == f) match {
+                  case Some(_) if all.size == 1 => x.getField(f).as(f)
+                  case Some(_) => enc(x.getField(f)).as(f)
+                  case None if all.size == 1 =>
+                    lit(null).cast(all.head).as(f)
+                  case None => enc(lit(null)).as(f)
+                }
+              }: _*))
+            }
+            Some(concat(aligned: _*))
+          }
+        }
+        if (alignedChain.isDefined) alignedChain.get
+        else (typeOf(lc), typeOf(rc)) match {
           case (Some(StringType), _) | (_, Some(StringType)) => concat(lc.cast("string"), rc.cast("string"))
           case (Some(_: ArrayType), Some(_: ArrayType)) => concat(lc, rc)
           // list + scalar appends — but list + NULL is NULL (Cypher null
@@ -540,8 +605,28 @@ final class ExprLowering(
         }
       case "%" => lc % rc
       case "^" => pow(lc, rc)
-      case "=" => lc === rc
-      case "<>" => lc =!= rc
+      case "=" | "<>" =>
+        // Equality across type families is FALSE in Cypher (1 = 'a',
+        // typed_value.cpp operator== — not an error, not a coercion),
+        // with standard null propagation. Spark would insert an ANSI
+        // cast that throws on the first malformed value. String↔temporal
+        // casts the string side (literals against temporal columns);
+        // variant sides keep Spark's variant equality.
+        def tempo(t: DataType): Boolean = t match {
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+        def eq(a: Column, b: Column): Column =
+          if (op == "=") a === b else a =!= b
+        (typeOf(lc), typeOf(rc)) match {
+          case (Some(StringType), Some(t)) if tempo(t) => eq(lc.cast(t), rc)
+          case (Some(t), Some(StringType)) if tempo(t) => eq(lc, rc.cast(t))
+          case (Some(a), Some(b))
+              if a != VariantType && b != VariantType && !orderable(a, b) =>
+            when(lc.isNull || rc.isNull, lit(null).cast("boolean"))
+              .otherwise(lit(op != "="))
+          case _ => eq(lc, rc)
+        }
       // Ordering across type families is NULL in Cypher ('3' < 3 is NULL,
       // typed_value.cpp operator< — "Invalid 'less' operand types" surfaces
       // as NULL through the ternary logic); Spark would coerce instead.
@@ -640,6 +725,13 @@ final class ExprLowering(
                 }
                 when(lc.isNull, lit(null).cast("boolean"))
                   .otherwise(exists(rc, eq))
+              // STATIC null operands break array_contains resolution;
+              // Cypher ternary: x IN null → null, null IN [] → false,
+              // null IN [..] → null
+              case Some(NullType) => lit(null).cast("boolean")
+              case _ if typeOf(lc).contains(NullType) =>
+                when(size(rc) === 0, lit(false))
+                  .otherwise(lit(null).cast("boolean"))
               case _ => array_contains(rc, lc)
             }
         }

@@ -399,7 +399,15 @@ object Functions {
             if (ctx.varCols(n).contains(s"$n${Frames.Sep}_nodestructs"))
               Frames.f(n, "_nodestructs")
             else Frames.f(n, "_nodes")
-          case _ => a(0).getField("_nodes")
+          case _ =>
+            // a path VALUE (collect(p) element, subquery output) is a
+            // {nodes, edges} struct; the id-array form keeps _nodes
+            argType(0) match {
+              case Some(s: org.apache.spark.sql.types.StructType)
+                  if s.fieldNames.contains("nodes") =>
+                a(0).getField("nodes")
+              case _ => a(0).getField("_nodes")
+            }
         }
       case "relationships" =>
         args.lift(0) match {
@@ -407,7 +415,13 @@ object Functions {
             if (ctx.varCols(n).contains(s"$n${Frames.Sep}_edgestructs"))
               Frames.f(n, "_edgestructs")
             else Frames.f(n, "_edges")
-          case _ => a(0).getField("_edges")
+          case _ =>
+            argType(0) match {
+              case Some(s: org.apache.spark.sql.types.StructType)
+                  if s.fieldNames.contains("edges") =>
+                a(0).getField("edges")
+              case _ => a(0).getField("_edges")
+            }
         }
 
       // ---- spatial (point/distance/withinbbox,
@@ -923,9 +937,25 @@ object Functions {
         else round(a(0))
       case "sign" => signum(a(0)).cast("long")
       case "sqrt" => sqrt(a(0))
+      // assert(bool[, message]) (awesome_memgraph_functions.cpp:1235):
+      // passes through true, raises on anything else
+      case "assert" =>
+        val msg =
+          if (args.size > 1) a(1).cast("string")
+          else lit("Assertion failed")
+        when(a(0) <=> lit(true), lit(true))
+          .otherwise(raise_error(concat(lit("assert: "), msg)))
       case "exp" => exp(a(0))
-      case "log" => log(a(0))
-      case "log10" => log10(a(0))
+      // C++ std::log semantics (awesome_memgraph_functions LOG): negative
+      // → NaN, zero → -Inf; Spark's log NULLs both
+      case "log" =>
+        when(a(0) < 0, lit(Double.NaN))
+          .when(a(0) === 0, lit(Double.NegativeInfinity))
+          .otherwise(log(a(0)))
+      case "log10" =>
+        when(a(0) < 0, lit(Double.NaN))
+          .when(a(0) === 0, lit(Double.NegativeInfinity))
+          .otherwise(log10(a(0)))
       case "e" => lit(math.E)
       case "pi" => lit(math.Pi)
       case "rand" => rand()

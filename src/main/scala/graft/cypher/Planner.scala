@@ -132,12 +132,22 @@ final class Planner(
     sq.clauses.foldLeft(initial)(planClause).df
 
   /** Plan a SingleQuery from a caller-provided seed frame — the
-    * periodic.iterate batch driver's entry point. */
+    * periodic.iterate batch driver's entry point. `hints` carries the
+    * input query's frame hints for the re-bound entities, so the batch's
+    * by-id writes touch only the owning frames instead of every frame of
+    * the graph. */
   def planSeeded(
       df: DataFrame,
       scope: Scope,
-      sq: SingleQuery): DataFrame =
+      sq: SingleQuery,
+      hints: Map[String, Set[String]] = Map.empty): DataFrame = {
+    hints.foreach { case (v, f) => setHint(v, Some(f)) }
     sq.clauses.foldLeft(LF(df, scope))(planClause).df
+  }
+
+  /** Frame hints of this planner's output entities (periodic.iterate
+    * threads them into each batch's sub-planner). */
+  private[cypher] def hintsSnapshot: Map[String, Set[String]] = frameHints
 
   private def lowering(lf: LF) = new ExprLowering(
     lf.df, lf.scope, params, enums = state.enums,
@@ -192,7 +202,7 @@ final class Planner(
         b.orderBy.exists { case (e, _) => inExpr(e) }
     def inSetItem(s: SetItem): Boolean = s match {
       case SetProp(_, _, e) => inExpr(e)
-      case SetNestedProp(_, _, e) => inExpr(e)
+      case SetNestedProp(_, _, e, _) => inExpr(e)
       case SetAllProps(_, e, _) => inExpr(e)
       case _ => false
     }
@@ -225,8 +235,27 @@ final class Planner(
   /** `(n:$label)` / `SET n:$label` — parameter-valued labels
     * (parameters.feature; the reference's LabelIx parameter lookup): the
     * parser marks them `$name`, resolved against params where consumed. */
+  /** `$.var.k1.k2` — a dynamic label/type marker from the parser: a
+    * property-path expression evaluated per row (CREATE/SET/REMOVE only). */
+  private def isDynLabel(l: String): Boolean = l.startsWith("$.")
+  private def dynLabelExpr(l: String): Expr = {
+    val parts = l.stripPrefix("$.").split("\\.")
+    parts.tail.foldLeft(Var(parts.head): Expr)((acc, k) => Prop(acc, k))
+  }
+  private def rejectDynLabels(p: PatternPart, where: String): Unit = {
+    val ls = (p.start.labels ++ p.start.orLabels) ++
+      p.hops.flatMap { case (r, nn) =>
+        r.types ++ nn.labels ++ nn.orLabels
+      }
+    ls.find(isDynLabel).foreach { l =>
+      throw new IllegalArgumentException(
+        s"dynamic label/type ${l.stripPrefix("$.")} is not allowed in " +
+          s"$where (CREATE/SET/REMOVE only)")
+    }
+  }
+
   private def resolveLabel(l: String): String =
-    if (!l.startsWith("$")) l
+    if (!l.startsWith("$") || isDynLabel(l)) l
     else params.getOrElse(
       l.drop(1),
       throw new IllegalArgumentException(
@@ -247,9 +276,13 @@ final class Planner(
       start = resolveNp(p.start),
       hops = p.hops.map { case (r, nn) => (r, resolveNp(nn)) })
   private def resolveClause(c: Clause): Clause = c match {
-    case m: Match => m.copy(patterns = m.patterns.map(resolvePart))
+    case m: Match =>
+      m.patterns.foreach(rejectDynLabels(_, "MATCH"))
+      m.copy(patterns = m.patterns.map(resolvePart))
     case CreateCl(ps) => CreateCl(ps.map(resolvePart))
-    case m: MergeCl => m.copy(pattern = resolvePart(m.pattern))
+    case m: MergeCl =>
+      rejectDynLabels(m.pattern, "MERGE")
+      m.copy(pattern = resolvePart(m.pattern))
     case SetCl(items) => SetCl(items.map {
       case SetLabelsItem(v, ls) => SetLabelsItem(v, ls.map(resolveLabel))
       case o => o
@@ -459,6 +492,7 @@ final class Planner(
       require(batchSize > 0, "batch_size must be > 0")
       val inP = new Planner(spark, rebased, params)
       val inDf0 = inP.plan(CypherParser.parse(inputQ))
+      val inHints = inP.hintsSnapshot
       state = inP.currentState
       subHigh = math.max(subHigh, inP.idHighWater)
       val inDf = withSeqId(inDf0, "__pb_row", 0L)
@@ -506,8 +540,11 @@ final class Planner(
             }
           }
           val sub = new Planner(spark, rebased, params)
-          sub.planSeeded(df, scope, runParsed.first)
-          state = sub.currentState
+          sub.planSeeded(df, scope, runParsed.first, inHints)
+          // per-batch commit: force the batch's writes NOW so a failing
+          // write expression fails (and rolls back) THIS batch, and so
+          // thousands of batches don't layer thunks into one huge plan
+          state = sub.currentState.materializeChangesFrom(preBatch)
           subHigh = math.max(subHigh, sub.idHighWater)
           executed += 1
         } catch {
@@ -804,7 +841,7 @@ final class Planner(
       val oneRow = lf.df.columns.isEmpty
       patterns.foldLeft(lf)((cur, p) => planCreate(cur, p, oneRow))
     case SetCl(items) => planSet(lf, items)
-    case DeleteCl(detach, vars) => { planDelete(lf, detach, vars); lf }
+    case DeleteCl(detach, exprs) => { planDelete(lf, detach, exprs); lf }
     case RemoveCl(items) => planRemove(lf, items)
     case m: MergeCl => planMergeAndBind(lf, m)
     case ForeachCl(v, listE, updates) =>
@@ -1204,6 +1241,10 @@ final class Planner(
         val name = fresh("deg")
         cur = planDegree(cur, name, n, fn.toLowerCase)
         Var(name)
+      // degree(null) is null (the reference's optional-vertex overload)
+      case FnCall(fn, _, Seq(Lit(null)))
+          if Set("degree", "indegree", "outdegree")(fn.toLowerCase) =>
+        Lit(null)
       // startNode(r)/endNode(r) of a bound edge: bind the endpoint NODE
       // (id-equi-join on src/dst), so property access and whole-entity
       // projection see the node, not a bare id
@@ -1449,9 +1490,13 @@ final class Planner(
         val base = baseLf.df
         val low = new ExprLowering(
           base, baseLf.scope, params, enums = state.enums)
+        val hasDyn = n.labels.exists(isDynLabel)
         val labelsArr =
           if (n.labels.isEmpty) array().cast("array<string>")
-          else array(n.labels.map(lit): _*)
+          else
+            array(n.labels.map(l =>
+              if (isDynLabel(l)) low.lower(dynLabelExpr(l)).cast("string")
+              else lit(l)): _*)
         var withNew = base
           .withColumn(s"$name${Frames.Sep}${GraphState.LabelsCol}", labelsArr)
         propItems.foreach { case (k, e) =>
@@ -1482,10 +1527,39 @@ final class Planner(
             }: _*)
         // multi-label create: the row goes into EVERY label frame (frames
         // are the label index; scans re-filter on _labels, allNodes dedups)
-        val targets = if (n.labels.isEmpty) Seq("_") else n.labels
-        targets.foreach(l => state = Mutations.createNodes(state, l, rows))
-        if (targets.size > 1) state = state.withOverlap
-        setHint(name, Some(targets.toSet))
+        if (hasDyn) {
+          // per-row DYNAMIC labels (with.feature 17-24): rows group by
+          // their evaluated label array, one frame append per distinct
+          // set — bounded driver loop, the reference evaluates per row
+          val rcp = rows.localCheckpoint(true)
+          val distinctArrs = rcp
+            .select(col(GraphState.LabelsCol)).distinct().limit(65).collect()
+          require(
+            distinctArrs.length <= 64,
+            "dynamic CREATE labels: more than 64 distinct label sets")
+          var all = Set.empty[String]
+          distinctArrs.foreach { r =>
+            val arr = Option(r.getSeq[String](0)).getOrElse(Seq.empty)
+            require(
+              arr.forall(_ != null),
+              "dynamic label evaluated to NULL")
+            val subset = rcp.filter(
+              if (arr.isEmpty) size(col(GraphState.LabelsCol)) === 0
+              else
+                col(GraphState.LabelsCol) === array(arr.map(lit): _*))
+            val targets = if (arr.isEmpty) Seq("_") else arr
+            targets.foreach(l =>
+              state = Mutations.createNodes(state, l, subset))
+            if (targets.size > 1) state = state.withOverlap
+            all ++= targets
+          }
+          setHint(name, Some(all))
+        } else {
+          val targets = if (n.labels.isEmpty) Seq("_") else n.labels
+          targets.foreach(l => state = Mutations.createNodes(state, l, rows))
+          if (targets.size > 1) state = state.withOverlap
+          setHint(name, Some(targets.toSet))
+        }
         (LF(withNew, cur.scope + (name -> Binding.NodeB)), name)
       }
     }
@@ -1496,6 +1570,7 @@ final class Planner(
         rel.direction != BothDir,
         "CREATE edge needs a direction")
       val tpe = rel.types.head
+      val dynT = isDynLabel(tpe)
       val (src, dst) =
         if (rel.direction == InDir) (Frames.id(bName), Frames.id(aName))
         else (Frames.id(aName), Frames.id(bName))
@@ -1504,10 +1579,14 @@ final class Planner(
         rewritePatternComprehensions(cur, rel.props)
       val low = new ExprLowering(
         curLf.df, curLf.scope, params, enums = state.enums)
+      // dynamic edge type (`-[:node.name]->`, with.feature 23-24):
+      // evaluated per row, rows grouped by type value below
+      val tpeCol =
+        if (dynT) low.lower(dynLabelExpr(tpe)).cast("string") else lit(tpe)
       var withE = curLf.df
         .withColumn(s"$eName${Frames.Sep}${GraphState.SrcCol}", src)
         .withColumn(s"$eName${Frames.Sep}${GraphState.DstCol}", dst)
-        .withColumn(s"$eName${Frames.Sep}${GraphState.TypeCol}", lit(tpe))
+        .withColumn(s"$eName${Frames.Sep}${GraphState.TypeCol}", tpeCol)
       propItems.foreach { case (k, e) =>
         withE = withE.withColumn(s"$eName${Frames.Sep}$k", low.lower(e))
       }
@@ -1535,8 +1614,24 @@ final class Planner(
           rel.props.map { case (k, _) =>
             col(s"$eName${Frames.Sep}$k").as(k)
           }: _*)
-      state = Mutations.createEdges(state, tpe, rows)
-      setHint(eName, Some(Set(tpe)))
+      if (dynT) {
+        val rcp = rows.localCheckpoint(true)
+        val distinctTs = rcp
+          .select(col(GraphState.TypeCol)).distinct().limit(65).collect()
+        require(
+          distinctTs.length <= 64,
+          "dynamic CREATE edge type: more than 64 distinct types")
+        val ts = distinctTs.map(_.getString(0))
+        require(ts.forall(_ != null), "dynamic edge type evaluated to NULL")
+        ts.foreach { t =>
+          state = Mutations.createEdges(
+            state, t, rcp.filter(col(GraphState.TypeCol) === t))
+        }
+        setHint(eName, Some(ts.toSet))
+      } else {
+        state = Mutations.createEdges(state, tpe, rows)
+        setHint(eName, Some(Set(tpe)))
+      }
       LF(withE, cur.scope + (eName -> Binding.EdgeB))
     }
     val (lf1, startName) = ensureNode(lf, part.start)
@@ -1568,6 +1663,59 @@ final class Planner(
     base.groupBy(GraphState.IdCol).agg(agg.as("__nv"))
   }
 
+  /** SET/REMOVE label items with optional DYNAMIC members (`SET
+    * n:node.name:Static`, with.feature 18-21): static labels update in one
+    * batch; each dynamic label expression evaluates per row and rows group
+    * by value — bounded driver loop over the distinct values. */
+  private def planLabelsUpdate(
+      cur: LF, v: String, labels: Seq[String], add: Boolean): LF = {
+    val (dyn, static) = labels.partition(isDynLabel)
+    if (static.nonEmpty)
+      state = Mutations.updateLabelsByIds(
+        state,
+        cur.df.select(Frames.id(v)).distinct(),
+        static,
+        add,
+        only = nodeHint(v))
+    val low = lowering(cur)
+    if (dyn.nonEmpty) {
+      val pairs = dyn
+        .map(d =>
+          cur.df.select(
+            Frames.id(v),
+            low.lower(dynLabelExpr(d)).cast("string").as("__dl")))
+        .reduce(_ unionByName _)
+        .filter(col("__dl").isNotNull)
+        .distinct()
+        .localCheckpoint(true)
+      val distinctLs = pairs
+        .select(col("__dl")).distinct().limit(65).collect().map(_.getString(0))
+      require(
+        distinctLs.length <= 64,
+        "dynamic SET/REMOVE labels: more than 64 distinct values")
+      distinctLs.foreach { l =>
+        state = Mutations.updateLabelsByIds(
+          state,
+          pairs.filter(col("__dl") === l).drop("__dl"),
+          Seq(l),
+          add,
+          only = if (add) nodeHint(v) else None)
+      }
+    }
+    val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
+    if (cur.df.columns.contains(lcol)) {
+      val labelCols = labels.map(l =>
+        if (isDynLabel(l)) low.lower(dynLabelExpr(l)).cast("string")
+        else lit(l))
+      LF(
+        cur.df.withColumn(
+          lcol,
+          if (add) array_union(col(lcol), array(labelCols: _*))
+          else array_except(col(lcol), array(labelCols: _*))),
+        cur.scope)
+    } else cur
+  }
+
   /** Plans SET items against the state AND reflects the writes into the
     * current frame's bound columns, so a RETURN later in the same statement
     * sees them — the reference's Accumulate visibility (operator.hpp:1870).
@@ -1591,48 +1739,96 @@ final class Planner(
           throw new UnsupportedOperationException(s"SET on $other binding")
       }
       LF(cur.df.withColumn(s"$v${Frames.Sep}$key", value), cur.scope)
-    // SetNestedProperty (operator.hpp:1490): SET n.p.k1…kn = v.
-    case (cur0, SetNestedProp(v, path, e0)) =>
+    // SetNestedProperty (operator.hpp:1490): SET n.p.k1…kn = v, and the
+    // `+=` merge form (SET n.p += {…} — existing keys kept, new keys
+    // appended, colliding keys overwritten; a missing/null existing map
+    // takes the new value whole).
+    case (cur0, SetNestedProp(v, path, e0, mergeV)) =>
       val (cur, e) = rewriteOneExpr(cur0, e0)
       val low = lowering(cur)
-      val value = low.lower(e)
-      val updates = dedupUpdates(cur, low, v, value)
-        .withColumn("__hit", lit(1))
-      cur.scope.get(v) match {
-        case Some(Binding.NodeB) =>
-          state = Mutations.setNestedPropertyByIds(
-            state, updates, path.head, path.tail, nodeHint(v))
-        case Some(Binding.EdgeB) =>
-          state = Mutations.setEdgeNestedPropertyByIds(
-            state, updates, path.head, path.tail, edgeHint(v))
-        case other =>
-          throw new UnsupportedOperationException(s"nested SET on $other")
-      }
-      // in-frame visibility (Accumulate): rebuild the bound record column
-      val colName = s"$v${Frames.Sep}${path.head}"
-      val (curCol, t) =
-        if (cur.df.columns.contains(colName))
-          (col(colName), cur.df.schema(colName).dataType)
-        else (lit(null), org.apache.spark.sql.types.NullType: org.apache.spark.sql.types.DataType)
-      LF(
-        cur.df.withColumn(
-          colName, Mutations.nestedSet(curCol, t, path.tail, value)),
-        cur.scope)
-    case (cur, SetLabelsItem(v, labels)) =>
-      state = Mutations.updateLabelsByIds(
-        state,
-        cur.df.select(Frames.id(v)).distinct(),
-        labels,
-        add = true,
-        only = nodeHint(v))
-      val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
-      if (cur.df.columns.contains(lcol))
+      val newV = low.lower(e)
+      val value =
+        if (!mergeV) newV
+        else {
+          val existing = low.lower(
+            path.foldLeft(Var(v): Expr)((acc, k) => Prop(acc, k)))
+          (low.typeOf(existing), low.typeOf(newV)) match {
+            case (Some(s1: org.apache.spark.sql.types.StructType),
+                  Some(s2: org.apache.spark.sql.types.StructType)) =>
+              // record-typed maps merge field-wise; a null existing record
+              // contributes all-null kept fields (≡ absent in the value
+              // model, so the result reads as the new map alone)
+              val keep =
+                s1.fieldNames.filterNot(s2.fieldNames.contains).toSeq
+              struct(
+                keep.map(f => existing.getField(f).as(f)) ++
+                  s2.fieldNames.toSeq.map(f => newV.getField(f).as(f)): _*)
+            case (Some(_: org.apache.spark.sql.types.MapType), _) =>
+              when(existing.isNull, newV).otherwise(
+                map_concat(
+                  map_filter(
+                    existing, (k, _) => !map_contains_key(newV, k)),
+                  newV))
+            case (et, nt) =>
+              // `+=` is a map merge — a primitive on either side is the
+              // reference's runtime type error, not an overwrite
+              def prim(t: Option[org.apache.spark.sql.types.DataType]) =
+                t.exists {
+                  case _: org.apache.spark.sql.types.NumericType |
+                      org.apache.spark.sql.types.StringType |
+                      org.apache.spark.sql.types.BooleanType => true
+                  case _ => false
+                }
+              if (prim(et) || prim(nt))
+                throw new IllegalArgumentException(
+                  s"SET $v.${path.mkString(".")} += expects map values")
+              newV
+          }
+        }
+      if (path.size == 1) {
+        // single-segment `SET n.p += m`: property-level merge through the
+        // plain SetProperty machinery
+        val key = path.head
+        cur.scope.get(v) match {
+          case Some(Binding.NodeB) =>
+            state = Mutations.setPropertyByIds(
+              state, dedupUpdates(cur, low, v, value), key, nodeHint(v))
+          case Some(Binding.EdgeB) =>
+            state = Mutations.setEdgePropertyByIds(
+              state, dedupUpdates(cur, low, v, value), key, edgeHint(v))
+          case other =>
+            throw new UnsupportedOperationException(s"SET on $other binding")
+        }
+        LF(cur.df.withColumn(s"$v${Frames.Sep}$key", value), cur.scope)
+      } else {
+        val updates = dedupUpdates(cur, low, v, value)
+          .withColumn("__hit", lit(1))
+        cur.scope.get(v) match {
+          case Some(Binding.NodeB) =>
+            state = Mutations.setNestedPropertyByIds(
+              state, updates, path.head, path.tail, nodeHint(v))
+          case Some(Binding.EdgeB) =>
+            state = Mutations.setEdgeNestedPropertyByIds(
+              state, updates, path.head, path.tail, edgeHint(v))
+          case other =>
+            throw new UnsupportedOperationException(s"nested SET on $other")
+        }
+        // in-frame visibility (Accumulate): rebuild the bound record column
+        val colName = s"$v${Frames.Sep}${path.head}"
+        val (curCol, t) =
+          if (cur.df.columns.contains(colName))
+            (col(colName), cur.df.schema(colName).dataType)
+          else
+            (lit(null),
+              org.apache.spark.sql.types.NullType
+                : org.apache.spark.sql.types.DataType)
         LF(
           cur.df.withColumn(
-            lcol,
-            array_union(col(lcol), array(labels.map(lit): _*))),
+            colName, Mutations.nestedSet(curCol, t, path.tail, value)),
           cur.scope)
-      else cur
+      }
+    case (cur, SetLabelsItem(v, labels)) =>
+      planLabelsUpdate(cur, v, labels, add = true)
 
     // SetProperties (operator.hpp:1539): SET n = {map} / SET n += {map}.
     // The map must have statically-known keys (a literal map or a map
@@ -1708,18 +1904,79 @@ final class Planner(
       LF(df2, lf.scope)
   }
 
-  private def planDelete(lf: LF, detach: Boolean, vars: Seq[String]): Unit =
-    vars.foreach { v =>
-      val ids = lf.df.select(Frames.id(v)).distinct()
-      lf.scope.get(v) match {
-        case Some(Binding.NodeB) =>
-          state = Mutations.deleteNodes(state, ids, detach, nodeHint(v))
-        case Some(Binding.EdgeB) =>
-          state = Mutations.deleteEdgesAllTypes(state, ids, edgeHint(v))
-        case other =>
-          throw new UnsupportedOperationException(s"DELETE on $other binding")
-      }
+  private def planDelete(lf: LF, detach: Boolean, exprs: Seq[Expr]): Unit =
+    exprs.foreach {
+      case Var(v) if lf.scope.get(v).exists(b =>
+          b == Binding.NodeB || b == Binding.EdgeB || b == Binding.PathB) =>
+        lf.scope.get(v).get match {
+          case Binding.NodeB =>
+            state = Mutations.deleteNodes(
+              state, lf.df.select(Frames.id(v)).distinct(), detach,
+              nodeHint(v))
+          case Binding.EdgeB =>
+            state = Mutations.deleteEdgesAllTypes(
+              state, lf.df.select(Frames.id(v)).distinct(), edgeHint(v))
+          case _ =>
+            // DELETE p (a path): its relationships and nodes — a null
+            // path (OPTIONAL MATCH miss) explodes to zero rows
+            val nCol = s"$v${Frames.Sep}_nodes"
+            val eCol = s"$v${Frames.Sep}_edges"
+            if (lf.df.columns.contains(eCol))
+              state = Mutations.deleteEdgesAllTypes(
+                state,
+                lf.df.select(explode(col(eCol)).as("__id")).distinct(),
+                None)
+            if (lf.df.columns.contains(nCol))
+              state = Mutations.deleteNodes(
+                state,
+                lf.df.select(explode(col(nCol)).as("__id")).distinct(),
+                detach,
+                None)
+        }
+      case e =>
+        // entity-VALUED expression (`DELETE friends[0]`, `DELETE map.k`,
+        // TCK DeleteAcceptance): dispatch on the value's static shape,
+        // recursing through lists/maps/paths
+        val low = lowering(lf)
+        deleteValueFrame(lf.df.select(low.lower(e).as("__del")), detach)
     }
+
+  /** Delete the entities held in a VALUE column: structs with the
+    * node/edge signature delete by id, arrays recurse element-wise, path
+    * values ({nodes, edges}) delete both sides. */
+  private def deleteValueFrame(df: DataFrame, detach: Boolean): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, NullType, StructType}
+    df.schema("__del").dataType match {
+      case NullType => ()
+      case ArrayType(_, _) =>
+        deleteValueFrame(
+          df.select(explode(col("__del")).as("__del")), detach)
+      case s: StructType
+          if s.fieldNames.contains("nodes") &&
+            s.fieldNames.contains("edges") =>
+        deleteValueFrame(
+          df.select(col("__del").getField("edges").as("__del")), detach)
+        deleteValueFrame(
+          df.select(col("__del").getField("nodes").as("__del")), detach)
+      case s: StructType
+          if s.fieldNames.contains(GraphState.SrcCol) ||
+            s.fieldNames.contains(GraphState.TypeCol) =>
+        state = Mutations.deleteEdgesAllTypes(
+          state,
+          df.select(col("__del").getField(GraphState.IdCol).as("__id"))
+            .filter(col("__id").isNotNull).distinct(),
+          None)
+      case s: StructType if s.fieldNames.contains(GraphState.IdCol) =>
+        state = Mutations.deleteNodes(
+          state,
+          df.select(col("__del").getField(GraphState.IdCol).as("__id"))
+            .filter(col("__id").isNotNull).distinct(),
+          detach,
+          None)
+      case other =>
+        throw new UnsupportedOperationException(s"DELETE on $other value")
+    }
+  }
 
   /** Plans REMOVE items; like [[planSet]], writes are reflected into the
     * frame's bound columns (Accumulate visibility). */
@@ -1770,20 +2027,7 @@ final class Planner(
             cur.scope)
         else cur
       case (cur, RemoveLabelsItem(v, labels)) =>
-        state = Mutations.updateLabelsByIds(
-          state,
-          cur.df.select(Frames.id(v)).distinct(),
-          labels,
-          add = false,
-          only = nodeHint(v))
-        val lcol = s"$v${Frames.Sep}${GraphState.LabelsCol}"
-        if (cur.df.columns.contains(lcol))
-          LF(
-            cur.df.withColumn(
-              lcol,
-              array_except(col(lcol), array(labels.map(lit): _*))),
-            cur.scope)
-        else cur
+        planLabelsUpdate(cur, v, labels, add = false)
     }
 
   /** MERGE (v:L {props}) — distinct prop rows; missing ones are created
@@ -2003,7 +2247,7 @@ final class Planner(
     def setTargets(cs: Seq[Clause]): Seq[(String, String)] = cs.flatMap {
       case SetCl(items) => items.collect {
         case SetProp(sv, k, _) => (sv, k)
-        case SetNestedProp(sv, path, _) => (sv, path.head)
+        case SetNestedProp(sv, path, _, _) => (sv, path.head)
       }
       case ForeachCl(_, _, us) => setTargets(us)
       case CallSubquery(inner, _, us) =>
@@ -2011,7 +2255,7 @@ final class Planner(
       case mc: MergeCl =>
         (mc.onCreate ++ mc.onMatch).collect {
           case SetProp(sv, k, _) => (sv, k)
-          case SetNestedProp(sv, path, _) => (sv, path.head)
+          case SetNestedProp(sv, path, _, _) => (sv, path.head)
         }
       case _ => Nil
     }
@@ -4616,22 +4860,40 @@ final class Planner(
 
   /** Rename each passthrough source namespace to its alias; a source used
     * by MULTIPLE aliases (`WITH n AS a, n AS b`) copies its columns for
-    * every alias (renaming would leave the later aliases unresolved). */
+    * every alias. Sources move through a fresh temp namespace first, so
+    * SWAPS (`RETURN a AS node, node AS a`) never collide mid-rename, and
+    * stale columns already sitting under a target name are dropped (the
+    * projection shadows them; the final select would discard them anyway,
+    * but left in place they make the alias ambiguous). */
   private def aliasEntities(
       df: DataFrame,
       mapping: Seq[(String, String)]): DataFrame = {
+    val real: Map[String, Seq[String]] = mapping
+      .groupBy(_._2)
+      .map { case (src, ps) => src -> ps.map(_._1).distinct }
+      .filterNot { case (src, aliases) => aliases == Seq(src) }
+    if (real.isEmpty) return df
     var d = df
-    mapping.groupBy(_._2).foreach { case (src, pairs) =>
-      val aliases = pairs.map(_._1).distinct
-      if (aliases == Seq(src)) ()
-      else if (aliases.size == 1 && !aliases.contains(src))
-        d = renameVar(d, src, aliases.head)
-      else
-        aliases.filter(_ != src).foreach { a =>
-          Frames.colsOf(d, src).foreach { c =>
-            d = d.withColumn(s"$a${c.substring(src.length)}", col(c))
+    val tmp = real.keys.zipWithIndex
+      .map { case (src, i) => src -> s"__swap$i" }.toMap
+    tmp.foreach { case (src, t) => d = renameVar(d, src, t) }
+    val targets = real.values.flatten.toSet -- real.keySet
+    targets.foreach { a =>
+      val stale = Frames.colsOf(d, a)
+      if (stale.nonEmpty) d = d.drop(stale: _*)
+    }
+    real.foreach { case (src, aliases) =>
+      val t = tmp(src)
+      aliases match {
+        case Seq(one) => d = renameVar(d, t, one)
+        case many =>
+          many.foreach { a =>
+            Frames.colsOf(d, t).foreach { c =>
+              d = d.withColumn(s"$a${c.substring(t.length)}", col(c))
+            }
           }
-        }
+          d = d.drop(Frames.colsOf(d, t): _*)
+      }
     }
     d
   }

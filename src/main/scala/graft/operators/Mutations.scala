@@ -46,20 +46,21 @@ object Mutations {
       case None => all
     }
 
+  /** unionByName with mixed-type reconciliation — see
+    * [[GraphState.unionReconciled]] (shared with the read-path unions). */
+  def unionReconciled(a: DataFrame, b: DataFrame): DataFrame =
+    GraphState.unionReconciled(a, b)
+
   /** Append nodes (schema: `_id`, `_labels`, props). New labels allowed. */
   def createNodes(g: GraphState, label: String, rows: DataFrame): GraphState =
     if (g.hasLabel(label))
-      g.withNodes(
-        label,
-        () => g.nodes(label).unionByName(rows, allowMissingColumns = true))
+      g.withNodes(label, () => unionReconciled(g.nodes(label), rows))
     else g.withNodes(label, () => rows)
 
   /** Append edges (schema: `_id`, `_src`, `_dst`, `_type`, props). */
   def createEdges(g: GraphState, tpe: String, rows: DataFrame): GraphState =
     if (g.hasType(tpe))
-      g.withEdges(
-        tpe,
-        () => g.edges(tpe).unionByName(rows, allowMissingColumns = true))
+      g.withEdges(tpe, () => unionReconciled(g.edges(tpe), rows))
     else g.withEdges(tpe, () => rows)
 
   /** Delete nodes by id. `detach=true` also removes incident edges (DETACH
@@ -144,12 +145,12 @@ object Mutations {
       g.withNodes(
         label,
         () =>
-          g.nodes(label).unionByName(
+          unionReconciled(
+            g.nodes(label),
             rows.join(
               g.nodes(label).select(IdCol),
               Seq(IdCol),
-              "left_anti"),
-            allowMissingColumns = true))
+              "left_anti")))
 
   /** SET n.prop = value for a set of (_id, __nv) updates, across every
     * label — id namespaces are per-label, so only the owning frame actually

@@ -113,11 +113,14 @@ object VarExpand {
         // the single-node reference's O(deg) adjacency fetch analog), so
         // a point-seeded traversal never scans the full edge corpus.
         var ePersisted: Option[DataFrame] = None
+        // the frontier matches the edge's SRC for Out steps but its DST
+        // for In steps — prune the column the join actually probes
+        val pruneCol =
+          if (stepDir == Expand.In) GraphState.DstCol else GraphState.SrcCol
         def edgesFor(frontierIds: Option[Seq[Long]]): DataFrame =
           frontierIds match {
             case Some(ids) =>
-              edges.filter(
-                col(GraphState.SrcCol).isin(ids.map(Long.box): _*))
+              edges.filter(col(pruneCol).isin(ids.map(Long.box): _*))
             case None =>
               ePersisted.getOrElse {
                 val p = edges.persist(

@@ -12,26 +12,26 @@ class GqlBehaveSpec extends GqlHarness {
   // into skips fails the floor, not just wrong answers.
   // map_operations.feature is all map-valued cells (not comparable here).
   protected lazy val targets: Seq[(String, Int)] = Seq(
-    "aggregations.feature" -> 68,
+    "aggregations.feature" -> 77,
     // r9: exists(pattern) now evaluates in general expression positions,
     // so the reference's "exists does not work in CASE" error scenario
     // runs leniently (we accept what it rejects) - one pass became lenient
     "case.feature" -> 9,
-    "with.feature" -> 22,
+    "with.feature" -> 30,
     "union.feature" -> 14,
     "list_operations.feature" -> 38,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
     "create.feature" -> 23,
-    "delete.feature" -> 10,
+    "delete.feature" -> 11,
     "update_clauses.feature" -> 18,
-    "map_projection.feature" -> 4,
-    "nested_property_update.feature" -> 28,
-    "match.feature" -> 55,
+    "map_projection.feature" -> 7,
+    "nested_property_update.feature" -> 34,
+    "match.feature" -> 65,
     "foreach.feature" -> 12,
     "merge.feature" -> 26,
-    "functions.feature" -> 94,
-    "list_comprehension.feature" -> 12,
+    "functions.feature" -> 109,
+    "list_comprehension.feature" -> 16,
     "map_operations.feature" -> 4,
     "map.feature" -> 11,
     "patterns.feature" -> 19,
@@ -54,7 +54,11 @@ class GqlBehaveSpec extends GqlHarness {
     // error scenarios execute (leniently — snapshot reads see pre-delete
     // values, same class as delete.feature's lenient tally) instead of
     // passing via parse failure
-    "periodic_delete.feature" -> 6,
+    // DELETE now parses entity-valued expressions, so the error-expected
+    // snapshot-divergence scenarios (access-after-delete raises in the
+    // reference's pipelined executor, succeeds against our snapshot)
+    // run leniently instead of passing via parse failure
+    "periodic_delete.feature" -> 5,
     "procedure_call.feature" -> 4,
     "server_side_parameters.feature" -> 13,
     "spatial.feature" -> 90,

@@ -92,8 +92,57 @@ abstract class GqlHarness extends SparkTestBase {
           .toSeq)
   }
 
+  /** Gherkin `Scenario Outline` + `Examples` expansion: one concrete
+    * `Scenario` per example row, `<col>` placeholders substituted through
+    * every body line (query blocks, parameter tables, expected tables). */
+  private def expandOutlines(lines: Vector[String]): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < lines.length) {
+      val t = lines(i).trim
+      if (t.startsWith("Scenario Outline:")) {
+        val name = t.stripPrefix("Scenario Outline:").trim
+        val indent = lines(i).takeWhile(_ == ' ')
+        i += 1
+        val body = Vector.newBuilder[String]
+        while (i < lines.length && !lines(i).trim.startsWith("Examples:") &&
+          !lines(i).trim.startsWith("Scenario")) {
+          body += lines(i); i += 1
+        }
+        val bodyLines = body.result()
+        if (i < lines.length && lines(i).trim.startsWith("Examples:")) {
+          i += 1
+          while (i < lines.length && !lines(i).trim.startsWith("|")) i += 1
+          val rows = Vector.newBuilder[Vector[String]]
+          while (i < lines.length && lines(i).trim.startsWith("|")) {
+            rows += lines(i).trim.stripPrefix("|").stripSuffix("|")
+              .split("(?<!\\\\)\\|", -1).map(_.trim).toVector
+            i += 1
+          }
+          val tbl = rows.result()
+          if (tbl.size >= 2) {
+            val hdr = tbl.head
+            tbl.tail.zipWithIndex.foreach { case (r, k) =>
+              out += s"${indent}Scenario: $name (example ${k + 1})"
+              bodyLines.foreach { bl =>
+                out += hdr.zip(r).foldLeft(bl) { case (acc, (h, v)) =>
+                  acc.replace(s"<$h>", v)
+                }
+              }
+            }
+          }
+        } else {
+          // no Examples table — keep the unexpandable outline marker
+          out += s"${indent}Scenario Outline: $name"
+          bodyLines.foreach(out += _)
+        }
+      } else { out += lines(i); i += 1 }
+    }
+    out.result()
+  }
+
   private def parseFeature(path: String): Seq[Scenario] = {
-    val lines = readLines(path)
+    val lines = expandOutlines(readLines(path))
     val out = Seq.newBuilder[Scenario]
     var i = 0
     var cur: Option[Scenario] = None
@@ -300,7 +349,12 @@ abstract class GqlHarness extends SparkTestBase {
   private val IntR: Regex = "-?\\d+".r
   private val FloatR: Regex = "-?\\d*\\.\\d+(?:[eE][+-]?\\d+)?".r
   private val TimeR: Regex = "(\\d{2}):(\\d{2}):(\\d{2})(?:\\.(\\d{1,9}))?".r
-  private val NodeR: Regex = "\\(((?::[A-Za-z0-9_]+)*)\\s*(\\{.*\\})?\\)".r
+  private val DateOnlyR: Regex = "\\d{4}-\\d{2}-\\d{2}".r
+  private val LdtR: Regex = "\\d{4}-\\d{2}-\\d{2}T[0-9:.]+".r
+  private val ZdtR: Regex =
+    "\\d{4}-\\d{2}-\\d{2}T[0-9:.]+(?:Z|[+-][0-9:]+)(?:\\[[^\\]]*\\])?".r
+  // `(:Person :Student {age: 20})` — labels may be space-separated
+  private val NodeR: Regex = "\\(((?:\\s*:[A-Za-z0-9_]+)*)\\s*(\\{.*\\})?\\)".r
   // a bare "[]" is an empty LIST, so a relationship must have a type
   private val RelR: Regex = "\\[(:[A-Za-z0-9_]+)\\s*(\\{.*\\})?\\]".r
 
@@ -353,6 +407,7 @@ abstract class GqlHarness extends SparkTestBase {
       case "null" => Some(NullV)
       case "true" => Some(BV(true))
       case "false" => Some(BV(false))
+      case "nan" | "NaN" => Some(NV(Double.NaN))
       case c if c.startsWith("'") && c.endsWith("'") && c.length >= 2 =>
         Some(SV(unescapeCell(c.substring(1, c.length - 1))))
       case c if c.startsWith("\"") && c.endsWith("\"") && c.length >= 2 =>
@@ -385,10 +440,24 @@ abstract class GqlHarness extends SparkTestBase {
         Some(DV(
           (h.toLong * 3600 + mi.toLong * 60 + se.toLong) * 1000000L +
             frMicros))
+      case DateOnlyR() =>
+        scala.util.Try(java.time.LocalDate.parse(cell)).toOption
+          .map(d => SV(s"date:$d"))
+      case LdtR() =>
+        // localdatetime cells print 9-digit nanos; LocalDateTime.toString
+        // canonicalizes (drops trailing zero fraction) on BOTH sides. The
+        // engine stores local and zoned datetimes as UTC instants (session
+        // TZ UTC), so both kinds meet in one UTC-local form.
+        scala.util.Try(java.time.LocalDateTime.parse(cell)).toOption
+          .map(d => SV(s"dt:$d"))
+      case ZdtR() =>
+        scala.util.Try(java.time.ZonedDateTime.parse(cell)).toOption
+          .map(z => SV(s"dt:${java.time.LocalDateTime.ofInstant(
+            z.toInstant, java.time.ZoneOffset.UTC)}"))
       case NodeR(labels, props) =>
         parseProps(Option(props)).map(ps =>
           EV(edge = false,
-            labels.split(":").filter(_.nonEmpty).toSet, ps))
+            labels.split(":").map(_.trim).filter(_.nonEmpty).toSet, ps))
       case RelR(tpe, props) =>
         parseProps(Option(props)).map(ps =>
           EV(edge = true, tpe.split(":").filter(_.nonEmpty).toSet, ps))
@@ -525,6 +594,16 @@ abstract class GqlHarness extends SparkTestBase {
     case n: Double => Some(NV(n))
     case n: java.math.BigDecimal => Some(NV(n.doubleValue()))
     case d: java.time.Duration => Some(DV(d.toNanos / 1000))
+    case d: java.sql.Date => Some(SV(s"date:${d.toLocalDate}"))
+    case d: java.time.LocalDate => Some(SV(s"date:$d"))
+    case t: java.time.LocalDateTime => Some(SV(s"dt:$t"))
+    // TimestampType is instant-based (session TZ UTC): same UTC-local form
+    case t: java.sql.Timestamp =>
+      Some(SV(s"dt:${java.time.LocalDateTime.ofInstant(
+        t.toInstant, java.time.ZoneOffset.UTC)}"))
+    case t: java.time.Instant =>
+      Some(SV(s"dt:${java.time.LocalDateTime.ofInstant(
+        t, java.time.ZoneOffset.UTC)}"))
     case s: String => Some(SV(s))
     case xs: scala.collection.Seq[_] =>
       val vs = xs.map(sparkV)
@@ -622,8 +701,9 @@ abstract class GqlHarness extends SparkTestBase {
 
   private def vEq(a: V, b: V): Boolean = (a, b) match {
     case (NV(x), NV(y)) =>
-      x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(
-        math.abs(x), math.abs(y)))
+      (x.isNaN && y.isNaN) ||
+        x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(
+          math.abs(x), math.abs(y)))
     case (LV(xs), LV(ys)) =>
       xs.length == ys.length && xs.zip(ys).forall { case (p, q) => vEq(p, q) }
     case (EV(e1, l1, p1), EV(e2, l2, p2)) =>

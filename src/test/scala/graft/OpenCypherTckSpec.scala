@@ -17,7 +17,7 @@ class OpenCypherTckSpec extends GqlHarness {
     "AggregationAcceptance.feature" -> 25,
     "Create.feature" -> 5,
     "CreateAcceptance.feature" -> 30,
-    "DeleteAcceptance.feature" -> 11,
+    "DeleteAcceptance.feature" -> 19,
     "EqualsAcceptance.feature" -> 4,
     "ExpressionAcceptance.feature" -> 19,
     "JoinAcceptance.feature" -> 2,
@@ -40,14 +40,14 @@ class OpenCypherTckSpec extends GqlHarness {
     "SetAcceptance.feature" -> 13,
     "StartingPointAcceptance.feature" -> 3,
     "StartsWithAcceptance.feature" -> 24,
-    "TernaryLogicAcceptance.feature" -> 5,
+    "TernaryLogicAcceptance.feature" -> 27,
     "TriadicSelection.feature" -> 19,
     "TypeConversionFunctions.feature" -> 24,
     "UnionAcceptance.feature" -> 5,
     "UnwindAcceptance.feature" -> 14,
     "VarLengthAcceptance.feature" -> 28,
     "WhereAcceptance.feature" -> 1,
-    "WithAcceptance.feature" -> 16)
+    "WithAcceptance.feature" -> 17)
 
   protected lazy val excluded: Map[String, String] = Map(
     "Comparing strings and integers using > in an AND'd predicate" ->
