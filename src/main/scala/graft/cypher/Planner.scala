@@ -254,6 +254,45 @@ final class Planner(
     }
   }
 
+  /** A pattern variable bound to an entity-STRUCT VALUE (`WITH
+    * coalesce(b, c) AS x MATCH (x)-->(d)`, OptionalMatchAcceptance)
+    * rebinds as the node/edge it holds: the struct's fields promote to
+    * the frame namespace. A NULL struct leaves NULL id columns, which
+    * match nothing — exactly the reference's null-entity semantics. */
+  private def rebindEntityValues(lf0: LF, vars: Seq[String]): LF = {
+    import org.apache.spark.sql.types.StructType
+    var cur = lf0
+    vars.distinct.foreach { v =>
+      if (cur.scope.get(v).contains(Binding.ValueB)) {
+        val c = s"$v${Frames.Sep}_val"
+        if (cur.df.columns.contains(c)) {
+          cur.df.schema(c).dataType match {
+            case s: StructType
+                if s.fieldNames.contains(GraphState.IdCol) &&
+                  !s.fieldNames.contains("_startNode") &&
+                  (s.fieldNames.contains(GraphState.LabelsCol) ||
+                    (s.fieldNames.contains(GraphState.SrcCol) &&
+                      s.fieldNames.contains(GraphState.DstCol) &&
+                      s.fieldNames.contains(GraphState.TypeCol))) =>
+              val isEdge = s.fieldNames.contains(GraphState.SrcCol)
+              var d2 = cur.df
+              s.fieldNames.foreach { f =>
+                d2 = d2.withColumn(
+                  s"$v${Frames.Sep}$f", col(c).getField(f))
+              }
+              d2 = d2.drop(c)
+              cur = LF(
+                d2,
+                cur.scope +
+                  (v -> (if (isEdge) Binding.EdgeB else Binding.NodeB)))
+            case _ => ()
+          }
+        }
+      }
+    }
+    cur
+  }
+
   private def resolveLabel(l: String): String =
     if (!l.startsWith("$") || isDynLabel(l)) l
     else params.getOrElse(
@@ -297,6 +336,14 @@ final class Planner(
 
   private def planClause(lf: LF, c0: Clause): LF = resolveClause(c0) match {
     case Match(false, patterns0, where) =>
+      // pattern variables holding an entity-STRUCT VALUE (`WITH
+      // coalesce(b, c) AS x MATCH (x)-->(d)`) rebind as that entity first
+      val lfM = rebindEntityValues(
+        lf,
+        patterns0.flatMap(p =>
+          p.start.variable.toSeq ++ p.hops.flatMap { case (r, n2) =>
+            r.variable.toSeq ++ n2.variable.toSeq
+          }))
       // Comma patterns are join-order free (they conjunct through shared
       // variables + edge uniqueness): plan the CHEAPEST-starting pattern
       // first, so its variables are bound before the expensive ones plan
@@ -314,7 +361,7 @@ final class Planner(
       lazy val crossRefs = patterns0.exists { p =>
         (p.start.props ++ p.hops.flatMap(h => h._1.props ++ h._2.props))
           .flatMap { case (_, e) => varsIn(e) }
-          .exists(v => siblingBound.contains(v) && !lf.scope.contains(v))
+          .exists(v => siblingBound.contains(v) && !lfM.scope.contains(v))
       }
       val patterns =
         if (patterns0.size <= 1 || hopsLimit.isDefined ||
@@ -325,7 +372,7 @@ final class Planner(
         else {
           def nodeEst(n: NodePattern): Double = {
             val base =
-              if (n.variable.exists(lf.scope.contains)) 1.0
+              if (n.variable.exists(lfM.scope.contains)) 1.0
               else
                 n.labels.headOption
                   .map(l => state.labelCountEstimate(l).toDouble)
@@ -338,7 +385,7 @@ final class Planner(
             (p.start +: p.hops.map(_._2)).map(nodeEst).min
           patterns0.sortBy(cost) // stable: ties keep written order
         }
-      var cur = lf
+      var cur = lfM
       var newEdges = Vector.empty[String]
       patterns.foreach { p =>
         val (next, edges) = planPattern(cur, p, where)

@@ -394,6 +394,106 @@ object IndexProcs {
     o.limit.map(out.limit).getOrElse(out)
   }
 
+  /** `text_search.fuzzy_phrase_search(index, 'data.prop:w1 … wk'[, cfg])`
+    * (reference text_index.cpp fuzzy phrase queries): an ordered run of
+    * ADJACENT tokens where each token matches its query word within a
+    * SHARED Damerau(OSA) edit budget (`fuzzy_distance` 0-2, default 0);
+    * the trailing word always matches as a PREFIX (the reference rejects
+    * `fuzzy_prefix: false`); `fuzzy_transpositions: false` degrades to
+    * plain Levenshtein. Lowered to ONE higher-order filter over the token
+    * stream — query-word transposition variants are driver-enumerated, so
+    * each slot's cost is codegen'd `least(levenshtein(...) + penalty)`,
+    * no UDF, no index shuffle: the scan parallelizes like any predicate. */
+  private def fuzzyPhraseSearch(ctx: ProcContext, edge: Boolean): DataFrame = {
+    val name = ctx.args.head.toString
+    val q = ctx.args(1).toString
+    val opts: Map[String, Any] = ctx.args.lift(2) match {
+      case Some(m: Map[_, _]) => m.map { case (k, v) => k.toString -> v }
+      case Some(null) | None => Map.empty
+      case Some(other) =>
+        throw new IllegalArgumentException(s"search config must be a map: $other")
+    }
+    val known =
+      Set("limit", "fuzzy_distance", "fuzzy_transpositions", "fuzzy_prefix")
+    val unknown = opts.keySet -- known
+    require(unknown.isEmpty, s"unknown search config: ${unknown.mkString(",")}")
+    val budget = opts.get("fuzzy_distance").map(_.toString.toInt).getOrElse(0)
+    require(budget >= 0 && budget <= 2, s"fuzzy_distance must be 0-2: $budget")
+    require(
+      !opts.get("fuzzy_prefix").exists(_.toString == "false"),
+      "fuzzy_phrase_search: the trailing word always matches as a prefix " +
+        "(fuzzy_prefix: false is rejected, like the reference)")
+    val transpositions =
+      !opts.get("fuzzy_transpositions").exists(_.toString == "false")
+    require(
+      q.startsWith("data.") && q.contains(":"),
+      s"fuzzy_phrase_search needs a single-property query " +
+        s"(data.<prop>:<phrase>), got '$q'")
+    val Array(fieldRaw, phrase) = q.split(":", 2)
+    val prop = fieldRaw.stripPrefix("data.")
+    require(
+      !phrase.contains(":"),
+      s"fuzzy_phrase_search takes exactly one property query, got '$q'")
+    val words = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "fuzzy_phrase_search: empty phrase")
+    val d = textIndex(ctx.g, name, edge)
+    val f = frameOf(ctx.g, d)
+    val covered =
+      (d.props.isEmpty || d.props.contains(prop)) && f.columns.contains(prop)
+    if (!covered)
+      return f.filter(lit(false)).select(
+        entityStruct(f).as(if (edge) "edge" else "node"),
+        lit(1.0).as("score"))
+    // adjacent-swap variants of a QUERY word: OSA distance = min over
+    // ≤budget swap generations of plain levenshtein + one edit per swap
+    def swaps(w: String): Seq[String] =
+      (0 until w.length - 1).map(i =>
+        w.substring(0, i) + w.charAt(i + 1) + w.charAt(i) +
+          w.substring(i + 2))
+    def variants(w: String): Seq[(String, Int)] =
+      if (!transpositions || budget == 0) Seq(w -> 0)
+      else {
+        val v1 = swaps(w).map(_ -> 1)
+        val v2 =
+          if (budget >= 2) v1.flatMap { case (x, _) => swaps(x).map(_ -> 2) }
+          else Nil
+        ((w -> 0) +: (v1 ++ v2))
+          .groupBy(_._1).map { case (x, ps) => x -> ps.map(_._2).min }.toSeq
+      }
+    def slotCost(i: Int, tok: Column): Column = {
+      val isLast = i == words.length - 1
+      val costs = variants(words(i)).map { case (v, pen) =>
+        val c =
+          if (isLast)
+            // prefix edit distance, approximated over the exact-length
+            // prefix ± 1 (covers boundary insert/delete within budget)
+            least(
+              levenshtein(
+                substring(tok, 1, math.max(v.length - 1, 1)), lit(v)),
+              levenshtein(substring(tok, 1, v.length), lit(v)),
+              levenshtein(substring(tok, 1, v.length + 1), lit(v)))
+          else levenshtein(tok, lit(v))
+        c + lit(pen)
+      }
+      if (costs.size == 1) costs.head else least(costs: _*)
+    }
+    val k = words.length
+    val toks = tokens(col(prop))
+    val matched =
+      size(toks) >= k && exists(
+        sequence(lit(0), size(toks) - k),
+        s =>
+          words.indices
+            .map(i => slotCost(i, element_at(toks, s + i + 1)))
+            .reduce(_ + _) <= budget)
+    val out = f
+      .filter(matched)
+      .select(
+        entityStruct(f).as(if (edge) "edge" else "node"),
+        lit(1.0).as("score"))
+    opts.get("limit").map(l => out.limit(l.toString.toInt)).getOrElse(out)
+  }
+
   private val AggR =
     """\{\s*"([^"]+)"\s*:\s*\{\s*"value_count"\s*:\s*\{\s*"field"\s*:\s*"(?:data\.)?([^"]+)"\s*\}\s*\}\s*\}""".r
 
@@ -494,6 +594,9 @@ object IndexProcs {
     "vector_search.show_index_info" -> (ctx =>
       showVectorIndexInfo(ctx.spark, ctx.g)),
     "text_search.search" -> (textSearchDf(_, edge = false, "query")),
+    "text_search.fuzzy_phrase_search" -> (fuzzyPhraseSearch(_, edge = false)),
+    "text_search.fuzzy_phrase_search_edges" ->
+      (fuzzyPhraseSearch(_, edge = true)),
     "text_search.search_all" -> (textSearchDf(_, edge = false, "all")),
     "text_search.regex_search" -> (textSearchDf(_, edge = false, "regex")),
     "text_search.aggregate" -> (textAggregate(_, edge = false)),

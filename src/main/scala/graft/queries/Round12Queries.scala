@@ -232,6 +232,33 @@ object Round12Queries {
       """SELECT CAST(2 AS BIGINT) AS n, CAST(8 AS BIGINT) AS dims,
         |       1.0 AS mn, 1.0 AS mx""".stripMargin),
 
+    // text_search.fuzzy_phrase_search (text_index.cpp fuzzy phrase):
+    // ordered adjacent run, shared OSA edit budget, trailing prefix —
+    // 'big bad wolf' exact, 'big bd world' spends the budget on bd→bad
+    // with wo* matching world, 'bad big wolf' fails the order
+    QueryDef(
+      "call_fuzzy_phrase",
+      (s, dir) => {
+        var g0 = graft.core.GraphState(Map.empty, Map.empty)
+        g0 = Cypher
+          .execute(s, g0, "CREATE TEXT INDEX fuzzyIdx ON :FDoc", Map.empty)
+          .graph
+        g0 = Cypher.execute(
+          s, g0,
+          """CREATE (:FDoc {title: 'big bad wolf', n: 1}),
+            |       (:FDoc {title: 'big bd world', n: 2}),
+            |       (:FDoc {title: 'bad big wolf', n: 3}),
+            |       (:FDoc {title: 'coffee shop', n: 4})""".stripMargin,
+          Map.empty).graph
+        Cypher.run(
+          s, g0,
+          """CALL text_search.fuzzy_phrase_search('fuzzyIdx',
+            |  'data.title:big bad wo', {fuzzy_distance: 1}) YIELD node
+            |RETURN node.n AS n ORDER BY n""".stripMargin)
+      },
+      Some("""SELECT CAST(n AS BIGINT) AS n FROM (VALUES (1), (2)) t(n)
+             |ORDER BY n""".stripMargin)),
+
     // graph_coloring.color_graph (graph_coloring.py:10, distributed
     // Jones–Plassmann): a planted 5-cycle must come back fully colored
     // with zero same-color edges (validity is the contract both engines

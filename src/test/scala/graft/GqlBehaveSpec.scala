@@ -62,7 +62,7 @@ class GqlBehaveSpec extends GqlHarness {
     "procedure_call.feature" -> 4,
     "server_side_parameters.feature" -> 13,
     "spatial.feature" -> 90,
-    "text_search.feature" -> 37,
+    "text_search.feature" -> 43,
     "text_edge_search.feature" -> 23,
     "vector_search.feature" -> 32,
     "vector_edge_search.feature" -> 16,

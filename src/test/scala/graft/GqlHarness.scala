@@ -649,6 +649,10 @@ abstract class GqlHarness extends SparkTestBase {
   /** Path value struct {nodes, edges}: entity sequences + per-edge
     * direction recovered from the raw _src/_dst against node _ids. */
   private def pathSparkV(r: org.apache.spark.sql.Row): Option[V] = {
+    // an OPTIONAL MATCH miss materializes a {nodes: null, edges: null}
+    // struct — the path value IS null
+    if (r.isNullAt(r.fieldIndex("nodes")) &&
+      r.isNullAt(r.fieldIndex("edges"))) return Some(NullV)
     val nodesRaw = Option(
       r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("nodes"))
       .getOrElse(return None)

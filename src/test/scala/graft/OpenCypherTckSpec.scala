@@ -31,7 +31,7 @@ class OpenCypherTckSpec extends GqlHarness {
     "MergeRelationshipAcceptance.feature" -> 30,
     "NullAcceptance.feature" -> 8,
     "OptionalMatch.feature" -> 3,
-    "OptionalMatchAcceptance.feature" -> 19,
+    "OptionalMatchAcceptance.feature" -> 22,
     "OrderByAcceptance.feature" -> 20,
     "PatternComprehension.feature" -> 14,
     "RemoveAcceptance.feature" -> 8,
