@@ -32,6 +32,15 @@ object VarExpand {
   /** Safety valve for unbounded `*`: raise, never truncate. */
   val HardHopLimit = 64
 
+  // Round-12 A/B (varexpand_unbounded, sf0.1, warm, local[8]): prune ON
+  // 2.7-3.6 s vs OFF 2.7-2.9 s — the sweep-visible cost is NOT the edge
+  // scan but the fixpoint's per-round driver overhead (~10 jobs: one
+  // step join + localCheckpoint + count per level across 4 levels),
+  // which is inherent to level-synchronous execution on a ~0.2 s/job
+  // local floor. The id-prune + lazy persist stay because they change
+  // the SCALE shape: a point-seeded traversal reads only the frontier's
+  // row groups instead of materializing the full edge corpus.
+
   /** Internal column names used while stepping (dropped before return). */
   private val CUR = "__vx_cur"
   private val PATH = "__vx_path"
