@@ -88,7 +88,18 @@ final class GraphState(
       * ingest (`src/storage/v2/indices/`), so the loader runs the build as
       * a bounded load-time step rather than on first probe. */
     private val adjCache: GraphState.AdjacencyCache =
-      new GraphState.AdjacencyCache) {
+      new GraphState.AdjacencyCache,
+    /** Adjacency-base builder inherited from the version that OWNS
+      * [[adjCache]] (None = this version builds from its own frames).
+      * Append-derived versions keep serving the ancestor's sorted view —
+      * see [[withEdgesAppended]]. */
+    private val adjBase: Option[() => DataFrame] = None,
+    /** Edge rows appended since the cache-owning ancestor, in append
+      * order. The adjacency probe serves base-view ∪ these deltas — the
+      * reference maintains its edge index incrementally per delta too
+      * (`src/storage/v2/inmemory/storage.hpp:892`), never a full rebuild
+      * per write. */
+    private val adjDeltas: Seq[DataFrame] = Nil) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -208,7 +219,7 @@ final class GraphState(
 
   def totalNodeEstimate: Long =
     countCache.getOrElseUpdate(
-      " all", nodeLabels.map(labelCountEstimate).sum)
+      " all", nodeLabels.map(labelCountEstimate).sum)
 
   /** Point-adjacency access path: the edge union range-partitioned and
     * sorted by `_src`, persisted in the columnar cache. Cached batches
@@ -217,7 +228,17 @@ final class GraphState(
     * of sorting/bucketing the edge materialization by src at load on a
     * real cluster (the reference's O(deg) adjacency fetch). Built lazily
     * on the first probe of this state version and shared afterwards. */
-  def adjacencyBySrc: DataFrame = adjCache.getOrBuild(buildAdjacency())
+  def adjacencyBySrc: DataFrame = {
+    val base = adjCache.getOrBuild(
+      adjBase.map(_.apply()).getOrElse(buildAdjacency()))
+    // append-derived versions: serve the ancestor's sorted+persisted view
+    // (min/max batch pruning intact) plus the small unsorted deltas —
+    // NEVER a full-corpus re-sort per mutated version. Probe predicates
+    // push into both sides; the delta side is scanned fully but is the
+    // statement's own appended rows, not the corpus.
+    if (adjDeltas.isEmpty) base
+    else adjDeltas.foldLeft(base)(GraphState.unionReconciled)
+  }
 
   private def buildAdjacency(): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -264,16 +285,46 @@ final class GraphState(
   def withNodes(label: String, mk: () => DataFrame): GraphState =
     new GraphState(
       nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums,
-      GraphState.freshTag(), indexes, descriptions, serverParams, adjCache)
+      GraphState.freshTag(), indexes, descriptions, serverParams, adjCache,
+      adjBase, adjDeltas)
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
-    // edge frames changed: the src-sorted adjacency view is stale FOR THE
-    // NEW VERSION only — mint it a fresh cache and leave this (possibly
-    // still-live, possibly prewarmed-base) version's view alone
+    // arbitrary edge rewrite (delete / update): the src-sorted adjacency
+    // view is stale FOR THE NEW VERSION only — mint it a fresh cache and
+    // leave this (possibly still-live, possibly prewarmed-base) version's
+    // view alone. Append-only writes go through [[withEdgesAppended]],
+    // which keeps the base view and chains a delta instead.
     new GraphState(
       nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
       GraphState.freshTag(), indexes, descriptions, serverParams,
       new GraphState.AdjacencyCache)
+
+  /** New version whose `tpe` frame is replaced by an APPEND of exactly
+    * `delta` rows: the derived version serves the cache-owning ancestor's
+    * sorted base view ∪ the accumulated deltas instead of rebuilding the
+    * full-corpus sort (the reference maintains its in-memory edge index
+    * incrementally per delta, storage.hpp:892). A chain longer than
+    * `spark.graft.adjacency.maxDeltas` (default 32) falls back to a fresh
+    * rebuild-on-probe — the union plan must not grow unboundedly under
+    * thousands of driver-sequenced appends. */
+  def withEdgesAppended(
+      tpe: String, mk: () => DataFrame, delta: DataFrame): GraphState = {
+    val maxDeltas =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.adjacency.maxDeltas", "32").toInt
+      catch { case _: Throwable => 32 }
+    if (adjDeltas.size >= maxDeltas)
+      withEdges(tpe, mk)
+    else {
+      val parent = this
+      new GraphState(
+        nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
+        GraphState.freshTag(), indexes, descriptions, serverParams,
+        adjCache,
+        adjBase.orElse(Some(() => parent.buildAdjacency())),
+        adjDeltas :+ delta)
+    }
+  }
 
   /** Materialize (localCheckpoint) every frame whose thunk CHANGED vs
     * `prev` — the per-batch commit step of periodic.iterate: (a) a
@@ -282,21 +333,34 @@ final class GraphState(
     * read), and (b) thousands of driver-sequenced batches would
     * otherwise layer thunk-over-thunk into an exploding logical plan.
     * Untouched frames carry over for free (reference-equality compare). */
-  private[graft] def materializeChangesFrom(prev: GraphState): GraphState = {
+  private[graft] def materializeChangesFrom(prev: GraphState): GraphState =
+    materializeChangesTracked(prev)._1
+
+  /** As [[materializeChangesFrom]], also returning the freshly
+    * checkpointed frames keyed by kind:name. Callers sequencing thousands
+    * of batches (periodic.iterate) unpersist a key's PREVIOUS batch
+    * checkpoint once a later batch supersedes it — superseded blocks
+    * otherwise pile up in executor storage until a GC-driven
+    * ContextCleaner pass. */
+  private[graft] def materializeChangesTracked(
+      prev: GraphState): (GraphState, Map[String, DataFrame]) = {
     var out = this
+    var fresh = Map.empty[String, DataFrame]
     nodeThunks.foreach { case (l, th) =>
       if (!prev.nodeThunks.get(l).exists(_ eq th)) {
         val d = nodes(l).localCheckpoint(true)
+        fresh += (s"n:$l" -> d)
         out = out.withNodes(l, () => d)
       }
     }
     edgeThunks.foreach { case (t, th) =>
       if (!prev.edgeThunks.get(t).exists(_ eq th)) {
         val d = edges(t).localCheckpoint(true)
+        fresh += (s"e:$t" -> d)
         out = out.withEdges(t, () => d)
       }
     }
-    out
+    (out, fresh)
   }
 
   /** New version with the id high-water mark advanced (never lowered) —
@@ -304,55 +368,56 @@ final class GraphState(
   def withIdBase(base: Long): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums,
-      indexTag, indexes, descriptions, serverParams, adjCache)
+      indexTag, indexes, descriptions, serverParams, adjCache, adjBase, adjDeltas)
 
   /** Mark that node rows may now live in more than one label frame. */
   def withOverlap: GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap = true, enums, indexTag,
-      indexes, descriptions, serverParams, adjCache)
+      indexes, descriptions, serverParams, adjCache, adjBase, adjDeltas)
 
   /** Register (or replace) an enum type (`CREATE ENUM`). */
   def withEnum(name: String, values: Seq[String]): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap,
       enums + (name -> values), indexTag, indexes, descriptions,
-      serverParams, adjCache)
+      serverParams, adjCache, adjBase, adjDeltas)
 
   /** Register an index (CREATE ... INDEX). */
   def withIndex(d: GraphState.IndexDef): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
-      indexes :+ d, descriptions, serverParams, adjCache)
+      indexes :+ d, descriptions, serverParams, adjCache, adjBase, adjDeltas)
 
   /** Upsert a schema description (same-key SET replaces). */
   def withDescription(d: GraphState.DescEntry): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams, adjCache)
+      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams, adjCache, adjBase, adjDeltas)
 
   /** Delete every description matching the predicate. */
   def dropDescriptions(p: GraphState.DescEntry => Boolean): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions.filterNot(p), serverParams, adjCache)
+      descriptions.filterNot(p), serverParams, adjCache, adjBase, adjDeltas)
 
   /** Set / unset a server-side parameter. */
   def withServerParam(name: String, value: Any, scope: String): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions, serverParams + (name -> ((value, scope))), adjCache)
+      descriptions, serverParams + (name -> ((value, scope))), adjCache,
+      adjBase, adjDeltas)
 
   def withoutServerParam(name: String): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions, serverParams - name, adjCache)
+      descriptions, serverParams - name, adjCache, adjBase, adjDeltas)
 
   /** Drop every index matching the predicate. */
   def dropIndexes(p: GraphState.IndexDef => Boolean): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
-      indexes.filterNot(p), descriptions, serverParams, adjCache)
+      indexes.filterNot(p), descriptions, serverParams, adjCache, adjBase, adjDeltas)
 }
 
 object GraphState {

@@ -226,11 +226,29 @@ final class ExprLowering(
             .map(_.substring(n.length + Frames.Sep.length))
             .filterNot(_.startsWith("_"))
           if (props.isEmpty) lit(null)
-          else
+          else {
+            // CASE branches must coerce to one type; entity properties are
+            // dynamically typed, so incompatible columns (string vs
+            // struct, …) variant-encode per branch instead of failing
+            // analysis (the engine's mixed-type representation)
+            val types = props.flatMap(k => typeOf(Frames.f(n, k))).distinct
+            def numeric(t: DataType): Boolean = t match {
+              case _: org.apache.spark.sql.types.NumericType => true
+              case _ => false
+            }
+            val uniform = types.size <= 1 || types.forall(numeric)
+            def branch(k: String): Column = {
+              val c = Frames.f(n, k)
+              if (uniform) c
+              else
+                try_variant_get(
+                  parse_json(to_json(struct(c.as("v")))), "$.v", "variant")
+            }
             props.tail
-              .foldLeft(when(i === props.head, Frames.f(n, props.head)))(
-                (acc, k) => acc.when(i === k, Frames.f(n, k)))
+              .foldLeft(when(i === props.head, branch(props.head)))(
+                (acc, k) => acc.when(i === k, branch(k)))
               .otherwise(lit(null))
+          }
       }
 
     case Subscript(of, idx) =>

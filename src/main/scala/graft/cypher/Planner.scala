@@ -557,6 +557,12 @@ final class Planner(
       var success = true
       var executed = 0L
       var b = 0L
+      // per-key live checkpoint registry: a frame checkpointed by batch N
+      // is dead the moment batch N+k checkpoints the same frame again —
+      // unpersist it then (ContextCleaner would otherwise only reclaim
+      // superseded blocks on GC pressure, long after a 10k-batch run has
+      // filled executor storage)
+      var liveCkpt = Map.empty[String, org.apache.spark.sql.DataFrame]
       while (success && b < nBatches) {
         val preBatch = state
         try {
@@ -591,7 +597,13 @@ final class Planner(
           // per-batch commit: force the batch's writes NOW so a failing
           // write expression fails (and rolls back) THIS batch, and so
           // thousands of batches don't layer thunks into one huge plan
-          state = sub.currentState.materializeChangesFrom(preBatch)
+          val (committed, fresh) =
+            sub.currentState.materializeChangesTracked(preBatch)
+          state = committed
+          fresh.keys.foreach(k =>
+            liveCkpt.get(k).foreach(
+              graft.operators.Scratch.unpersistCheckpoint))
+          liveCkpt ++= fresh
           subHigh = math.max(subHigh, sub.idHighWater)
           executed += 1
         } catch {
@@ -4008,19 +4020,23 @@ final class Planner(
           col(p).as(s"__mg_k$i")
         }: _*)
     val missing = base.join(eKeyed, identCols, "left_anti")
-    // FIRST row per distinct ident creates; its props = ident ∪ onCreate
-    val firstRows = missing
+    // FIRST row per distinct ident creates; its props = ident ∪ onCreate.
+    // Window partitioning groups NULL idents too, so NULL-ident duplicates
+    // resolve to THEIR created node below instead of re-joining by value.
+    val wIdent = Window.partitionBy(identCols.map(col): _*)
+    val numberedMissing = missing
       .withColumn(
-        "__mg_rn",
-        row_number().over(
-          Window.partitionBy(identCols.map(col): _*)
-            .orderBy(col("__mg_row"))))
-      .filter(col("__mg_rn") === 1)
+        "__mg_rn", row_number().over(wIdent.orderBy(col("__mg_row"))))
+      .withColumn("__mg_firstrow", min(col("__mg_row")).over(wIdent))
+    val firstRows = numberedMissing.filter(col("__mg_rn") === 1)
     val createdPropNames =
       (identKeys ++ onCreate.map(_._1).filterNot(identKeys.contains)).distinct
+    // keep the creating row's __mg_row: later duplicates and the output
+    // re-bind resolve to the created node BY ID, never by ident value
     val created = withSeqId(
       firstRows.select(
-        array(labels.map(lit): _*).as(GraphState.LabelsCol) +:
+        col("__mg_row") +:
+          array(labels.map(lit): _*).as(GraphState.LabelsCol) +:
           createdPropNames.map { p =>
             val ki = identKeys.indexOf(p)
             val ci = onCreate.indexWhere(_._1 == p)
@@ -4030,31 +4046,35 @@ final class Planner(
       GraphState.IdCol,
       (myBase << 48) + nodeCursor).localCheckpoint(true)
     nodeCursor += created.count()
-    labels.foreach(l => state = Mutations.createNodes(state, l, created))
+    val createdRows = created.drop("__mg_row")
+    labels.foreach(l => state = Mutations.createNodes(state, l, createdRows))
     if (labels.size > 1) state = state.withOverlap
+    // per-input-row resolved node id(s): hit rows via the ident join
+    // (several existing nodes sharing one ident fan out — Cypher MERGE
+    // multi-match); missing rows via their ident partition's created id
+    val hitMap = base.join(eKeyed, identCols)
+      .select(
+        col("__mg_row") +: col("__mg_eid") +:
+          onMatch.indices.map(i => col(s"__mg_m$i")): _*)
+    val missMap = numberedMissing
+      .join(
+        created.select(
+          col("__mg_row").as("__mg_firstrow"),
+          col(GraphState.IdCol).as("__mg_eid")),
+        Seq("__mg_firstrow"))
+      .select(
+        col("__mg_row") +: col("__mg_eid") +: col("__mg_rn") +:
+          onMatch.indices.map(i => col(s"__mg_m$i")): _*)
     // ON MATCH applies to: rows that hit a pre-existing node, plus
-    // duplicate-ident rows that matched a node created just above
+    // duplicate-ident rows that matched a node created just above.
+    // Multi-label nodes live in EVERY label frame, so the update may not
+    // be pruned to the head frame — stale copies in the other frames
+    // would surface nondeterministically through allNodes' dedup.
     if (onMatch.nonEmpty) {
-      val hitExisting = base
-        .join(eKeyed, identCols)
+      val updates = hitMap
+        .unionByName(missMap.filter(col("__mg_rn") > 1).drop("__mg_rn"))
         .select(col("__mg_eid").as(GraphState.IdCol) +:
           onMatch.indices.map(i => col(s"__mg_m$i")): _*)
-      val cKeyed = created.select(
-        col(GraphState.IdCol).as("__mg_eid") +:
-          identKeys.zipWithIndex.map { case (p, i) =>
-            col(p).as(s"__mg_k$i")
-          }: _*)
-      val hitCreated = missing
-        .withColumn(
-          "__mg_rn",
-          row_number().over(
-            Window.partitionBy(identCols.map(col): _*)
-              .orderBy(col("__mg_row"))))
-        .filter(col("__mg_rn") > 1)
-        .join(cKeyed, identCols)
-        .select(col("__mg_eid").as(GraphState.IdCol) +:
-          onMatch.indices.map(i => col(s"__mg_m$i")): _*)
-      val updates = hitExisting.unionByName(hitCreated)
         .groupBy(GraphState.IdCol)
         .agg(
           max(col(s"__mg_m0")).as(s"__nv_${onMatch.head._1}"),
@@ -4064,10 +4084,19 @@ final class Planner(
         .withColumn("__hit", lit(true))
       state = Mutations.setNodePropertiesByIds(
         state, updates, onMatch.map(_._1), replace = false,
-        Some(Seq(labels.head)))
+        if (labels.size > 1 || state.mayOverlap) None
+        else Some(Seq(labels.head)))
     }
-    setHint(alias, Some(Set(labels.head)))
-    // re-bind per input row against the POST-merge state on the ident key
+    setHint(
+      alias,
+      if (state.mayOverlap) None else Some(labels.toSet))
+    // re-bind per input row against the POST-merge state BY NODE ID — the
+    // ident-value re-join this replaces used null-safe equality, which (a)
+    // fanned a NULL-ident creating row out to every pre-existing
+    // NULL-ident node and (b) disagreed with the match split's
+    // null-rejecting join semantics
+    val rowMap = hitMap.select(col("__mg_row"), col("__mg_eid"))
+      .unionByName(missMap.select(col("__mg_row"), col("__mg_eid")))
     val post0 = labels.foldLeft(state.nodesOrEmpty(labels.head))(
       (d, l) => d.filter(array_contains(col(GraphState.LabelsCol), l)))
     val post = identKeys.zipWithIndex.foldLeft(post0) { case (d, (p, i)) =>
@@ -4075,13 +4104,10 @@ final class Planner(
       else d.withColumn(p, lit(null).cast(base.schema(s"__mg_k$i").dataType))
     }
     val postB = Frames.bind(alias)(post)
-    val joinCond = identKeys.zipWithIndex
-      .map { case (p, i) =>
-        col(s"__mg_k$i") <=> Frames.f(alias, p)
-      }
-      .reduce(_ && _)
-    val outDf = base.join(postB, joinCond)
-      .drop("__mg_row")
+    val outDf = base
+      .join(rowMap, Seq("__mg_row"))
+      .join(postB, col("__mg_eid") === Frames.id(alias))
+      .drop("__mg_row", "__mg_eid")
       .drop(identCols: _*)
       .drop(onCreate.indices.map(i => s"__mg_c$i"): _*)
       .drop(onMatch.indices.map(i => s"__mg_m$i"): _*)

@@ -57,11 +57,15 @@ object Mutations {
       g.withNodes(label, () => unionReconciled(g.nodes(label), rows))
     else g.withNodes(label, () => rows)
 
-  /** Append edges (schema: `_id`, `_src`, `_dst`, `_type`, props). */
+  /** Append edges (schema: `_id`, `_src`, `_dst`, `_type`, props).
+    * Append-only, so the derived version keeps serving the ancestor's
+    * sorted adjacency view plus `rows` as a delta — a CREATE-then-traverse
+    * statement never pays a full-corpus adjacency rebuild. */
   def createEdges(g: GraphState, tpe: String, rows: DataFrame): GraphState =
     if (g.hasType(tpe))
-      g.withEdges(tpe, () => unionReconciled(g.edges(tpe), rows))
-    else g.withEdges(tpe, () => rows)
+      g.withEdgesAppended(
+        tpe, () => unionReconciled(g.edges(tpe), rows), rows)
+    else g.withEdgesAppended(tpe, () => rows, rows)
 
   /** Delete nodes by id. `detach=true` also removes incident edges (DETACH
     * DELETE); without it, dangling edges are the caller's responsibility
@@ -676,10 +680,14 @@ object Mutations {
       batchSize: Int,
       orderCols: Seq[String])(
       apply: (GraphState, DataFrame) => GraphState): GraphState = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val numbered = rows
-      .withColumn("__batch", ((row_number().over(w) - 1) / batchSize).cast("int"))
+    // Ranks.orderedIds, NOT row_number over an unpartitioned Window —
+    // batch loads are exactly the big-input path, and a global window
+    // funnels every row through one partition (Spark warns); the
+    // range-partitioned sort + zipWithIndex gives the same deterministic
+    // numbering in parallel.
+    val numbered = Ranks.orderedIds(rows, "__rn", orderCols: _*)
+      .withColumn("__batch", (col("__rn") / batchSize).cast("int"))
+      .drop("__rn")
       .localCheckpoint(true)
     val batches = numbered.select("__batch").distinct()
       .orderBy("__batch").collect().map(_.getInt(0))

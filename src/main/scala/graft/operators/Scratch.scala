@@ -54,6 +54,18 @@ object Scratch {
     else df
   }
 
+  /** Destroy a `localCheckpoint`ed frame's backing blocks NOW. The caller
+    * guarantees no live GraphState / result still reads the frame —
+    * checkpoint blocks don't recompute, so a premature call here breaks
+    * later readers (see the registry contract above). */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD =>
+        try lr.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+
   private val trackedDfs =
     scala.collection.mutable.ArrayBuffer
       .empty[java.lang.ref.WeakReference[DataFrame]]

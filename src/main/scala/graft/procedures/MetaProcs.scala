@@ -70,37 +70,40 @@ object MetaProcs {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
 
-    val labelCountsF = Future(nodes
-      .select(explode(col(LabelsCol)).as("l"))
-      .groupBy("l").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    val typeCountsF = Future(edges
-      .groupBy(TypeCol).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    val nodeCountF = Future(nodes.count())
-
-    // "(:A)-[:T]->()" / "()-[:T]->(:B)" / "()-[:T]->()" pattern tallies
-    // (meta.cpp:113-127): two label joins + the plain type tally
-    val nodeLabels = nodes.select(col(IdCol), col(LabelsCol))
-    val srcSide = edges.select(col(TypeCol), col(SrcCol).as(IdCol))
-      .join(nodeLabels, Seq(IdCol))
-      .select(col(TypeCol), explode(col(LabelsCol)).as("__l"))
-      .select(
-        concat(
-          lit("(:"), col("__l"),
-          lit(")-[:"), col(TypeCol), lit("]->()")).as("k"))
-    val dstSide = edges.select(col(TypeCol), col(DstCol).as(IdCol))
-      .join(nodeLabels, Seq(IdCol))
-      .select(col(TypeCol), explode(col(LabelsCol)).as("__l"))
-      .select(
-        concat(
-          lit("()-[:"), col(TypeCol),
-          lit("]->(:"), col("__l"), lit(")")).as("k"))
-    val relPatternsF = Future(
-      srcSide.unionByName(dstSide)
-        .groupBy("k").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-
+    // FAST PATH (one 2-column node scan + two 2-column edge scans, all
+    // map-side-combined to tiny results — shuffled bytes ≈ zero): node
+    // ids are `base << 48 + offset` (one id-namespace base per loader
+    // label frame / per CREATE statement), so when every base carries ONE
+    // distinct label set, an endpoint's labels are a function of
+    // `id >> 48`. One grouped count over (base, labels) yields the
+    // base→labels map, nodeCount AND the per-label tallies; grouped
+    // counts over (type, endpoint-base) yield typeCounts AND the
+    // "(:A)-[:T]->()" / "()-[:T]->(:B)" pattern tallies (meta.cpp:113-127)
+    // by driver-side composition. The r12 plan sort-merge-joined the
+    // 60 M-edge corpus against 27 M node labels TWICE plus three more
+    // full-corpus jobs — tens of seconds at sf3, a wall at 100 TB.
+    //
+    // FALLBACK: a base whose rows carry ≠1 distinct label set (partial
+    // SET :Label) breaks the invariant — re-plan as the explicit
+    // explode / join+explode jobs (correct on any state).
+    val baseGroupsF = Future(
+      nodes
+        .groupBy(shiftright(col(IdCol), 48).as("__b"), col(LabelsCol))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))))
+    val srcTallyF = Future(
+      edges
+        .groupBy(col(TypeCol), shiftright(col(SrcCol), 48).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val dstTallyF = Future(
+      edges
+        .groupBy(col(TypeCol), shiftright(col(DstCol), 48).as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
     val propKeysF = Future.sequence(
       g.nodeLabels.map(l =>
         Future(presentKeys(g.nodes(l), GraphState.nodeMeta))) ++
@@ -108,13 +111,67 @@ object MetaProcs {
           Future(presentKeys(g.edges(t), GraphState.edgeMeta))))
       .map(_.flatten.toSet)
 
-    val labelCounts = Await.result(labelCountsF, Duration.Inf)
-    val typeCounts = Await.result(typeCountsF, Duration.Inf)
-    val nodeCount = Await.result(nodeCountF, Duration.Inf)
+    val baseGroups = Await.result(baseGroupsF, Duration.Inf)
+    val srcTally = Await.result(srcTallyF, Duration.Inf)
+    val dstTally = Await.result(dstTallyF, Duration.Inf)
+    val uniform = baseGroups.groupBy(_._1).valuesIterator.forall(_.size == 1)
+
+    val nodeCount = baseGroups.map(_._3).sum
+    val typeCounts: Map[String, Long] =
+      srcTally.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._3).sum }
     val relationshipCount = typeCounts.values.sum
+
+    val (labelCounts, relPatterns0): (Map[String, Long], Map[String, Long]) =
+      if (uniform) {
+        val labelsOf: Map[Long, Seq[String]] =
+          baseGroups.map(x => x._1 -> x._2).toMap
+        val lc = scala.collection.mutable.Map.empty[String, Long]
+        baseGroups.foreach { case (_, ls, n) =>
+          ls.foreach(l => lc(l) = lc.getOrElse(l, 0L) + n)
+        }
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+        srcTally.foreach { case (t, b, n) =>
+          labelsOf.getOrElse(b, Nil).foreach { l =>
+            val k = s"(:$l)-[:$t]->()"
+            acc(k) = acc.getOrElse(k, 0L) + n
+          }
+        }
+        dstTally.foreach { case (t, b, n) =>
+          labelsOf.getOrElse(b, Nil).foreach { l =>
+            val k = s"()-[:$t]->(:$l)"
+            acc(k) = acc.getOrElse(k, 0L) + n
+          }
+        }
+        (lc.toMap, acc.toMap)
+      } else {
+        val lcF = Future(nodes
+          .select(explode(col(LabelsCol)).as("l"))
+          .groupBy("l").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        val nodeLabels = nodes.select(col(IdCol), col(LabelsCol))
+        val srcSide = edges.select(col(TypeCol), col(SrcCol).as(IdCol))
+          .join(nodeLabels, Seq(IdCol))
+          .select(col(TypeCol), explode(col(LabelsCol)).as("__l"))
+          .select(
+            concat(
+              lit("(:"), col("__l"),
+              lit(")-[:"), col(TypeCol), lit("]->()")).as("k"))
+        val dstSide = edges.select(col(TypeCol), col(DstCol).as(IdCol))
+          .join(nodeLabels, Seq(IdCol))
+          .select(col(TypeCol), explode(col(LabelsCol)).as("__l"))
+          .select(
+            concat(
+              lit("()-[:"), col(TypeCol),
+              lit("]->(:"), col("__l"), lit(")")).as("k"))
+        val patF = Future(
+          srcSide.unionByName(dstSide)
+            .groupBy("k").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        (Await.result(lcF, Duration.Inf), Await.result(patF, Duration.Inf))
+      }
+
     val relPatterns: Map[String, Long] =
-      Await.result(relPatternsF, Duration.Inf) ++
-        typeCounts.map { case (t, n) => s"()-[:$t]->()" -> n }
+      relPatterns0 ++ typeCounts.map { case (t, n) => s"()-[:$t]->()" -> n }
     val propKeys: Set[String] = Await.result(propKeysF, Duration.Inf)
 
     import spark.implicits._

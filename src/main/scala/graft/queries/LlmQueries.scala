@@ -173,16 +173,23 @@ object LlmQueries {
             round(avg(col("est")), 4).as("avg_est"))
         } else {
           val reps = repDocs(s, dir, minWords = 1).localCheckpoint(true)
+          // one row per DISTINCT document — corpus-sized on a crawl, so
+          // the broadcast hint must be count-gated (the checkpoint makes
+          // the count a cached-block scan); above the gate the bucketed
+          // pairs side shuffles and AQE decides from runtime stats
+          val nReps = reps.count()
           val pairs = minhashPairsFrom(
             reps.select(
               col("doc_id"),
               explode(array_distinct(words(col("text")))).as("w")))
           val mult = reps.select(col("doc_id"), col("mult"))
           val cross = pairs
-            .join(broadcast(mult), Seq("doc_id"))
+            .join(graft.operators.Scratch.gatedBroadcast(mult, nReps), Seq("doc_id"))
             .join(
-              broadcast(mult.select(
-                col("doc_id").as("doc_id_r"), col("mult").as("mult_r"))),
+              graft.operators.Scratch.gatedBroadcast(
+                mult.select(
+                  col("doc_id").as("doc_id_r"), col("mult").as("mult_r")),
+                nReps),
               Seq("doc_id_r"))
             .select((col("mult") * col("mult_r")).as("w"), col("est"))
           val intra = reps
@@ -802,10 +809,25 @@ object LlmQueries {
     QueryDef(
       "knn_graph",
       (s, dir) => {
+        // Bucket width SCALES with corpus size (target ≈64 vectors per
+        // bucket): at a fixed 8 bits there are only 256 buckets forever,
+        // so bucket population grows linearly with the corpus and the
+        // within-bucket pair volume quadratically. Widening the code to
+        // ceil(log2(n/64)) keeps bucket size roughly constant — pair
+        // volume grows ~n·64 (linear). The 8-bit floor keeps the
+        // gate-scale result identical to the 8-bit oracle below (500
+        // vectors at sf0.01 → floor applies); the 24-bit cap stays well
+        // under the 64 embedding dimensions.
+        val nVec = embs(s, dir).count()
+        val bits = math.max(
+          8,
+          math.min(
+            24,
+            math.ceil(math.log(nVec / 64.0) / math.log(2.0)).toInt))
         val n = embs(s, dir)
           .select(col("vec_id"), vecD(col("embedding")).as("v"))
           .withColumn("nrm", l2norm(col("v")))
-          .withColumn("code", signCode(col("v"), 8))
+          .withColumn("code", signCode(col("v"), bits))
         val q = n.select(
           col("vec_id").as("q"),
           col("v").as("qv"),

@@ -214,10 +214,15 @@ object GraphStream {
           .partition(_.phase == TriggerPhase.Before)
         // BEFORE COMMIT: runs against the CANDIDATE version, inside the
         // batch "transaction" — an exception rolls the whole batch back
-        // (state stays at the pre-batch snapshot; nothing published)
+        // (state stays at the pre-batch snapshot; nothing published).
+        // ANY non-fatal failure aborts the batch, not just TriggerAbort:
+        // the reference runs before-triggers in-transaction, so a failing
+        // trigger means a failed (rolled-back) transaction — letting the
+        // exception escape foreachBatch would instead kill the whole
+        // streaming query.
         val candidate =
           try Some(before.foldLeft(res.graph)((g, t) => t.fn(g, res)))
-          catch { case _: TriggerAbort => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         candidate.foreach { committed =>
           state = after.foldLeft(committed)((g, t) => t.fn(g, res))
         }

@@ -100,17 +100,28 @@ class HelperCallsSpec extends SparkTestBase {
       .collect().head.getLong(0) == 1L)
   }
 
-  test("adjacency cache is SHARED across node-only mutations, rebuilt on edge writes") {
+  test("adjacency view is shared across node-only mutations and extended by appends") {
     val g1 = run(
       empty,
       "CREATE (a:AdjT {k: 1})-[:E]->(b:AdjT {k: 2})").graph
-    val adj1 = g1.adjacencyBySrc
-    // node-only mutation: same cache instance, no rebuild
+    assert(g1.adjacencyBySrc.count() == 1L)
+    // the census must bracket ONLY the probes — the Cypher runs themselves
+    // localCheckpoint planner frames, which also show up as persisted RDDs
     val g2 = run(g1, "MATCH (n:AdjT {k: 1}) SET n.tag = 'x'").graph
-    assert(g2.adjacencyBySrc eq adj1, "node-only mutation must reuse the adjacency cache")
-    // edge mutation: invalidated + fresh
     val g3 = run(g2, "MATCH (a:AdjT {k: 1}), (b:AdjT {k: 2}) CREATE (a)-[:E2]->(b)").graph
-    assert(!(g3.adjacencyBySrc eq adj1), "edge mutation must invalidate the adjacency cache")
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    // node-only mutation: same base view + delta chain, no new build
+    assert(g2.adjacencyBySrc.count() == 1L)
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted0,
+      "node-only mutation must reuse the adjacency view")
+    // edge CREATE is an append: the derived version serves base ∪ delta
+    // (incremental maintenance — no full rebuild, no stale data)
+    assert(g3.adjacencyBySrc.count() == 2L,
+      "append-derived version must see base plus the new edge")
+    assert(spark.sparkContext.getPersistentRDDs.size == persisted0,
+      "append must not trigger a full-corpus rebuild")
+    // the parent's view is untouched
+    assert(g2.adjacencyBySrc.count() == 1L)
   }
 
   test("frontier broadcast is gated by the counted size") {
