@@ -52,7 +52,13 @@ object Ast {
   /** reduce(acc = init, x IN list | expr) */
   final case class Reduce(acc: String, init: Expr, varName: String, list: Expr, step: Expr) extends Expr
   /** exists((n)-[:T]->(m)) or pattern predicate used directly in WHERE. */
-  final case class PatternPredicate(pattern: PatternPart, negated: Boolean) extends Expr
+  final case class PatternPredicate(
+      pattern: PatternPart,
+      negated: Boolean,
+      /** True for the NAKED `WHERE (a)-->(b)` form — the reference
+        * rejects NEW named variables there, while the exists()/EXISTS{}
+        * wrappers may introduce them. */
+      bare: Boolean = false) extends Expr
   /** Pattern comprehension `[(n)-[]->(m) WHERE pred | proj]` — RollUpApply
     * (operator.hpp:3185): collect the projection over pattern matches into
     * a list per input row. */
@@ -78,6 +84,13 @@ object Ast {
   /** `n:Label` label-test expression (LabelsTest, ast.hpp). */
   final case class HasLabel(e: Expr, label: String) extends Expr
 
+  /** Planner-internal wrapper: `inner` references variables DELETEd
+    * earlier in the statement — evaluating it on a row where any of them
+    * is still bound raises the reference's "Trying to use a deleted
+    * object" runtime error; NULL bindings (OPTIONAL MATCH no-op deletes)
+    * pass through. */
+  final case class DeletedGuard(inner: Expr, vars: Seq[String]) extends Expr
+
   final case class NodePattern(
       variable: Option[String],
       labels: Seq[String],
@@ -85,7 +98,12 @@ object Ast {
       /** `(n:A|B)` label ALTERNATION (memgraph label expressions): node
         * matches when it carries ANY of these; `labels` stays the
         * conjunction list. */
-      orLabels: Seq[String] = Nil)
+      orLabels: Seq[String] = Nil,
+      /** True when the pattern carried a property-map token — `(n {})`
+        * is distinct from `(n)` for the bound-variable-reuse check in
+        * CREATE (an empty map on a bound node is still a syntax error in
+        * the reference frontend). */
+      hasPropsToken: Boolean = false)
 
   final case class RelPattern(
       variable: Option[String],
@@ -277,5 +295,11 @@ object Ast {
   final case class Query(
       first: SingleQuery,
       unions: Seq[(Boolean, SingleQuery)],
-      hopsLimit: Option[Long] = None)
+      hopsLimit: Option[Long] = None,
+      /** `USING PERIODIC COMMIT n` prefix: batch results are identical
+        * here (snapshot semantics), but per-batch commits make deletes
+        * VISIBLE to later writes in the reference — access-after-delete
+        * raises under the prefix where the same-transaction form
+        * silently no-ops. */
+      periodic: Boolean = false)
 }

@@ -272,7 +272,8 @@ object CypherParser extends RegexParsers {
     }
 
   def patternPredicate: Parser[Expr] =
-    patternPartWithHops ^^ (p => PatternPredicate(p, negated = false))
+    patternPartWithHops ^^ (p =>
+      PatternPredicate(p, negated = false, bare = true))
 
   def patternComprehension: Parser[Expr] =
     "[" ~> opt(ident <~ "=") ~ patternPartWithHops ~
@@ -315,7 +316,8 @@ object CypherParser extends RegexParsers {
         v,
         ands.map(_.head),
         props.map { case MapLit(kvs) => kvs; case _ => Nil }.getOrElse(Nil),
-        orLabels = ors.flatten.distinct)
+        orLabels = ors.flatten.distinct,
+        hasPropsToken = props.isDefined)
     }
 
   /** (lo, hi, bare): `bare` marks the single-number `*n` form — shortest
@@ -729,14 +731,15 @@ object CypherParser extends RegexParsers {
     // execution produces the identical result in one version step, so the
     // prefix is accepted and the batch size ignored (reference
     // periodic_commit.feature — observable results match)
-    opt(kw("USING") ~> kw("PERIODIC") ~> kw("COMMIT") ~> """\d+""".r) ~>
+    opt(kw("USING") ~> kw("PERIODIC") ~> kw("COMMIT") ~> """\d+""".r) ~
       opt(kw("USING") ~> kw("HOPS") ~> kw("LIMIT") ~> """\d+""".r) ~
       singleQuery ~ rep(kw("UNION") ~> opt(kw("ALL")) ~ singleQuery) ^^ {
-        case hl ~ f ~ us =>
+        case pc ~ hl ~ f ~ us =>
           Query(
             f,
             us.map { case a ~ q => (a.isDefined, q) },
-            hl.map(_.toLong))
+            hl.map(_.toLong),
+            periodic = pc.isDefined)
       }
 
   def parse(text0: String): Query = {

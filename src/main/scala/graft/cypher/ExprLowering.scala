@@ -192,6 +192,27 @@ final class ExprLowering(
     case IsNull(x, false) => lower(x).isNull
     case IsNull(x, true) => lower(x).isNotNull
 
+    case DeletedGuard(inner, vs) =>
+      // any still-bound deleted variable on this row → runtime error;
+      // null bindings yield NULL (a bare deleted entity projects as the
+      // null VALUE, not a struct of null fields)
+      val anyBound = vs
+        .map(v => Frames.colsOf(df, v).headOption
+          .map(c => col(c).isNotNull).getOrElse(lit(false)))
+        .reduce(_ || _)
+      val innerCol = inner match {
+        case Var(n) if scope.get(n).exists(b =>
+            b == Binding.NodeB || b == Binding.EdgeB ||
+              b == Binding.PathB) =>
+          lit(null)
+        case _ => lower(inner)
+      }
+      when(
+        anyBound,
+        raise_error(lit(
+          s"Trying to use a deleted object (variable `${vs.head}`).")))
+        .otherwise(innerCol)
+
     case CaseExpr(subject, whens, default) =>
       val branches = subject match {
         case Some(s) =>
@@ -552,6 +573,12 @@ final class ExprLowering(
       case ("<>", Some(a), Some(b)) => return Frames.id(a) =!= Frames.id(b)
       case _ => ()
     }
+    // enum values support equality only — the reference rejects ordering
+    // comparisons on them (enum domains are unordered)
+    if (Set("<", "<=", ">", ">=")(op) &&
+      (l.isInstanceOf[EnumLit] || r.isInstanceOf[EnumLit]))
+      throw new IllegalArgumentException(
+        s"enum values only support = and <>, not '$op'")
     lazy val lc = lower(l)
     lazy val rc = lower(r)
     op match {
@@ -755,15 +782,22 @@ final class ExprLowering(
         }
       case "=~" => lc.rlike_(rc)
       case "CONTAINS" | "STARTS WITH" | "ENDS WITH" =>
-        // non-string operands yield NULL (the reference's ternary type
-        // error), including non-string VARIANT elements
+        // NULL operands are ternary-NULL; a non-null NON-STRING operand
+        // is a TYPE ERROR (reference TypedValue::operator semantics —
+        // `name STARTS WITH 1` raises, it does not filter to empty).
+        // Non-string VARIANT elements stay NULL (dynamic kinds are the
+        // engine's mixed-type representation, not a static type error).
         def strSide(c: Column, t: Option[DataType]): Column = t match {
           case Some(StringType) => c
           case Some(VariantType) =>
             when(
               schema_of_variant(c) === "STRING",
               try_variant_get(c, "$", "string"))
-          case Some(_) => lit(null).cast("string")
+          case Some(NullType) => lit(null).cast("string")
+          case Some(_) =>
+            when(c.isNull, lit(null).cast("string"))
+              .otherwise(raise_error(lit(
+                s"'$op' requires string operands")).cast("string"))
           case None => c
         }
         val ls = strSide(lc, typeOf(lc))

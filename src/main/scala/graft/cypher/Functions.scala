@@ -15,57 +15,104 @@ import Ast._
 object Functions {
 
   /** Cypher value conversion (toBoolean/toInteger/toFloat/toString and
-    * their list forms — awesome_memgraph_functions.cpp:2078-2086):
-    * unconvertible VALUES yield NULL (never a cast error, ANSI or not),
-    * numeric strings parse through double ('2.9' → toInteger 2),
-    * heterogeneous (VARIANT) elements convert by their runtime kind, and
-    * statically unconvertible TYPES (lists/maps) are NULL. */
+    * their list forms — awesome_memgraph_functions.cpp:638-725):
+    * unconvertible VALUES on an accepted TYPE yield NULL (never a cast
+    * error, ANSI or not), numeric strings parse through double ('2.9' →
+    * toInteger 2), and heterogeneous (VARIANT) elements convert by their
+    * runtime kind. REJECTED types split the two surfaces exactly like the
+    * reference: the strict functions raise (`strictName` = the function
+    * name for the error, FType throw) — toBoolean rejects floats
+    * (ToBooleanTypes is Integer, not Number) and everything rejects
+    * lists/maps/entities — while the `*OrNull` variants and the list
+    * forms return NULL. */
   private def cyConvert(
       c: Column,
       t: Option[DataType],
-      target: String): Column = {
+      target: String,
+      strictName: Option[String] = None): Column = {
     val numericKinds =
       "^(TINYINT|SMALLINT|INT|BIGINT|FLOAT|DOUBLE|DECIMAL.*)$"
+    // rejected-type branch: raise for the strict fn, NULL for *OrNull
+    def rejected(tt: String): Column = strictName match {
+      case Some(fn) =>
+        raise_error(lit(
+          s"'$fn' argument must be a ${
+            if (target == "boolean") "null, boolean, integer or string"
+            else if (target == "string") "convertible scalar"
+            else "null, boolean, number or string"
+          } value")).cast(tt)
+      case None => lit(null).cast(tt)
+    }
     t match {
       case Some(VariantType) =>
         val s = schema_of_variant(c)
         val num = s.rlike(numericKinds)
+        // guard NULL values first — the rejected `otherwise` must never
+        // swallow them (null converts to null in every mode)
+        def guarded(chain: Column, tt: String): Column =
+          when(c.isNull || s.isNull || s === "VOID", lit(null).cast(tt))
+            .otherwise(chain)
         target match {
           case "long" =>
-            when(num, try_variant_get(c, "$", "double").cast("long"))
-              .when(
-                s === "STRING", {
-                  // direct int64 parse first — exact above 2^53; double
-                  // round-trip only for '2.9'-style fractional strings
-                  val sv = try_variant_get(c, "$", "string")
-                  when(sv.try_cast("long").isNotNull, sv.try_cast("long"))
-                    .otherwise(sv.try_cast("double").cast("long"))
-                })
-              .when(
-                s === "BOOLEAN",
-                try_variant_get(c, "$", "boolean").cast("long"))
+            guarded(
+              when(num, try_variant_get(c, "$", "double").cast("long"))
+                .when(
+                  s === "STRING", {
+                    // direct int64 parse first — exact above 2^53; double
+                    // round-trip only for '2.9'-style fractional strings
+                    val sv = try_variant_get(c, "$", "string")
+                    when(sv.try_cast("long").isNotNull, sv.try_cast("long"))
+                      .otherwise(sv.try_cast("double").cast("long"))
+                  })
+                .when(
+                  s === "BOOLEAN",
+                  try_variant_get(c, "$", "boolean").cast("long"))
+                .when(
+                  s.rlike("^(ARRAY|OBJECT|STRUCT|MAP)"),
+                  rejected("long")),
+              "long")
           case "double" =>
-            when(num, try_variant_get(c, "$", "double"))
-              .when(
-                s === "STRING",
-                try_variant_get(c, "$", "string").try_cast("double"))
+            guarded(
+              when(num, try_variant_get(c, "$", "double"))
+                .when(
+                  s === "STRING",
+                  try_variant_get(c, "$", "string").try_cast("double"))
+                .when(
+                  s === "BOOLEAN",
+                  try_variant_get(c, "$", "boolean").cast("double"))
+                .when(
+                  s.rlike("^(ARRAY|OBJECT|STRUCT|MAP)"),
+                  rejected("double")),
+              "double")
           case "boolean" =>
-            // bool, string, and INTEGER kinds convert; floats are invalid
-            when(s === "BOOLEAN", try_variant_get(c, "$", "boolean"))
-              .when(
-                s === "STRING",
-                try_variant_get(c, "$", "string").try_cast("boolean"))
-              .when(
-                s.rlike("^(TINYINT|SMALLINT|INT|BIGINT)$"),
-                try_variant_get(c, "$", "double") =!= 0.0)
+            // bool, string, and INTEGER kinds convert; floats are a
+            // REJECTED type (strict raises), not a null-parse
+            guarded(
+              when(s === "BOOLEAN", try_variant_get(c, "$", "boolean"))
+                .when(
+                  s === "STRING",
+                  try_variant_get(c, "$", "string").try_cast("boolean"))
+                .when(
+                  s.rlike("^(TINYINT|SMALLINT|INT|BIGINT)$"),
+                  try_variant_get(c, "$", "double") =!= 0.0)
+                .when(
+                  s.rlike("^(FLOAT|DOUBLE|DECIMAL|ARRAY|OBJECT|STRUCT|MAP)"),
+                  rejected("boolean")),
+              "boolean")
           case _ =>
-            when(
-              !s.rlike("^(ARRAY|OBJECT|STRUCT|MAP)"),
-              try_variant_get(c, "$", "string"))
+            guarded(
+              when(
+                !s.rlike("^(ARRAY|OBJECT|STRUCT|MAP)"),
+                try_variant_get(c, "$", "string"))
+                .when(lit(true), rejected("string")),
+              "string")
         }
       case Some(_: ArrayType) | Some(_: MapType) | Some(_: StructType)
           if target != "string" =>
-        lit(null).cast(target)
+        when(c.isNull, lit(null).cast(target)).otherwise(rejected(target))
+      case Some(_: ArrayType) | Some(_: MapType) if target == "string" =>
+        // toString accepts scalars/temporals/points, never lists or maps
+        when(c.isNull, lit(null).cast(target)).otherwise(rejected(target))
       case Some(StringType) if target == "long" =>
         // exact int64 strings parse directly (no double round-trip — values
         // above 2^53 would lose precision); '2.9'-style strings fall back
@@ -77,7 +124,10 @@ object Functions {
         t2 match {
           case ByteType | ShortType | IntegerType | LongType =>
             c.cast("double") =!= 0.0
-          case _ => lit(null).cast("boolean") // floats don't convert
+          case _ =>
+            // floats are a rejected TYPE for toBoolean
+            when(c.isNull, lit(null).cast("boolean"))
+              .otherwise(rejected("boolean"))
         }
       case _ => c.try_cast(target)
     }
@@ -139,6 +189,10 @@ object Functions {
         } else if (distinct)
           sum_distinct(a(0)).cast("double") / count_distinct(a(0))
         else avg(a(0))
+      // NOTE: the reference REJECTS min/max over durations while
+      // accepting LocalTime — both lower to DayTimeIntervalType here, so
+      // the type error is not statically expressible (2 lenient corpus
+      // rows, never a wrong answer: the ordering is well-defined)
       case "min" => min(a(0))
       case "max" => max(a(0))
       case "collect" if args.size == 2 =>
@@ -589,13 +643,21 @@ object Functions {
       case "isempty" => size(a(0)) === 0
       case "exists" => a(0).isNotNull
       case "coalesce" => coalesce(args.map(ctx.lower): _*)
-      case "toboolean" | "tobooleanornull" =>
+      case "toboolean" =>
+        cyConvert(a(0), argType(0), "boolean", Some("toBoolean"))
+      case "tobooleanornull" =>
         cyConvert(a(0), argType(0), "boolean")
-      case "tointeger" | "tointegerornull" =>
+      case "tointeger" =>
+        cyConvert(a(0), argType(0), "long", Some("toInteger"))
+      case "tointegerornull" =>
         cyConvert(a(0), argType(0), "long")
-      case "tofloat" | "tofloatornull" =>
+      case "tofloat" =>
+        cyConvert(a(0), argType(0), "double", Some("toFloat"))
+      case "tofloatornull" =>
         cyConvert(a(0), argType(0), "double")
-      case "tostring" | "tostringornull" =>
+      case "tostring" =>
+        cyConvert(a(0), argType(0), "string", Some("toString"))
+      case "tostringornull" =>
         cyConvert(a(0), argType(0), "string")
       case "tointegerlist" | "tofloatlist" | "tostringlist" |
           "tobooleanlist" =>

@@ -49,6 +49,19 @@ final class Planner(
   private var nodeCursor = 0L
   private var edgeCursor = 0L
   private var subHigh: Long = g.idBase
+
+  /** Variables DELETEd earlier in this statement: later SET/REMOVE on
+    * them is a plan-time error and their frame columns are poisoned
+    * (reference "Trying to use a deleted object" runtime errors). A name
+    * leaves the set when it leaves scope (a WITH that drops it — a later
+    * fresh binding of the same name is a different variable). */
+  private var deletedVars: Set[String] = Set.empty
+
+  /** True under a `USING PERIODIC COMMIT` prefix: per-batch commits make
+    * deletions visible to later clauses, so a write to a deleted entity
+    * raises; the same-transaction form silently no-ops instead
+    * (delete.feature vs periodic_delete.feature). */
+  private var periodicMode: Boolean = false
   def idHighWater: Long =
     math.max(
       if (nodeCursor > 0 || edgeCursor > 0) myBase else g.idBase,
@@ -116,11 +129,17 @@ final class Planner(
 
   def plan(q: Query): DataFrame = {
     hopsLimit = q.hopsLimit
+    periodicMode = q.periodic
     // getHopsCounter() (hops_limit.hpp counter): exactly 0 for statements
     // that plan no expansion at all; a statement that DOES traverse
     // reports the reference's LAZY pull count, which batch execution
     // cannot reproduce — those raise (skip), never a wrong number.
     hopsCounterStatic = if (statementTraverses(q)) None else Some(0L)
+    // the reference rejects mixing UNION and UNION ALL in one statement
+    // (symbol_generator: "Invalid combination of UNION and UNION ALL")
+    if (q.unions.map(_._1).distinct.size > 1)
+      throw new IllegalArgumentException(
+        "Invalid combination of UNION and UNION ALL.")
     val first = planSingle(q.first)
     q.unions.foldLeft(first) { case (acc, (all, sq)) =>
       val u = acc.unionByName(planSingle(sq))
@@ -129,7 +148,14 @@ final class Planner(
   }
 
   def planSingle(sq: SingleQuery): DataFrame =
-    sq.clauses.foldLeft(initial)(planClause).df
+    sq.clauses.foldLeft(initial) { (lf, c) =>
+      val next = planClause(lf, c)
+      // deleted-name tracking follows scope: once a projection drops the
+      // name, a later binding of it is a fresh variable
+      if (deletedVars.nonEmpty)
+        deletedVars = deletedVars.filter(next.scope.contains)
+      next
+    }.df
 
   /** Plan a SingleQuery from a caller-provided seed frame — the
     * periodic.iterate batch driver's entry point. `hints` carries the
@@ -170,7 +196,7 @@ final class Planner(
     // conservative: a false positive only skips getHopsCounter(), never
     // mis-answers it
     def inExpr(e: Expr): Boolean = e match {
-      case PatternPredicate(p, _) => p.hops.nonEmpty
+      case PatternPredicate(p, _, _) => p.hops.nonEmpty
       case _: PatternComprehension => true
       case _: ExistsSubquery => true
       case BinOp(_, a, b) => inExpr(a) || inExpr(b)
@@ -810,6 +836,12 @@ final class Planner(
           require(
             config.contains("dimension"),
             "vector index CONFIG needs a dimension")
+          // an edge carries exactly ONE type — an AND combo can never
+          // match (vector_edge_search.feature rejects it)
+          if (kind == "vector-edge" && label.exists(_.contains("&")))
+            throw new IllegalArgumentException(
+              "a vector edge index cannot use an AND (&) type combination" +
+                " — an edge has exactly one type")
         }
         if (kind == "text" || kind == "text-edge")
           require(name.isDefined, "text indexes are named")
@@ -820,6 +852,16 @@ final class Planner(
         state = state.withIndex(
           graft.core.GraphState.IndexDef(kind, label, props, name, config))
       } else {
+        // DROP … WITH CONFIG is only meaningful on label+property
+        // indexes and only understands the "order" key (indices.feature)
+        if (kind == "label" && cfg.isDefined)
+          throw new IllegalArgumentException(
+            "WITH CONFIG is not supported on a label-only index")
+        cfg.map(indexConfig).foreach(_.keys.foreach { k =>
+          if (k != "order")
+            throw new IllegalArgumentException(
+              s"unknown DROP INDEX config key '$k' (only \"order\")")
+        })
         val dropOrder = cfg.map(indexConfig).flatMap(orderOf)
         state = state.dropIndexes { d =>
           if (kind == "vector" || kind == "vector-edge")
@@ -900,7 +942,40 @@ final class Planner(
       val oneRow = lf.df.columns.isEmpty
       patterns.foldLeft(lf)((cur, p) => planCreate(cur, p, oneRow))
     case SetCl(items) => planSet(lf, items)
-    case DeleteCl(detach, exprs) => { planDelete(lf, detach, exprs); lf }
+    case DeleteCl(detach, exprs) =>
+      val plainNodeIds = planDelete(lf, detach, exprs)
+      // reference DELETE (without DETACH) refuses to remove a node that
+      // still has edges AFTER this clause's deletions ("Failed to remove
+      // node because of it's existing connections. Consider using DETACH
+      // DELETE."). The probe is two semi-joins against the post-delete
+      // edge frames — only paid by plain node DELETEs.
+      if (plainNodeIds.nonEmpty) {
+        val ids = plainNodeIds.reduce(_ unionByName _).distinct()
+        val e = state.allEdges
+        val srcHit = !e.join(
+          ids.select(col("__id").as(GraphState.SrcCol)),
+          Seq(GraphState.SrcCol), "left_semi").isEmpty
+        lazy val dstHit = !e.join(
+          ids.select(col("__id").as(GraphState.DstCol)),
+          Seq(GraphState.DstCol), "left_semi").isEmpty
+        if (srcHit || dstHit)
+          throw new IllegalStateException(
+            "Failed to remove node because of it's existing connections. " +
+              "Consider using DETACH DELETE.")
+      }
+      // reference runtime semantics: a LATER projection/filter that uses
+      // a deleted entity raises ("Trying to use a deleted object").
+      // Tracked per variable; project/planWhere wrap referencing
+      // expressions in a row-level guard (NULL bindings stay NULL — the
+      // OPTIONAL MATCH no-op delete must still return null), while
+      // internal frame plumbing (CREATE reuse, checkpoints) stays
+      // untouched. SET/REMOVE on deleted vars no-op (or raise under
+      // PERIODIC COMMIT) — see planSet/planRemove.
+      deletedVars ++= exprs.collect {
+        case Var(v) if lf.scope.get(v).exists(b =>
+          b == Binding.NodeB || b == Binding.EdgeB || b == Binding.PathB) => v
+      }
+      lf
     case RemoveCl(items) => planRemove(lf, items)
     case m: MergeCl => planMergeAndBind(lf, m)
     case ForeachCl(v, listE, updates) =>
@@ -1128,6 +1203,31 @@ final class Planner(
     val returning =
       (if (imports.isEmpty) branches.head.clauses
        else branches.head.clauses.tail).lastOption.exists(_.isInstanceOf[Return])
+    // reference frontend semantics (semantic checks the planner must
+    // reproduce): scoped imports must be distinct, every non-variable
+    // RETURN item must be aliased, and no returned name may shadow a
+    // variable the OUTER scope already binds — in the reference these are
+    // query-compile errors, not silent rebinds.
+    if (imports.distinct.size != imports.size)
+      throw new IllegalArgumentException(
+        s"CALL subquery imports a variable twice: ${imports.mkString(", ")}")
+    branches.foreach { sq =>
+      (if (imports.isEmpty) sq.clauses else sq.clauses.tail).lastOption match {
+        case Some(Return(b)) if !b.star =>
+          b.items.foreach { it =>
+            val outName = it.as.orElse(it.expr match {
+              case Var(nm) => Some(nm)
+              case _ => None
+            }).getOrElse(throw new IllegalArgumentException(
+              "Expression returned from a CALL { } subquery must be " +
+                "aliased (use AS)"))
+            if (lf.scope.contains(outName))
+              throw new IllegalArgumentException(
+                s"Variable `$outName` already declared in outer scope")
+          }
+        case _ => ()
+      }
+    }
     // `CALL (a, b) { }` scoped imports stay VISIBLE through the body's own
     // WITH projections (memgraph scoped-subquery scoping) — carry them
     def carryClauses(cs: Seq[Clause]): Seq[Clause] =
@@ -1243,13 +1343,18 @@ final class Planner(
     * variable computed by [[planRollUp]]; returns the extended frame. */
   private def rewritePatternComprehensions(
       lf0: LF,
-      items: Seq[(String, Expr)]): (LF, Seq[(String, Expr)]) = {
+      items: Seq[(String, Expr)],
+      /** Position admits `exists((…))` (a MATCH-WHERE expression tree):
+        * the reference forbids the predicate everywhere else — WITH
+        * WHERE, RETURN, SET values, CASE branches and reduce bodies all
+        * reject it (memgraph_exists.feature). */
+      allowExists: Boolean = false): (LF, Seq[(String, Expr)]) = {
     var cur = lf0
     // `bound` = lambda vars of enclosing comprehensions/quantifiers: a
     // pattern comprehension whose pattern references one is correlated
     // PER LIST ELEMENT — not expressible as a frame-level RollUpApply, so
     // raise instead of silently planning it uncorrelated (wrong answer)
-    def rw(e: Expr, bound: Set[String]): Expr = e match {
+    def rw(e: Expr, bound: Set[String], allowEx: Boolean = allowExists): Expr = e match {
       case pc: PatternComprehension =>
         val patVars = pc.pattern.start.variable.toSeq ++
           pc.pattern.hops.flatMap { case (r, nd) =>
@@ -1258,6 +1363,15 @@ final class Planner(
         if (patVars.exists(bound))
           throw new UnsupportedOperationException(
             "pattern comprehension correlated on a comprehension variable")
+        // the reference rejects REUSING an already bound relationship
+        // variable inside a comprehension pattern (a relationship appears
+        // once per match — rebinding it is a semantic error)
+        val reusedRel = pc.pattern.hops.flatMap(_._1.variable)
+          .filter(v => cur.scope.get(v).contains(Binding.EdgeB))
+        if (reusedRel.nonEmpty)
+          throw new IllegalArgumentException(
+            s"pattern comprehension cannot reuse the bound relationship " +
+              s"variable ${reusedRel.mkString(", ")}")
         val name = fresh("pc")
         cur = planRollUp(cur, name, pc)
         Var(name)
@@ -1266,7 +1380,11 @@ final class Planner(
       // RollUpApply as a comprehension, compared size > 0. Top-level
       // WHERE conjuncts keep the cheaper decorrelated semi/anti join
       // (planWhere splits them out before this rewrite runs).
-      case PatternPredicate(p, negated) =>
+      case PatternPredicate(p, negated, _) =>
+        if (!allowEx)
+          throw new UnsupportedOperationException(
+            "exists(...) / a bare pattern predicate is only allowed " +
+              "inside a MATCH ... WHERE expression")
         val patVars = p.start.variable.toSeq ++
           p.hops.flatMap { case (r, nd) =>
             r.variable.toSeq ++ nd.variable.toSeq
@@ -1330,17 +1448,24 @@ final class Planner(
       case IsNull(x, n) => IsNull(rw(x, bound), n)
       case FnCall(n, d, as) => FnCall(n, d, as.map(rw(_, bound)))
       case CaseExpr(s, ws, d) =>
+        // the reference forbids exists() inside CASE branches
         CaseExpr(
-          s.map(rw(_, bound)),
-          ws.map { case (a, b) => (rw(a, bound), rw(b, bound)) },
-          d.map(rw(_, bound)))
+          s.map(rw(_, bound, allowEx = false)),
+          ws.map { case (a, b) =>
+            (rw(a, bound, allowEx = false), rw(b, bound, allowEx = false))
+          },
+          d.map(rw(_, bound, allowEx = false)))
       case Subscript(a, b) => Subscript(rw(a, bound), rw(b, bound))
       case Slice(a, b, c) =>
         Slice(rw(a, bound), b.map(rw(_, bound)), c.map(rw(_, bound)))
       case ListLit(is) => ListLit(is.map(rw(_, bound)))
       case MapLit(is) => MapLit(is.map { case (k, v) => (k, rw(v, bound)) })
       case Reduce(acc, i, v, l, st) =>
-        Reduce(acc, rw(i, bound), v, rw(l, bound), rw(st, bound + acc + v))
+        // the reference forbids exists() inside reduce
+        Reduce(
+          acc, rw(i, bound, allowEx = false), v,
+          rw(l, bound, allowEx = false),
+          rw(st, bound + acc + v, allowEx = false))
       case ListComprehension(v, l, w, p) =>
         ListComprehension(
           v, rw(l, bound), w.map(rw(_, bound + v)), p.map(rw(_, bound + v)))
@@ -1537,8 +1662,22 @@ final class Planner(
     // label array — visible to unlabeled MATCH, invisible to label scans.
     def ensureNode(cur: LF, n: NodePattern): (LF, String) = {
       val name = n.variable.getOrElse(fresh("cn"))
-      if (n.variable.exists(cur.scope.contains)) (cur, name)
+      if (n.variable.exists(cur.scope.contains)) {
+        // reference frontend: reusing a bound variable in CREATE must be
+        // a BARE `(n)` — any label or property map (even `{}`) is a
+        // compile error, not a silent no-op (LabelsAcceptance TCK)
+        if (n.labels.nonEmpty || n.orLabels.nonEmpty || n.hasPropsToken)
+          throw new IllegalArgumentException(
+            s"CREATE cannot add labels or properties to the already " +
+              s"bound variable `$name`")
+        (cur, name)
+      }
       else {
+        // `CREATE (n:A|B)` — a label ALTERNATION cannot create (which
+        // label would the node get?); the reference rejects it
+        if (n.orLabels.nonEmpty)
+          throw new IllegalArgumentException(
+            "Label alternation (|) is not allowed in CREATE")
         val base0 =
           if (cur.df.columns.isEmpty) spark.range(1).toDF().select()
           else cur.df
@@ -1779,7 +1918,26 @@ final class Planner(
     * current frame's bound columns, so a RETURN later in the same statement
     * sees them — the reference's Accumulate visibility (operator.hpp:1870).
     */
-  private def planSet(lf: LF, items: Seq[SetItem]): LF = items.foldLeft(lf) {
+  private def planSet(lf: LF, items: Seq[SetItem]): LF = {
+    // write to a DELETEd variable: raises under PERIODIC COMMIT (the
+    // per-batch commit made the delete visible); silent no-op in the
+    // same-transaction form — both per delete.feature/periodic_delete
+    val live = items.filter { it =>
+      val v = it match {
+        case SetProp(v0, _, _) => v0
+        case SetLabelsItem(v0, _) => v0
+        case SetAllProps(v0, _, _) => v0
+        case SetNestedProp(v0, _, _, _) => v0
+      }
+      if (deletedVars.contains(v) && periodicMode)
+        throw new IllegalStateException(
+          s"Trying to set properties on a deleted object (variable `$v`).")
+      !deletedVars.contains(v)
+    }
+    planSetItems(lf, live)
+  }
+
+  private def planSetItems(lf: LF, items: Seq[SetItem]): LF = items.foldLeft(lf) {
     case (cur0, SetProp(v, key, e0)) =>
       // pattern comprehensions / degree calls in SET values go through the
       // same frame rewrite as WITH/RETURN items (evaluated against the
@@ -1963,15 +2121,20 @@ final class Planner(
       LF(df2, lf.scope)
   }
 
-  private def planDelete(lf: LF, detach: Boolean, exprs: Seq[Expr]): Unit =
+  /** Apply the deletions; returns the id frames (`__id` column) of nodes
+    * deleted WITHOUT DETACH — the caller's dangling-edge check input. */
+  private def planDelete(
+      lf: LF, detach: Boolean, exprs: Seq[Expr]): Seq[DataFrame] = {
+    val plainNodeIds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     exprs.foreach {
       case Var(v) if lf.scope.get(v).exists(b =>
           b == Binding.NodeB || b == Binding.EdgeB || b == Binding.PathB) =>
         lf.scope.get(v).get match {
           case Binding.NodeB =>
-            state = Mutations.deleteNodes(
-              state, lf.df.select(Frames.id(v)).distinct(), detach,
-              nodeHint(v))
+            val ids = lf.df.select(Frames.id(v)).distinct()
+            state = Mutations.deleteNodes(state, ids, detach, nodeHint(v))
+            if (!detach)
+              plainNodeIds += ids.select(Frames.id(v).as("__id"))
           case Binding.EdgeB =>
             state = Mutations.deleteEdgesAllTypes(
               state, lf.df.select(Frames.id(v)).distinct(), edgeHint(v))
@@ -1985,28 +2148,32 @@ final class Planner(
                 state,
                 lf.df.select(explode(col(eCol)).as("__id")).distinct(),
                 None)
-            if (lf.df.columns.contains(nCol))
-              state = Mutations.deleteNodes(
-                state,
-                lf.df.select(explode(col(nCol)).as("__id")).distinct(),
-                detach,
-                None)
+            if (lf.df.columns.contains(nCol)) {
+              val ids = lf.df.select(explode(col(nCol)).as("__id")).distinct()
+              state = Mutations.deleteNodes(state, ids, detach, None)
+              if (!detach) plainNodeIds += ids
+            }
         }
       case e =>
         // entity-VALUED expression (`DELETE friends[0]`, `DELETE map.k`,
         // TCK DeleteAcceptance): dispatch on the value's static shape,
         // recursing through lists/maps/paths
         val low = lowering(lf)
-        deleteValueFrame(lf.df.select(low.lower(e).as("__del")), detach)
+        plainNodeIds ++=
+          deleteValueFrame(lf.df.select(low.lower(e).as("__del")), detach)
     }
+    plainNodeIds.toSeq
+  }
 
   /** Delete the entities held in a VALUE column: structs with the
     * node/edge signature delete by id, arrays recurse element-wise, path
-    * values ({nodes, edges}) delete both sides. */
-  private def deleteValueFrame(df: DataFrame, detach: Boolean): Unit = {
+    * values ({nodes, edges}) delete both sides. Returns the id frames of
+    * nodes deleted without DETACH (dangling-edge check input). */
+  private def deleteValueFrame(
+      df: DataFrame, detach: Boolean): Seq[DataFrame] = {
     import org.apache.spark.sql.types.{ArrayType, NullType, StructType}
     df.schema("__del").dataType match {
-      case NullType => ()
+      case NullType => Nil
       case ArrayType(_, _) =>
         deleteValueFrame(
           df.select(explode(col("__del")).as("__del")), detach)
@@ -2014,9 +2181,9 @@ final class Planner(
           if s.fieldNames.contains("nodes") &&
             s.fieldNames.contains("edges") =>
         deleteValueFrame(
-          df.select(col("__del").getField("edges").as("__del")), detach)
-        deleteValueFrame(
-          df.select(col("__del").getField("nodes").as("__del")), detach)
+          df.select(col("__del").getField("edges").as("__del")), detach) ++
+          deleteValueFrame(
+            df.select(col("__del").getField("nodes").as("__del")), detach)
       case s: StructType
           if s.fieldNames.contains(GraphState.SrcCol) ||
             s.fieldNames.contains(GraphState.TypeCol) =>
@@ -2025,13 +2192,13 @@ final class Planner(
           df.select(col("__del").getField(GraphState.IdCol).as("__id"))
             .filter(col("__id").isNotNull).distinct(),
           None)
+        Nil
       case s: StructType if s.fieldNames.contains(GraphState.IdCol) =>
-        state = Mutations.deleteNodes(
-          state,
-          df.select(col("__del").getField(GraphState.IdCol).as("__id"))
-            .filter(col("__id").isNotNull).distinct(),
-          detach,
-          None)
+        val ids = df
+          .select(col("__del").getField(GraphState.IdCol).as("__id"))
+          .filter(col("__id").isNotNull).distinct()
+        state = Mutations.deleteNodes(state, ids, detach, None)
+        if (detach) Nil else Seq(ids)
       case other =>
         throw new UnsupportedOperationException(s"DELETE on $other value")
     }
@@ -2039,7 +2206,20 @@ final class Planner(
 
   /** Plans REMOVE items; like [[planSet]], writes are reflected into the
     * frame's bound columns (Accumulate visibility). */
-  private def planRemove(lf: LF, items: Seq[RemoveItem]): LF =
+  private def planRemove(lf: LF, items0: Seq[RemoveItem]): LF = {
+    // same deleted-variable split as [[planSet]]
+    val items = items0.filter { it =>
+      val v = it match {
+        case RemoveProp(v0, _) => v0
+        case RemoveNestedProp(v0, _) => v0
+        case RemoveLabelsItem(v0, _) => v0
+      }
+      if (deletedVars.contains(v) && periodicMode)
+        throw new IllegalStateException(
+          s"Trying to remove properties from a deleted object " +
+            s"(variable `$v`).")
+      !deletedVars.contains(v)
+    }
     items.foldLeft(lf) {
       case (cur, RemoveProp(v, key)) =>
         state =
@@ -2088,12 +2268,17 @@ final class Planner(
       case (cur, RemoveLabelsItem(v, labels)) =>
         planLabelsUpdate(cur, v, labels, add = false)
     }
+  }
 
   /** MERGE (v:L {props}) — distinct prop rows; missing ones are created
     * (with ON CREATE SET columns), existing ones get ON MATCH SET updates.
     * Anti-join on the property columns = the reference's match-miss branch.
     */
   private def planMerge(lf: LF, m: MergeCl): Unit = {
+    if ((m.pattern.start +: m.pattern.hops.map(_._2))
+        .exists(_.orLabels.nonEmpty))
+      throw new IllegalArgumentException(
+        "Label alternation (|) is not allowed in MERGE")
     if (m.pattern.hops.nonEmpty) { planMergeRel(lf, m); return }
     val n = m.pattern.start
     val low = lowering(lf)
@@ -2171,7 +2356,9 @@ final class Planner(
         LF(oneRow(lf), lf.scope), n.props)
       val wLow = new ExprLowering(wl.df, wl.scope, params, enums = state.enums)
       wl.df
-        .select(wItems.map { case (k, e) => wLow.lower(e).as(k) }: _*)
+        .select(wItems.map { case (k, e) =>
+          mergePropNotNull(wLow.lower(e)).as(k)
+        }: _*)
         .distinct()
     }
 
@@ -2216,8 +2403,41 @@ final class Planner(
     * path) with post-SET property values — the reference streams
     * matched-or-created rows; after the merge the two sets ARE the
     * re-match. */
+  /** Reference MERGE rejects NULL property values at runtime ("Can't
+    * have null literal properties inside merge!") — null never matches,
+    * so the row would mint an unfindable entity. */
+  private def mergePropNotNull(c: Column): Column =
+    when(
+      c.isNull,
+      raise_error(lit("Can't have null literal properties inside merge!")))
+      .otherwise(c)
+
+  /** Eager variant for the relationship-merge path: one probe over the
+    * distinct inputs (exprs that need the comprehension rewrite validate
+    * downstream instead). */
+  private def assertMergePropsNotNull(lf: LF, part: PatternPart): Unit = {
+    val props = part.start.props ++ part.hops.flatMap {
+      case (r, nd) => r.props ++ nd.props
+    }
+    if (props.isEmpty) return
+    val base = oneRow(lf)
+    val low = new ExprLowering(base, lf.scope, params, enums = state.enums)
+    val cols = props.zipWithIndex.flatMap { case ((_, e), i) =>
+      scala.util.Try(low.lower(e).as(s"__mp$i")).toOption
+    }
+    if (cols.isEmpty) return
+    val probe = base.select(cols: _*)
+    val anyNull = probe
+      .filter(probe.columns.map(col(_).isNull).reduce(_ || _))
+      .limit(1)
+    if (!anyNull.isEmpty)
+      throw new IllegalArgumentException(
+        "Can't have null literal properties inside merge!")
+  }
+
   private def planMergeRel(lf: LF, m: MergeCl): LF = {
     val part = m.pattern
+    assertMergePropsNotNull(lf, part)
     val patVars = part.start.variable.toSeq ++ part.hops.flatMap {
       case (r, n) => r.variable.toSeq ++ n.variable.toSeq
     }
@@ -4185,15 +4405,22 @@ final class Planner(
 
   private def planWhere(lf: LF, where: Expr): LF =
     conjuncts(where).foldLeft(lf) {
-      case (cur, PatternPredicate(p, _)) => patternJoin(cur, p, anti = false)
-      case (cur, Not(PatternPredicate(p, _))) => patternJoin(cur, p, anti = true)
+      case (cur, PatternPredicate(p, _, bare)) =>
+        patternJoin(cur, p, anti = false, bare = bare)
+      case (cur, Not(PatternPredicate(p, _, bare))) =>
+        patternJoin(cur, p, anti = true, bare = bare)
       case (cur, ExistsSubquery(q)) => planExistsSubquery(cur, q, anti = false)
       case (cur, Not(ExistsSubquery(q))) =>
         planExistsSubquery(cur, q, anti = true)
       case (cur, e) =>
         // frame-dependent rewrites (degree calls, pattern comprehensions)
-        // apply in WHERE too; helper columns wash out at the next projection
-        val (cur2, items) = rewritePatternComprehensions(cur, Seq(("__w", e)))
+        // apply in WHERE too; helper columns wash out at the next projection.
+        // MATCH-WHERE is the one position where nested exists((…)) is
+        // legal (direct CASE/reduce children still reject — the rewrite
+        // flips the flag one level down, which covers the reference's
+        // grammar-level restriction).
+        val (cur2, items) = rewritePatternComprehensions(
+          cur, Seq(("__w", guardDeleted(e))), allowExists = true)
         // entity-valued access on path / var-length bindings ((r[0]).id)
         // needs the struct materialization here too, not just in RETURN
         var cur3 = cur2
@@ -4297,11 +4524,22 @@ final class Planner(
   /** Decorrelated pattern predicate: seed the sub-pattern from the distinct
     * bindings of its shared variables, expand, then semi/anti join back —
     * reference `EvaluatePatternFilter` (operator.hpp:2427) as a join. */
-  private def patternJoin(lf: LF, part: PatternPart, anti: Boolean): LF = {
+  private def patternJoin(
+      lf: LF, part: PatternPart, anti: Boolean,
+      bare: Boolean = false): LF = {
     val patVars =
       (part.start.variable.toSeq ++ part.hops.flatMap { case (r, n) =>
         r.variable.toSeq ++ n.variable.toSeq
       })
+    // the reference rejects NEW named variables inside a pattern
+    // predicate (`WHERE (a)-[:NEXT]->(b)` with unbound b — use an
+    // anonymous node, a pattern comprehension, or a full MATCH)
+    val fresh0 = patVars.filterNot(lf.scope.contains).distinct
+    if (bare && fresh0.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Invalid use of new variable(s) ${fresh0.mkString(", ")} in a " +
+          "pattern expression — only bound or anonymous pattern elements " +
+          "are allowed here")
     val shared = patVars.filter(lf.scope.contains).distinct
     require(
       shared.nonEmpty,
@@ -4552,7 +4790,7 @@ final class Planner(
       case ListComprehension(_, l, w, p) => g(l); w.foreach(g); p.foreach(g)
       case Quantifier(_, _, l, p) => g(l); g(p)
       case HasLabel(a, _) => g(a)
-      case PatternPredicate(p, _) => gPart(p)
+      case PatternPredicate(p, _, _) => gPart(p)
       case PatternComprehension(p, w, proj) => gPart(p); w.foreach(g); g(proj)
       case ExistsSubquery(q) =>
         (q.first.clauses ++ q.unions.flatMap(_._2.clauses)).foreach {
@@ -4614,11 +4852,21 @@ final class Planner(
         ListComprehension(v, s(l), w.map(s), p.map(s))
       case Quantifier(k, v, l, p) => Quantifier(k, v, s(l), s(p))
       case HasLabel(x, l) => HasLabel(s(x), l)
-      case PatternPredicate(p, neg) => PatternPredicate(sPart(p), neg)
+      case PatternPredicate(p, neg, b) => PatternPredicate(sPart(p), neg, b)
       case PatternComprehension(p, w, proj) =>
         PatternComprehension(sPart(p), w.map(s), s(proj))
       case other => other
     }
+  }
+
+  /** Wrap an expression referencing DELETEd variables in the runtime
+    * guard (reference "Trying to use a deleted object"); identity when
+    * none are referenced. Bare entity passthroughs in WITH stay
+    * unwrapped — carrying a deleted binding is legal, using it is not. */
+  private def guardDeleted(e: Expr): Expr = {
+    if (deletedVars.isEmpty) return e
+    val used = varsIn(e).filter(deletedVars).toSeq.sorted
+    if (used.isEmpty) e else DeletedGuard(e, used)
   }
 
   private def project(
@@ -4627,14 +4875,32 @@ final class Planner(
       whereAfter: Option[Expr],
       isReturn: Boolean): LF = {
     val itemsRaw: Seq[(String, Expr)] =
-      if (body.star)
-        lf0.scope.vars.collect {
-          case (n, _) if !n.startsWith("__") => (n, Var(n))
-        }
-      else
-        body.items.zipWithIndex.map { case (ReturnItem(e, as), i) =>
-          (as.getOrElse(deriveAlias(e, i)), e)
-        }
+      (if (body.star)
+         lf0.scope.vars.collect {
+           case (n, _) if !n.startsWith("__") => (n, Var(n))
+         }
+       else
+         body.items.zipWithIndex.map { case (ReturnItem(e, as), i) =>
+           (as.getOrElse(deriveAlias(e, i)), e)
+         }).map { case (n, e) =>
+        // RETURN evaluates (raise on deleted); a WITH passthrough only
+        // carries the binding (legal)
+        (n, if (isReturn || !e.isInstanceOf[Var]) guardDeleted(e) else e)
+      }
+    // the reference rejects aggregation calls INSIDE a CASE expression
+    // (`RETURN CASE count(n) WHEN …` — aggregates must be projection
+    // items, not CASE operands)
+    locally {
+      val l0 = lowering(lf0)
+      itemsRaw.foreach {
+        case (_, CaseExpr(s, ws, d))
+            if (s.toSeq ++ ws.flatMap(p => Seq(p._1, p._2)) ++ d.toSeq)
+              .exists(l0.hasAgg) =>
+          throw new IllegalArgumentException(
+            "aggregation functions are not allowed inside CASE")
+        case _ => ()
+      }
+    }
     // RollUpApply pre-pass: pattern comprehensions (and degree() calls)
     // become computed columns — covering the projection items AND the
     // trailing WHERE / ORDER BY expressions (the reference plans one
@@ -4655,9 +4921,10 @@ final class Planner(
       val l0 = lowering(lf0)
       itemsRaw.exists { case (_, e) => l0.hasAgg(e) }
     }
-    val waRaw = whereAfter.toSeq.map(e => ("__wa", substVars(e, aliasBack)))
+    val waRaw = whereAfter.toSeq.map(e =>
+      ("__wa", guardDeleted(substVars(e, aliasBack))))
     val obItems = obRaw.zipWithIndex.map { case ((e, _), i) =>
-      (s"__ob$i", substVars(e, aliasBack))
+      (s"__ob$i", guardDeleted(substVars(e, aliasBack)))
     }
     val (lfR, rewrittenAll) =
       rewritePatternComprehensions(
@@ -5022,6 +5289,76 @@ object Cypher {
   private val AlterEnumRemoveR =
     "(?is)^\\s*ALTER\\s+ENUM\\s+(\\w+)\\s+REMOVE\\s+VALUE\\s+.*$".r
   private val DropEnumR = "(?is)^\\s*DROP\\s+ENUM\\b.*$".r
+  // trigger / stream DDL (MemgraphCypher.g4:712-767, TriggerQuery
+  // ast.hpp:3577, StreamQuery ast.hpp:3741) — statement-level dispatch
+  // into the GraphStream registries
+  private val CreateTriggerR =
+    ("(?is)^\\s*CREATE\\s+TRIGGER\\s+(\\w+)" +
+      "(?:\\s+SECURITY\\s+(?:DEFINER|INVOKER))?" +
+      "(?:\\s+ON\\s*(?:(\\(\\s*\\))|(--?>))?\\s*(CREATE|UPDATE|DELETE))?" +
+      "\\s+(AFTER|BEFORE)\\s+COMMIT\\s+EXECUTE\\s+(.+)$").r
+  private val DropTriggerR =
+    "(?is)^\\s*DROP\\s+TRIGGER\\s+(\\w+)\\s*;?\\s*$".r
+  private val ShowTriggersR =
+    "(?is)^\\s*SHOW\\s+(?:TRIGGERS|TRIGGER\\s+INFO)\\s*;?\\s*$".r
+  private val CreateStreamR =
+    "(?is)^\\s*CREATE\\s+(KAFKA|PULSAR)\\s+STREAM\\s+([\\w.-]+)\\b(.*)$".r
+  private val DropStreamR =
+    "(?is)^\\s*DROP\\s+STREAM\\s+([\\w.-]+)\\s*;?\\s*$".r
+  private val StartStopStreamR =
+    "(?is)^\\s*(START|STOP)\\s+STREAM\\s+([\\w.-]+)\\s*;?\\s*$".r
+  private val StartStopAllStreamsR =
+    "(?is)^\\s*(START|STOP)\\s+ALL\\s+STREAMS\\s*;?\\s*$".r
+  private val ShowStreamsR = "(?is)^\\s*SHOW\\s+STREAMS\\s*;?\\s*$".r
+  private val CheckStreamR =
+    "(?is)^\\s*CHECK\\s+STREAM\\b.*$".r
+
+  /** `CREATE KAFKA|PULSAR STREAM` config tail → (SourceSpec, TRANSFORM
+    * name). Configs are keyword-introduced and order-free
+    * (kafkaCreateStreamConfig / pulsarCreateStreamConfig,
+    * MemgraphCypher.g4:754-767). */
+  private def streamSpecOf(kind: String, tail: String)
+    : (graft.streaming.GraphStream.SourceSpec, Option[String]) = {
+    val kws = Seq(
+      "TOPICS", "TRANSFORM", "BATCH_INTERVAL", "BATCH_SIZE",
+      "CONSUMER_GROUP", "BOOTSTRAP_SERVERS", "CONFIGS", "CREDENTIALS",
+      "SERVICE_URL")
+    val kwRe = ("(?i)\\b(" + kws.mkString("|") + ")\\b").r
+    val hits = kwRe.findAllMatchIn(tail).toSeq
+    val entries: Map[String, String] = hits.zipWithIndex.map {
+      case (m, i) =>
+        val end =
+          if (i + 1 < hits.length) hits(i + 1).start else tail.length
+        m.group(1).toUpperCase ->
+          tail.substring(m.end, end).trim.stripSuffix(";").trim
+    }.toMap
+    def unq(s: String): String = {
+      val t = s.trim
+      if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("\"") && t.endsWith("\"")))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    def mapOf(s: String): Map[String, String] = {
+      val body = s.trim.stripPrefix("{").stripSuffix("}")
+      "([\\w.-]+|'[^']*'|\"[^\"]*\")\\s*:\\s*('[^']*'|\"[^\"]*\"|[^,}]+)".r
+        .findAllMatchIn(body)
+        .map(m => unq(m.group(1)) -> unq(m.group(2)))
+        .toMap
+    }
+    val spec = graft.streaming.GraphStream.SourceSpec(
+      format = kind,
+      topics = entries.get("TOPICS").toSeq
+        .flatMap(_.split(",").map(unq).map(_.trim).filter(_.nonEmpty)),
+      bootstrapServers = entries.get("BOOTSTRAP_SERVERS").map(unq),
+      consumerGroup = entries.get("CONSUMER_GROUP").map(unq),
+      serviceUrl = entries.get("SERVICE_URL").map(unq),
+      batchIntervalMs = entries.get("BATCH_INTERVAL").map(unq(_).toLong),
+      batchSize = entries.get("BATCH_SIZE").map(unq(_).toLong),
+      configs = entries.get("CONFIGS").map(mapOf).getOrElse(Map.empty) ++
+        entries.get("CREDENTIALS").map(mapOf).getOrElse(Map.empty))
+    (spec, entries.get("TRANSFORM").map(unq))
+  }
 
   /** Effective parameters: client bindings shadow server-side ones
     * (server_side_parameters.feature). */
@@ -5091,6 +5428,98 @@ object Cypher {
       throw new UnsupportedOperationException(
         "DROP ENUM is not supported (stored properties may reference " +
           "its values — the reference refuses too)")
+    case CreateTriggerR(name, emptyV, emptyE, event, phase, stmt) =>
+      import graft.streaming.GraphStream
+      require(
+        !GraphStream.triggerRegistry.contains(name),
+        s"trigger '$name' already exists")
+      // validate the body parses NOW (the reference compiles the trigger
+      // statement at CREATE time too) — predefined vars become params
+      val probe = Seq(
+        "createdVertices", "createdEdges", "updatedVertices",
+        "updatedEdges", "deletedVertices", "deletedEdges")
+        .foldLeft(stmt.trim)((s2, v) =>
+          s2.replaceAll(
+            s"(?<![\\w$$])$v\\b",
+            java.util.regex.Matcher.quoteReplacement("$" + v)))
+      CypherParser.parse(probe)
+      GraphStream.triggerRegistry.put(
+        name,
+        GraphStream.StoredTrigger(
+          name,
+          if (emptyV != null) Some("vertex")
+          else if (emptyE != null) Some("edge")
+          else None,
+          Option(event).map(_.toUpperCase),
+          phase.equalsIgnoreCase("BEFORE"),
+          stmt.trim))
+      ExecResult(g, spark.range(0).toDF().select())
+    case DropTriggerR(name) =>
+      require(
+        graft.streaming.GraphStream.triggerRegistry.remove(name).nonEmpty,
+        s"trigger '$name' does not exist")
+      ExecResult(g, spark.range(0).toDF().select())
+    case ShowTriggersR() =>
+      import spark.implicits._
+      ExecResult(
+        g,
+        graft.streaming.GraphStream.triggerRegistry.values.toSeq
+          .sortBy(_.name)
+          .map(t => (
+            t.name, t.statement,
+            (t.entity.map(e => if (e == "vertex") "() " else "--> ")
+              .getOrElse("") + t.event.getOrElse("ANY")).trim,
+            if (t.before) "BEFORE COMMIT" else "AFTER COMMIT"))
+          .toDF("trigger name", "statement", "event type", "phase"))
+    case CreateStreamR(kind, name, tail) =>
+      import graft.streaming.GraphStream
+      require(
+        !GraphStream.streamRegistry.contains(name),
+        s"stream '$name' already exists")
+      val (spec, transform) =
+        streamSpecOf(kind.toLowerCase, tail)
+      GraphStream.streamRegistry.put(
+        name,
+        GraphStream.StoredStream(
+          name, kind.toLowerCase, spec, transform, running = false))
+      ExecResult(g, spark.range(0).toDF().select())
+    case DropStreamR(name) =>
+      require(
+        graft.streaming.GraphStream.streamRegistry.remove(name).nonEmpty,
+        s"stream '$name' does not exist")
+      ExecResult(g, spark.range(0).toDF().select())
+    case StartStopStreamR(action, name) =>
+      import graft.streaming.GraphStream
+      val st = GraphStream.streamRegistry.getOrElse(
+        name,
+        throw new IllegalArgumentException(s"stream '$name' does not exist"))
+      GraphStream.streamRegistry.put(
+        name, st.copy(running = action.equalsIgnoreCase("START")))
+      ExecResult(g, spark.range(0).toDF().select())
+    case StartStopAllStreamsR(action) =>
+      import graft.streaming.GraphStream
+      val run = action.equalsIgnoreCase("START")
+      GraphStream.streamRegistry.keys.foreach(n =>
+        GraphStream.streamRegistry.put(
+          n, GraphStream.streamRegistry(n).copy(running = run)))
+      ExecResult(g, spark.range(0).toDF().select())
+    case ShowStreamsR() =>
+      import spark.implicits._
+      ExecResult(
+        g,
+        graft.streaming.GraphStream.streamRegistry.values.toSeq
+          .sortBy(_.name)
+          .map(st => (
+            st.name, st.kind,
+            st.spec.batchIntervalMs, st.spec.batchSize,
+            st.transform.orNull, st.running))
+          .toDF(
+            "name", "type", "batch_interval", "batch_size",
+            "transformation_name", "is running"))
+    case CheckStreamR() =>
+      throw new UnsupportedOperationException(
+        "CHECK STREAM needs a live broker consumer — start the stream " +
+          "through GraphStream.ingest with the registered spec instead")
     case ExplainPrefix(kind, rest) =>
       val planner = new Planner(spark, g, mergedParams(g, params))
       val df = planner.plan(CypherParser.parse(rest))

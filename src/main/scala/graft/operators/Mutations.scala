@@ -51,11 +51,40 @@ object Mutations {
   def unionReconciled(a: DataFrame, b: DataFrame): DataFrame =
     GraphState.unionReconciled(a, b)
 
-  /** Append nodes (schema: `_id`, `_labels`, props). New labels allowed. */
-  def createNodes(g: GraphState, label: String, rows: DataFrame): GraphState =
+  /** Append nodes (schema: `_id`, `_labels`, props). New labels allowed.
+    * A declared vector index over the label validates the property's
+    * dimension EAGERLY (the reference raises at write, vector_index.cpp)
+    * — one bounded probe, only when an index covers the label. */
+  def createNodes(g: GraphState, label: String, rows: DataFrame): GraphState = {
+    g.indexes.foreach { d =>
+      if (d.kind == "vector" && d.props.nonEmpty &&
+        d.label.exists(GraphState.LabelSpec.coversFrame(_, label))) {
+        val p = d.props.head
+        d.config.get("dimension").map(_.toString.toLong).foreach { n =>
+          if (rows.columns.contains(p)) {
+            // AND-combo / wildcard specs only cover rows carrying EVERY
+            // listed label (same row gate as the read path)
+            val rowGate = d.label
+              .map(spec =>
+                GraphState.LabelSpec.rowPredicate(spec, col(LabelsCol)))
+              .getOrElse(lit(true))
+            val bad = rows
+              .filter(
+                rowGate && col(p).isNotNull &&
+                  size(col(p).cast("array<double>")) =!= n)
+              .limit(1)
+            if (!bad.isEmpty)
+              throw new IllegalArgumentException(
+                s"vector index ${d.name.getOrElse(p)}: property $p has " +
+                  s"the wrong dimension (expected $n)")
+          }
+        }
+      }
+    }
     if (g.hasLabel(label))
       g.withNodes(label, () => unionReconciled(g.nodes(label), rows))
     else g.withNodes(label, () => rows)
+  }
 
   /** Append edges (schema: `_id`, `_src`, `_dst`, `_type`, props).
     * Append-only, so the derived version keeps serving the ancestor's
@@ -323,7 +352,11 @@ object Mutations {
           val others = s.fields.toSeq.filter(_.name != last)
             .map(f => cur.getField(f.name).as(f.name))
           struct(others :+ v.as(last): _*)
-        case _ => struct(v.as(last))
+        case NullType => struct(v.as(last))
+        case other =>
+          throw new IllegalArgumentException(
+            s"nested SET walks through a non-map value ($other) — " +
+              "intermediate path segments must be maps/records")
       }
     case head +: rest =>
       t match {
@@ -335,8 +368,15 @@ object Mutations {
           val others = s.fields.toSeq.filter(_.name != head)
             .map(f => cur.getField(f.name).as(f.name))
           struct(others :+ nestedSet(sub, subT, rest, v).as(head): _*)
-        case _ =>
+        case NullType =>
           struct(nestedSet(lit(null), NullType, rest, v).as(head))
+        case other =>
+          // a SCALAR intermediate (SET n.details.age.dummy … where age is
+          // a number) is a type error in the reference, not a silent
+          // record rebuild
+          throw new IllegalArgumentException(
+            s"nested SET walks through a non-map value ($other) — " +
+              "intermediate path segments must be maps/records")
       }
   }
 
@@ -454,9 +494,16 @@ object Mutations {
       path: Seq[String],
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
+    val frames = prune(g.nodeLabels, only)
+    // the reference raises when the TOP-LEVEL property does not exist on
+    // any targeted entity (`REMOVE n.nonexistent.nonexistent`); frames
+    // that merely lack the column while a sibling frame has it no-op
+    if (frames.nonEmpty && !frames.exists(l => g.nodes(l).columns.contains(prop)))
+      throw new IllegalArgumentException(
+        s"nested REMOVE: property '$prop' does not exist")
     val (rmG, upG) = nestedRemoveKeys(ids)
     var out = g
-    prune(g.nodeLabels, only).foreach { l =>
+    frames.foreach { l =>
       out = out.withNodes(
         l, () => nestedRemove(g.nodes(l), rmG, upG, prop, path))
     }
@@ -471,9 +518,13 @@ object Mutations {
       path: Seq[String],
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested REMOVE needs at least two path segments")
+    val frames = prune(g.edgeTypes, only)
+    if (frames.nonEmpty && !frames.exists(t => g.edges(t).columns.contains(prop)))
+      throw new IllegalArgumentException(
+        s"nested REMOVE: property '$prop' does not exist")
     val (rmG, upG) = nestedRemoveKeys(ids)
     var out = g
-    prune(g.edgeTypes, only).foreach { t =>
+    frames.foreach { t =>
       out = out.withEdges(
         t, () => nestedRemove(g.edges(t), rmG, upG, prop, path))
     }

@@ -46,13 +46,14 @@ object ApocProcs {
     "path.subgraph_nodes" -> (ctx => subgraph(ctx, withRels = false)),
     "path.subgraph_all" -> (ctx => subgraph(ctx, withRels = true)))
 
-  val writeRegistry: Map[String, WriteProc] = Map(
+  val writeRegistry: Map[String, WriteProc] = Map[String, WriteProc](
     "refactor.rename_label" -> renameLabel,
     "refactor.rename_type" -> renameType,
     "refactor.rename_node_property" -> renameNodeProperty,
     "refactor.rename_type_property" -> renameTypeProperty,
     "refactor.invert" -> invert,
-    "refactor.normalize_as_boolean" -> normalizeAsBoolean)
+    "refactor.normalize_as_boolean" -> normalizeAsBoolean) ++
+    PyTail2Procs.writeRegistry
 
   // ---------------- option helpers ----------------
 

@@ -65,7 +65,8 @@ object Procedures {
     "vector.search" -> vectorSearch,
     "mg.procedures" -> mgProcedures) ++ ApocProcs.registry ++
     ExtraProcs.registry ++ IndexProcs.registry ++ HelperProcs.registry ++
-    MlProcs.registry ++ MetaProcs.registry ++ PyTailProcs.registry
+    MlProcs.registry ++ MetaProcs.registry ++ PyTailProcs.registry ++
+    IgraphProcs.registry ++ PyTail2Procs.registry
 
   /** `CALL mg.procedures()` — registry introspection (the reference's
     * `mg` module lists loaded mgp procedures). */

@@ -8,7 +8,8 @@ object Registry {
       LlmQueries.defs ++ MutationQueries.defs ++ ProcedureQueries.defs ++
       CypherMutationQueries.defs ++ FrontendQueries.defs ++
       StreamingQueries.defs ++ Round3Queries.defs ++ Round9Queries.defs ++
-      Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs
+      Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs ++
+      Round13Queries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(

@@ -177,6 +177,119 @@ object GraphStream {
       .map(ms => Trigger.ProcessingTime(ms))
       .getOrElse(Trigger.AvailableNow())
 
+  // ---------------- DDL registries ----------------
+
+  /** `CREATE TRIGGER name [ON ()|--> CREATE|UPDATE|DELETE] BEFORE|AFTER
+    * COMMIT EXECUTE <statement>` (reference grammar
+    * MemgraphCypher.g4:712, trigger.hpp:93) — the registered statement
+    * runs per matching batch with the predefined trigger variables
+    * (`createdVertices`, `createdEdges`, `updatedVertices`,
+    * `updatedEdges`, `deletedVertices`, `deletedEdges` —
+    * trigger.hpp:103-116) bound from the batch diff. `entity` narrows
+    * the event to vertices (`()`) or edges (`-->`). */
+  final case class StoredTrigger(
+      name: String,
+      entity: Option[String], // "vertex" | "edge"
+      event: Option[String], // "CREATE" | "UPDATE" | "DELETE"
+      before: Boolean,
+      statement: String)
+
+  /** `CREATE KAFKA|PULSAR STREAM name <configs>` (StreamQuery
+    * ast.hpp:3741): the declarative spec + transformation name. Starting
+    * a broker-backed stream happens through [[ingest]] with this spec —
+    * START/STOP here flip the registry status (the reference's consumer
+    * lifecycle needs a live broker either way). */
+  final case class StoredStream(
+      name: String,
+      kind: String, // "kafka" | "pulsar"
+      spec: SourceSpec,
+      transform: Option[String],
+      running: Boolean)
+
+  val triggerRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, StoredTrigger]
+  val streamRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, StoredStream]
+
+  private def eventOf(e: Option[String]): TriggerEvent = e match {
+    case Some("CREATE") => TriggerEvent.OnCreate
+    case Some("UPDATE") => TriggerEvent.OnUpdate
+    case Some("DELETE") => TriggerEvent.OnDelete
+    case _ => TriggerEvent.Any
+  }
+
+  /** Batch diff → predefined trigger variables, as list-of-map
+    * parameters ({id} for vertices, {id, start, end} for edges). The
+    * collect is batch-bounded (BATCH_SIZE caps it) and capped by
+    * `spark.graft.trigger.maxDiffRows`; the trigger statement itself is
+    * a full distributed Cypher statement. */
+  private def diffParams(
+      spark: SparkSession, res: IngestResult): Map[String, Any] = {
+    val cap = spark.conf
+      .get("spark.graft.trigger.maxDiffRows", "100000").toInt
+    def vrows(m: Map[String, DataFrame]): Seq[Map[String, Any]] =
+      m.values.toSeq.flatMap(
+        _.select(GraphState.IdCol).limit(cap).collect()
+          .map(r => Map[String, Any]("id" -> r.getLong(0))))
+    def erows(m: Map[String, DataFrame]): Seq[Map[String, Any]] =
+      m.values.toSeq.flatMap { df =>
+        val cols = Seq(GraphState.IdCol) ++
+          (if (df.columns.contains(GraphState.SrcCol))
+             Seq(GraphState.SrcCol, GraphState.DstCol)
+           else Nil)
+        df.select(cols.map(col): _*).limit(cap).collect().map { r =>
+          val base = Map[String, Any]("id" -> r.getLong(0))
+          if (r.length > 2)
+            base ++ Map("start" -> r.getLong(1), "end" -> r.getLong(2))
+          else base
+        }
+      }
+    Map(
+      "createdVertices" -> vrows(res.createdNodes),
+      "createdEdges" -> erows(res.createdEdges),
+      "updatedVertices" -> vrows(res.updatedNodes),
+      "updatedEdges" -> erows(res.updatedEdges),
+      "deletedVertices" -> vrows(res.deletedNodes),
+      "deletedEdges" -> erows(res.deletedEdges))
+  }
+
+  private val PredefinedVars = Seq(
+    "createdVertices", "createdEdges", "updatedVertices", "updatedEdges",
+    "deletedVertices", "deletedEdges")
+
+  /** The registered DDL triggers as [[TriggerDef]]s: the statement's bare
+    * predefined variables rewrite to parameters and the statement runs as
+    * one Cypher batch against the candidate/committed state. An
+    * entity-narrowed trigger (`ON () CREATE`) no-ops when its entity's
+    * diff is empty. */
+  def ddlTriggerDefs(spark: SparkSession): Seq[TriggerDef] =
+    triggerRegistry.values.toSeq.sortBy(_.name).map { st =>
+      val fn: TriggerFn = (g, res) => {
+        val entityEmpty = (st.entity, st.event) match {
+          case (Some("vertex"), Some("CREATE")) => res.createdNodes.isEmpty
+          case (Some("vertex"), Some("UPDATE")) => res.updatedNodes.isEmpty
+          case (Some("vertex"), Some("DELETE")) => res.deletedNodes.isEmpty
+          case (Some("edge"), Some("CREATE")) => res.createdEdges.isEmpty
+          case (Some("edge"), Some("UPDATE")) => res.updatedEdges.isEmpty
+          case (Some("edge"), Some("DELETE")) => res.deletedEdges.isEmpty
+          case _ => false
+        }
+        if (entityEmpty) g
+        else {
+          val params = diffParams(spark, res)
+          val stmt = PredefinedVars.foldLeft(st.statement)((s, v) =>
+            s.replaceAll(s"(?<![\\w$$])$v\\b", java.util.regex.Matcher
+              .quoteReplacement("$" + v)))
+          graft.cypher.Cypher.execute(spark, g, stmt, params).graph
+        }
+      }
+      TriggerDef(
+        st.name,
+        eventOf(st.event),
+        fn,
+        if (st.before) TriggerPhase.Before else TriggerPhase.After)
+    }
+
   /** Build the streaming reader for a spec (no action taken here). */
   def reader(spark: SparkSession, s: SourceSpec): DataFrame = {
     if (s.format == "kafka" || s.format == "pulsar") {
@@ -202,14 +315,17 @@ object GraphStream {
       triggers: Seq[TriggerDef],
       checkpointDir: String): GraphState = {
     // state evolves batch-serially inside foreachBatch (the reference runs
-    // each transformed batch as one transaction, streams.cpp:520-567)
+    // each transformed batch as one transaction, streams.cpp:520-567);
+    // DDL-registered triggers (CREATE TRIGGER) fire alongside the
+    // API-registered ones
     @volatile var state = initial
+    val allTriggers = triggers ++ ddlTriggerDefs(spark)
     val q = reader(spark, source).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(triggerOf(source))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = transform(state, batch)
-        val (before, after) = triggers
+        val (before, after) = allTriggers
           .filter(t => res.has(t.event))
           .partition(_.phase == TriggerPhase.Before)
         // BEFORE COMMIT: runs against the CANDIDATE version, inside the

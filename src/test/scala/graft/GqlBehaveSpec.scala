@@ -22,7 +22,7 @@ class GqlBehaveSpec extends GqlHarness {
     "list_operations.feature" -> 38,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
-    "create.feature" -> 23,
+    "create.feature" -> 24,
     "delete.feature" -> 11,
     "update_clauses.feature" -> 18,
     "map_projection.feature" -> 7,
@@ -35,7 +35,7 @@ class GqlBehaveSpec extends GqlHarness {
     "map_operations.feature" -> 4,
     "map.feature" -> 11,
     "patterns.feature" -> 19,
-    "subqueries.feature" -> 42,
+    "subqueries.feature" -> 50,
     "parameters.feature" -> 12,
     "pattern_comprehensions.feature" -> 56,
     "cartesian.feature" -> 32,

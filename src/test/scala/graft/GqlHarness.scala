@@ -800,6 +800,7 @@ abstract class GqlHarness extends SparkTestBase {
       case (ErrorExpected, scala.util.Success(_)) =>
         // engine is more permissive than the reference here (e.g. NULL
         // instead of a runtime type error) — leniency, not a wrong answer
+        dbg(s"  LENIENT ${sc.name}: ${sc.query.get.linesIterator.mkString(" ").take(150)}")
         tally.lenient += 1
       case (_, scala.util.Failure(e)) =>
         tally.skip += 1 // unsupported surface (parse/plan/runtime feature)

@@ -22,7 +22,7 @@ class OpenCypherTckSpec extends GqlHarness {
     "ExpressionAcceptance.feature" -> 19,
     "JoinAcceptance.feature" -> 2,
     "KeysAcceptance.feature" -> 9,
-    "LabelsAcceptance.feature" -> 12,
+    "LabelsAcceptance.feature" -> 17,
     "Literals.feature" -> 11,
     "MatchAcceptance.feature" -> 30,
     "MatchAcceptance2.feature" -> 89,
@@ -42,7 +42,7 @@ class OpenCypherTckSpec extends GqlHarness {
     "StartsWithAcceptance.feature" -> 24,
     "TernaryLogicAcceptance.feature" -> 27,
     "TriadicSelection.feature" -> 19,
-    "TypeConversionFunctions.feature" -> 24,
+    "TypeConversionFunctions.feature" -> 42,
     "UnionAcceptance.feature" -> 5,
     "UnwindAcceptance.feature" -> 14,
     "VarLengthAcceptance.feature" -> 28,
