@@ -799,6 +799,13 @@ object ShortestPath {
       maxHops: Int,
       targets: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // r13 A/B (sf0.1, cold selective runs): overprovision=2 4.1 s vs
+    // overprovision=1 5.1 s — the contended-flag window + outCounts join
+    // are NOT the drift; cold runs are dominated by ~2·maxHops driver
+    // round jobs (same per-round job floor as the varexpand fixpoint,
+    // VarExpand.scala:35). The warm sweep sits at ~1.8 s. Both windows
+    // below share one (seed, node) shuffle; the flag only exists when
+    // targets are present AND factor > 1.
     val conf = edges0.sparkSession.conf
     val factor = math.max(
       1L,

@@ -817,7 +817,12 @@ object LlmQueries {
         // volume grows ~n·64 (linear). The 8-bit floor keeps the
         // gate-scale result identical to the 8-bit oracle below (500
         // vectors at sf0.01 → floor applies); the 24-bit cap stays well
-        // under the 64 embedding dimensions.
+        // under the 64 embedding dimensions. Measured recall@2 vs the
+        // exact brute-force neighbors (r13, sf3 = 60k vectors → 10-bit
+        // code, 196-query sample via DuckDB): 392/392 = 1.00 — the wider
+        // code costs no recall on this corpus while cutting sf3 from
+        // 18.3 s to ~5-6 s (the multi-probe Hamming-1 knob from
+        // ann_multiprobe is the recall lever if a real corpus dips).
         val nVec = embs(s, dir).count()
         val bits = math.max(
           8,
