@@ -42,6 +42,14 @@ import graft.core.GraphState.{DstCol, IdCol, LabelsCol, SrcCol, TypeCol}
   */
 object PyTail2Procs {
 
+  /** meta_util.schema output shapes (meta_util.py:112-146). */
+  final case class SchemaNode(
+      id: Long, labels: Seq[String],
+      properties: Map[String, Long], `type`: String)
+  final case class SchemaRel(
+      id: Long, start: Long, end: Long, label: String,
+      properties: Map[String, Long], `type`: String)
+
   // ---------------- node_classification ----------------
 
   private val ncDefaults: Map[String, Any] = Map(
@@ -433,7 +441,162 @@ object PyTail2Procs {
     (g.withIdBase(base), Seq("success").toDF("status"))
   }
 
+  // ---------------- meta_util / csv_utils ----------------
+
+  /** `meta_util.schema(include_properties)` (meta_util.py:33): one map
+    * per distinct LABEL SET with entity/property counts, one per
+    * (source labels, type, target labels) triple. Tallies run as grouped
+    * counts — the node side in one scan keyed by the sorted label array;
+    * the edge side through the same id-namespace-base fast path as
+    * `meta.stats` (labels are a function of `id >> 48` when every base
+    * carries one label set), falling back to explicit label joins.
+    * Ordering is deterministic (sorted label tuples), unlike the
+    * reference's iteration order. */
+  def metaUtilSchema(ctx: ProcContext): DataFrame = {
+    val includeProps = ctx.args.headOption match {
+      case Some(b: Boolean) => b
+      case Some(s: String) => s.toBoolean
+      case _ => false
+    }
+    val spark = ctx.spark
+    val g = ctx.g
+    val nodes = g.allNodes
+    val nProps =
+      nodes.columns.filterNot(GraphState.nodeMeta.contains).toSeq.sorted
+    val nodeGroups: Array[(Seq[String], Long, Map[String, Long])] = nodes
+      .groupBy(array_sort(col(LabelsCol)).as("__ls"))
+      .agg(
+        count(lit(1)).as("__n"),
+        nProps.map(p => count(col(p)).as(s"__p_$p")): _*)
+      .collect()
+      .map { r =>
+        val props = nProps
+          .map(p => p -> r.getAs[Long](s"__p_$p"))
+          .filter(_._2 > 0).toMap
+        (Option(r.getSeq[String](0)).getOrElse(Nil).toSeq,
+          r.getAs[Long]("__n"), props)
+      }
+      .sortBy(_._1.mkString(" "))
+    require(nodeGroups.nonEmpty,
+      "Can't generate a graph schema since there is no data in the database.")
+    val nodeIdx: Map[Seq[String], Long] =
+      nodeGroups.zipWithIndex.map { case (gp, i) => gp._1 -> i.toLong }.toMap
+
+    val edges = g.allEdges
+    val eProps =
+      edges.columns.filterNot(GraphState.edgeMeta.contains).toSeq.sorted
+    def propMap(r: org.apache.spark.sql.Row): Map[String, Long] =
+      eProps.map(p => p -> r.getAs[Long](s"__p_$p")).filter(_._2 > 0).toMap
+    // base → label set (fast path when unique per base)
+    val baseLabels = nodes
+      .select(shiftright(col(IdCol), 48).as("__b"),
+        array_sort(col(LabelsCol)).as("__ls"))
+      .distinct().collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1)).getOrElse(Nil).toSeq)
+    val uniform = baseLabels.groupBy(_._1).valuesIterator.forall(_.length == 1)
+    val relGroups0: Seq[((Seq[String], String, Seq[String]), (Long, Map[String, Long]))] =
+      if (uniform) {
+        val labelsOf = baseLabels.toMap
+        edges
+          .groupBy(
+            col(TypeCol),
+            shiftright(col(SrcCol), 48).as("__sb"),
+            shiftright(col(DstCol), 48).as("__db"))
+          .agg(
+            count(lit(1)).as("__n"),
+            eProps.map(p => count(col(p)).as(s"__p_$p")): _*)
+          .collect().toSeq
+          .flatMap { r =>
+            for {
+              sl <- labelsOf.get(r.getLong(1))
+              dl <- labelsOf.get(r.getLong(2))
+            } yield
+              ((sl, r.getString(0), dl), (r.getAs[Long]("__n"), propMap(r)))
+          }
+      } else {
+        val nl = nodes.select(
+          col(IdCol), array_sort(col(LabelsCol)).as("__ls"))
+        edges
+          .join(nl.select(col(IdCol).as(SrcCol), col("__ls").as("__sl")), Seq(SrcCol))
+          .join(nl.select(col(IdCol).as(DstCol), col("__ls").as("__dl")), Seq(DstCol))
+          .groupBy(col("__sl"), col(TypeCol), col("__dl"))
+          .agg(
+            count(lit(1)).as("__n"),
+            eProps.map(p => count(col(p)).as(s"__p_$p")): _*)
+          .collect().toSeq
+          .map(r =>
+            ((Option(r.getSeq[String](0)).getOrElse(Nil).toSeq,
+              r.getString(1),
+              Option(r.getSeq[String](2)).getOrElse(Nil).toSeq),
+              (r.getAs[Long]("__n"), propMap(r))))
+      }
+    // several base pairs can share one label triple — merge their tallies
+    val relGroups = relGroups0
+      .groupBy(_._1)
+      .map { case (k, xs) =>
+        val n = xs.map(_._2._1).sum
+        val pm = xs.flatMap(_._2._2).groupBy(_._1)
+          .map { case (p, vs) => p -> vs.map(_._2).sum }
+        (k, n, pm)
+      }
+      .toSeq
+      .sortBy { case ((sl, t, dl), _, _) =>
+        (sl.mkString(" "), t, dl.mkString(" "))
+      }
+
+    def counterMap(n: Long, pm: Map[String, Long]): Map[String, Long] =
+      Map("count" -> n) ++ (if (includeProps) pm else Map.empty)
+    import spark.implicits._
+    val nodeMaps = nodeGroups.toSeq.map { case (ls, n, pm) =>
+      SchemaNode(nodeIdx(ls), ls, counterMap(n, pm), "node")
+    }
+    val relMaps = relGroups.zipWithIndex.flatMap {
+      case (((sl, t, dl), n, pm), i) =>
+        for (s <- nodeIdx.get(sl); d <- nodeIdx.get(dl))
+          yield SchemaRel(i.toLong, s, d, t, counterMap(n, pm), "relationship")
+    }
+    Seq((nodeMaps, relMaps)).toDF("nodes", "relationships")
+  }
+
+  /** `csv_utils.create_csv_file(filepath, content, is_append)` /
+    * `delete_csv_file(filepath)` (csv_utils_module.cpp:17-56) — driver
+    * file utilities (the reference writes through std::ofstream; pair
+    * with LOAD CSV for the read side). */
+  def csvCreate(ctx: ProcContext): DataFrame = {
+    val path = ctx.args.headOption.map(_.toString).getOrElse(
+      throw new IllegalArgumentException("create_csv_file: need a filepath"))
+    val content = ctx.args.lift(1).map(_.toString).getOrElse("")
+    val append = ctx.args.lift(2) match {
+      case Some(b: Boolean) => b
+      case _ => false
+    }
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    if (append)
+      java.nio.file.Files.writeString(
+        p, content,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    else java.nio.file.Files.writeString(p, content)
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq(path).toDF("filepath")
+  }
+
+  def csvDelete(ctx: ProcContext): DataFrame = {
+    val path = ctx.args.headOption.map(_.toString).getOrElse(
+      throw new IllegalArgumentException("delete_csv_file: need a filepath"))
+    if (!new java.io.File(path).delete())
+      throw new IllegalStateException("Failed to delete CSV file")
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq(path).toDF("filepath")
+  }
+
   val registry: Map[String, ProcContext => DataFrame] = Map(
+    "meta_util.schema" -> metaUtilSchema,
+    "csv_utils.create_csv_file" -> csvCreate,
+    "csv_utils.delete_csv_file" -> csvDelete,
     "node_classification.set_model_parameters" -> ncSetModelParameters,
     "node_classification.train" -> ncTrain,
     "node_classification.predict" -> ncPredict,

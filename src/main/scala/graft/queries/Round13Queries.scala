@@ -284,6 +284,62 @@ object Round13Queries {
              |                      ('c', 'ExOther', 0, 0)) t(name, lbl, deg, w)
              |ORDER BY name""".stripMargin)),
 
+    // meta_util.schema: label-set / (src labels, type, dst labels)
+    // schema maps with entity + property counts
+    QueryDef(
+      "call_meta_schema",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (a:MuA {x: 1})-[:MuT {w: 5}]->(b:MuB),
+            |       (a2:MuA)-[:MuT]->(b2:MuB {y: 'z'})""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """CALL meta_util.schema(true) YIELD nodes, relationships
+            |RETURN size(nodes) AS nn, size(relationships) AS nr,
+            |       nodes[0].labels[0] AS l0,
+            |       nodes[0].properties['count'] AS c0,
+            |       nodes[0].properties['x'] AS px,
+            |       relationships[0].label AS rl,
+            |       relationships[0].properties['count'] AS rc,
+            |       relationships[0].properties['w'] AS rw""".stripMargin)
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS nn, CAST(1 AS BIGINT) AS nr,
+             |       'MuA' AS l0, CAST(2 AS BIGINT) AS c0,
+             |       CAST(1 AS BIGINT) AS px, 'MuT' AS rl,
+             |       CAST(2 AS BIGINT) AS rc, CAST(1 AS BIGINT) AS rw""".stripMargin)),
+
+    // csv_utils.create_csv_file → LOAD CSV → delete_csv_file roundtrip
+    QueryDef(
+      "call_csv_utils",
+      (s, dir) => {
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_csv_utils_gate.csv").getAbsolutePath
+        val gr = g(s, dir)
+        Cypher.run(
+          s, gr,
+          s"""CALL csv_utils.create_csv_file('$path', 'a,b\\n1,x\\n', false)
+             |YIELD filepath RETURN filepath""".stripMargin).collect()
+        Cypher.run(
+          s, gr,
+          s"""CALL csv_utils.create_csv_file('$path', '2,y\\n', true)
+             |YIELD filepath RETURN filepath""".stripMargin).collect()
+        val out = Cypher.run(
+          s, gr,
+          s"""LOAD CSV FROM '$path' WITH HEADER AS row
+             |RETURN row.a AS a, row.b AS b ORDER BY a""".stripMargin)
+          .collect()
+        Cypher.run(
+          s, gr,
+          s"CALL csv_utils.delete_csv_file('$path') YIELD filepath RETURN 1")
+          .collect()
+        import s.implicits._
+        out.map(r => (r.getString(0), r.getString(1))).toSeq.toDF("a", "b")
+      },
+      Some("""SELECT * FROM (VALUES ('1', 'x'), ('2', 'y')) t(a, b)
+             |ORDER BY a""".stripMargin)),
+
     // CREATE TRIGGER DDL (MemgraphCypher.g4:712): the registered
     // statement fires per ingest batch with the predefined
     // `createdVertices` variable bound from the batch diff — one audit
