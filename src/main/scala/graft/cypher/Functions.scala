@@ -1269,6 +1269,19 @@ object Functions {
       // ---- misc ----
       case "randomuuid" => uuid()
 
+      case "llm.complete" =>
+        // llm.complete(text, config) (reference llm.py:31 — litellm
+        // remote completion). No provider exists in this environment
+        // (zero egress, same reason the reference raises without
+        // litellm), so this is a clearly-marked DETERMINISTIC STUB: an
+        // extractive prefix "completion" (first 25 whitespace tokens) so
+        // pipelines chaining llm.complete stay testable end-to-end; the
+        // Spark-side plumbing (per-row codegen'd expression, config arg
+        // accepted) is real.
+        val t = trim(a(0))
+        when(t.isNull, lit(null))
+          .otherwise(concat_ws(" ", slice(split(t, "\\s+"), 1, 25)))
+
       case "text.join" =>
         args(1) match {
           case Lit(s: String) => array_join(a(0), s)

@@ -50,6 +50,10 @@ object PyTail2Procs {
       id: Long, start: Long, end: Long, label: String,
       properties: Map[String, Long], `type`: String)
 
+  /** llm_util.schema raw-form shapes (llm_util.py:106-124). */
+  final case class PropEntry(property: String, `type`: String)
+  final case class RelTriple(start: String, `type`: String, end: String)
+
   // ---------------- node_classification ----------------
 
   private val ncDefaults: Map[String, Any] = Map(
@@ -558,6 +562,119 @@ object PyTail2Procs {
     Seq((nodeMaps, relMaps)).toDF("nodes", "relationships")
   }
 
+  /** python `type(...).__name__` for a property value of this Spark
+    * type (llm_util.py:143 raw-schema entries). */
+  private def pyTypeName(t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case FloatType | DoubleType | _: DecimalType => "float"
+      case StringType => "str"
+      case BooleanType => "bool"
+      case _: ArrayType => "list"
+      case _: MapType | _: StructType => "dict"
+      case DateType => "Date"
+      case _: DayTimeIntervalType => "Duration"
+      case TimestampType | TimestampNTZType => "LocalDateTime"
+      case other => other.simpleString
+    }
+  }
+
+  /** `llm_util.schema(output_type)` (llm_util.py:133): 'prompt_ready'
+    * yields the reference's LLM-prompt string (observed per-label /
+    * per-type property lists + the single-label relationship triples);
+    * 'raw' yields the structured form. Property observation = one
+    * count-per-column aggregate per frame; relationship triples reuse
+    * the id-namespace-base fast path with a label-join fallback. */
+  def llmUtilSchema(ctx: ProcContext): DataFrame = {
+    val outputType = ctx.args.headOption.map(_.toString).getOrElse("prompt_ready")
+    require(outputType == "prompt_ready" || outputType == "raw",
+      "llm_util.schema: output_type must be 'prompt_ready' or 'raw'")
+    val spark = ctx.spark
+    val g = ctx.g
+    require(g.nodeLabels.nonEmpty && !g.allNodes.isEmpty,
+      "Can't generate a graph schema since there is no data in the database.")
+    def observed(df: DataFrame, meta: Seq[String]): Seq[PropEntry] = {
+      val props = df.columns.filterNot(meta.contains).toSeq
+      if (props.isEmpty) Nil
+      else {
+        val row = df.agg(
+          count(col(props.head)).as(props.head),
+          props.tail.map(p => count(col(p)).as(p)): _*).collect()(0)
+        props.filter(p => row.getAs[Long](p) > 0).sorted
+          .map(p => PropEntry(p, pyTypeName(df.schema(p).dataType)))
+      }
+    }
+    val nodeProps: Map[String, Seq[PropEntry]] = g.nodeLabels
+      .map(l => l -> observed(g.nodes(l), GraphState.nodeMeta))
+      .filter(_._2.nonEmpty).toMap
+    val relProps: Map[String, Seq[PropEntry]] = g.edgeTypes
+      .map(t => t -> observed(g.edges(t), GraphState.edgeMeta))
+      .filter(_._2.nonEmpty).toMap
+    // single-label (start, type, end) triples
+    val nodes = g.allNodes
+    val baseLabels = nodes
+      .select(shiftright(col(IdCol), 48).as("__b"), col(LabelsCol))
+      .distinct().collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getSeq[String](1)).getOrElse(Nil).toSeq)
+    val uniform = baseLabels.groupBy(_._1).valuesIterator.forall(_.length == 1)
+    val triples: Seq[RelTriple] =
+      (if (uniform) {
+         val labelsOf = baseLabels.toMap
+         g.allEdges
+           .groupBy(
+             col(TypeCol),
+             shiftright(col(SrcCol), 48).as("__sb"),
+             shiftright(col(DstCol), 48).as("__db"))
+           .count().collect().toSeq
+           .flatMap { r =>
+             for {
+               sl <- labelsOf.getOrElse(r.getLong(1), Nil)
+               dl <- labelsOf.getOrElse(r.getLong(2), Nil)
+             } yield RelTriple(sl, r.getString(0), dl)
+           }
+       } else {
+         val nl = nodes.select(col(IdCol), col(LabelsCol))
+         g.allEdges
+           .join(nl.select(col(IdCol).as(SrcCol),
+             col(LabelsCol).as("__sl")), Seq(SrcCol))
+           .join(nl.select(col(IdCol).as(DstCol),
+             col(LabelsCol).as("__dl")), Seq(DstCol))
+           .select(
+             explode(col("__sl")).as("__s"), col(TypeCol), col("__dl"))
+           .select(col("__s"), col(TypeCol), explode(col("__dl")).as("__d"))
+           .distinct().collect().toSeq
+           .map(r => RelTriple(r.getString(0), r.getString(1), r.getString(2)))
+       }).distinct.sortBy(t => (t.start, t.`type`, t.end))
+    import spark.implicits._
+    if (outputType == "raw")
+      Seq((nodeProps, relProps, triples))
+        .toDF("__np", "__rp", "__rel")
+        .select(struct(
+          col("__np").as("node_props"),
+          col("__rp").as("rel_props"),
+          col("__rel").as("relationships")).as("schema"))
+    else {
+      def pyList(es: Seq[PropEntry]): String =
+        es.map(e => s"{'property': '${e.property}', 'type': '${e.`type`}'}")
+          .mkString("[", ", ", "]")
+      val sb = new StringBuilder("Node properties are the following:\n")
+      nodeProps.toSeq.sortBy(_._1).foreach { case (l, es) =>
+        sb.append(s"Node name: '$l', Node properties: ${pyList(es)}\n")
+      }
+      sb.append("\nRelationship properties are the following:\n")
+      relProps.toSeq.sortBy(_._1).foreach { case (t, es) =>
+        sb.append(
+          s"Relationship name: '$t', Relationship properties: ${pyList(es)}\n")
+      }
+      sb.append("\nThe relationships are the following:\n")
+      triples.foreach(t =>
+        sb.append(s"['(:${t.start})-[:${t.`type`}]->(:${t.end})']\n"))
+      Seq(sb.toString).toDF("schema")
+    }
+  }
+
   /** `csv_utils.create_csv_file(filepath, content, is_append)` /
     * `delete_csv_file(filepath)` (csv_utils_module.cpp:17-56) — driver
     * file utilities (the reference writes through std::ofstream; pair
@@ -595,6 +712,7 @@ object PyTail2Procs {
 
   val registry: Map[String, ProcContext => DataFrame] = Map(
     "meta_util.schema" -> metaUtilSchema,
+    "llm_util.schema" -> llmUtilSchema,
     "csv_utils.create_csv_file" -> csvCreate,
     "csv_utils.delete_csv_file" -> csvDelete,
     "node_classification.set_model_parameters" -> ncSetModelParameters,

@@ -309,6 +309,28 @@ object Round13Queries {
              |       CAST(1 AS BIGINT) AS px, 'MuT' AS rl,
              |       CAST(2 AS BIGINT) AS rc, CAST(1 AS BIGINT) AS rw""".stripMargin)),
 
+    // llm_util.schema prompt-ready string + llm.complete stub
+    QueryDef(
+      "call_llm_schema",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (a:LlA {x: 1, s: 'v'})-[:LlT {w: 1.5}]->(b:LlB)""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """CALL llm_util.schema('prompt_ready') YIELD schema
+            |RETURN schema CONTAINS
+            |  "Node name: 'LlA', Node properties: [{'property': 's', 'type': 'str'}, {'property': 'x', 'type': 'int'}]"
+            |  AS np,
+            |       schema CONTAINS
+            |  "Relationship name: 'LlT', Relationship properties: [{'property': 'w', 'type': 'float'}]"
+            |  AS rp,
+            |       schema CONTAINS "['(:LlA)-[:LlT]->(:LlB)']" AS rel,
+            |       llm.complete(' alpha beta  gamma ') AS comp""".stripMargin)
+      },
+      Some("""SELECT true AS np, true AS rp, true AS rel,
+             |       'alpha beta gamma' AS comp""".stripMargin)),
+
     // csv_utils.create_csv_file → LOAD CSV → delete_csv_file roundtrip
     QueryDef(
       "call_csv_utils",
