@@ -280,7 +280,14 @@ object GraphStream {
           val stmt = PredefinedVars.foldLeft(st.statement)((s, v) =>
             s.replaceAll(s"(?<![\\w$$])$v\\b", java.util.regex.Matcher
               .quoteReplacement("$" + v)))
-          graft.cypher.Cypher.execute(spark, g, stmt, params).graph
+          val ex = graft.cypher.Cypher.execute(spark, g, stmt, params)
+          // FORCE the statement's full evaluation: a read-only trigger
+          // body that raises (assert guards — the reference's abort
+          // idiom) must abort the batch NOW, not never (count() would
+          // prune the raising projection away; toRdd evaluates it). The
+          // output is batch-bounded by construction.
+          ex.result.queryExecution.toRdd.count()
+          ex.graph
         }
       }
       TriggerDef(

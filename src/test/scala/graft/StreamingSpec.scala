@@ -202,4 +202,44 @@ class StreamingSpec extends SparkTestBase {
     assert(g2.nodes("Order").count() == expectOrders)
     assert(g2.edges("PLACED").count() == expectOrders)
   }
+  test("CREATE TRIGGER DDL: BEFORE COMMIT abort rolls the batch back") {
+    import graft.cypher.Cypher
+    val src = s"/root/repo/target/streamspec/ddl_src_${java.util.UUID.randomUUID()}"
+    val ckpt = s"/root/repo/target/streamspec/ddl_ckpt_${java.util.UUID.randomUUID()}"
+    import spark.implicits._
+    val ev = Seq((1L, 5L), (2L, 99L)).toDF("k", "v")
+    ev.coalesce(1).write.json(src)
+    GraphStream.triggerRegistry.remove("spec_guard")
+    // the BEFORE trigger statement raises for any created vertex whose
+    // id offset is 99 — the whole batch must roll back, nothing publishes
+    val g0 = Cypher.execute(
+      spark, GraphState(Map.empty, Map.empty),
+      """CREATE TRIGGER spec_guard ON () CREATE BEFORE COMMIT EXECUTE
+        |UNWIND createdVertices AS v
+        |WITH v WHERE v.id % 281474976710656 = 99
+        |WITH v RETURN assert(false, 'poison row rejected')""".stripMargin).graph
+    try {
+      val transform: GraphStream.Transformation = (g, batch) => {
+        val rows = batch.select(
+          (lit(967L << 48) + col("v")).as(GraphState.IdCol),
+          array(lit("DdlIngested")).as(GraphState.LabelsCol),
+          col("v"))
+        GraphStream.IngestResult(
+          Mutations.createNodes(g, "DdlIngested", rows),
+          createdNodes = Map("DdlIngested" -> rows))
+      }
+      val gF = GraphStream.ingestAvailable(
+        spark, src, ev.schema, "json", g0, transform, Nil, ckpt)
+      // the single batch contains the poison row -> aborted -> no nodes
+      assert(!gF.hasLabel("DdlIngested") ||
+        gF.nodes("DdlIngested").count() == 0L)
+      assert(
+        Cypher.run(spark, gF, "SHOW TRIGGERS").collect()
+          .exists(_.getString(0) == "spec_guard"))
+    } finally {
+      Cypher.execute(spark, g0, "DROP TRIGGER spec_guard")
+      ()
+    }
+  }
+
 }
