@@ -899,6 +899,11 @@ final class ExprLowering(
   }
 
   /** Does this expression contain an aggregation call? */
+  def hasAgg(e: Expr): Boolean = ExprLowering.hasAgg(e)
+}
+
+object ExprLowering {
+  /** Does this expression contain an aggregation call? */
   def hasAgg(e: Expr): Boolean = e match {
     case CountStar() => true
     case FnCall(n, _, args) =>
@@ -924,6 +929,7 @@ final class ExprLowering(
     case HasLabel(x, _) => hasAgg(x)
     case Reduce(_, i, _, l, s) => hasAgg(i) || hasAgg(l) || hasAgg(s)
     case _: PatternComprehension => false // rolled up before lowering
+    case DeletedGuard(inner, _) => hasAgg(inner)
     case _ => false
   }
 }

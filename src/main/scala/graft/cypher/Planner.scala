@@ -147,8 +147,8 @@ final class Planner(
     }
   }
 
-  def planSingle(sq: SingleQuery): DataFrame =
-    sq.clauses.foldLeft(initial) { (lf, c) =>
+  def planSingle(sq: SingleQuery): DataFrame = {
+    val out = sq.clauses.foldLeft(initial) { (lf, c) =>
       val next = planClause(lf, c)
       // deleted-name tracking follows scope: once a projection drops the
       // name, a later binding of it is a fresh variable
@@ -156,6 +156,30 @@ final class Planner(
         deletedVars = deletedVars.filter(next.scope.contains)
       next
     }.df
+    flushDanglingCheck()
+    out
+  }
+
+  /** Commit-time connection probe for plain (non-DETACH) node DELETEs:
+    * two semi-joins of the accumulated deleted ids against the FINAL edge
+    * state of the statement. */
+  private var pendingDangling: Seq[DataFrame] = Nil
+  private def flushDanglingCheck(): Unit = {
+    if (pendingDangling.isEmpty) return
+    val ids = pendingDangling.reduce(_ unionByName _).distinct()
+    pendingDangling = Nil
+    val e = state.allEdges
+    val srcHit = !e.join(
+      ids.select(col("__id").as(GraphState.SrcCol)),
+      Seq(GraphState.SrcCol), "left_semi").isEmpty
+    lazy val dstHit = !e.join(
+      ids.select(col("__id").as(GraphState.DstCol)),
+      Seq(GraphState.DstCol), "left_semi").isEmpty
+    if (srcHit || dstHit)
+      throw new IllegalStateException(
+        "Failed to remove node because of it's existing connections. " +
+          "Consider using DETACH DELETE.")
+  }
 
   /** Plan a SingleQuery from a caller-provided seed frame — the
     * periodic.iterate batch driver's entry point. `hints` carries the
@@ -168,7 +192,9 @@ final class Planner(
       sq: SingleQuery,
       hints: Map[String, Set[String]] = Map.empty): DataFrame = {
     hints.foreach { case (v, f) => setHint(v, Some(f)) }
-    sq.clauses.foldLeft(LF(df, scope))(planClause).df
+    val out = sq.clauses.foldLeft(LF(df, scope))(planClause).df
+    flushDanglingCheck()
+    out
   }
 
   /** Frame hints of this planner's output entities (periodic.iterate
@@ -945,24 +971,13 @@ final class Planner(
     case DeleteCl(detach, exprs) =>
       val plainNodeIds = planDelete(lf, detach, exprs)
       // reference DELETE (without DETACH) refuses to remove a node that
-      // still has edges AFTER this clause's deletions ("Failed to remove
-      // node because of it's existing connections. Consider using DETACH
-      // DELETE."). The probe is two semi-joins against the post-delete
-      // edge frames — only paid by plain node DELETEs.
-      if (plainNodeIds.nonEmpty) {
-        val ids = plainNodeIds.reduce(_ unionByName _).distinct()
-        val e = state.allEdges
-        val srcHit = !e.join(
-          ids.select(col("__id").as(GraphState.SrcCol)),
-          Seq(GraphState.SrcCol), "left_semi").isEmpty
-        lazy val dstHit = !e.join(
-          ids.select(col("__id").as(GraphState.DstCol)),
-          Seq(GraphState.DstCol), "left_semi").isEmpty
-        if (srcHit || dstHit)
-          throw new IllegalStateException(
-            "Failed to remove node because of it's existing connections. " +
-              "Consider using DETACH DELETE.")
-      }
+      // still has edges — but the check is DEFERRED to end of statement
+      // (the reference accumulates deltas and probes connections at
+      // commit, storage delete path): `MATCH (n)-[r]->() DELETE n
+      // DELETE r` succeeds because r is gone by then. Accumulate the
+      // plain-deleted ids; [[flushDanglingCheck]] probes the final edge
+      // state once per statement — only paid by plain node DELETEs.
+      pendingDangling ++= plainNodeIds
       // reference runtime semantics: a LATER projection/filter that uses
       // a deleted entity raises ("Trying to use a deleted object").
       // Tracked per variable; project/planWhere wrap referencing
@@ -1472,6 +1487,7 @@ final class Planner(
       case Quantifier(k, v, l, p) =>
         Quantifier(k, v, rw(l, bound), rw(p, bound + v))
       case HasLabel(x, l) => HasLabel(rw(x, bound), l)
+      case DeletedGuard(inner, vs) => DeletedGuard(rw(inner, bound), vs)
       case other => other
     }
     val newItems = items.map { case (a, e) => (a, rw(e, Set.empty)) }
@@ -4792,6 +4808,7 @@ final class Planner(
       case HasLabel(a, _) => g(a)
       case PatternPredicate(p, _, _) => gPart(p)
       case PatternComprehension(p, w, proj) => gPart(p); w.foreach(g); g(proj)
+      case DeletedGuard(inner, _) => g(inner)
       case ExistsSubquery(q) =>
         (q.first.clauses ++ q.unions.flatMap(_._2.clauses)).foreach {
           case Match(_, ps, w) => ps.foreach(gPart); w.foreach(g)
@@ -4855,6 +4872,8 @@ final class Planner(
       case PatternPredicate(p, neg, b) => PatternPredicate(sPart(p), neg, b)
       case PatternComprehension(p, w, proj) =>
         PatternComprehension(sPart(p), w.map(s), s(proj))
+      case DeletedGuard(inner, vs) =>
+        DeletedGuard(s(inner), vs.map(v => m.getOrElse(v, v)))
       case other => other
     }
   }
@@ -4865,8 +4884,31 @@ final class Planner(
     * unwrapped — carrying a deleted binding is legal, using it is not. */
   private def guardDeleted(e: Expr): Expr = {
     if (deletedVars.isEmpty) return e
-    val used = varsIn(e).filter(deletedVars).toSeq.sorted
-    if (used.isEmpty) e else DeletedGuard(e, used)
+    def wrap(x: Expr): Expr = {
+      val used = varsIn(x).filter(deletedVars).toSeq.sorted
+      if (used.isEmpty) x else DeletedGuard(x, used)
+    }
+    // An aggregate over a deleted variable: the guard must live INSIDE
+    // the aggregate's argument (a per-row expression), not around the
+    // call — `when(bound, raise).otherwise(count(n))` is an invalid agg
+    // plan. `count(n)`/`count(*)` stay unguarded: counting a binding
+    // never dereferences the deleted object (the reference's
+    // `MATCH (n) DETACH DELETE n RETURN count(*)` idiom,
+    // tests/gql_behave .../delete.feature:11).
+    def go(x: Expr): Expr = x match {
+      case f @ FnCall(n, _, Seq(Var(_))) if n.toLowerCase == "count" => f
+      case FnCall(n, d, args) if Functions.isAggregate(n) =>
+        FnCall(n, d, args.map(wrap))
+      case BinOp(o, a, b) => BinOp(o, go(a), go(b))
+      case Not(a) => Not(go(a))
+      case Neg(a) => Neg(go(a))
+      case FnCall(n, d, args) => FnCall(n, d, args.map(go))
+      case CaseExpr(s, ws, d) =>
+        CaseExpr(s.map(go), ws.map { case (a, b) => (go(a), go(b)) },
+          d.map(go))
+      case other => wrap(other)
+    }
+    if (ExprLowering.hasAgg(e)) go(e) else wrap(e)
   }
 
   private def project(
@@ -5435,14 +5477,7 @@ object Cypher {
         s"trigger '$name' already exists")
       // validate the body parses NOW (the reference compiles the trigger
       // statement at CREATE time too) — predefined vars become params
-      val probe = Seq(
-        "createdVertices", "createdEdges", "updatedVertices",
-        "updatedEdges", "deletedVertices", "deletedEdges")
-        .foldLeft(stmt.trim)((s2, v) =>
-          s2.replaceAll(
-            s"(?<![\\w$$])$v\\b",
-            java.util.regex.Matcher.quoteReplacement("$" + v)))
-      CypherParser.parse(probe)
+      CypherParser.parse(GraphStream.rewritePredefined(stmt.trim))
       GraphStream.triggerRegistry.put(
         name,
         GraphStream.StoredTrigger(

@@ -68,15 +68,24 @@ object Mutations {
               .map(spec =>
                 GraphState.LabelSpec.rowPredicate(spec, col(LabelsCol)))
               .getOrElse(lit(true))
+            // a non-list property type is the index's type-mismatch write
+            // error, not a raw cast AnalysisException (the cast below only
+            // analyzes for array-typed columns)
+            val dt = rows.schema(rows.schema.fieldIndex(p)).dataType
+            val badPred = dt match {
+              case _: org.apache.spark.sql.types.ArrayType =>
+                size(col(p).cast("array<double>")) =!= n
+              case _: org.apache.spark.sql.types.NullType => lit(false)
+              case _ => lit(true) // wrong type entirely
+            }
             val bad = rows
-              .filter(
-                rowGate && col(p).isNotNull &&
-                  size(col(p).cast("array<double>")) =!= n)
+              .filter(rowGate && col(p).isNotNull && badPred)
               .limit(1)
             if (!bad.isEmpty)
               throw new IllegalArgumentException(
                 s"vector index ${d.name.getOrElse(p)}: property $p has " +
-                  s"the wrong dimension (expected $n)")
+                  s"the wrong type or dimension (expected a list of " +
+                  s"$n numbers)")
           }
         }
       }

@@ -480,7 +480,7 @@ object PyTail2Procs {
         (Option(r.getSeq[String](0)).getOrElse(Nil).toSeq,
           r.getAs[Long]("__n"), props)
       }
-      .sortBy(_._1.mkString(" "))
+      .sortBy(_._1.mkString("\u0000"))
     require(nodeGroups.nonEmpty,
       "Can't generate a graph schema since there is no data in the database.")
     val nodeIdx: Map[Seq[String], Long] =
@@ -545,7 +545,7 @@ object PyTail2Procs {
       }
       .toSeq
       .sortBy { case ((sl, t, dl), _, _) =>
-        (sl.mkString(" "), t, dl.mkString(" "))
+        (sl.mkString("\u0000"), t, dl.mkString("\u0000"))
       }
 
     def counterMap(n: Long, pm: Map[String, Long]): Map[String, Long] =

@@ -253,9 +253,45 @@ object GraphStream {
       "deletedEdges" -> erows(res.deletedEdges))
   }
 
-  private val PredefinedVars = Seq(
+  private[graft] val PredefinedVars = Set(
     "createdVertices", "createdEdges", "updatedVertices", "updatedEdges",
     "deletedVertices", "deletedEdges")
+
+  /** Rewrite bare predefined trigger variables (`createdVertices` …) into
+    * `$param` references. Character-scan, not regex: a property access
+    * (`v.createdVertices`), an already-parameterized `$createdVertices`,
+    * and occurrences inside quoted string literals are all left alone —
+    * only a free identifier occurrence becomes a parameter (the
+    * reference binds these through the evaluation scope,
+    * query/trigger.cpp predefined names). */
+  private[graft] def rewritePredefined(stmt: String): String = {
+    val sb = new StringBuilder(stmt.length + 16)
+    var i = 0
+    val n = stmt.length
+    while (i < n) {
+      val c = stmt.charAt(i)
+      if (c == '\'' || c == '"') {
+        // copy the quoted literal verbatim (backslash escapes honored)
+        sb.append(c); i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = stmt.charAt(i)
+          sb.append(ch)
+          if (ch == '\\' && i + 1 < n) { sb.append(stmt.charAt(i + 1)); i += 2 }
+          else { if (ch == c) done = true; i += 1 }
+        }
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(stmt.charAt(i))) i += 1
+        val word = stmt.substring(start, i)
+        val prev = if (start == 0) ' ' else stmt.charAt(start - 1)
+        if (PredefinedVars.contains(word) && prev != '.' && prev != '$')
+          sb.append('$').append(word)
+        else sb.append(word)
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** The registered DDL triggers as [[TriggerDef]]s: the statement's bare
     * predefined variables rewrite to parameters and the statement runs as
@@ -277,9 +313,7 @@ object GraphStream {
         if (entityEmpty) g
         else {
           val params = diffParams(spark, res)
-          val stmt = PredefinedVars.foldLeft(st.statement)((s, v) =>
-            s.replaceAll(s"(?<![\\w$$])$v\\b", java.util.regex.Matcher
-              .quoteReplacement("$" + v)))
+          val stmt = rewritePredefined(st.statement)
           val ex = graft.cypher.Cypher.execute(spark, g, stmt, params)
           // FORCE the statement's full evaluation: a read-only trigger
           // body that raises (assert guards — the reference's abort
@@ -336,16 +370,31 @@ object GraphStream {
           .filter(t => res.has(t.event))
           .partition(_.phase == TriggerPhase.Before)
         // BEFORE COMMIT: runs against the CANDIDATE version, inside the
-        // batch "transaction" — an exception rolls the whole batch back
-        // (state stays at the pre-batch snapshot; nothing published).
-        // ANY non-fatal failure aborts the batch, not just TriggerAbort:
-        // the reference runs before-triggers in-transaction, so a failing
-        // trigger means a failed (rolled-back) transaction — letting the
-        // exception escape foreachBatch would instead kill the whole
-        // streaming query.
+        // batch "transaction" — a *runtime* trigger abort (raise_error in
+        // the trigger body — the reference's assert/abort idiom) rolls the
+        // whole batch back (state stays at the pre-batch snapshot;
+        // nothing published), logged so the discard is diagnosable.
+        // Planning/analysis failures (a trigger statement that doesn't
+        // even plan against this batch) RETHROW and fail the query: a
+        // misconfigured trigger must not masquerade as successful
+        // ingestion while the checkpoint acks the offsets forever
+        // (reference fails the transaction visibly, streams.cpp).
+        def isPlanError(t: Throwable): Boolean = t match {
+          case null => false
+          case _: org.apache.spark.sql.AnalysisException => true
+          case _: UnsupportedOperationException => true
+          case _: IllegalArgumentException => true
+          case other => isPlanError(other.getCause)
+        }
         val candidate =
           try Some(before.foldLeft(res.graph)((g, t) => t.fn(g, res)))
-          catch { case scala.util.control.NonFatal(_) => None }
+          catch {
+            case scala.util.control.NonFatal(e) if !isPlanError(e) =>
+              System.err.println(
+                s"[graft.stream] BEFORE-COMMIT trigger aborted batch " +
+                  s"(rolled back): ${e.getMessage}")
+              None
+          }
         candidate.foreach { committed =>
           state = after.foldLeft(committed)((g, t) => t.fn(g, res))
         }
