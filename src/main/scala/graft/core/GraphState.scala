@@ -94,12 +94,16 @@ final class GraphState(
       * Append-derived versions keep serving the ancestor's sorted view —
       * see [[withEdgesAppended]]. */
     private val adjBase: Option[() => DataFrame] = None,
-    /** Edge rows appended since the cache-owning ancestor, in append
-      * order. The adjacency probe serves base-view ∪ these deltas — the
-      * reference maintains its edge index incrementally per delta too
-      * (`src/storage/v2/inmemory/storage.hpp:892`), never a full rebuild
-      * per write. */
-    private val adjDeltas: Seq[DataFrame] = Nil) {
+    /** Adjacency-view op log since the cache-owning ancestor, in
+      * statement order: appended edge rows ([[GraphState.AdjAppend]]) and
+      * removed/replaced edge ids ([[GraphState.AdjRemove]] tombstones).
+      * The adjacency probe folds these over the base view — the reference
+      * maintains its edge index incrementally per delta for ALL delta
+      * kinds (`src/storage/v2/inmemory/storage.hpp:892`), never a full
+      * rebuild per write. Tombstones apply to the base ∪ the PRIOR
+      * appends only (fold order), so an update (= remove + re-append of
+      * the same id) stays correct. */
+    private val adjOps: Seq[GraphState.AdjOp] = Nil) {
 
   private val nodeCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -231,13 +235,31 @@ final class GraphState(
   def adjacencyBySrc: DataFrame = {
     val base = adjCache.getOrBuild(
       adjBase.map(_.apply()).getOrElse(buildAdjacency()))
-    // append-derived versions: serve the ancestor's sorted+persisted view
-    // (min/max batch pruning intact) plus the small unsorted deltas —
-    // NEVER a full-corpus re-sort per mutated version. Probe predicates
-    // push into both sides; the delta side is scanned fully but is the
-    // statement's own appended rows, not the corpus.
-    if (adjDeltas.isEmpty) base
-    else adjDeltas.foldLeft(base)(GraphState.unionReconciled)
+    // mutation-derived versions: serve the ancestor's sorted+persisted
+    // view (min/max batch pruning intact) plus the op log — NEVER a
+    // full-corpus re-sort per mutated version. Src predicates push below
+    // both the unions and the anti-joins (left-side pushdown), so the
+    // probe still prunes the persisted base; tombstone anti-joins touch
+    // only the rows surviving that pruning, and AQE broadcasts the
+    // (statement-sized) id frames at runtime.
+    import org.apache.spark.sql.functions.col
+    adjOps.foldLeft(base) {
+      case (acc, GraphState.AdjAppend(mk)) =>
+        GraphState.unionReconciled(acc, mk())
+      case (acc, GraphState.AdjRemove(mk)) =>
+        val ids = mk()
+        acc.join(
+          ids.select(col(ids.columns.head).as(GraphState.IdCol)),
+          Seq(GraphState.IdCol), "left_anti")
+      case (acc, GraphState.AdjRemoveIncident(mk)) =>
+        val ids = mk()
+        val c = col(ids.columns.head)
+        acc
+          .join(ids.select(c.as(GraphState.SrcCol)),
+            Seq(GraphState.SrcCol), "left_anti")
+          .join(ids.select(c.as(GraphState.DstCol)),
+            Seq(GraphState.DstCol), "left_anti")
+    }
   }
 
   private def buildAdjacency(): DataFrame = {
@@ -286,7 +308,7 @@ final class GraphState(
     new GraphState(
       nodeThunks + (label -> mk), edgeThunks, idBase, mayOverlap, enums,
       GraphState.freshTag(), indexes, descriptions, serverParams, adjCache,
-      adjBase, adjDeltas)
+      adjBase, adjOps)
 
   def withEdges(tpe: String, mk: () => DataFrame): GraphState =
     // arbitrary edge rewrite (delete / update): the src-sorted adjacency
@@ -307,13 +329,14 @@ final class GraphState(
     * `spark.graft.adjacency.maxDeltas` (default 32) falls back to a fresh
     * rebuild-on-probe — the union plan must not grow unboundedly under
     * thousands of driver-sequenced appends. */
+  private def adjMaxDeltas: Int =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.adjacency.maxDeltas", "32").toInt
+    catch { case _: Throwable => 32 }
+
   def withEdgesAppended(
       tpe: String, mk: () => DataFrame, delta: DataFrame): GraphState = {
-    val maxDeltas =
-      try org.apache.spark.sql.SparkSession.active.conf
-        .get("spark.graft.adjacency.maxDeltas", "32").toInt
-      catch { case _: Throwable => 32 }
-    if (adjDeltas.size >= maxDeltas)
+    if (adjOps.size >= adjMaxDeltas)
       withEdges(tpe, mk)
     else {
       val parent = this
@@ -322,7 +345,57 @@ final class GraphState(
         GraphState.freshTag(), indexes, descriptions, serverParams,
         adjCache,
         adjBase.orElse(Some(() => parent.buildAdjacency())),
-        adjDeltas :+ delta)
+        adjOps :+ GraphState.AdjAppend(() => delta))
+    }
+  }
+
+  /** New version whose `tpe` frame is replaced such that ONLY rows with
+    * `_id ∈ changedIds()` differ from the current frame: removed
+    * (delete), or — with `readdChanged` — updated in place (SET on edge
+    * properties). The derived version serves the ancestor's sorted
+    * adjacency view with the changed ids tombstoned out, plus the changed
+    * rows re-read from the NEW frame for updates; a chain past
+    * `spark.graft.adjacency.maxDeltas` falls back to a fresh
+    * rebuild-on-probe. The reference maintains its in-memory edge index
+    * per delta for every delta kind (storage.hpp:892) — replace-type
+    * writes must not re-sort the corpus either. */
+  def withEdgesMutated(
+      tpe: String,
+      mk: () => DataFrame,
+      changedIds: () => DataFrame, // single column of edge ids
+      readdChanged: Boolean): GraphState =
+    withEdgesOps(
+      Map(tpe -> mk),
+      GraphState.AdjRemove(changedIds) +: (
+        if (!readdChanged) Nil
+        else Seq(GraphState.AdjAppend(() =>
+          mk().join(
+            changedIds().select(
+              org.apache.spark.sql.functions
+                .col(changedIds().columns.head).as(GraphState.IdCol)),
+            Seq(GraphState.IdCol), "left_semi")))))
+
+  /** Replace several type frames at once and extend the adjacency op log
+    * with the given ops — the multi-frame form every id-keyed edge
+    * mutation (delete / SET / REMOVE across types) funnels through. Falls
+    * back to plain replacement + fresh rebuild-on-probe past
+    * `spark.graft.adjacency.maxDeltas`. */
+  private[graft] def withEdgesOps(
+      updates: Map[String, () => DataFrame],
+      ops: Seq[GraphState.AdjOp]): GraphState = {
+    if (adjOps.size + ops.size > adjMaxDeltas)
+      new GraphState(
+        nodeThunks, edgeThunks ++ updates, idBase, mayOverlap, enums,
+        GraphState.freshTag(), indexes, descriptions, serverParams,
+        new GraphState.AdjacencyCache)
+    else {
+      val parent = this
+      new GraphState(
+        nodeThunks, edgeThunks ++ updates, idBase, mayOverlap, enums,
+        GraphState.freshTag(), indexes, descriptions, serverParams,
+        adjCache,
+        adjBase.orElse(Some(() => parent.buildAdjacency())),
+        adjOps ++ ops)
     }
   }
 
@@ -357,10 +430,67 @@ final class GraphState(
       if (!prev.edgeThunks.get(t).exists(_ eq th)) {
         val d = edges(t).localCheckpoint(true)
         fresh += (s"e:$t" -> d)
-        out = out.withEdges(t, () => d)
+        out = out.withEdgesRebound(t, () => d)
       }
     }
     (out, fresh)
+  }
+
+  /** Replace a frame's thunk with an EQUAL-CONTENT (checkpointed) frame:
+    * the adjacency chain carries over untouched — the view's rows did not
+    * change, only the plan backing them. */
+  private def withEdgesRebound(tpe: String, mk: () => DataFrame): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks + (tpe -> mk), idBase, mayOverlap, enums,
+      GraphState.freshTag(), indexes, descriptions, serverParams,
+      adjCache, adjBase, adjOps)
+
+  /** Post-batch adjacency hygiene for checkpoint-sequenced callers
+    * (periodic.iterate): the op-log entries added SINCE `prev` hold plans
+    * over this batch's pre-checkpoint frames — frames whose own
+    * checkpoints the caller unpersists once a later batch supersedes
+    * them. Checkpoint those (batch-sized) op frames now so a later probe
+    * never recomputes through a swept block. A chain whose cache lineage
+    * diverged from `prev` (maxDeltas fallback mid-batch) resets to a
+    * fresh rebuild-on-probe — the pre-fallback contract. */
+  private[graft] def checkpointAdjTail(prev: GraphState): GraphState = {
+    if (!(adjCache eq prev.adjCache))
+      return if (adjOps.isEmpty && adjBase.isEmpty) this
+      else new GraphState(
+        nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+        indexes, descriptions, serverParams, new GraphState.AdjacencyCache)
+    val shared = prev.adjOps.length
+    if (adjOps.length == shared) return this
+    if (!adjOps.take(shared).zip(prev.adjOps).forall { case (a, b) => a eq b })
+      return new GraphState(
+        nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+        indexes, descriptions, serverParams, new GraphState.AdjacencyCache)
+    // an adjBase thunk minted THIS batch closes over prev's frames, whose
+    // checkpoints the caller is about to sweep — only safe if the shared
+    // cache is already built (the thunk will never run); otherwise reset
+    // to rebuild-on-probe from this version's own checkpointed frames
+    val baseSafe = (adjBase, prev.adjBase) match {
+      case (None, _) => true
+      case (Some(a), Some(b)) if a eq b => true
+      case _ => adjCache.isBuilt
+    }
+    if (!baseSafe)
+      return new GraphState(
+        nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+        indexes, descriptions, serverParams, new GraphState.AdjacencyCache)
+    val tail = adjOps.drop(shared).map {
+      case GraphState.AdjAppend(mk) =>
+        val d = mk().localCheckpoint(true); GraphState.AdjAppend(() => d)
+      case GraphState.AdjRemove(mk) =>
+        val d = mk().localCheckpoint(true); GraphState.AdjRemove(() => d)
+      case GraphState.AdjRemoveIncident(mk) =>
+        val d = mk().localCheckpoint(true)
+        GraphState.AdjRemoveIncident(() => d)
+    }
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+      indexes, descriptions, serverParams, adjCache, adjBase,
+      adjOps.take(shared) ++ tail)
   }
 
   /** New version with the id high-water mark advanced (never lowered) —
@@ -368,59 +498,71 @@ final class GraphState(
   def withIdBase(base: Long): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, math.max(base, idBase), mayOverlap, enums,
-      indexTag, indexes, descriptions, serverParams, adjCache, adjBase, adjDeltas)
+      indexTag, indexes, descriptions, serverParams, adjCache, adjBase, adjOps)
 
   /** Mark that node rows may now live in more than one label frame. */
   def withOverlap: GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap = true, enums, indexTag,
-      indexes, descriptions, serverParams, adjCache, adjBase, adjDeltas)
+      indexes, descriptions, serverParams, adjCache, adjBase, adjOps)
 
   /** Register (or replace) an enum type (`CREATE ENUM`). */
   def withEnum(name: String, values: Seq[String]): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap,
       enums + (name -> values), indexTag, indexes, descriptions,
-      serverParams, adjCache, adjBase, adjDeltas)
+      serverParams, adjCache, adjBase, adjOps)
 
   /** Register an index (CREATE ... INDEX). */
   def withIndex(d: GraphState.IndexDef): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
-      indexes :+ d, descriptions, serverParams, adjCache, adjBase, adjDeltas)
+      indexes :+ d, descriptions, serverParams, adjCache, adjBase, adjOps)
 
   /** Upsert a schema description (same-key SET replaces). */
   def withDescription(d: GraphState.DescEntry): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams, adjCache, adjBase, adjDeltas)
+      descriptions.filterNot(_.sameKey(d)) :+ d, serverParams, adjCache, adjBase, adjOps)
 
   /** Delete every description matching the predicate. */
   def dropDescriptions(p: GraphState.DescEntry => Boolean): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions.filterNot(p), serverParams, adjCache, adjBase, adjDeltas)
+      descriptions.filterNot(p), serverParams, adjCache, adjBase, adjOps)
 
   /** Set / unset a server-side parameter. */
   def withServerParam(name: String, value: Any, scope: String): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
       descriptions, serverParams + (name -> ((value, scope))), adjCache,
-      adjBase, adjDeltas)
+      adjBase, adjOps)
 
   def withoutServerParam(name: String): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
-      descriptions, serverParams - name, adjCache, adjBase, adjDeltas)
+      descriptions, serverParams - name, adjCache, adjBase, adjOps)
 
   /** Drop every index matching the predicate. */
   def dropIndexes(p: GraphState.IndexDef => Boolean): GraphState =
     new GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
-      indexes.filterNot(p), descriptions, serverParams, adjCache, adjBase, adjDeltas)
+      indexes.filterNot(p), descriptions, serverParams, adjCache, adjBase, adjOps)
 }
 
 object GraphState {
+
+  /** One entry of the incremental-adjacency op log (see [[GraphState]]'s
+    * `adjOps`): appended edge rows, or a tombstone frame of removed /
+    * replaced edge ids (single column). Thunks, so an op over a
+    * not-yet-materialized mutation stays lazy until a probe needs it. */
+  sealed trait AdjOp
+  final case class AdjAppend(rows: () => DataFrame) extends AdjOp
+  final case class AdjRemove(ids: () => DataFrame) extends AdjOp
+  /** Tombstone every edge INCIDENT to the given node ids (DETACH DELETE):
+    * two anti-joins against the statement-sized id frame — never a scan
+    * of the edge corpus to enumerate edge ids. */
+  final case class AdjRemoveIncident(nodeIds: () => DataFrame) extends AdjOp
 
   /** Composite index label specs (reference vector-index modes,
     * `src/storage/v2/indices/vector_index.hpp`): a plain label "A", an
@@ -479,6 +621,7 @@ object GraphState {
     @volatile private var warmLatch: Option[java.util.concurrent.CountDownLatch] = None
     @volatile var pinned: Boolean = false
     def pin(): Unit = pinned = true
+    def isBuilt: Boolean = cached.nonEmpty
     def getOrBuild(build: => DataFrame): DataFrame = {
       warmLatch.foreach(
         _.await(10, java.util.concurrent.TimeUnit.MINUTES))

@@ -439,10 +439,44 @@ final class Planner(
         }
       var cur = lfM
       var newEdges = Vector.empty[String]
+      // cardinality upper bound of everything planned so far: exact for
+      // single-node patterns (the label count), unknown (∞) once a
+      // pattern expands edges. Drives the small-side broadcast below.
+      var curEstimate: Double =
+        if (lfM.df.columns.isEmpty) 1.0 else Double.MaxValue
+      val bcGate =
+        try spark.conf.get("spark.graft.broadcastNodeScan", "100000").toLong
+        catch { case _: Throwable => 100000L }
       patterns.foreach { p =>
-        val (next, edges) = planPattern(cur, p, where)
+        val pVars = (p.start.variable.toSeq ++ p.hops.flatMap { case (r, nd) =>
+          r.variable.toSeq ++ nd.variable.toSeq
+        }).toSet
+        val disconnected =
+          cur.df.columns.nonEmpty && !pVars.exists(cur.scope.contains)
+        // `MATCH (a:Small), (b:Big)`: the cheapest pattern planned first,
+        // so when the NEXT pattern is disconnected and the accumulated
+        // side is provably small, broadcast the accumulated side into the
+        // Cartesian (reference variable_start_planner.hpp:161-204 costing;
+        // a small dim side must not shuffle the fact side at scale)
+        val seed =
+          if (disconnected && curEstimate <= bcGate.toDouble)
+            LF(broadcast(cur.df), cur.scope)
+          else cur
+        val (next, edges) = planPattern(seed, p, where)
         cur = next
         newEdges ++= edges
+        curEstimate =
+          if (p.hops.nonEmpty || curEstimate == Double.MaxValue)
+            Double.MaxValue
+          else curEstimate * math.max(1.0, {
+            val n = p.start
+            if (n.variable.exists(lfM.scope.contains)) 1.0
+            else if (n.orLabels.nonEmpty)
+              n.orLabels.map(l => state.labelCountEstimate(l).toDouble).sum
+            else n.labels.headOption
+              .map(l => state.labelCountEstimate(l).toDouble)
+              .getOrElse(state.totalNodeEstimate.toDouble)
+          })
       }
       cur = edgeUniqueness(cur, newEdges)
       where.map(w => planWhere(cur, w)).getOrElse(cur)
@@ -651,7 +685,11 @@ final class Planner(
           // thousands of batches don't layer thunks into one huge plan
           val (committed, fresh) =
             sub.currentState.materializeChangesTracked(preBatch)
-          state = committed
+          // adjacency op-log hygiene: checkpoint the batch's (small) op
+          // frames so later probes never recompute through a checkpoint
+          // this loop is about to sweep — and keep serving the pre-run
+          // sorted base view instead of rebuilding per batch
+          state = committed.checkpointAdjTail(preBatch)
           fresh.keys.foreach(k =>
             liveCkpt.get(k).foreach(
               graft.operators.Scratch.unpersistCheckpoint))
@@ -3930,8 +3968,26 @@ final class Planner(
             case None => state.allNodes
           }
       val bound = Frames.bind(name)(scan)
+      // Cartesian with an already-bound frame (disconnected patterns,
+      // `MATCH (a:Big), (b:Small)`): when THIS scan's label estimate is
+      // small, broadcast it — the reference costs per-pattern starts
+      // (variable_start_planner.hpp:161-204) and a small dimension side
+      // must never shuffle the big side at cluster scale. Estimates are
+      // memoized real label counts, so the hint can't blow the 8 GB
+      // broadcast ceiling on a mis-guess.
+      def scanEst: Double =
+        if (n.orLabels.nonEmpty)
+          n.orLabels.map(l => state.labelCountEstimate(l).toDouble).sum
+        else n.labels.headOption
+          .map(l => state.labelCountEstimate(l).toDouble)
+          .getOrElse(state.totalNodeEstimate.toDouble)
+      val bcGate =
+        try spark.conf.get("spark.graft.broadcastNodeScan", "100000").toLong
+        catch { case _: Throwable => 100000L }
       val df =
         if (lf.df.columns.isEmpty) bound // first scan replaces Once
+        else if (scanEst <= bcGate)
+          lf.df.crossJoin(broadcast(bound))
         else lf.df.crossJoin(bound) // Cartesian (operator.hpp:2797)
       val lf2 = LF(df, lf.scope + (name -> Binding.NodeB))
       setHint(name, n.labels.headOption.map(Set(_)))
@@ -5343,8 +5399,12 @@ object Cypher {
     "(?is)^\\s*DROP\\s+TRIGGER\\s+(\\w+)\\s*;?\\s*$".r
   private val ShowTriggersR =
     "(?is)^\\s*SHOW\\s+(?:TRIGGERS|TRIGGER\\s+INFO)\\s*;?\\s*$".r
+  // FILE is a Spark-native extension (the reference grammar has
+  // kafka/pulsar only, MemgraphCypher.g4:754): a Structured-Streaming
+  // file source declared as `CREATE FILE STREAM s PATH '<dir>'
+  // FORMAT 'json' SCHEMA '<ddl>' TRANSFORM mod.fn`
   private val CreateStreamR =
-    "(?is)^\\s*CREATE\\s+(KAFKA|PULSAR)\\s+STREAM\\s+([\\w.-]+)\\b(.*)$".r
+    "(?is)^\\s*CREATE\\s+(KAFKA|PULSAR|FILE)\\s+STREAM\\s+([\\w.-]+)\\b(.*)$".r
   private val DropStreamR =
     "(?is)^\\s*DROP\\s+STREAM\\s+([\\w.-]+)\\s*;?\\s*$".r
   private val StartStopStreamR =
@@ -5353,7 +5413,8 @@ object Cypher {
     "(?is)^\\s*(START|STOP)\\s+ALL\\s+STREAMS\\s*;?\\s*$".r
   private val ShowStreamsR = "(?is)^\\s*SHOW\\s+STREAMS\\s*;?\\s*$".r
   private val CheckStreamR =
-    "(?is)^\\s*CHECK\\s+STREAM\\b.*$".r
+    ("(?is)^\\s*CHECK\\s+STREAM\\s+([\\w.-]+)" +
+      "(?:\\s+BATCH_LIMIT\\s+(\\d+))?(?:\\s+TIMEOUT\\s+\\d+)?\\s*;?\\s*$").r
 
   /** `CREATE KAFKA|PULSAR STREAM` config tail → (SourceSpec, TRANSFORM
     * name). Configs are keyword-introduced and order-free
@@ -5364,7 +5425,7 @@ object Cypher {
     val kws = Seq(
       "TOPICS", "TRANSFORM", "BATCH_INTERVAL", "BATCH_SIZE",
       "CONSUMER_GROUP", "BOOTSTRAP_SERVERS", "CONFIGS", "CREDENTIALS",
-      "SERVICE_URL")
+      "SERVICE_URL", "PATH", "FORMAT", "SCHEMA")
     val kwRe = ("(?i)\\b(" + kws.mkString("|") + ")\\b").r
     val hits = kwRe.findAllMatchIn(tail).toSeq
     val entries: Map[String, String] = hits.zipWithIndex.map {
@@ -5388,17 +5449,28 @@ object Cypher {
         .map(m => unq(m.group(1)) -> unq(m.group(2)))
         .toMap
     }
-    val spec = graft.streaming.GraphStream.SourceSpec(
-      format = kind,
-      topics = entries.get("TOPICS").toSeq
-        .flatMap(_.split(",").map(unq).map(_.trim).filter(_.nonEmpty)),
-      bootstrapServers = entries.get("BOOTSTRAP_SERVERS").map(unq),
-      consumerGroup = entries.get("CONSUMER_GROUP").map(unq),
-      serviceUrl = entries.get("SERVICE_URL").map(unq),
-      batchIntervalMs = entries.get("BATCH_INTERVAL").map(unq(_).toLong),
-      batchSize = entries.get("BATCH_SIZE").map(unq(_).toLong),
-      configs = entries.get("CONFIGS").map(mapOf).getOrElse(Map.empty) ++
-        entries.get("CREDENTIALS").map(mapOf).getOrElse(Map.empty))
+    val spec =
+      if (kind == "file")
+        graft.streaming.GraphStream.SourceSpec(
+          format = entries.get("FORMAT").map(unq).getOrElse("json"),
+          path = Some(entries.get("PATH").map(unq).getOrElse(
+            throw new IllegalArgumentException(
+              "CREATE FILE STREAM needs PATH '<dir>'"))),
+          schema = entries.get("SCHEMA").map(s =>
+            org.apache.spark.sql.types.StructType.fromDDL(unq(s))),
+          batchIntervalMs = entries.get("BATCH_INTERVAL").map(unq(_).toLong),
+          batchSize = entries.get("BATCH_SIZE").map(unq(_).toLong))
+      else graft.streaming.GraphStream.SourceSpec(
+        format = kind,
+        topics = entries.get("TOPICS").toSeq
+          .flatMap(_.split(",").map(unq).map(_.trim).filter(_.nonEmpty)),
+        bootstrapServers = entries.get("BOOTSTRAP_SERVERS").map(unq),
+        consumerGroup = entries.get("CONSUMER_GROUP").map(unq),
+        serviceUrl = entries.get("SERVICE_URL").map(unq),
+        batchIntervalMs = entries.get("BATCH_INTERVAL").map(unq(_).toLong),
+        batchSize = entries.get("BATCH_SIZE").map(unq(_).toLong),
+        configs = entries.get("CONFIGS").map(mapOf).getOrElse(Map.empty) ++
+          entries.get("CREDENTIALS").map(mapOf).getOrElse(Map.empty))
     (spec, entries.get("TRANSFORM").map(unq))
   }
 
@@ -5528,16 +5600,28 @@ object Cypher {
       val st = GraphStream.streamRegistry.getOrElse(
         name,
         throw new IllegalArgumentException(s"stream '$name' does not exist"))
-      GraphStream.streamRegistry.put(
-        name, st.copy(running = action.equalsIgnoreCase("START")))
-      ExecResult(g, spark.range(0).toDF().select())
+      if (action.equalsIgnoreCase("START"))
+        // a real consumer run (streams.cpp:520-567): resolve the spec +
+        // TRANSFORM and drain the available source data into the graph
+        ExecResult(
+          GraphStream.startStored(spark, g, name),
+          spark.range(0).toDF().select())
+      else {
+        GraphStream.streamRegistry.put(name, st.copy(running = false))
+        ExecResult(g, spark.range(0).toDF().select())
+      }
     case StartStopAllStreamsR(action) =>
       import graft.streaming.GraphStream
-      val run = action.equalsIgnoreCase("START")
-      GraphStream.streamRegistry.keys.foreach(n =>
-        GraphStream.streamRegistry.put(
-          n, GraphStream.streamRegistry(n).copy(running = run)))
-      ExecResult(g, spark.range(0).toDF().select())
+      if (action.equalsIgnoreCase("START")) {
+        val out = GraphStream.streamRegistry.keys.toSeq.sorted
+          .foldLeft(g)((acc, n) => GraphStream.startStored(spark, acc, n))
+        ExecResult(out, spark.range(0).toDF().select())
+      } else {
+        GraphStream.streamRegistry.keys.foreach(n =>
+          GraphStream.streamRegistry.put(
+            n, GraphStream.streamRegistry(n).copy(running = false)))
+        ExecResult(g, spark.range(0).toDF().select())
+      }
     case ShowStreamsR() =>
       import spark.implicits._
       ExecResult(
@@ -5551,10 +5635,13 @@ object Cypher {
           .toDF(
             "name", "type", "batch_interval", "batch_size",
             "transformation_name", "is running"))
-    case CheckStreamR() =>
-      throw new UnsupportedOperationException(
-        "CHECK STREAM needs a live broker consumer — start the stream " +
-          "through GraphStream.ingest with the registered spec instead")
+    case CheckStreamR(name, limit) =>
+      // dry-run the transform over the available data, commit nothing
+      // (streams.cpp:832-889; yield header interpreter.cpp:3277)
+      ExecResult(
+        g,
+        graft.streaming.GraphStream.checkStored(
+          spark, g, name, Option(limit).map(_.toLong)))
     case ExplainPrefix(kind, rest) =>
       val planner = new Planner(spark, g, mergedParams(g, params))
       val df = planner.plan(CypherParser.parse(rest))

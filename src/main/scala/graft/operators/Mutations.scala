@@ -122,30 +122,37 @@ object Mutations {
         () => g.nodes(l).join(keyG(), Seq(IdCol), "left_anti"))
     }
     if (detach) {
-      g.edgeTypes.foreach { t =>
-        out = out.withEdges(
-          t,
-          () =>
-            g.edges(t)
-              .join(
-                keyG(_.select(col(IdCol).as(SrcCol))),
-                Seq(SrcCol),
-                "left_anti")
-              .join(
-                keyG(_.select(col(IdCol).as(DstCol))),
-                Seq(DstCol),
-                "left_anti"))
-      }
+      val updates = g.edgeTypes.map { t =>
+        t -> (() =>
+          g.edges(t)
+            .join(
+              keyG(_.select(col(IdCol).as(SrcCol))),
+              Seq(SrcCol),
+              "left_anti")
+            .join(
+              keyG(_.select(col(IdCol).as(DstCol))),
+              Seq(DstCol),
+              "left_anti"))
+      }.toMap
+      // ONE incident-tombstone op for the whole detach: the adjacency
+      // probe anti-joins src and dst against the statement-sized node-id
+      // frame — never a rebuild, never an edge-corpus scan to list ids
+      out = out.withEdgesOps(
+        updates,
+        Seq(GraphState.AdjRemoveIncident(() => keyG())))
     }
     out
   }
 
-  /** Delete edges of one type by edge id. */
+  /** Delete edges of one type by edge id — tombstoned in the adjacency
+    * op log, not a rebuild. */
   def deleteEdges(g: GraphState, tpe: String, ids: DataFrame): GraphState = {
     val keyG = new GatedKey(ids.select(col(ids.columns.head).as(IdCol)))
-    g.withEdges(
+    g.withEdgesMutated(
       tpe,
-      () => g.edges(tpe).join(keyG(), Seq(IdCol), "left_anti"))
+      () => g.edges(tpe).join(keyG(), Seq(IdCol), "left_anti"),
+      () => keyG(),
+      readdChanged = false)
   }
 
   /** SET n.prop = expr for every node of a label (expr over the node
@@ -233,28 +240,49 @@ object Mutations {
       prop: String,
       only: Option[Seq[String]] = None): GraphState = {
     val upG = new GatedKey(updates.withColumn("__hit", lit(true)))
-    var out = g
-    prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(
-        t,
-        () => {
-          val e = g.edges(t)
-          val vtype = updates.schema("__nv").dataType
-          val base =
-            if (e.columns.contains(prop)) e
-            else e.withColumn(prop, lit(null).cast(vtype))
-          // matched rows take the NEW value even when it is NULL —
-          // `SET n.p = null` REMOVES the property (reference SetProperty
-          // null semantics); a coalesce would silently keep the old value
-          base
-            .join(upG(), Seq(IdCol), "left_outer")
-            .withColumn(
-              prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
-            .drop("__nv", "__hit")
-        })
-    }
-    out
+    val mks = prune(g.edgeTypes, only).map { t =>
+      t -> (() => {
+        val e = g.edges(t)
+        val vtype = updates.schema("__nv").dataType
+        val base =
+          if (e.columns.contains(prop)) e
+          else e.withColumn(prop, lit(null).cast(vtype))
+        // matched rows take the NEW value even when it is NULL —
+        // `SET n.p = null` REMOVES the property (reference SetProperty
+        // null semantics); a coalesce would silently keep the old value
+        base
+          .join(upG(), Seq(IdCol), "left_outer")
+          .withColumn(
+            prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
+          .drop("__nv", "__hit")
+      })
+    }.toMap
+    edgeUpdateOps(g, mks, () => upG(_.select(col(IdCol))))
   }
+
+  /** Funnel for id-keyed edge UPDATES (SET/REMOVE property forms): replace
+    * the type frames and log one tombstone + one re-append of the changed
+    * rows, read from the NEW frames — the adjacency probe keeps serving
+    * the ancestor's sorted base view (reference storage.hpp:892 maintains
+    * its edge index per delta for updates too). */
+  private def edgeUpdateOps(
+      g: GraphState,
+      mks: Map[String, () => DataFrame],
+      changedIds: () => DataFrame): GraphState =
+    if (mks.isEmpty) g
+    else g.withEdgesOps(
+      mks,
+      Seq(
+        GraphState.AdjRemove(changedIds),
+        GraphState.AdjAppend(() =>
+          mks.values
+            .map(mk =>
+              mk().join(
+                changedIds().select(
+                  col(changedIds().columns.head).as(IdCol)),
+                Seq(IdCol), "left_semi"))
+            .reduceOption(unionReconciled)
+            .getOrElse(GraphState.emptyEdgeFrame))))
 
   /** SetProperties (operator.hpp:1539): `SET n = {map}` (replace=true) /
     * `SET n += {map}` (replace=false) for id-keyed update rows. REPLACE
@@ -284,13 +312,11 @@ object Mutations {
       replace: Boolean,
       only: Option[Seq[String]] = None): GraphState = {
     val upG = new GatedKey(updates)
-    var out = g
-    prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(
-        t,
-        () => applyProps(g.edges(t), GraphState.edgeMeta, upG, keys, replace))
-    }
-    out
+    val mks = prune(g.edgeTypes, only).map { t =>
+      t -> (() =>
+        applyProps(g.edges(t), GraphState.edgeMeta, upG, keys, replace))
+    }.toMap
+    edgeUpdateOps(g, mks, () => upG(_.select(col(IdCol))))
   }
 
   private def applyProps(
@@ -484,11 +510,10 @@ object Mutations {
       only: Option[Seq[String]] = None): GraphState = {
     require(path.nonEmpty, "nested SET needs at least two path segments")
     val upG = new GatedKey(updates)
-    var out = g
-    prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(t, () => nestedApply(g.edges(t), upG, prop, path))
-    }
-    out
+    val mks = prune(g.edgeTypes, only).map { t =>
+      t -> (() => nestedApply(g.edges(t), upG, prop, path))
+    }.toMap
+    edgeUpdateOps(g, mks, () => upG(_.select(col(IdCol))))
   }
 
   /** `REMOVE n.p.k1…kn` (`RemoveNestedProperty`, operator.hpp:1671):
@@ -532,12 +557,11 @@ object Mutations {
       throw new IllegalArgumentException(
         s"nested REMOVE: property '$prop' does not exist")
     val (rmG, upG) = nestedRemoveKeys(ids)
-    var out = g
-    frames.foreach { t =>
-      out = out.withEdges(
-        t, () => nestedRemove(g.edges(t), rmG, upG, prop, path))
-    }
-    out
+    val mks = frames.map { t =>
+      t -> (() => nestedRemove(g.edges(t), rmG, upG, prop, path))
+    }.toMap
+    edgeUpdateOps(
+      g, mks, () => rmG(_.select(col(IdCol))))
   }
 
   /** The two key shapes nested REMOVE can need (map-typed frames filter by
@@ -629,25 +653,22 @@ object Mutations {
       only: Option[Seq[String]] = None): GraphState = {
     val keyG = new GatedKey(
       ids.select(col(ids.columns.head).as(IdCol)).withColumn("__rm", lit(1)))
-    var out = g
-    prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(
-        t,
-        () => {
-          val e = g.edges(t)
-          if (!e.columns.contains(prop)) e
-          else {
-            val vt = e.schema(prop).dataType
-            e.join(keyG(), Seq(IdCol), "left_outer")
-              .withColumn(
-                prop,
-                when(col("__rm").isNotNull, lit(null).cast(vt))
-                  .otherwise(col(prop)))
-              .drop("__rm")
-          }
-        })
-    }
-    out
+    val mks = prune(g.edgeTypes, only).map { t =>
+      t -> (() => {
+        val e = g.edges(t)
+        if (!e.columns.contains(prop)) e
+        else {
+          val vt = e.schema(prop).dataType
+          e.join(keyG(), Seq(IdCol), "left_outer")
+            .withColumn(
+              prop,
+              when(col("__rm").isNotNull, lit(null).cast(vt))
+                .otherwise(col(prop)))
+            .drop("__rm")
+        }
+      })
+    }.toMap
+    edgeUpdateOps(g, mks, () => keyG(_.select(col(IdCol))))
   }
 
   /** SET n:Label / REMOVE n:Label for the given ids. */
@@ -719,13 +740,11 @@ object Mutations {
       ids: DataFrame,
       only: Option[Seq[String]] = None): GraphState = {
     val keyG = new GatedKey(ids.select(col(ids.columns.head).as(IdCol)))
-    var out = g
-    prune(g.edgeTypes, only).foreach { t =>
-      out = out.withEdges(
-        t,
-        () => g.edges(t).join(keyG(), Seq(IdCol), "left_anti"))
-    }
-    out
+    val mks = prune(g.edgeTypes, only).map { t =>
+      t -> (() => g.edges(t).join(keyG(), Seq(IdCol), "left_anti"))
+    }.toMap
+    if (mks.isEmpty) g
+    else g.withEdgesOps(mks, Seq(GraphState.AdjRemove(() => keyG())))
   }
 
   /** `CALL { … } IN TRANSACTIONS OF n ROWS` / `USING PERIODIC COMMIT`

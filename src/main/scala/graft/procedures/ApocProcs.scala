@@ -53,7 +53,7 @@ object ApocProcs {
     "refactor.rename_type_property" -> renameTypeProperty,
     "refactor.invert" -> invert,
     "refactor.normalize_as_boolean" -> normalizeAsBoolean) ++
-    PyTail2Procs.writeRegistry
+    PyTail2Procs.writeRegistry ++ PyTail3Procs.writeRegistry
 
   // ---------------- option helpers ----------------
 

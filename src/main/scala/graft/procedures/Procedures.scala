@@ -66,7 +66,7 @@ object Procedures {
     "mg.procedures" -> mgProcedures) ++ ApocProcs.registry ++
     ExtraProcs.registry ++ IndexProcs.registry ++ HelperProcs.registry ++
     MlProcs.registry ++ MetaProcs.registry ++ PyTailProcs.registry ++
-    IgraphProcs.registry ++ PyTail2Procs.registry
+    IgraphProcs.registry ++ PyTail2Procs.registry ++ PyTail3Procs.registry
 
   /** `CALL mg.procedures()` — registry introspection (the reference's
     * `mg` module lists loaded mgp procedures). */

@@ -409,8 +409,10 @@ object Round13Queries {
       Some("""SELECT CAST(3 AS BIGINT) AS n, CAST(6 AS BIGINT) AS ks""".stripMargin)),
 
     // CREATE STREAM DDL (StreamQuery ast.hpp:3741): registry + SHOW
-    // STREAMS surface (starting a broker consumer is GraphStream.ingest's
-    // job — the DDL declares the spec)
+    // STREAMS surface. START now runs a REAL consumer pass (r14:
+    // GraphStream.startStored) — a broker-backed spec can't start in this
+    // environment, so this gate pins the declarative surface and the
+    // not-yet-running status; the ingestion proof is cy_stream_ingest.
     QueryDef(
       "cy_create_stream",
       (s, dir) => {
@@ -424,7 +426,6 @@ object Round13Queries {
             |BOOTSTRAP_SERVERS 'localhost:9092'
             |BATCH_INTERVAL 100 BATCH_SIZE 50
             |CONSUMER_GROUP cg1""".stripMargin).graph
-        Cypher.execute(s, g1, "START STREAM r13_stream")
         try
           Cypher.run(
             s, g1,
@@ -441,6 +442,6 @@ object Round13Queries {
              |       CAST(100 AS BIGINT) AS batch_interval,
              |       CAST(50 AS BIGINT) AS batch_size,
              |       'my_mod.my_transform' AS transformation_name,
-             |       true AS "is running"""".stripMargin))
+             |       false AS "is running"""".stripMargin))
   )
 }

@@ -194,14 +194,14 @@ object GraphStream {
       before: Boolean,
       statement: String)
 
-  /** `CREATE KAFKA|PULSAR STREAM name <configs>` (StreamQuery
-    * ast.hpp:3741): the declarative spec + transformation name. Starting
-    * a broker-backed stream happens through [[ingest]] with this spec —
-    * START/STOP here flip the registry status (the reference's consumer
-    * lifecycle needs a live broker either way). */
+  /** `CREATE KAFKA|PULSAR|FILE STREAM name <configs>` (StreamQuery
+    * ast.hpp:3741; FILE is the Spark-native file-source extension): the
+    * declarative spec + transformation name. `START STREAM` resolves the
+    * TRANSFORM in [[transformRegistry]] and runs a bounded consumer pass
+    * ([[startStored]]); `CHECK STREAM` dry-runs it ([[checkStored]]). */
   final case class StoredStream(
       name: String,
-      kind: String, // "kafka" | "pulsar"
+      kind: String, // "kafka" | "pulsar" | "file"
       spec: SourceSpec,
       transform: Option[String],
       running: Boolean)
@@ -210,6 +210,105 @@ object GraphStream {
     scala.collection.concurrent.TrieMap.empty[String, StoredTrigger]
   val streamRegistry =
     scala.collection.concurrent.TrieMap.empty[String, StoredStream]
+
+  /** The reference's transformation contract (python mgp transformations,
+    * `query/procedure/module.hpp` — each message batch yields a list of
+    * (query, parameters) write statements): a batch DataFrame → the
+    * statements to run, in order. DDL streams (`CREATE … STREAM …
+    * TRANSFORM name`) resolve their TRANSFORM name here — the Scala-API
+    * analog of dropping a transform module into the query-modules
+    * directory. */
+  type QueryTransform =
+    (SparkSession, DataFrame) => Seq[(String, Map[String, Any])]
+
+  val transformRegistry =
+    scala.collection.concurrent.TrieMap.empty[String, QueryTransform]
+
+  private def resolveTransform(st: StoredStream): QueryTransform = {
+    val name = st.transform.getOrElse(throw new IllegalArgumentException(
+      s"stream '${st.name}' has no TRANSFORM"))
+    transformRegistry.getOrElse(
+      name,
+      throw new IllegalArgumentException(
+        s"transformation '$name' is not registered (register it via " +
+          "GraphStream.transformRegistry — the reference loads it from " +
+          "the query-modules directory, streams.cpp CallCustomTransformation)"))
+  }
+
+  /** `START STREAM name` (reference streams.cpp:520-567 spins the
+    * consumer thread): resolve the stored spec + TRANSFORM and run ONE
+    * bounded consumer pass over the currently-available source data
+    * (Trigger.AvailableNow — the batch analog of the reference's
+    * consumer loop; a long-lived ProcessingTime consumer is the
+    * Scala-API [[ingest]] path). Each batch's statements run as one
+    * transaction against the evolving state; DDL triggers fire per batch.
+    * Returns the post-ingestion graph version. */
+  def startStored(
+      spark: SparkSession, g0: GraphState, name: String): GraphState = {
+    val st = streamRegistry.getOrElse(
+      name,
+      throw new IllegalArgumentException(s"stream '$name' does not exist"))
+    val qt = resolveTransform(st)
+    val transformation: Transformation = (g, batch) => {
+      val after = qt(spark, batch).foldLeft(g) { case (acc, (q, ps)) =>
+        graft.cypher.Cypher.execute(spark, acc, q, ps).graph
+      }
+      // diffs at entity granularity are not derivable from opaque
+      // statements — event-narrowed (ON () CREATE …) triggers no-op for
+      // DDL streams; event-ANY triggers still fire per batch
+      IngestResult(after)
+    }
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-stream-$name").toString
+    // drain-the-available semantics regardless of BATCH_INTERVAL: the
+    // interval paces a live broker consumer, which a statement cannot
+    // block on — drop it for this bounded pass
+    val bounded = st.spec.copy(batchIntervalMs = None)
+    val out = ingest(spark, bounded, g0, transformation, Nil, ckpt)
+    streamRegistry.put(name, st.copy(running = true))
+    out
+  }
+
+  /** `CHECK STREAM name` (streams.cpp:832-889): DRY-RUN the transform
+    * over the available data — per batch, one row of
+    * (`queries`: the (query, parameters) list the transform produced,
+    * `raw messages`: the batch payloads) — committing NOTHING. */
+  def checkStored(
+      spark: SparkSession,
+      g0: GraphState,
+      name: String,
+      batchLimit: Option[Long]): DataFrame = {
+    val st = streamRegistry.getOrElse(
+      name,
+      throw new IllegalArgumentException(s"stream '$name' does not exist"))
+    val qt = resolveTransform(st)
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[String])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft-check-$name").toString
+    val bounded = st.spec.copy(batchIntervalMs = None)
+    val q = reader(spark, bounded).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batchLimit.forall(rows.length < _)) {
+          val queries = qt(spark, batch).map { case (qq, ps) =>
+            if (ps.isEmpty) qq
+            else s"$qq /* parameters: ${ps.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"$k=$v" }.mkString(", ")} */"
+          }
+          val payloads = batch
+            .select(to_json(struct(batch.columns.map(col): _*)))
+            .collect().map(_.getString(0)).toSeq
+          rows += ((queries, payloads))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    import spark.implicits._
+    rows.toSeq.toDF("queries", "raw messages")
+  }
 
   private def eventOf(e: Option[String]): TriggerEvent = e match {
     case Some("CREATE") => TriggerEvent.OnCreate

@@ -56,14 +56,59 @@ class AdjacencyDeltaSpec extends SparkTestBase {
     assert(persistedCount == baseline)
   }
 
-  test("non-append rewrite (delete) falls back to a fresh rebuild") {
+  test("edge delete tombstones the id and reuses the base view") {
     val g = mkGraph()
     g.adjacencyBySrc.count()
     val baseline = persistedCount
     val g2 = Mutations.deleteEdges(g, "E", Seq(Tuple1(103L)).toDF("_id"))
     assert(g2.adjacencyBySrc.count() == 3L)
-    assert(persistedCount == baseline + 1,
-      "a delete invalidates the base view — the probe must rebuild")
+    assert(persistedCount == baseline,
+      "a delete must serve base-minus-tombstone, not persist a rebuilt view")
+    assert(g2.adjacencyBySrc.filter(col("_id") === 103L).isEmpty)
+    // the parent version still sees all 4
+    assert(g.adjacencyBySrc.count() == 4L)
+  }
+
+  test("edge property update tombstones + re-appends, reusing the base view") {
+    val g = mkGraph()
+    g.adjacencyBySrc.count()
+    val baseline = persistedCount
+    val updates = Seq((101L, 9L)).toDF("_id", "__nv")
+    val g2 = Mutations.setEdgePropertyByIds(g, updates, "w", None)
+    assert(g2.adjacencyBySrc.count() == 4L, "update must not change cardinality")
+    assert(persistedCount == baseline,
+      "an update must serve base∖changed ∪ changed-from-new-frame")
+    val updated = g2.adjacencyBySrc.filter(col("_id") === 101L).collect()
+    assert(updated.length == 1 &&
+      updated.head.getAs[Long]("w") == 9L)
+    // untouched rows carry no w or null w
+    assert(g2.adjacencyBySrc
+      .filter(col("_id") === 100L && col("w").isNull).count() == 1L)
+  }
+
+  test("DETACH DELETE tombstones incident edges without an edge-corpus scan") {
+    val g = mkGraph()
+    g.adjacencyBySrc.count()
+    val baseline = persistedCount
+    val g2 = Mutations.deleteNodes(
+      g, Seq(Tuple1(1L)).toDF("_id"), detach = true, None)
+    // edges 100 (0→1) and 101 (1→2) are incident to node 1
+    assert(g2.adjacencyBySrc.count() == 2L)
+    assert(persistedCount == baseline,
+      "detach delete must serve the base view minus incident anti-joins")
+    assert(g2.adjacencyBySrc.select("_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(102L, 103L))
+  }
+
+  test("delete-then-append chain composes in statement order") {
+    val g = mkGraph()
+    g.adjacencyBySrc.count()
+    val g2 = Mutations.deleteEdges(g, "E", Seq(Tuple1(100L)).toDF("_id"))
+    val d = Seq((500L, 0L, 5L, "E")).toDF("_id", "_src", "_dst", "_type")
+    val g3 = Mutations.createEdges(g2, "E", d)
+    assert(g3.adjacencyBySrc.count() == 4L)
+    assert(g3.adjacencyBySrc.filter(col("_id") === 100L).isEmpty)
+    assert(g3.adjacencyBySrc.filter(col("_id") === 500L).count() == 1L)
   }
 
   test("delta chain beyond the cap falls back to a rebuild, stays correct") {

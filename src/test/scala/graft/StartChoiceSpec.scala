@@ -42,4 +42,22 @@ class StartChoiceSpec extends SparkTestBase {
     }
     assert(df.collect()(0).getLong(0) == expected)
   }
+
+  test("disconnected patterns: the small label scan broadcasts into the " +
+    "Cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    val df = Cypher.run(
+      spark, g,
+      "MATCH (l:Lineitem), (r:Region) RETURN count(*) AS cnt")
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join
+          if j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+            j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) =>
+        j
+    }
+    assert(hinted.nonEmpty,
+      "the 5-row Region scan must carry a broadcast hint in the cross join")
+    val expected = g.nodes("Lineitem").count() * g.nodes("Region").count()
+    assert(df.collect()(0).getLong(0) == expected)
+  }
 }
