@@ -151,9 +151,17 @@ object CypherParser extends RegexParsers {
       (kw("STARTS") ~ kw("WITH")) ^^^ "STARTS WITH" |
       (kw("ENDS") ~ kw("WITH")) ^^^ "ENDS WITH"
 
+  /** `IS [NOT] NULL` binds LOOSER than arithmetic but tighter than
+    * comparison (reference Cypher.g4 expression7 over expression6 —
+    * `(null + 1) * 1 IS NULL` tests the whole product). */
+  def nullCheckExpr: Parser[Expr] =
+    addExpr ~ rep(kw("IS") ~> opt(kw("NOT")) <~ kw("NULL")) ^^ {
+      case h ~ t => t.foldLeft(h)((e, n) => IsNull(e, n.isDefined))
+    }
+
   /** Chained comparisons (a < b <= c) fold into a conjunction, per Cypher. */
   def comparison: Parser[Expr] =
-    addExpr ~ rep(compOp ~ addExpr) ^^ {
+    nullCheckExpr ~ rep(compOp ~ nullCheckExpr) ^^ {
       case h ~ Nil => h
       case h ~ t =>
         val pairs = (h +: t.map(_._2)).sliding(2).toSeq.zip(t.map(_._1))
@@ -191,8 +199,6 @@ object CypherParser extends RegexParsers {
           PSlice(a, b)
         } |
         "[" ~> expr <~ "]" ^^ PSub.apply |
-        kw("IS") ~> kw("NOT") ~> kw("NULL") ^^ (_ => PIsNull(true)) |
-        kw("IS") ~> kw("NULL") ^^ (_ => PIsNull(false)) |
         // `n:Label` label test (expression position; `::` is enum access)
         not("::") ~> ":" ~> (ident | identP) ^^ PLabel.apply) ^^ {
       case a ~ posts =>
@@ -663,6 +669,14 @@ object CypherParser extends RegexParsers {
     kw("CREATE") ~> rep1sep(patternPart, ",") ^^ CreateCl.apply
 
   def setItem: Parser[SetItem] =
+    // `SET (n).prop = …` — a parenthesized variable as the SET target
+    // (SetAcceptance "selecting the node using a simple expression")
+    (("(" ~> ident <~ ")") <~ ".") ~ rep1sep(ident | identP, ".") ~
+      (("+=" | "=") ~ expr) ^^ {
+        case v ~ path ~ ("+=" ~ e) => SetNestedProp(v, path, e, merge = true)
+        case v ~ Seq(k) ~ (_ ~ e) => SetProp(v, k, e)
+        case v ~ path ~ (_ ~ e) => SetNestedProp(v, path, e)
+      } |
     (ident <~ ".") ~ rep1sep(ident | identP, ".") ~ (("+=" | "=") ~ expr) ^^ {
       case v ~ path ~ ("+=" ~ e) => SetNestedProp(v, path, e, merge = true)
       case v ~ Seq(k) ~ (_ ~ e) => SetProp(v, k, e)

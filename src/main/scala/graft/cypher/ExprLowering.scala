@@ -146,9 +146,13 @@ final class ExprLowering(
           // planner at projection time, not in expression position)
           if (df.columns.contains(s"$n${Frames.Sep}_nodestructs") &&
             df.columns.contains(s"$n${Frames.Sep}_edgestructs"))
-            struct(
-              Frames.f(n, "_nodestructs").as("nodes"),
-              Frames.f(n, "_edgestructs").as("edges"))
+            // an OPTIONAL MATCH miss leaves the path UNBOUND — NULL, not
+            // a struct of null arrays (the node-id array witnesses the
+            // bind, same contract as entity structs)
+            when(Frames.f(n, "_nodes").isNull, lit(null))
+              .otherwise(struct(
+                Frames.f(n, "_nodestructs").as("nodes"),
+                Frames.f(n, "_edgestructs").as("edges")))
           else Frames.f(n, "_len")
         case Some(Binding.NodeB) | Some(Binding.EdgeB) => varStruct(n)
         case None =>

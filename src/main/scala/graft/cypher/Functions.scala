@@ -193,6 +193,43 @@ object Functions {
       // accepting LocalTime — both lower to DayTimeIntervalType here, so
       // the type error is not statically expressible (2 lenient corpus
       // rows, never a wrong answer: the ordering is well-defined)
+      case "min" | "max" if argType(0).exists(
+          _.isInstanceOf[org.apache.spark.sql.types.VariantType]) =>
+        // min/max over a VARIANT (mixed-type) column: the reference's
+        // TypedValue comparison RAISES for values of different base kinds
+        // (aggregations.feature "Min test 01" expects an error for an
+        // int/string mix), so genuinely mixed inputs raise here too; a
+        // column that is variant-typed but single-kind at runtime (all
+        // numbers, all strings, …) aggregates normally. (The vendored
+        // openCypher TCK table instead pins Neo4j's type-orderability —
+        // documented divergence in OpenCypherTckSpec.excluded.)
+        val v = a(0)
+        // schema_of_variant gives the VALUE's own type — try_variant_get
+        // would silently COERCE (a number casts to string/boolean)
+        val sch = schema_of_variant(v)
+        val rank = when(sch.startsWith("ARRAY"), lit(3))
+          .when(sch.startsWith("OBJECT"), lit(0))
+          .when(sch === "STRING", lit(11))
+          .when(sch === "BOOLEAN", lit(12))
+          .otherwise(lit(13)) // numeric kinds
+        val numV = when(rank === 13, try_variant_get(v, "$", "double"))
+        val strV = when(rank === 11, try_variant_get(v, "$", "string"))
+        val boolV = when(rank === 12, try_variant_get(v, "$", "boolean"))
+        val key = when(v.isNull || is_variant_null(v), lit(null))
+          .otherwise(struct(
+            rank.as("r"), numV.as("n"), strV.as("s"),
+            boolV.cast("int").as("b"), to_json(v).as("j")))
+        val kinds = count_distinct(
+          when(v.isNotNull && !is_variant_null(v), rank))
+        val best =
+          if (name.equalsIgnoreCase("min")) min_by(a(0), key)
+          else max_by(a(0), key)
+        when(
+          kinds > 1,
+          raise_error(lit(
+            s"Can't ${name.toLowerCase} mixed types — values of " +
+              "different kinds are not comparable.")))
+          .otherwise(best)
       case "min" => min(a(0))
       case "max" => max(a(0))
       case "collect" if args.size == 2 =>

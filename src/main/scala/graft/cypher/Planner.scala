@@ -2380,7 +2380,32 @@ final class Planner(
         val v = n.variable.getOrElse(fresh("mc"))
         val bound = Frames.bind(v)(rows)
         setHint(v, Some(storeTargets.toSet))
-        planSet(LF(bound, Scope.empty + (v -> Binding.NodeB)), propItems)
+        // ON CREATE SET may read the OUTER row's variables
+        // (MergeNodeAcceptance "use properties from match in ON CREATE"):
+        // the reference pulls per row and creates on the FIRST unmatched
+        // pull — the set-based equivalent seeds the SET frame with that
+        // first outer row (entity-id order = creation order). Only the
+        // prop-less (single-create) MERGE takes this path.
+        val valueVars = propItems.flatMap {
+          case SetProp(_, _, e) => varsIn(e)
+          case SetNestedProp(_, _, e, _) => varsIn(e)
+          case SetAllProps(_, e, _) => varsIn(e)
+          case _ => Set.empty[String]
+        }.toSet - v
+        val usesOuter = valueVars.exists(lf.scope.contains)
+        val (seedDf, seedScope) =
+          if (!usesOuter) (bound, Scope.empty + (v -> Binding.NodeB))
+          else {
+            val idCols = lf.df.columns
+              .filter(_.endsWith(s"${Frames.Sep}${GraphState.IdCol}"))
+              .sorted
+            val first =
+              (if (idCols.nonEmpty)
+                 lf.df.orderBy(idCols.map(c => col(c).asc_nulls_last): _*)
+               else lf.df).limit(1)
+            (bound.crossJoin(first), lf.scope + (v -> Binding.NodeB))
+          }
+        planSet(LF(seedDf, seedScope), propItems)
       }
     }
     def applyOnMatch(matched0: DataFrame): Unit = if (m.onMatch.nonEmpty) {
@@ -2811,15 +2836,60 @@ final class Planner(
           // than a materializing count() per hop).
           if (hopsLimit.isDefined) hopCheckFrames :+= cur.df
 
+        case Some((lo, hi)) if rel.variable.exists(cur.scope.contains) =>
+          // `-[rs*]->` with rs ALREADY bound to a relationship LIST:
+          // traverse a FRESH variable and keep exactly the rows whose
+          // edge-id sequence equals the bound list (MatchAcceptance2
+          // "matching variable length using the list" — the
+          // wrong-direction variant falls out of the equality). The hop
+          // count is bounded by the longest list present (one tiny
+          // driver probe), so the expansion never runs unbounded.
+          val rsVar = rel.variable.get
+          val rsIds: Column = cur.scope.get(rsVar).get match {
+            case Binding.EdgeListB => col(s"$rsVar${Frames.Sep}_ids")
+            case Binding.ValueB =>
+              transform(
+                col(s"$rsVar${Frames.Sep}_val"),
+                x => x.getField(GraphState.IdCol))
+            case other =>
+              throw new UnsupportedOperationException(
+                s"variable-length expansion over a bound $other variable")
+          }
+          val minH = lo.getOrElse(1)
+          val hiList: Int = {
+            val r = cur.df.select(max(size(rsIds))).head()
+            if (r.isNullAt(0)) 0 else r.getInt(0)
+          }
+          val hiB = Some(math.min(
+            hi.map(_.toLong).getOrElse(Long.MaxValue),
+            hiList.toLong).toInt)
+          if (dstBound) {
+            val tmp = fresh("n")
+            val df0 = VarExpand(
+              cur.df, state, srcVar, rsVar + "__rse", types, dir, minH,
+              hiB, tmp, dstLabel = None)
+            val idsC = col(s"${rsVar}__rse${Frames.Sep}_ids")
+            val df = df0
+              .filter(Frames.id(tmp) === Frames.id(dstName) && idsC === rsIds)
+              .drop(Frames.colsOf(df0, tmp): _*)
+              .drop(s"${rsVar}__rse${Frames.Sep}_ids")
+            cur = LF(df, cur.scope)
+          } else {
+            val df0 = VarExpand(
+              cur.df, state, srcVar, rsVar + "__rse", types, dir, minH,
+              hiB, dstName, node.labels.headOption)
+            val idsC = col(s"${rsVar}__rse${Frames.Sep}_ids")
+            val df = df0.filter(idsC === rsIds)
+              .drop(s"${rsVar}__rse${Frames.Sep}_ids")
+            cur = LF(df, cur.scope + (dstName -> Binding.NodeB))
+            setHint(dstName, node.labels.headOption.map(Set(_)))
+            cur = nodeConstraints(
+              cur, dstName, node.labels, node.props, node.orLabels)
+          }
+
         case Some((lo, hi)) =>
           val minH = lo.getOrElse(1)
           val maxH = hi // None = unbounded → fixpoint iteration
-          // `-[rs*]->` with rs ALREADY bound to a relationship list must
-          // traverse exactly those edges — unsupported; matching as a
-          // fresh variable would be a silent wrong answer
-          if (rel.variable.exists(cur.scope.contains))
-            throw new UnsupportedOperationException(
-              "variable-length expansion over a pre-bound relationship list")
           // USING HOPS LIMIT over a subcritical typed edge set: replay the
           // reference's exact DFS traversal on the driver
           // ([[graft.operators.LocalHops.dfs]]) — exact whether or not
@@ -4751,24 +4821,29 @@ final class Planner(
         collected(keyed, idsE, state.allEdges, esCol),
         Seq("__pm_row"),
         "left_outer")
-    // a zero-edge path has no exploded edge rows: empty array, not NULL
+    // a zero-edge path has no exploded edge rows: empty array, not NULL —
+    // but an OPTIONAL-miss row (no path at all: node-id array NULL) stays
+    // NULL end to end, so `RETURN p` projects the null VALUE
     out = out.withColumn(
       esCol,
-      coalesce(col(esCol), array().cast(out.schema(esCol).dataType)))
+      when(col(idsN).isNull, lit(null))
+        .otherwise(
+          coalesce(col(esCol), array().cast(out.schema(esCol).dataType))))
     out = out
       .withColumn(
         "__pm_walk",
-        aggregate(
-          col(esCol),
-          array(col(idsN).getItem(0)),
-          (acc, e) =>
-            concat(
-              acc,
-              array(
-                when(
-                  e.getField(GraphState.SrcCol) === element_at(acc, -1),
-                  e.getField(GraphState.DstCol))
-                  .otherwise(e.getField(GraphState.SrcCol))))))
+        when(col(idsN).isNull, lit(null))
+          .otherwise(aggregate(
+            col(esCol),
+            array(col(idsN).getItem(0)),
+            (acc, e) =>
+              concat(
+                acc,
+                array(
+                  when(
+                    e.getField(GraphState.SrcCol) === element_at(acc, -1),
+                    e.getField(GraphState.DstCol))
+                    .otherwise(e.getField(GraphState.SrcCol)))))))
       .localCheckpoint(true)
     out = out
       .join(
@@ -4807,9 +4882,13 @@ final class Planner(
           x => x.getField("e")).as(outCol))
     var out = keyed
       .join(collected, Seq("__el_row"), "left_outer")
+    // an empty bound list materializes as [], an OPTIONAL-miss (ids
+    // column NULL) stays NULL — `RETURN r` must project the null VALUE
     out = out.withColumn(
       outCol,
-      coalesce(col(outCol), array().cast(out.schema(outCol).dataType)))
+      when(col(idsCol).isNull, lit(null))
+        .otherwise(
+          coalesce(col(outCol), array().cast(out.schema(outCol).dataType))))
     LF(out.drop("__el_row"), lf.scope)
   }
 
@@ -4964,7 +5043,15 @@ final class Planner(
           d.map(go))
       case other => wrap(other)
     }
-    if (ExprLowering.hasAgg(e)) go(e) else wrap(e)
+    e match {
+      // `type(r)` / `id(x)` of a deleted entity stay readable — the
+      // reference caches both on the accessor (ReturnAcceptance2 "Do not
+      // fail when returning type of deleted relationships"; labels() and
+      // properties DO raise, same file)
+      case f @ FnCall(n, _, Seq(Var(_)))
+          if Set("type", "id")(n.toLowerCase) => f
+      case _ => if (ExprLowering.hasAgg(e)) go(e) else wrap(e)
+    }
   }
 
   private def project(
@@ -5099,8 +5186,52 @@ final class Planner(
       val groupSide = lowered.zip(items).filterNot { case (_, (_, e)) => low0.hasAgg(e) }
       val aggSide = lowered.zip(items).filter { case (_, (_, e)) => low0.hasAgg(e) }
 
+      // MIXED items (`WITH [a] + collect(n) + [b] AS list`): the agg-free
+      // subexpressions referencing scope variables become HIDDEN group
+      // keys — the reference's symbol generator groups by every
+      // non-aggregate operand; Spark's agg select may only mention
+      // grouping columns and aggregates, so the operands pre-project and
+      // join the groupBy key list.
+      var gkN = 0
+      val hiddenKeys =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+      def splitAgg(e: Expr): Expr =
+        if (!low0.hasAgg(e)) {
+          if (varsIn(e).exists(lf.scope.contains)) {
+            val nm = s"__gk$gkN"; gkN += 1
+            hiddenKeys += ((nm, low0.lower(e)))
+            Var(nm)
+          } else e
+        } else e match {
+          case f @ FnCall(n, _, _) if Functions.isAggregate(n) => f
+          case FnCall(n, d, args) => FnCall(n, d, args.map(splitAgg))
+          case BinOp(o, a, b) => BinOp(o, splitAgg(a), splitAgg(b))
+          case Not(x) => Not(splitAgg(x))
+          case Neg(x) => Neg(splitAgg(x))
+          case IsNull(x, neg) => IsNull(splitAgg(x), neg)
+          case Prop(x, k) => Prop(splitAgg(x), k)
+          case Subscript(a, b) => Subscript(splitAgg(a), splitAgg(b))
+          case Slice(a, b, c) =>
+            Slice(splitAgg(a), b.map(splitAgg), c.map(splitAgg))
+          case ListLit(is) => ListLit(is.map(splitAgg))
+          case MapLit(is) =>
+            MapLit(is.map { case (k, v) => (k, splitAgg(v)) })
+          case CaseExpr(s, ws, d) =>
+            CaseExpr(
+              s.map(splitAgg),
+              ws.map { case (a, b) => (splitAgg(a), splitAgg(b)) },
+              d.map(splitAgg))
+          case DeletedGuard(inner, vs) => DeletedGuard(splitAgg(inner), vs)
+          case other => other
+        }
+      val aggItems: Seq[(String, Expr)] =
+        aggSide.map { case ((alias, _), (_, e)) => (alias, splitAgg(e)) }
+
       // 1) pre-project computed group keys
       var pre = df
+      hiddenKeys.foreach { case (nm, c) =>
+        pre = pre.withColumn(s"$nm${Frames.Sep}_val", c)
+      }
       groupSide.foreach {
         case ((alias, Right(c)), _) =>
           pre = pre.withColumn(s"$alias${Frames.Sep}_val", c)
@@ -5121,11 +5252,15 @@ final class Planner(
         case ((_, Left((n, _))), _) => keyCols ++= Frames.colsOf(pre, n)
         case ((alias, Right(_)), _) => keyCols += s"$alias${Frames.Sep}_val"
       }
-      val groupCols: Seq[String] = keyCols.result()
+      val groupCols: Seq[String] =
+        keyCols.result() ++ hiddenKeys.map(h => s"${h._1}${Frames.Sep}_val")
       // 2) aggregate (partial+final handled by Spark)
-      val lowPre = new ExprLowering(pre, lf.scope, params, enums = state.enums)
-      val aggCols = aggSide.map { case ((alias, _), (_, e)) =>
-        lowPre.lower(e).as(s"$alias${Frames.Sep}_val")
+      val scopeGk = hiddenKeys.foldLeft(lf.scope) {
+        case (sc, (nm, _)) => sc + (nm -> Binding.ValueB)
+      }
+      val lowPre = new ExprLowering(pre, scopeGk, params, enums = state.enums)
+      val aggCols = aggItems.map { case (alias, e2) =>
+        lowPre.lower(e2).as(s"$alias${Frames.Sep}_val")
       } ++ carryCols.result().map(c => first(col(c)).as(c))
       df =
         if (groupCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
@@ -5153,9 +5288,12 @@ final class Planner(
         case (alias, Right(_)) => newScope += (alias -> Binding.ValueB)
       }
 
-      // WHERE / ORDER BY may reference both old vars and new aliases
+      // WHERE / ORDER BY may reference both old vars and new aliases —
+      // an alias SHADOWS an input variable of the same name (`RETURN
+      // n.prop AS n ORDER BY n + 2` sorts by the projected value,
+      // OrderByAcceptance "Renaming columns before ORDER BY")
       val mergedScope =
-        newScope.vars.foldLeft(lf.scope)(_ + _)
+        lf.scope.vars.foldLeft(newScope)(_ + _)
       val lowM = new ExprLowering(df, mergedScope, params, enums = state.enums)
       // WHERE applies to the WITH's OUTPUT stream — i.e. AFTER ORDER BY /
       // SKIP / LIMIT (the reference stacks Filter on top of the whole WITH
@@ -5212,7 +5350,8 @@ final class Planner(
       df = selectFinal(
         df, lowered,
         keep = sortCols.map(_._1) ++
-          (if (waPost.isDefined) Seq("__waflag") else Nil))
+          (if (waPost.isDefined) Seq("__waflag") else Nil),
+        preAliased = true)
       if (obPost.nonEmpty) {
         val order = obPost.zipWithIndex.map { case (((_, asc)), i) =>
           if (asc) col(s"__sorta$i").asc_nulls_last
@@ -5235,8 +5374,20 @@ final class Planner(
 
     if (hasAgg && body.distinct) df = df.dropDuplicates()
 
-    body.skip.foreach { e => df = df.offset(constInt(e, "SKIP")) }
-    body.limit.foreach { e => df = df.limit(constInt(e, "LIMIT")) }
+    // a negative LITERAL raises at parse/plan time (OrderByAcceptance
+    // "negative LIMIT should fail"), but a negative PARAMETER yields an
+    // empty result, not an error ("negative parameter for LIMIT should
+    // not generate errors") — the reference validates literals in the
+    // frontend and clamps runtime values
+    def clamped(e: Expr, what: String): Int = {
+      val n = constInt(e, what)
+      if (n < 0 && e.isInstanceOf[Param]) 0
+      else if (n < 0)
+        throw new IllegalArgumentException(s"$what must be non-negative")
+      else n
+    }
+    body.skip.foreach { e => df = df.offset(clamped(e, "SKIP")) }
+    body.limit.foreach { e => df = df.limit(clamped(e, "LIMIT")) }
     if (df.columns.contains("__waflag"))
       df = df.filter(col("__waflag")).drop("__waflag")
 
@@ -5261,9 +5412,13 @@ final class Planner(
           // carry no id arrays at all (weighted/k-shortest) RAISE rather
           // than surface a wrong shape
           if (df.columns.contains(s"$alias${Frames.Sep}_nodestructs"))
-            struct(
-              col(s"$alias${Frames.Sep}_nodestructs").as("nodes"),
-              col(s"$alias${Frames.Sep}_edgestructs").as("edges")).as(alias)
+            // an OPTIONAL MATCH miss projects the null VALUE, not a
+            // struct of null arrays (node-id array witnesses the bind)
+            when(col(s"$alias${Frames.Sep}_nodes").isNull, lit(null))
+              .otherwise(struct(
+                col(s"$alias${Frames.Sep}_nodestructs").as("nodes"),
+                col(s"$alias${Frames.Sep}_edgestructs").as("edges")))
+              .as(alias)
           else
             throw new UnsupportedOperationException(
               "path value unavailable for this path shape (weighted " +
@@ -5339,13 +5494,18 @@ final class Planner(
   private def selectFinal(
       df: DataFrame,
       lowered: Seq[(String, Either[(String, Binding), Column])],
-      keep: Seq[String]): DataFrame = {
+      keep: Seq[String],
+      /** true when the caller ALREADY renamed passthrough namespaces to
+        * their aliases (the aggregation path) — re-running the rename
+        * would drop the alias's columns as stale targets. */
+      preAliased: Boolean = false): DataFrame = {
     var d = df
     // rename passthroughs to their aliases first; a source projected under
     // SEVERAL aliases (`WITH n AS a, n AS b`) copies its namespace instead
     // of renaming it away from the other aliases
-    d = aliasEntities(
-      d, lowered.collect { case (alias, Left((n, _))) => (alias, n) })
+    if (!preAliased)
+      d = aliasEntities(
+        d, lowered.collect { case (alias, Left((n, _))) => (alias, n) })
     val cols: Seq[String] = lowered.flatMap {
       case (alias, Left(_)) => Frames.colsOf(d, alias)
       case (alias, Right(_)) => Seq(s"$alias${Frames.Sep}_val")

@@ -70,9 +70,11 @@ object VarExpand {
         * filter-lambda path supplies traversal-ready edges; stepping is
         * always Out against it. */
       edgesOverride: Option[DataFrame] = None): DataFrame = {
-    require(
-      minHops >= 0 && maxHops.forall(_ >= minHops),
-      s"bad hop range $minHops..$maxHops")
+    require(minHops >= 0, s"bad hop range $minHops..$maxHops")
+    // an EMPTY interval (*2..1, *1..0) matches nothing — zero rows, not an
+    // error (VarLengthAcceptance "empty interval" scenarios; the
+    // reference's ExpandVariable yields no pulls for an empty range)
+    val emptyInterval = maxHops.exists(_ < minHops)
 
     // Pre-orient once for undirected patterns (the [[ShortestPath.oriented]]
     // pattern): the per-round frontier⋈edges join must stay a single
@@ -103,6 +105,7 @@ object VarExpand {
       .withColumn(PATH, array().cast("array<long>"))
 
     val all = maxHops match {
+      case _ if emptyInterval => base.limit(0)
       case Some(h) if h <= 12 => // unrolled declarative plan
         var cur = base
         var reached: Seq[DataFrame] = Nil
