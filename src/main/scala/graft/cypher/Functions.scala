@@ -277,6 +277,19 @@ object Functions {
               ctx.entityValuesArray(items.collect { case Var(n) => n })
             case other => ctx.lower(other)
           }
+          // the FIRST list must hold nodes, the second relationships
+          // (reference graph_projection: "project() argument must be a
+          // list of nodes" — mage graph projection signature)
+          args(0) match {
+            case ListLit(items) if items.exists {
+                  case Var(n) => ctx.isEdgeVar(n)
+                  case _ => false
+                } =>
+              throw new IllegalArgumentException(
+                "project(nodes, relationships): the first argument must " +
+                  "be a list of nodes")
+            case _ => ()
+          }
           // OPTIONAL-MATCH misses are NULL elements — ignored
           val nodesRow = filter(entityList(args(0)), x => x.isNotNull)
           val edgesRow = filter(entityList(args(1)), x => x.isNotNull)
@@ -1021,7 +1034,17 @@ object Functions {
         rounded.cast("double") / p
 
       // ---- math (:2102-2124) ----
-      case "abs" => abs(a(0))
+      case "abs" =>
+        // the reference's ABS takes Null|Number only
+        // (awesome_memgraph_functions.cpp Abs FType) — a string/boolean
+        // property raises instead of silently coercing
+        argType(0) match {
+          case Some(StringType) | Some(BooleanType) =>
+            when(a(0).isNull, lit(null).cast("double"))
+              .otherwise(raise_error(lit(
+                "'abs' argument must be a number.")).cast("double"))
+          case _ => abs(a(0))
+        }
       case "ceil" => ceil(a(0)).cast("double")
       case "floor" => floor(a(0)).cast("double")
       case "round" =>

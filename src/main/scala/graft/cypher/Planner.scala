@@ -56,6 +56,11 @@ final class Planner(
     * leaves the set when it leaves scope (a WITH that drops it — a later
     * fresh binding of the same name is a different variable). */
   private var deletedVars: Set[String] = Set.empty
+  /** Entities created in the CURRENT query part (reset at WITH/RETURN):
+    * a variable-length pattern comprehension over one is rejected like
+    * the reference (pattern_comprehensions.feature — the snapshot the
+    * comprehension would scan cannot see the same part's writes). */
+  private var createdVars: Set[String] = Set.empty
 
   /** True under a `USING PERIODIC COMMIT` prefix: per-batch commits make
     * deletions visible to later clauses, so a write to a deleted entity
@@ -545,7 +550,9 @@ final class Planner(
           LF(df0, lf1.scope + (v -> Binding.ValueB))
       }
 
-    case With(body, where) => project(lf, body, where, isReturn = false)
+    case With(body, where) =>
+      createdVars = Set.empty // a projection starts a new query part
+      project(lf, body, where, isReturn = false)
     case Return(body) => project(lf, body, None, isReturn = true)
 
     case CallProc(name, args, yieldsRaw, callWhere)
@@ -1004,6 +1011,10 @@ final class Planner(
       // zipWithIndex + checkpoint + count jobs (a literal 9-node CREATE
       // used to cost ~27 driver jobs)
       val oneRow = lf.df.columns.isEmpty
+      createdVars ++= patterns.flatMap(p =>
+        p.start.variable.toSeq ++ p.hops.flatMap { case (r, nd) =>
+          r.variable.toSeq ++ nd.variable.toSeq
+        })
       patterns.foldLeft(lf)((cur, p) => planCreate(cur, p, oneRow))
     case SetCl(items) => planSet(lf, items)
     case DeleteCl(detach, exprs) =>
@@ -1416,6 +1427,15 @@ final class Planner(
         if (patVars.exists(bound))
           throw new UnsupportedOperationException(
             "pattern comprehension correlated on a comprehension variable")
+        // a VARIABLE-LENGTH comprehension over an entity this query part
+        // CREATED is rejected (pattern_comprehensions.feature "over a
+        // node its own query part creates"): the comprehension scans the
+        // pre-write snapshot, which cannot see the new entity
+        if (pc.pattern.hops.exists(_._1.varLength.isDefined) &&
+          patVars.exists(createdVars))
+          throw new UnsupportedOperationException(
+            "variable-length pattern comprehension over an entity " +
+              "created in the same query part")
         // the reference rejects REUSING an already bound relationship
         // variable inside a comprehension pattern (a relationship appears
         // once per match — rebinding it is a semantic error)
@@ -2194,7 +2214,14 @@ final class Planner(
               state, lf.df.select(Frames.id(v)).distinct(), edgeHint(v))
           case _ =>
             // DELETE p (a path): its relationships and nodes — a null
-            // path (OPTIONAL MATCH miss) explodes to zero rows
+            // path (OPTIONAL MATCH miss) explodes to zero rows. Under
+            // PERIODIC COMMIT the reference raises (periodic_delete
+            // .feature "Periodic detach deleting paths"): a path from an
+            // earlier batch may span entities another batch already
+            // committed away.
+            if (periodicMode)
+              throw new UnsupportedOperationException(
+                "DELETE of a path is not allowed under PERIODIC COMMIT")
             val nCol = s"$v${Frames.Sep}_nodes"
             val eCol = s"$v${Frames.Sep}_edges"
             if (lf.df.columns.contains(eCol))
@@ -4021,6 +4048,12 @@ final class Planner(
   private def bindNode(lf: LF, n: NodePattern): (LF, String) = {
     val name = n.variable.getOrElse(fresh("n"))
     if (n.variable.exists(lf.scope.contains)) {
+      // re-matching from a DELETEd binding is a use of the deleted object
+      // (memgraph.feature "Use deleted node": … DETACH DELETE a WITH a
+      // MATCH (a)-[r]->() raises)
+      if (deletedVars.contains(name))
+        throw new IllegalStateException(
+          s"Trying to use a deleted object (variable `$name`).")
       // already bound: apply label/prop constraints as filters
       (nodeConstraints(lf, name, n.labels, n.props, n.orLabels), name)
     } else {

@@ -104,5 +104,12 @@ class GqlBehaveSpec extends GqlHarness {
       ("collect() after an unordered MATCH has no guaranteed order (the " +
         "reference emits storage-iteration order, openCypher leaves it " +
         "unspecified); distributed aggregation returns the same multiset " +
-        "in partition order"))
+        "in partition order"),
+    "Min test 09: Duration" ->
+      ("the reference REJECTS min/max over Durations while accepting " +
+        "LocalTime; both lower to DayTimeIntervalType here, so the type " +
+        "error is not statically expressible — the ordering returned is " +
+        "well-defined, never a wrong value"),
+    "Max test 09: Duration" ->
+      "same Duration-vs-LocalTime representation limit as Min test 09")
 }

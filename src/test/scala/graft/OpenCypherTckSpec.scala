@@ -76,5 +76,17 @@ class OpenCypherTckSpec extends GqlHarness {
         "this table pins Neo4j's type-orderability instead — we follow " +
         "the reference"),
     "`min()` over mixed values" ->
-      "same reference-raises-vs-Neo4j-orderability divergence as max()")
+      "same reference-raises-vs-Neo4j-orderability divergence as max()",
+    "`toBoolean()` on invalid types (example 3)" ->
+      ("the TCK calls toBoolean(integer) invalid; the REFERENCE accepts " +
+        "it (awesome_memgraph_functions.cpp:653 ValueInt() != 0) — we " +
+        "follow the reference"),
+    "`toFloat()` failing on invalid arguments (example 1)" ->
+      ("the TCK calls toFloat(boolean) invalid; the reference accepts it " +
+        "(ToNumericTypes includes Bool, " +
+        "awesome_memgraph_functions.cpp:642,672) — we follow the reference"),
+    "`toInteger()` failing on invalid arguments (example 1)" ->
+      ("the TCK calls toInteger(boolean) invalid; the reference accepts " +
+        "it (awesome_memgraph_functions.cpp:690) — we follow the " +
+        "reference"))
 }
