@@ -44,9 +44,14 @@ object Profile {
   def profileDf(spark: SparkSession, inner: DataFrame): DataFrame = {
     // the reference's PROFILE pulls the query to completion and reports
     // afterwards — run the statement, then read the metrics it left
-    inner.collect()
+    val produced = inner.collect().length.toLong
     val root = finalPlan(inner.queryExecution.executedPlan)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    // the reference's root operator (Produce, plan/operator.hpp) reports
+    // the statement's emitted row count; fused Catalyst operators under
+    // whole-stage codegen don't each carry numOutputRows, so the root row
+    // is the one place the result cardinality is always visible
+    rows += (("* Produce", produced, 0.0))
     def walk(p: SparkPlan, depth: Int): Unit = {
       val hits = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
       val timeMs = p.metrics.collect {
@@ -58,7 +63,7 @@ object Profile {
       // subqueries / broadcast exchanges hang off innerChildren in some
       // nodes — covered by children for every plan shape we emit
     }
-    walk(root, 0)
+    walk(root, 1)
     val total = math.max(rows.map(_._3).sum, 1e-9)
     val out = rows.toSeq.map { case (op, hits, ms) =>
       Row(
@@ -76,9 +81,14 @@ object Profile {
         StructField("ABSOLUTE TIME", StringType, nullable = false))))
   }
 
-  /** Unwrap AQE wrappers to the executed physical plan. */
+  /** Unwrap AQE wrappers to the executed physical plan — both the
+    * adaptive root and the per-stage QueryStageExec shells (Result /
+    * Shuffle / Broadcast query stages) that hold the real operator as
+    * `plan`, not as a child. */
   private def finalPlan(p: SparkPlan): SparkPlan = p match {
     case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      finalPlan(q.plan)
     case other => other
   }
 }

@@ -53,7 +53,8 @@ object ApocProcs {
     "refactor.rename_type_property" -> renameTypeProperty,
     "refactor.invert" -> invert,
     "refactor.normalize_as_boolean" -> normalizeAsBoolean) ++
-    PyTail2Procs.writeRegistry ++ PyTail3Procs.writeRegistry
+    PyTail2Procs.writeRegistry ++ PyTail3Procs.writeRegistry ++
+    MlProcs.writeRegistry
 
   // ---------------- option helpers ----------------
 

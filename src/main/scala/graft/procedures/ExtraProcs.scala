@@ -28,6 +28,7 @@ object ExtraProcs {
   val registry: Map[String, Proc] = Map(
     "union_find.connected" -> unionFindConnected,
     "max_flow.get_flow" -> maxFlowGetFlow,
+    "max_flow.get_paths" -> maxFlowGetPaths,
     "bipartite_matching.max" -> bipartiteMatchingMax,
     "graph_util.ancestors" -> (ctx => reachability(ctx, forward = false)),
     "graph_util.descendants" -> (ctx => reachability(ctx, forward = true)),
@@ -215,12 +216,64 @@ object ExtraProcs {
     Seq(localMaxFlow(edges, source, sink)).toDF("max_flow")
   }
 
+  /** `max_flow.get_paths(start_v, end_v, edge_property='weight')` — one
+    * row per augmenting path of the same capacity-scaling run
+    * (max_flow.py:41-66), yielded as (path, flow) with the path as the
+    * node-id sequence source → sink (the igraphalg path convention). */
+  def maxFlowGetPaths(ctx: ProcContext): DataFrame = {
+    val source = nodeIdArg(ctx, 0)
+    val sink = nodeIdArg(ctx, 1)
+    val prop = ctx.args.lift(2).map(_.toString).getOrElse("weight")
+    val spark = ctx.spark
+    import spark.implicits._
+
+    val e0 = typedEdges(ctx)
+    val withW =
+      if (e0.columns.contains(prop))
+        e0.filter(col(prop).isNotNull)
+          .select(col(IdCol), col(SrcCol), col(DstCol),
+            col(prop).cast("double").as("w"))
+      else e0.filter(lit(false))
+        .select(col(IdCol), col(SrcCol), col(DstCol), lit(0.0).as("w"))
+    val rows = Procedures.collectIfSubcritical(withW).getOrElse(
+      throw new IllegalStateException(
+        "max_flow: graph above spark.graft.local.edges — sequential " +
+          "augmenting-path search does not distribute (the reference " +
+          "module is single-node Python); raise the threshold to run it"))
+    val edges = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    localMaxFlowPaths(edges, source, sink)._2.toDF("path", "flow")
+  }
+
+  /** A node argument: the entity struct's `_id` or a bare id. */
+  private def nodeIdArg(ctx: ProcContext, i: Int): Long =
+    ctx.args.lift(i) match {
+      case Some(m: Map[_, _]) =>
+        m.collectFirst { case (k, v: Long) if k.toString == "_id" => v }
+          .getOrElse(throw new IllegalArgumentException(
+            s"max_flow: node argument $i lacks an id"))
+      case Some(l: Long) => l
+      case Some(n: Int) => n.toLong
+      case other => throw new IllegalArgumentException(
+        s"max_flow: need a node, got $other")
+    }
+
   /** Driver-local FF capacity scaling, mirroring the reference ops
     * (including floor-halving delta and the strict `> delta` test). */
   private def localMaxFlow(
       edges: Array[(Long, Long, Long, Double)],
       source: Long,
-      sink: Long): Double = {
+      sink: Long): Double =
+    localMaxFlowPaths(edges, source, sink)._1
+
+  /** As [[localMaxFlow]], also returning each augmenting path (node id
+    * sequence, source → sink) with the flow it pushed — the
+    * `max_flow.get_paths` yield (max_flow.py:41-66: every
+    * ford_fulkerson_capacity_scaling augmentation becomes one record). */
+  private def localMaxFlowPaths(
+      edges: Array[(Long, Long, Long, Double)],
+      source: Long,
+      sink: Long): (Double, Seq[(Seq[Long], Double)]) = {
     // incident edge lists (out and in — reverse traversal drains flow)
     val incident = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
     edges.zipWithIndex.foreach { case ((_, s, d, _), i) =>
@@ -242,7 +295,7 @@ object ExtraProcs {
         }.filter(seen.add).toList
       }
     }
-    if (maxW <= 0) return 0.0
+    if (maxW <= 0) return (0.0, Nil)
 
     val flow = mutable.HashMap.empty[Long, Double] // per edge INSTANCE
     var total = 0.0
@@ -250,7 +303,7 @@ object ExtraProcs {
 
     // iterative DFS: stack of (node, iterator over incident indices);
     // `path` holds (edgeIdx, forward?) per step
-    def augment(): Double = {
+    def augment(): (Double, Seq[Long]) = {
       val onPath = mutable.HashSet(source)
       val path = mutable.ArrayBuffer.empty[(Int, Boolean)]
       val iters = mutable.ArrayBuffer(
@@ -288,24 +341,28 @@ object ExtraProcs {
           // excluded for this augmentation attempt
         }
       }
-      if (found < 0) -1.0
+      if (found < 0) (-1.0, Seq.empty[Long])
       else {
         path.foreach { case (i, fwd) =>
           val eid = edges(i)._1
           flow(eid) = flow.getOrElse(eid, 0.0) + (if (fwd) found else -found)
         }
-        found
+        val nodes = source +: path.toSeq.map { case (i, fwd) =>
+          if (fwd) edges(i)._3 else edges(i)._2
+        }
+        (found, nodes)
       }
     }
 
+    val paths = mutable.ArrayBuffer.empty[(Seq[Long], Double)]
     var going = true
     while (going) {
-      val got = augment()
-      if (got >= 0) total += got
+      val (got, nodes) = augment()
+      if (got >= 0) { total += got; paths += ((nodes, got)) }
       else if (delta < minW) going = false
       else delta = math.floor(delta / 2)
     }
-    total
+    (total, paths.toSeq)
   }
 
   // ---------------- graph_util (cpp/graph_util_module) ----------------

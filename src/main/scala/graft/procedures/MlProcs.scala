@@ -78,6 +78,51 @@ object MlProcs {
   /** `kmeans.get_clusters(n_clusters, embedding_property, …)` → (node,
     * cluster_id) over every node carrying the property (kmeans.py:45). */
   def kmeansClusters(ctx: ProcContext): DataFrame = {
+    val g = ctx.g
+    val prop = ctx.args.lift(1).map(_.toString).getOrElse("embedding")
+    val out = kmeansAssignments(ctx)
+    val entityFrames = g.nodeLabels.map(g.nodes).filter(_.columns.contains(prop))
+    val entities = entityFrames
+      .map(f => f.select(
+        col(IdCol),
+        struct(f.columns.map(col): _*).as("node")))
+      .reduce(_ unionByName _)
+    out.join(entities, Seq(IdCol))
+      .select(col("node"), col("cluster_id"))
+  }
+
+  /** `kmeans.set_clusters(n_clusters, embedding_property,
+    * cluster_property, …)` — the write form (kmeans.py:73-103): the same
+    * Lloyd's run, its assignment written back as `cluster_property` on
+    * every embedded node. Yields (node, cluster_id) like get_clusters. */
+  def kmeansSetClusters(ctx: ProcContext): (GraphState, DataFrame) = {
+    val prop = ctx.args.lift(1).map(_.toString).getOrElse("embedding")
+    val clusterProp = ctx.args.lift(2).map(_.toString).getOrElse("cluster_id")
+    val assigned = kmeansAssignments(ctx)
+      .select(col(IdCol), col("cluster_id").as("__km_cid"))
+      .localCheckpoint(true)
+    var g = ctx.g
+    val base = ctx.g
+    g.nodeLabels.filter(l => base.nodes(l).columns.contains(prop)).foreach {
+      l =>
+        g = g.withNodes(l, () =>
+          base.nodes(l)
+            .join(assigned, Seq(IdCol), "left_outer")
+            .withColumn(clusterProp, col("__km_cid"))
+            .drop("__km_cid"))
+    }
+    val entities = base.nodeLabels.map(base.nodes)
+      .filter(_.columns.contains(prop))
+      .map(f => f.select(col(IdCol), struct(f.columns.map(col): _*).as("node")))
+      .reduce(_ unionByName _)
+    val yielded = assigned.join(entities, Seq(IdCol))
+      .select(col("node"), col("__km_cid").as("cluster_id"))
+    (g, yielded)
+  }
+
+  /** The shared Lloyd's core → (id, cluster_id) for every node carrying
+    * the embedding property. */
+  private def kmeansAssignments(ctx: ProcContext): DataFrame = {
     val k = ctx.args.head match {
       case l: Long => l.toInt
       case i: Int => i
@@ -143,15 +188,7 @@ object MlProcs {
       }
       centers = updated
     }
-    val out = assigned
-    val entityFrames = g.nodeLabels.map(g.nodes).filter(_.columns.contains(prop))
-    val entities = entityFrames
-      .map(f => f.select(
-        col(IdCol),
-        struct(f.columns.map(col): _*).as("node")))
-      .reduce(_ unionByName _)
-    val res = out.join(entities, Seq(IdCol))
-      .select(col("node"), col("cluster_id"))
+    val res = assigned.select(col(IdCol), col("cluster_id"))
     pts0.unpersist(false)
     res
   }
@@ -261,4 +298,7 @@ object MlProcs {
     "kmeans.get_clusters" -> kmeansClusters,
     "link_prediction.predict" -> linkPredict,
     "link_prediction.recommend" -> linkRecommend)
+
+  val writeRegistry: Map[String, ProcContext => (GraphState, DataFrame)] =
+    Map("kmeans.set_clusters" -> kmeansSetClusters)
 }

@@ -66,7 +66,8 @@ object Procedures {
     "mg.procedures" -> mgProcedures) ++ ApocProcs.registry ++
     ExtraProcs.registry ++ IndexProcs.registry ++ HelperProcs.registry ++
     MlProcs.registry ++ MetaProcs.registry ++ PyTailProcs.registry ++
-    IgraphProcs.registry ++ PyTail2Procs.registry ++ PyTail3Procs.registry
+    IgraphProcs.registry ++ PyTail2Procs.registry ++ PyTail3Procs.registry ++
+    MageAliases.registry
 
   /** `CALL mg.procedures()` — registry introspection (the reference's
     * `mg` module lists loaded mgp procedures). */
@@ -290,7 +291,14 @@ object Procedures {
     * The pair join is keyed on the SHARED NEIGHBOR (bucketed, never
     * all-pairs): sim(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|. Yields
     * (node1, node2, similarity). */
-  def nodeSimilarity(ctx: ProcContext): DataFrame = {
+  def nodeSimilarity(ctx: ProcContext): DataFrame =
+    nodeSimilarityMetric(ctx, "jaccard")
+
+  /** The shared pair frame + the metric finisher — `metric` is one of
+    * jaccard (|∩|/|∪|), overlap (|∩|/min), cosine (|∩|/√(d1·d2)), the
+    * three procedures of `node_similarity_module`. */
+  private[procedures] def nodeSimilarityMetric(
+      ctx: ProcContext, metric: String): DataFrame = {
     val (_, edges) = selectGraph(ctx)
     val e = edges.persist()
     val deg = e.groupBy(col("src").as("__n")).agg(count(lit(1)).as("__d"))
@@ -300,15 +308,18 @@ object Procedures {
       .filter(col("node1") < col("node2"))
       .groupBy("node1", "node2")
       .agg(count(lit(1)).as("__common"))
-    val out = common
+    val c = col("__common").cast("double")
+    val sim = metric match {
+      case "jaccard" => c / (col("__d1") + col("__d2") - col("__common"))
+      case "overlap" => c / least(col("__d1"), col("__d2"))
+      case "cosine" => c / sqrt((col("__d1") * col("__d2")).cast("double"))
+      case other =>
+        throw new IllegalArgumentException(s"node_similarity: $other")
+    }
+    common
       .join(deg.select(col("__n").as("node1"), col("__d").as("__d1")), Seq("node1"))
       .join(deg.select(col("__n").as("node2"), col("__d").as("__d2")), Seq("node2"))
-      .select(
-        col("node1"),
-        col("node2"),
-        (col("__common").cast("double") /
-          (col("__d1") + col("__d2") - col("__common"))).as("similarity"))
-    out
+      .select(col("node1"), col("node2"), sim.as("similarity"))
   }
 
   /** SHOW SCHEMA INFO analog (`SchemaInfoQuery` ast.hpp:4302): one row per

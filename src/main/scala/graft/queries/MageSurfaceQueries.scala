@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.GraphState
+import graft.cypher.Cypher
+import graft.sources.TpchGraphLoader
+
+/** The MAGE module-name surface ([[graft.procedures.MageAliases]]):
+  * `pagerank.get`-style names with the reference's YIELD columns, plus the
+  * two newly-covered modules `distance_calculator` and `knn`. Gates run
+  * either on self-contained CREATE'd graphs (closed-form answers) or on
+  * the tpch-derived graph with an exact DuckDB oracle.
+  */
+object MageSurfaceQueries {
+
+  private def empty = GraphState(Map.empty, Map.empty)
+
+  private val EmbBase = TpchGraphLoader.nodeId("Embedding", 0L)
+
+  /** Two directed triangles {0,1,2} and {3,4,5} joined by nothing, plus a
+    * 6→7→8 path — components, degrees, and bridges all closed-form. */
+  private def knGraph(s: SparkSession) =
+    Cypher.execute(
+      s, empty,
+      """CREATE (a:KnV {k: 0}), (b:KnV {k: 1}), (c:KnV {k: 2}),
+        |       (d:KnV {k: 3}), (e:KnV {k: 4}), (f:KnV {k: 5}),
+        |       (g:KnV {k: 6}), (h:KnV {k: 7}), (i:KnV {k: 8}),
+        |       (a)-[:KnE]->(b), (b)-[:KnE]->(c), (c)-[:KnE]->(a),
+        |       (d)-[:KnE]->(e), (e)-[:KnE]->(f), (f)-[:KnE]->(d),
+        |       (g)-[:KnE]->(h), (h)-[:KnE]->(i)""".stripMargin).graph
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // weakly_connected_components.get — reference yield (node,
+    // component_id), connectivity_module. Three components: two
+    // triangles and the path.
+    QueryDef(
+      "call_mage_wcc",
+      (s, dir) => Cypher.run(
+        s, knGraph(s),
+        """CALL weakly_connected_components.get({label: 'KnV', type: 'KnE'})
+          |YIELD node, component_id
+          |WITH component_id, count(*) AS sz
+          |RETURN sz, count(*) AS n_comp ORDER BY sz""".stripMargin),
+      Some("""SELECT CAST(sz AS BIGINT) AS sz, CAST(n AS BIGINT) AS n_comp
+             |FROM (VALUES (3, 3)) v(sz, n) ORDER BY sz""".stripMargin)),
+
+    // degree_centrality.get — (node, degree), undirected default =
+    // in + out (degree_centrality_module).
+    QueryDef(
+      "call_mage_degree",
+      (s, dir) => Cypher.run(
+        s, knGraph(s),
+        """CALL degree_centrality.get({label: 'KnV', type: 'KnE'})
+          |YIELD node, degree
+          |MATCH (v:KnV) WHERE id(v) = node
+          |RETURN v.k AS k, degree ORDER BY k""".stripMargin),
+      Some("""SELECT CAST(k AS BIGINT) AS k, CAST(d AS DOUBLE) AS degree
+             |FROM (VALUES (0, 2), (1, 2), (2, 2), (3, 2), (4, 2), (5, 2),
+             |             (6, 1), (7, 2), (8, 1)) v(k, d)
+             |ORDER BY k""".stripMargin)),
+
+    // bridges.get — (node_from, node_to); only the path edges are bridges
+    QueryDef(
+      "call_mage_bridges",
+      (s, dir) => Cypher.run(
+        s, knGraph(s),
+        """CALL bridges.get({type: 'KnE'}) YIELD node_from, node_to
+          |MATCH (a:KnV), (b:KnV)
+          |WHERE id(a) = node_from AND id(b) = node_to
+          |RETURN a.k AS x, b.k AS y ORDER BY x""".stripMargin),
+      Some("""SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y
+             |FROM (VALUES (6, 7), (7, 8)) v(x, y) ORDER BY x""".stripMargin)),
+
+    // community_detection.get — (node, community_id), Louvain; the two
+    // triangles each converge to one 3-community; the 2-edge path splits
+    // deterministically into a pair + a singleton (the smallest-id
+    // tie-break of the deterministic variant)
+    QueryDef(
+      "call_mage_community",
+      (s, dir) => Cypher.run(
+        s, knGraph(s),
+        """CALL community_detection.get({label: 'KnV', type: 'KnE'})
+          |YIELD node, community_id
+          |WITH community_id, count(*) AS sz
+          |RETURN sz, count(*) AS n ORDER BY sz""".stripMargin),
+      Some("""SELECT CAST(sz AS BIGINT) AS sz, CAST(n AS BIGINT) AS n
+             |FROM (VALUES (1, 1), (2, 1), (3, 2)) v(sz, n)
+             |ORDER BY sz""".stripMargin)),
+
+    // node_similarity.overlap / cosine — |∩|/min and |∩|/√(d1·d2) over
+    // out-neighbor sets (node_similarity_module). 0→{2,3}, 1→{2,3,4}:
+    // common 2, overlap 2/2 = 1, cosine 2/√6
+    QueryDef(
+      "call_mage_overlap",
+      (s, dir) => Cypher.run(
+        s,
+        Cypher.execute(
+          s, empty,
+          """CREATE (a:SimV {k: 0}), (b:SimV {k: 1}), (c:SimV {k: 2}),
+            |       (d:SimV {k: 3}), (e:SimV {k: 4}),
+            |       (a)-[:SimE]->(c), (a)-[:SimE]->(d),
+            |       (b)-[:SimE]->(c), (b)-[:SimE]->(d), (b)-[:SimE]->(e)
+            |""".stripMargin).graph,
+        """CALL node_similarity.overlap({label: 'SimV', type: 'SimE'})
+          |YIELD node1, node2, similarity
+          |WITH similarity AS ov
+          |CALL node_similarity.cosine({label: 'SimV', type: 'SimE'})
+          |YIELD similarity
+          |RETURN ov, round(similarity, 6) AS cos""".stripMargin),
+      Some("SELECT CAST(1.0 AS DOUBLE) AS ov, " +
+        "round(2.0 / sqrt(6.0), 6) AS cos")),
+
+    // distance_calculator.single — haversine over lat/lng node properties
+    // (distance_calculator.cpp:38-62); oracle recomputes the formula in
+    // DuckDB (R = 6371000, half-angle form, rounded to `decimals`)
+    QueryDef(
+      "call_distance_single",
+      (s, dir) => Cypher.run(
+        s,
+        Cypher.execute(
+          s, empty,
+          """CREATE (:Place {name: 'zagreb', lat: 45.8150, lng: 15.9819}),
+            |       (:Place {name: 'split', lat: 43.5081, lng: 16.4402})
+            |""".stripMargin).graph,
+        """MATCH (a:Place {name: 'zagreb'}), (b:Place {name: 'split'})
+          |CALL distance_calculator.single(a, b, 'km', 3) YIELD distance
+          |RETURN distance""".stripMargin),
+      Some("""WITH p AS (SELECT 45.8150 AS lat1, 15.9819 AS lng1,
+             |                  43.5081 AS lat2, 16.4402 AS lng2,
+             |                  pi() / 180.0 AS rad)
+             |SELECT round(
+             |  6371000.0 * 2 * atan2(
+             |    sqrt(pow(sin((lat2 - lat1) * rad / 2), 2) +
+             |         cos(lat1 * rad) * cos(lat2 * rad) *
+             |         pow(sin((lng2 - lng1) * rad / 2), 2)),
+             |    sqrt(1 - (pow(sin((lat2 - lat1) * rad / 2), 2) +
+             |              cos(lat1 * rad) * cos(lat2 * rad) *
+             |              pow(sin((lng2 - lng1) * rad / 2), 2)))) * 0.001,
+             |  3) AS distance
+             |FROM p""".stripMargin)),
+
+    // distance_calculator.multiple — list-pairwise form, metres default
+    QueryDef(
+      "call_distance_multiple",
+      (s, dir) => Cypher.run(
+        s,
+        Cypher.execute(
+          s, empty,
+          """CREATE (:Pt {k: 0, lat: 0.0, lng: 0.0}),
+            |       (:Pt {k: 1, lat: 0.0, lng: 1.0}),
+            |       (:Pt {k: 2, lat: 1.0, lng: 0.0})""".stripMargin).graph,
+        """MATCH (a:Pt {k: 0}), (b:Pt {k: 1}), (c:Pt {k: 2})
+          |CALL distance_calculator.multiple([a, a], [b, c], 'm', 0)
+          |YIELD distances
+          |RETURN distances[0] AS d1, distances[1] AS d2""".stripMargin),
+      // one degree of arc = R * pi/180 ≈ 111194813 mm; equal along a
+      // meridian and along the equator from (0,0)
+      Some("""WITH p AS (SELECT 6371000.0 * 2 *
+             |  atan2(sqrt(pow(sin(pi() / 360.0), 2)),
+             |        sqrt(1 - pow(sin(pi() / 360.0), 2))) AS d)
+             |SELECT round(d, 0) AS d1, round(d, 0) AS d2 FROM p""".stripMargin)),
+
+    // knn.get — cosine top-2 over the Embedding nodes' vector property
+    // (knn_module.cpp:21-46). Exact path at gate scale (below
+    // spark.graft.knn.exact); the sign-code bucket path takes over above
+    // it (knn_graph's measured-recall scheme). similarityCutoff 0 drops
+    // negative-cosine candidates in BOTH engines.
+    QueryDef(
+      "call_knn_get",
+      (s, dir) => Cypher.run(
+        s, TpchGraphLoader(s, dir),
+        s"""CALL knn.get({nodeProperties: 'embedding', topK: 2})
+           |YIELD node, neighbour, similarity
+           |RETURN node - $EmbBase AS q, neighbour - $EmbBase AS c,
+           |       round(similarity, 6) AS sim
+           |ORDER BY q, c""".stripMargin),
+      Some("""WITH n AS MATERIALIZED (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v,
+             |         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+             |                                      x -> x*x))) AS nrm
+             |  FROM embeddings)
+             |SELECT q, c, round(s, 6) AS sim FROM (
+             |  SELECT q, c, s FROM (
+             |    SELECT a.vec_id AS q, b.vec_id AS c,
+             |           list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+             |    FROM n a JOIN n b ON b.vec_id <> a.vec_id)
+             |  WHERE s >= 0
+             |  QUALIFY row_number() OVER (PARTITION BY q
+             |                             ORDER BY s DESC, c) <= 2)
+             |ORDER BY q, c""".stripMargin)),
+
+    // node2vec.get_embeddings — (node, embedding): shape + unit-norm
+    // invariants (bucket hashes aren't portable to SQL; the walk layer
+    // itself is oracle-checked via algo.node2vec's gate)
+    QueryDef(
+      "call_n2v_embeddings",
+      (s, dir) => Cypher.run(
+        s, knGraph(s),
+        """CALL node2vec.get_embeddings({label: 'KnV', type: 'KnE',
+          |                              vector_size: 16, length: 3,
+          |                              seedMax: 1000000})
+          |YIELD node, embedding
+          |WITH size(embedding) AS d,
+          |     reduce(acc = 0.0, x IN embedding | acc + x * x) AS n2
+          |RETURN count(*) AS n, min(d) AS dlo, max(d) AS dhi,
+          |       max(abs(n2 - 1.0)) < 1e-9 AS unit""".stripMargin),
+      Some("SELECT CAST(9 AS BIGINT) AS n, CAST(16 AS BIGINT) AS dlo, " +
+        "CAST(16 AS BIGINT) AS dhi, true AS unit")),
+
+    // max_flow.get_paths — every augmenting path of the capacity-scaling
+    // run with the flow it pushed (max_flow.py:41-66). Path enumeration
+    // order follows DFS edge order, so the gate pins order-free
+    // invariants: total pushed flow = max flow, every path source→sink.
+    QueryDef(
+      "call_maxflow_paths",
+      (s, dir) => {
+        val g = Cypher.execute(
+          s, empty,
+          """CREATE (s:FlV {k: 0}), (a:FlV {k: 1}), (b:FlV {k: 2}),
+            |       (t:FlV {k: 3}),
+            |       (s)-[:FlE {weight: 3.0}]->(a),
+            |       (s)-[:FlE {weight: 2.0}]->(b),
+            |       (a)-[:FlE {weight: 1.0}]->(b),
+            |       (a)-[:FlE {weight: 2.0}]->(t),
+            |       (b)-[:FlE {weight: 3.0}]->(t)""".stripMargin).graph
+        Cypher.run(
+          s, g,
+          """MATCH (src:FlV {k: 0}), (snk:FlV {k: 3})
+            |CALL max_flow.get_paths(src, snk, 'weight')
+            |YIELD path, flow
+            |WITH src, snk, path, flow
+            |RETURN round(sum(flow), 6) AS total,
+            |       count(*) >= 2 AS multi,
+            |       min(CASE WHEN path[0] = id(src) THEN 1 ELSE 0 END) = 1
+            |         AS from_src,
+            |       min(CASE WHEN path[size(path) - 1] = id(snk)
+            |                THEN 1 ELSE 0 END) = 1 AS to_sink""".stripMargin)
+      },
+      // min cut = the source side (3 + 2) = the sink side (2 + 3) = 5
+      Some("SELECT CAST(5.0 AS DOUBLE) AS total, true AS multi, " +
+        "true AS from_src, true AS to_sink")),
+
+    // kmeans.set_clusters — the write form: the Lloyd's assignment lands
+    // as a node property, visible to the rest of the statement
+    QueryDef(
+      "call_kmeans_set",
+      (s, dir) => Cypher.run(
+        s, TpchGraphLoader(s, dir),
+        """CALL kmeans.set_clusters(4, 'embedding', 'km_cid')
+          |YIELD node, cluster_id
+          |WITH count(*) AS set_n
+          |MATCH (e:Embedding) WHERE e.km_cid IS NOT NULL
+          |RETURN set_n, count(*) AS n_set""".stripMargin),
+      Some("""SELECT count(*) AS set_n, count(*) AS n_set
+             |FROM embeddings""".stripMargin)),
+
+    // the full module-name surface is registered: every MAGE alias shows
+    // up in mg.procedures() (module.cpp registry introspection)
+    QueryDef(
+      "call_mage_names",
+      (s, dir) => Cypher.run(
+        s, empty,
+        """CALL mg.procedures() YIELD name
+          |WITH name WHERE name IN [
+          |  'pagerank.get', 'weakly_connected_components.get',
+          |  'degree_centrality.get', 'katz_centrality.get',
+          |  'betweenness_centrality.get', 'community_detection.get',
+          |  'leiden_community_detection.get', 'bridges.get', 'cycles.get',
+          |  'biconnected_components.get', 'node_similarity.jaccard',
+          |  'node_similarity.overlap', 'node_similarity.cosine',
+          |  'node2vec.get_embeddings', 'distance_calculator.single',
+          |  'distance_calculator.multiple', 'knn.get',
+          |  'max_flow.get_paths', 'kmeans.set_clusters']
+          |RETURN count(*) AS n""".stripMargin),
+      Some("SELECT CAST(19 AS BIGINT) AS n"))
+  )
+}
