@@ -543,6 +543,14 @@ final class GraphState(
       nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag, indexes,
       descriptions, serverParams - name, adjCache, adjBase, adjOps)
 
+  /** Transform every index entry in place (ANALYZE GRAPH stamps/clears
+    * per-index statistics kept in `IndexDef.config`). */
+  def mapIndexes(
+      f: GraphState.IndexDef => GraphState.IndexDef): GraphState =
+    new GraphState(
+      nodeThunks, edgeThunks, idBase, mayOverlap, enums, indexTag,
+      indexes.map(f), descriptions, serverParams, adjCache, adjBase, adjOps)
+
   /** Drop every index matching the predicate. */
   def dropIndexes(p: GraphState.IndexDef => Boolean): GraphState =
     new GraphState(

@@ -670,6 +670,22 @@ final class ExprLowering(
         (typeOf(lc), typeOf(rc)) match {
           case (Some(StringType), Some(t)) if tempo(t) => eq(lc.cast(t), rc)
           case (Some(t), Some(StringType)) if tempo(t) => eq(lc, rc.cast(t))
+          // a VARIANT side (mixed-type property column) compares through
+          // the other side's type — a wrong-kind variant extracts NULL,
+          // and cross-family (in)equality on non-null values is a definite
+          // false/true in Cypher (typed_value.cpp operator==), not NULL
+          case (Some(VariantType), Some(t2))
+              if t2 != VariantType && !tempo(t2) =>
+            val ext = variantAs(lc, t2)
+            when(lc.isNull || rc.isNull, lit(null).cast("boolean"))
+              .otherwise(
+                when(ext.isNull, lit(op != "=")).otherwise(eq(ext, rc)))
+          case (Some(t2), Some(VariantType))
+              if t2 != VariantType && !tempo(t2) =>
+            val ext = variantAs(rc, t2)
+            when(lc.isNull || rc.isNull, lit(null).cast("boolean"))
+              .otherwise(
+                when(ext.isNull, lit(op != "=")).otherwise(eq(lc, ext)))
           case (Some(a), Some(b))
               if a != VariantType && b != VariantType && !orderable(a, b) =>
             when(lc.isNull || rc.isNull, lit(null).cast("boolean"))

@@ -166,7 +166,22 @@ object Functions {
         // unmatched row's property struct is non-null even though the binding
         // is, so counting the struct would be wrong.
         val c = nodeEdgeVar(0).map(Frames.id).getOrElse(a(0))
-        if (distinct) count_distinct(c) else count(c)
+        // DISTINCT hashes its argument; VARIANT-bearing values (mixed-type
+        // list elements variant-encode) and maps are not hashable in Spark
+        // — compare through canonical JSON instead. One expression builds
+        // every row's value with the same field order, so JSON equality IS
+        // value equality here.
+        def unhashable(t: DataType): Boolean = t match {
+          case VariantType => true
+          case _: MapType => true
+          case ArrayType(e, _) => unhashable(e)
+          case s: StructType => s.fields.exists(f => unhashable(f.dataType))
+          case _ => false
+        }
+        if (distinct && ctx.typeOf(c).exists(unhashable))
+          count_distinct(to_json(c))
+        else if (distinct) count_distinct(c)
+        else count(c)
       // Distributed double sums are not reproducible across partitionings
       // (float addition is non-associative), so sum/avg over floating input
       // accumulate in DECIMAL(38,4) and surface as DOUBLE — bit-stable for

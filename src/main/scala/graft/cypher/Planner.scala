@@ -1011,10 +1011,15 @@ final class Planner(
       // zipWithIndex + checkpoint + count jobs (a literal 9-node CREATE
       // used to cost ~27 driver jobs)
       val oneRow = lf.df.columns.isEmpty
+      // only variables this CREATE actually MINTS: a bound endpoint
+      // reused as an attachment point (`MATCH (a) CREATE (a)-[:S]->()`)
+      // stays a pre-existing entity — comprehensions over it still see
+      // the snapshot (pattern_comprehensions.feature "over a matched node
+      // a write clause reuses")
       createdVars ++= patterns.flatMap(p =>
         p.start.variable.toSeq ++ p.hops.flatMap { case (r, nd) =>
           r.variable.toSeq ++ nd.variable.toSeq
-        })
+        }).filterNot(lf.scope.contains)
       patterns.foldLeft(lf)((cur, p) => planCreate(cur, p, oneRow))
     case SetCl(items) => planSet(lf, items)
     case DeleteCl(detach, exprs) =>
@@ -1424,30 +1429,92 @@ final class Planner(
           pc.pattern.hops.flatMap { case (r, nd) =>
             r.variable.toSeq ++ nd.variable.toSeq
           }
-        if (patVars.exists(bound))
-          throw new UnsupportedOperationException(
-            "pattern comprehension correlated on a comprehension variable")
-        // a VARIABLE-LENGTH comprehension over an entity this query part
-        // CREATED is rejected (pattern_comprehensions.feature "over a
-        // node its own query part creates"): the comprehension scans the
-        // pre-write snapshot, which cannot see the new entity
-        if (pc.pattern.hops.exists(_._1.varLength.isDefined) &&
-          patVars.exists(createdVars))
-          throw new UnsupportedOperationException(
-            "variable-length pattern comprehension over an entity " +
-              "created in the same query part")
-        // the reference rejects REUSING an already bound relationship
-        // variable inside a comprehension pattern (a relationship appears
-        // once per match — rebinding it is a semantic error)
-        val reusedRel = pc.pattern.hops.flatMap(_._1.variable)
-          .filter(v => cur.scope.get(v).contains(Binding.EdgeB))
-        if (reusedRel.nonEmpty)
-          throw new IllegalArgumentException(
-            s"pattern comprehension cannot reuse the bound relationship " +
-              s"variable ${reusedRel.mkString(", ")}")
-        val name = fresh("pc")
-        cur = planRollUp(cur, name, pc)
-        Var(name)
+        val startLam = pc.pattern.start.variable.filter(bound)
+        val tailLam = pc.pattern.hops
+          .flatMap { case (r, nd) => r.variable.toSeq ++ nd.variable.toSeq }
+          .exists(bound)
+        val otherLamRefs = (pc.where.toSeq :+ pc.proj)
+          .flatMap(e => varsIn(e))
+          .filterNot(patVars.contains(_))
+          .exists(bound)
+        if (startLam.isDefined && !tailLam && !otherLamRefs) {
+          // comprehension whose START is a comprehension/lambda variable
+          // (`[x IN nodes(p) | size([(x)-->(:Y) | 1])]`,
+          // PatternComprehension.feature): not expressible as one
+          // frame-level RollUpApply, so roll it up for EVERY node once
+          // (the lambda ranges over arbitrary node values), gather the
+          // id→list map into one broadcast row, and substitute a map
+          // lookup for the comprehension. Bounded by the node count, not
+          // the outer row count — gated because the map lives in one row.
+          val maxN =
+            try spark.conf
+              .get("spark.graft.lambdaRollup.maxNodes", "2000000").toLong
+            catch { case _: Throwable => 2000000L }
+          if (state.totalNodeEstimate > maxN)
+            throw new UnsupportedOperationException(
+              "pattern comprehension correlated on a comprehension " +
+                s"variable over > $maxN nodes (raise " +
+                "spark.graft.lambdaRollup.maxNodes to run it)")
+          val x = startLam.get
+          val sx = fresh("cs")
+          val pc2 = PatternComprehension(
+            pc.pattern.copy(
+              start = pc.pattern.start.copy(variable = Some(sx))),
+            pc.where.map(substVars(_, Map(x -> sx))),
+            substVars(pc.proj, Map(x -> sx)))
+          val savedHints = frameHints
+          val seed = LF(
+            Frames.bind(sx)(state.allNodes),
+            Scope.empty + (sx -> Binding.NodeB))
+          val vname = fresh("cv")
+          val rolled = planRollUp(seed, vname, pc2)
+          frameHints = savedHints
+          val mname = fresh("cm")
+          val mapDf = rolled.df
+            .select(
+              Frames.id(sx).cast("string").as("__k"),
+              col(s"$vname${Frames.Sep}_val").as("__v"))
+            .agg(
+              map_from_entries(collect_list(struct(col("__k"), col("__v"))))
+                .as(s"$mname${Frames.Sep}_val"))
+          cur = LF(
+            cur.df.crossJoin(broadcast(mapDf)),
+            cur.scope + (mname -> Binding.ValueB))
+          FnCall(
+            "coalesce", distinct = false,
+            Seq(
+              Subscript(
+                Var(mname),
+                FnCall(
+                  "toString", distinct = false,
+                  Seq(FnCall("id", distinct = false, Seq(Var(x)))))),
+              ListLit(Nil)))
+        } else {
+          if (patVars.exists(bound))
+            throw new UnsupportedOperationException(
+              "pattern comprehension correlated on a comprehension variable")
+          // a VARIABLE-LENGTH comprehension over an entity this query part
+          // CREATED is rejected (pattern_comprehensions.feature "over a
+          // node its own query part creates"): the comprehension scans the
+          // pre-write snapshot, which cannot see the new entity
+          if (pc.pattern.hops.exists(_._1.varLength.isDefined) &&
+            patVars.exists(createdVars))
+            throw new UnsupportedOperationException(
+              "variable-length pattern comprehension over an entity " +
+                "created in the same query part")
+          // the reference rejects REUSING an already bound relationship
+          // variable inside a comprehension pattern (a relationship appears
+          // once per match — rebinding it is a semantic error)
+          val reusedRel = pc.pattern.hops.flatMap(_._1.variable)
+            .filter(v => cur.scope.get(v).contains(Binding.EdgeB))
+          if (reusedRel.nonEmpty)
+            throw new IllegalArgumentException(
+              s"pattern comprehension cannot reuse the bound relationship " +
+                s"variable ${reusedRel.mkString(", ")}")
+          val name = fresh("pc")
+          cur = planRollUp(cur, name, pc)
+          Var(name)
+        }
       // exists((…)) in a GENERAL expression position (inside OR / IN /
       // IS NULL / equality / RETURN — memgraph_exists.feature): same
       // RollUpApply as a comprehension, compared size > 0. Top-level
@@ -1466,22 +1533,47 @@ final class Planner(
           throw new UnsupportedOperationException(
             "pattern predicate correlated on a comprehension variable")
         // the RollUpApply rewrite correlates on the START node only — a
-        // pattern whose LATER vars are already bound must constrain to
-        // those bindings, which the comprehension would shadow (silent
-        // wrong answer) — raise instead
+        // pattern whose LATER vars are already bound (`WHERE a.id = 0 AND
+        // (a)-[:T]->(b:Label) OR (a)-[:T*]->(b:X)`, MatchAcceptance2
+        // "Variable length pattern checking labels on endnodes") is
+        // planned UNCORRELATED over the graph instead: project the
+        // distinct id tuple of its bound variables and left-join the flag
+        // back — one distributed equi-join, no per-row subquery.
         val tailBound = p.hops
           .flatMap { case (r, nd) => r.variable.toSeq ++ nd.variable.toSeq }
           .filter(cur.scope.contains)
-        if (tailBound.nonEmpty)
-          throw new UnsupportedOperationException(
-            "pattern predicate in a general expression position with a " +
-              s"bound non-start variable (${tailBound.mkString(", ")}) is " +
-              "not supported")
-        val name = fresh("pe")
-        cur = planRollUp(cur, name, PatternComprehension(p, None, Lit(1L)))
-        val sizeGt =
-          BinOp(">", FnCall("size", distinct = false, Seq(Var(name))), Lit(0L))
-        if (negated) Not(sizeGt) else sizeGt
+        if (tailBound.nonEmpty) {
+          val boundVs = patVars.filter(cur.scope.contains).distinct
+          val savedHints = frameHints
+          val (sub, subEdgeVars) =
+            planPattern(LF(spark.range(1).toDF().select(), Scope.empty), p)
+          val subU = edgeUniqueness(sub, subEdgeVars)
+          frameHints = savedHints
+          val pairs = subU.df
+            .select(boundVs.map(v => Frames.id(v).as(s"__pp$v")): _*)
+            .distinct()
+          val name = fresh("pe")
+          val flagCol = s"$name${Frames.Sep}_val"
+          val joined = cur.df
+            .join(
+              pairs.withColumn(flagCol, lit(true)),
+              boundVs
+                .map(v => Frames.id(v) === col(s"__pp$v"))
+                .reduce(_ && _),
+              "left_outer")
+            .drop(boundVs.map(v => s"__pp$v"): _*)
+          cur = LF(
+            joined.withColumn(flagCol, coalesce(col(flagCol), lit(false))),
+            cur.scope + (name -> Binding.ValueB))
+          if (negated) Not(Var(name)) else Var(name)
+        } else {
+          val name = fresh("pe")
+          cur = planRollUp(cur, name, PatternComprehension(p, None, Lit(1L)))
+          val sizeGt =
+            BinOp(
+              ">", FnCall("size", distinct = false, Seq(Var(name))), Lit(0L))
+          if (negated) Not(sizeGt) else sizeGt
+        }
       // degree/inDegree/outDegree scalars (builtin registry,
       // awesome_memgraph_functions.cpp:2063-2065): precomputed via one
       // aggregate over the edge set, equi-joined back on the node id.
@@ -1835,7 +1927,8 @@ final class Planner(
         (LF(withNew, cur.scope + (name -> Binding.NodeB)), name)
       }
     }
-    def mkEdge(cur: LF, rel: RelPattern, aName: String, bName: String): LF = {
+    def mkEdge(
+        cur: LF, rel: RelPattern, aName: String, bName: String): (LF, String) = {
       require(rel.types.size == 1, "CREATE edge requires exactly one type")
       require(rel.varLength.isEmpty, "CREATE edge cannot be var-length")
       require(
@@ -1904,17 +1997,132 @@ final class Planner(
         state = Mutations.createEdges(state, tpe, rows)
         setHint(eName, Some(Set(tpe)))
       }
-      LF(withE, cur.scope + (eName -> Binding.EdgeB))
+      (LF(withE, cur.scope + (eName -> Binding.EdgeB)), eName)
     }
     val (lf1, startName) = ensureNode(lf, part.start)
     var cur = lf1
     var prev = startName
+    var nodeSeq = Vector(startName)
+    var edgeSeq = Vector.empty[String]
     part.hops.foreach { case (rel, node) =>
       val (lf2, name) = ensureNode(cur, node)
-      cur = mkEdge(lf2, rel, prev, name)
+      val (lf3, eName) = mkEdge(lf2, rel, prev, name)
+      cur = lf3
+      nodeSeq :+= name
+      edgeSeq :+= eName
       prev = name
     }
+    // ConstructNamedPath over a CREATE pattern (`CREATE p0=()-[:T0]->()`):
+    // the reference binds the path symbol exactly as a MATCH pattern does
+    // (operator.hpp:1255 runs above CreateExpand too) — later clauses may
+    // read size(p0)/nodes(p0)
+    part.pathVar.foreach { pv =>
+      var df = cur.df
+        .withColumn(
+          s"$pv${Frames.Sep}_nodes", array(nodeSeq.map(Frames.id): _*))
+        .withColumn(
+          s"$pv${Frames.Sep}_edges",
+          if (edgeSeq.isEmpty) array().cast("array<long>")
+          else array(edgeSeq.map(Frames.id): _*))
+        .withColumn(
+          s"$pv${Frames.Sep}_len",
+          size(col(s"$pv${Frames.Sep}_edges")).cast("long"))
+      scala.util.Try {
+        df = df.withColumn(
+          s"$pv${Frames.Sep}_nodestructs", entityArray(cur.df, nodeSeq))
+        df = df.withColumn(
+          s"$pv${Frames.Sep}_edgestructs",
+          if (edgeSeq.nonEmpty) entityArray(cur.df, edgeSeq)
+          else
+            array().cast(
+              "array<struct<_id:bigint,_src:bigint,_dst:bigint,_type:string>>"))
+        df.schema
+      }.recover { case _ =>
+        df = df.drop(
+          s"$pv${Frames.Sep}_nodestructs", s"$pv${Frames.Sep}_edgestructs")
+      }
+      scala.util.Try {
+        df = df.withColumn(
+          s"$pv${Frames.Sep}_endpoints",
+          entityArray(cur.df, Seq(nodeSeq.head, nodeSeq.last)))
+        df.schema
+      }.recover { case _ =>
+        df = df.drop(s"$pv${Frames.Sep}_endpoints")
+      }
+      cur = LF(df, cur.scope + (pv -> Binding.PathB))
+    }
     cur
+  }
+
+  /** SET through a container VALUE holding an entity (`WITH {vertex: n} AS
+    * map SET map.vertex.id = 1`): the reference's TypedValue map holds live
+    * accessors, so the write lands on the vertex itself
+    * (nested_property_update.feature "Vertex inside map base property
+    * update"). Resolves the shortest path prefix that is an entity struct
+    * inside the value; the remainder is that entity's property path —
+    * mutates the store AND patches the in-frame value. */
+  private def setThroughValue(
+      cur: LF,
+      v: String,
+      path: Seq[String],
+      value: Column): LF = {
+    import org.apache.spark.sql.types.{DataType, MapType, StructType}
+    val valCol = s"$v${Frames.Sep}_val"
+    if (!cur.df.columns.contains(valCol))
+      throw new UnsupportedOperationException(s"SET on unbound $v")
+    def fieldType(t: DataType, k: String): Option[DataType] = t match {
+      case s: StructType => s.fields.find(_.name == k).map(_.dataType)
+      case _ => None
+    }
+    def isEntity(t: DataType): Boolean = t match {
+      case s: StructType => s.fieldNames.contains(GraphState.IdCol)
+      case _ => false
+    }
+    var j = 0
+    var t: Option[DataType] = Some(cur.df.schema(valCol).dataType)
+    while (j < path.size && t.isDefined && !t.exists(isEntity)) {
+      t = t.flatMap(fieldType(_, path(j))); j += 1
+    }
+    if (!t.exists(isEntity) || j >= path.size)
+      throw new UnsupportedOperationException(
+        s"SET $v.${path.mkString(".")}: no entity inside the value at " +
+          "this path")
+    val entT = t.get.asInstanceOf[StructType]
+    val remaining = path.drop(j)
+    val entCol = path.take(j).foldLeft(col(valCol))(_.getField(_))
+    val base = cur.df
+      .select(
+        entCol.getField(GraphState.IdCol).as(GraphState.IdCol),
+        value.as("__nv"))
+      .filter(col(GraphState.IdCol).isNotNull)
+    val aggFn = base.schema("__nv").dataType match {
+      case _: MapType => first(col("__nv"))
+      case _ => max(col("__nv"))
+    }
+    val updates = base.groupBy(GraphState.IdCol).agg(aggFn.as("__nv"))
+    val isEdge = entT.fieldNames.contains(GraphState.SrcCol) ||
+      entT.fieldNames.contains(GraphState.TypeCol)
+    if (remaining.size == 1) {
+      if (isEdge)
+        state = Mutations.setEdgePropertyByIds(
+          state, updates, remaining.head, None)
+      else
+        state = Mutations.setPropertyByIds(
+          state, updates, remaining.head, None)
+    } else {
+      if (isEdge)
+        state = Mutations.setEdgeNestedPropertyByIds(
+          state, updates.withColumn("__hit", lit(1)),
+          remaining.head, remaining.tail, None)
+      else
+        state = Mutations.setNestedPropertyByIds(
+          state, updates.withColumn("__hit", lit(1)),
+          remaining.head, remaining.tail, None)
+    }
+    LF(
+      cur.df.withColumn(
+        valCol, col(valCol).withField(path.mkString("."), value)),
+      cur.scope)
   }
 
   /** One (_id, __nv) row per updated entity — max() picks a deterministic
@@ -2076,7 +2284,15 @@ final class Planner(
               newV
           }
         }
-      if (path.size == 1) {
+      // SET through a container VALUE holding an entity (`WITH {vertex: n}
+      // AS map SET map.vertex.id = 1`): the reference's TypedValue map
+      // holds live accessors, so the write lands on the vertex itself
+      // (nested_property_update.feature "Vertex inside map base property
+      // update"). Resolve the shortest path prefix that is an entity
+      // struct inside the value; the remainder is that entity's property
+      // path — mutate the store AND patch the in-frame value.
+      if (cur.scope.get(v).contains(Binding.ValueB)) setThroughValue(cur, v, path, value)
+      else if (path.size == 1) {
         // single-segment `SET n.p += m`: property-level merge through the
         // plain SetProperty machinery
         val key = path.head
@@ -2118,6 +2334,7 @@ final class Planner(
             colName, Mutations.nestedSet(curCol, t, path.tail, value)),
           cur.scope)
       }
+
     case (cur, SetLabelsItem(v, labels)) =>
       planLabelsUpdate(cur, v, labels, add = true)
 
@@ -2726,7 +2943,38 @@ final class Planner(
       pushWhere: Option[Expr] = None): (LF, Seq[String]) = {
     if (part0.shortest.isDefined || part0.hops.exists(_._1.mode != "DFS"))
       return (planShortest(lf, part0, pushWhere), Nil)
-    val part = choosePatternOrientation(lf, part0)
+    val part1 = choosePatternOrientation(lf, part0)
+    // property-map entries that reference ANOTHER variable of this same
+    // pattern bound later (`MATCH (n {x: m.y})-[]-(m {y: n.x})`) cannot
+    // filter at bind time — strip them here and re-attach as post-pattern
+    // filters, where the reference's planner places a filter once all its
+    // symbols are bound (plan/rule_based_planner filter placement).
+    val patternVarsAll: Set[String] =
+      (part1.start.variable.toSeq ++ part1.hops.flatMap { case (r, n) =>
+        r.variable.toSeq ++ n.variable.toSeq
+      }).toSet
+    val deferredProps =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Expr)]
+    def splitCrossProps(
+        owner: Option[String],
+        props: Seq[(String, Expr)]): Seq[(String, Expr)] = owner match {
+      case Some(v) =>
+        props.filter { case (k, e) =>
+          val crossRef = varsIn(e).exists(x =>
+            x != v && !lf.scope.contains(x) && patternVarsAll.contains(x))
+          if (crossRef) { deferredProps += ((v, k, e)); false } else true
+        }
+      case None => props
+    }
+    val part = part1.copy(
+      start = part1.start.copy(
+        props = splitCrossProps(part1.start.variable, part1.start.props)),
+      hops = part1.hops.map { case (r, n) =>
+        (if (r.varLength.isEmpty)
+           r.copy(props = splitCrossProps(r.variable, r.props))
+         else r,
+          n.copy(props = splitCrossProps(n.variable, n.props)))
+      })
     val (cur0, startName) = bindNode(lf, part.start)
     var cur = cur0
     var srcVar = startName
@@ -3149,6 +3397,16 @@ final class Planner(
         df = df.drop(s"$pv${Frames.Sep}_endpoints")
       }
       cur = LF(df, cur.scope + (pv -> Binding.PathB))
+    }
+    // re-attach cross-referencing property-map entries now that every
+    // pattern variable is bound
+    deferredProps.foreach { case (v, k, e0) =>
+      val (cur2, e) = rewriteOneExpr(cur, e0)
+      cur = cur2
+      val low = new ExprLowering(cur.df, cur.scope, params, enums = state.enums)
+      cur = LF(
+        cur.df.filter(low.lower(BinOp("=", Prop(Var(v), k), e)) <=> lit(true)),
+        cur.scope)
     }
     (cur, edgeVars)
   }
@@ -4122,10 +4380,13 @@ final class Planner(
       val (cur2, e) = rewriteOneExpr(cur, e0)
       cur = cur2
       val low = new ExprLowering(cur.df, cur.scope, params, enums = state.enums)
-      val c =
-        if (cur.df.columns.contains(s"$v${Frames.Sep}$k")) Frames.f(v, k)
-        else lit(null)
-      cur = LF(cur.df.filter(c === low.lower(e)), cur.scope)
+      // equality through the expression lowering, not a raw `===`: a
+      // mixed-type (variant-encoded) property column needs the Cypher
+      // cross-type rules, and Spark's variant = string comparison fails
+      // analysis outright
+      cur = LF(
+        cur.df.filter(low.lower(BinOp("=", Prop(Var(v), k), e)) <=> lit(true)),
+        cur.scope)
     }
     cur
   }
@@ -5432,6 +5693,43 @@ final class Planner(
         alias -> frameHints(n)
     }.toMap
 
+    // a WITH item computed as a VALUE whose runtime type carries the full
+    // entity signature (`WITH nodeList[i] AS n1`, `collect(n)[0] AS x`)
+    // rebinds as a real node/edge — the reference's TypedValue IS a
+    // Vertex however it was computed (frame.hpp TypedValue slots); a later
+    // CREATE/MATCH/SET may use it as an endpoint. Mirrors the UNWIND
+    // loop-var promotion (same signature test: a plain map literal with an
+    // `_id` key must stay a value, and derive()'s virtual edges embed
+    // _startNode values and stay plain too).
+    if (!isReturn) {
+      import org.apache.spark.sql.types.StructType
+      newScope.vars.foreach { case (v, b) =>
+        val out = s"$v${Frames.Sep}_val"
+        if (b == Binding.ValueB && df.columns.contains(out))
+          df.schema(out).dataType match {
+            case s: StructType
+                if s.fieldNames.contains(GraphState.IdCol) &&
+                  !s.fieldNames.contains("_startNode") &&
+                  (s.fieldNames.contains(GraphState.LabelsCol) ||
+                    (s.fieldNames.contains(GraphState.SrcCol) &&
+                      s.fieldNames.contains(GraphState.DstCol) &&
+                      s.fieldNames.contains(GraphState.TypeCol))) =>
+              val isEdge = s.fieldNames.contains(GraphState.SrcCol) ||
+                s.fieldNames.contains(GraphState.TypeCol)
+              s.fieldNames.foreach { f =>
+                df = df.withColumn(s"$v${Frames.Sep}$f", col(out).getField(f))
+              }
+              df = df.drop(out)
+              newScope = Scope(newScope.vars.map { case (n2, b2) =>
+                if (n2 == v)
+                  (n2, if (isEdge) Binding.EdgeB else Binding.NodeB)
+                else (n2, b2)
+              })
+            case _ => ()
+          }
+      }
+    }
+
     if (isReturn) {
       val outCols = lowered.map {
         case (alias, Left((n, Binding.EdgeListB))) =>
@@ -5565,6 +5863,10 @@ object Cypher {
     * (`interpreter.cpp:4206,4218`). */
   private val ExplainPrefix = "(?is)^\\s*(EXPLAIN|PROFILE)\\b(.*)$".r
   private val ShowIndexR = "(?is)^\\s*SHOW\\s+INDEX\\s+INFO\\s*;?\\s*$".r
+  private val AnalyzeDeleteR =
+    "(?is)^\\s*ANALYZE\\s+GRAPH(?:\\s+ON\\s+LABELS\\s+(.+?))?\\s+DELETE\\s+STATISTICS\\s*;?\\s*$".r
+  private val AnalyzeR =
+    "(?is)^\\s*ANALYZE\\s+GRAPH(?:\\s+ON\\s+LABELS\\s+(.+?))?\\s*;?\\s*$".r
   private val ShowVectorIndexR =
     "(?is)^\\s*SHOW\\s+VECTOR\\s+INDEX\\s+INFO\\s*;?\\s*$".r
   private val ShowDescriptionsR =
@@ -5695,6 +5997,20 @@ object Cypher {
       params: Map[String, Any] = Map.empty): ExecResult = query match {
     case ShowIndexR() =>
       ExecResult(g, graft.procedures.IndexProcs.showIndexInfo(spark, g))
+    // ANALYZE GRAPH [ON LABELS :L, …] [DELETE STATISTICS] —
+    // interpreter.cpp HandleAnalyzeGraphQuery
+    case AnalyzeDeleteR(ls) =>
+      val labels = Option(ls).map(
+        _.split(",").map(_.trim.stripPrefix(":").trim).filter(_.nonEmpty).toSeq)
+      val (g2, df) =
+        graft.procedures.IndexProcs.analyzeDeleteStats(spark, g, labels)
+      ExecResult(g2, df)
+    case AnalyzeR(ls) =>
+      val labels = Option(ls).map(
+        _.split(",").map(_.trim.stripPrefix(":").trim).filter(_.nonEmpty).toSeq)
+      val (g2, df) =
+        graft.procedures.IndexProcs.analyzeGraph(spark, g, labels)
+      ExecResult(g2, df)
     case ShowVectorIndexR() =>
       ExecResult(g, graft.procedures.IndexProcs.showVectorIndexInfo(spark, g))
     case ShowDescriptionsR() =>

@@ -23,6 +23,136 @@ import graft.core.GraphState.IndexDef
   */
 object IndexProcs {
 
+  // ---------- ANALYZE GRAPH ----------
+
+  /** `ANALYZE GRAPH [ON LABELS :L …]` (interpreter.cpp:4413
+    * AnalyzeGraphCreateStatistics): for every label index, (count, avg
+    * degree); for every label+property index and EVERY non-empty prefix of
+    * its composite key, group the label's vertices by the prefix's value
+    * tuple (vertices with ALL prefix values null are not counted) and
+    * report (n, groups, avg group size, chi², avg degree). The chi²
+    * statistic Σ(c−avg)²/avg folds to k·Σc²/n − n, one distributed
+    * aggregate — no per-group driver pass. Stats are stamped into
+    * `IndexDef.config` so DELETE STATISTICS (and DROP INDEX) can clear
+    * them. Yields the reference's 7-column table. */
+  def analyzeGraph(
+      spark: SparkSession,
+      g: GraphState,
+      labels: Option[Seq[String]]): (GraphState, DataFrame) = {
+    def selected(l: Option[String]): Boolean =
+      labels.isEmpty || l.exists(labels.get.contains)
+
+    // per-node total degree (in + out) over every edge frame
+    lazy val degrees: DataFrame = {
+      val e = g.allEdges.select(
+        col(GraphState.SrcCol), col(GraphState.DstCol))
+      e.select(col(GraphState.SrcCol).as("__n"))
+        .unionAll(e.select(col(GraphState.DstCol).as("__n")))
+        .groupBy("__n").agg(count(lit(1)).as("__deg"))
+    }
+    def avgDegreeOf(ids: DataFrame): Double = {
+      val r = ids
+        .join(degrees, ids(ids.columns.head) === degrees("__n"), "left_outer")
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("__deg")), lit(0L)).as("d"))
+        .collect()(0)
+      if (r.getLong(0) == 0) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    }
+
+    val labelRows = g.indexes
+      .filter(d => d.kind == "label" && selected(d.label))
+      .map(_.label.get).distinct
+      .map { l =>
+        val frame = g.nodesOrEmpty(l)
+        val n = frame.count()
+        val deg = if (n == 0) 0.0
+        else avgDegreeOf(frame.select(col(GraphState.IdCol).as("__id")))
+        Row(l, null, n, null, null, null, deg)
+      }
+
+    val lpKeys = g.indexes
+      .filter(d => d.kind == "label+property" && selected(d.label))
+      .map(d => (d.label.get, d.props))
+      .distinct
+    // all prefixes across all composite keys, deduped
+    val prefixes = lpKeys
+      .flatMap { case (l, ps) => (1 to ps.size).map(k => (l, ps.take(k))) }
+      .distinct
+    val lpRows = prefixes.map { case (l, ps) =>
+      val frame = g.nodesOrEmpty(l)
+      val cols = ps.map(p =>
+        if (frame.columns.contains(p)) col(p) else lit(null))
+      // counted unless EVERY prefix property is null; group key through
+      // canonical JSON so variant-typed (mixed) property columns group
+      val counted = frame
+        .filter(cols.map(_.isNotNull).reduce(_ || _))
+        .withColumn(
+          "__gk",
+          to_json(struct(cols.zipWithIndex.map { case (c, i) =>
+            c.as(s"p$i")
+          }: _*)))
+      val grouped = counted.groupBy("__gk").agg(count(lit(1)).as("__c"))
+      val agg = grouped.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n"),
+        count(lit(1)).as("k"),
+        coalesce(sum(col("__c") * col("__c")), lit(0L)).as("s2"))
+        .collect()(0)
+      val (n, k, s2) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val avgGroup = if (k == 0) 0.0 else n.toDouble / k
+      val chi = if (n == 0) 0.0 else k.toDouble * s2 / n - n
+      val deg =
+        if (n == 0) 0.0
+        else avgDegreeOf(
+          counted.select(col(GraphState.IdCol).as("__id")))
+      Row(l, ps, n, k, avgGroup, chi, deg)
+    }
+
+    val out = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        java.util.Arrays.asList((labelRows ++ lpRows): _*)),
+      StructType(Seq(
+        StructField("label", StringType),
+        StructField("property", ArrayType(StringType)),
+        StructField("num estimation nodes", LongType),
+        StructField("num groups", LongType),
+        StructField("avg group size", DoubleType),
+        StructField("chi-squared value", DoubleType),
+        StructField("avg degree", DoubleType))))
+    val stamped = g.mapIndexes { d =>
+      if ((d.kind == "label" || d.kind == "label+property") &&
+        selected(d.label))
+        d.copy(config = d.config + ("__stats" -> true))
+      else d
+    }
+    (stamped, out)
+  }
+
+  /** `ANALYZE GRAPH [ON LABELS …] DELETE STATISTICS`: clears the stamps
+    * and yields one (label, property) row per index whose stats existed —
+    * stats on a dropped index are already gone (indices.feature). */
+  def analyzeDeleteStats(
+      spark: SparkSession,
+      g: GraphState,
+      labels: Option[Seq[String]]): (GraphState, DataFrame) = {
+    def selected(l: Option[String]): Boolean =
+      labels.isEmpty || l.exists(labels.get.contains)
+    val hit = g.indexes.filter(d =>
+      d.config.contains("__stats") && selected(d.label))
+    val rows = hit.map(d =>
+      Row(d.label.orNull, if (d.kind == "label") null else d.props))
+    val out = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(
+        StructField("label", StringType),
+        StructField("property", ArrayType(StringType)))))
+    val cleared = g.mapIndexes(d =>
+      if (d.config.contains("__stats") && selected(d.label))
+        d.copy(config = d.config - "__stats")
+      else d)
+    (cleared, out)
+  }
+
   // ---------- SHOW INDEX INFO ----------
 
   private def typeString(d: IndexDef): String = d.kind match {

@@ -26,10 +26,10 @@ class GqlBehaveSpec extends GqlHarness {
     "delete.feature" -> 11,
     "update_clauses.feature" -> 18,
     "map_projection.feature" -> 7,
-    "nested_property_update.feature" -> 34,
-    "match.feature" -> 65,
+    "nested_property_update.feature" -> 39,
+    "match.feature" -> 69,
     "foreach.feature" -> 12,
-    "merge.feature" -> 26,
+    "merge.feature" -> 32,
     "functions.feature" -> 109,
     "list_comprehension.feature" -> 16,
     "map_operations.feature" -> 4,
@@ -37,19 +37,19 @@ class GqlBehaveSpec extends GqlHarness {
     "patterns.feature" -> 19,
     "subqueries.feature" -> 50,
     "parameters.feature" -> 12,
-    "pattern_comprehensions.feature" -> 56,
+    "pattern_comprehensions.feature" -> 58,
     "cartesian.feature" -> 32,
     "memgraph_bfs.feature" -> 20,
     "memgraph_wshortest.feature" -> 22,
     "memgraph_allshortest.feature" -> 26,
     "memgraph_exists.feature" -> 56,
-    "hops_limit.feature" -> 13,
-    "memgraph.feature" -> 17,
-    "indices.feature" -> 16,
+    "hops_limit.feature" -> 14,
+    "memgraph.feature" -> 21,
+    "indices.feature" -> 20,
     "edge_indices_usage.feature" -> 3,
     "caching.feature" -> 7,
     "descriptions.feature" -> 19,
-    "periodic_commit.feature" -> 7,
+    "periodic_commit.feature" -> 8,
     // r9: USING PERIODIC COMMIT now parses, so the 13 use-after-delete
     // error scenarios execute (leniently — snapshot reads see pre-delete
     // values, same class as delete.feature's lenient tally) instead of
@@ -105,6 +105,18 @@ class GqlBehaveSpec extends GqlHarness {
         "reference emits storage-iteration order, openCypher leaves it " +
         "unspecified); distributed aggregation returns the same multiset " +
         "in partition order"),
+    "Test retrieving hops limit counter" ->
+      ("getHopsCounter() reports the lazy executor's pull count (a LIMIT " +
+        "50 stops the scan at 50 edge reads, hops_limit.hpp); a batch " +
+        "plan traverses the full edge set, so the counter is not " +
+        "reproducible — raises instead of answering wrongly"),
+    "Test retrieving hops limit counter without limit set is also active" ->
+      "same lazy-pull-count semantics as the scenario above",
+    "Changing database shows only that database's parameters" ->
+      ("CREATE DATABASE / USE DATABASE multi-tenancy is out-of-scope " +
+        "system surface (COVERAGE.md — single-graph engine); the " +
+        "parameter store itself is covered by the rest of " +
+        "server_side_parameters.feature"),
     "Min test 09: Duration" ->
       ("the reference REJECTS min/max over Durations while accepting " +
         "LocalTime; both lower to DayTimeIntervalType here, so the type " +

@@ -25,7 +25,7 @@ class OpenCypherTckSpec extends GqlHarness {
     "LabelsAcceptance.feature" -> 17,
     "Literals.feature" -> 11,
     "MatchAcceptance.feature" -> 30,
-    "MatchAcceptance2.feature" -> 89,
+    "MatchAcceptance2.feature" -> 98,
     "MatchingSelfRelationships.feature" -> 19,
     "MergeNodeAcceptance.feature" -> 24,
     "MergeRelationshipAcceptance.feature" -> 30,
@@ -33,10 +33,10 @@ class OpenCypherTckSpec extends GqlHarness {
     "OptionalMatch.feature" -> 3,
     "OptionalMatchAcceptance.feature" -> 22,
     "OrderByAcceptance.feature" -> 20,
-    "PatternComprehension.feature" -> 14,
+    "PatternComprehension.feature" -> 15,
     "RemoveAcceptance.feature" -> 8,
     "ReturnAcceptance.feature" -> 16,
-    "ReturnAcceptance2.feature" -> 33,
+    "ReturnAcceptance2.feature" -> 37,
     "SetAcceptance.feature" -> 13,
     "StartingPointAcceptance.feature" -> 3,
     "StartsWithAcceptance.feature" -> 24,
