@@ -1413,6 +1413,53 @@ object Functions {
         if (pos < tmpl.length) pieces += lit(tmpl.substring(pos))
         if (pieces.isEmpty) lit("") else concat(pieces.toSeq: _*)
 
+      case "text.replace" =>
+        // literal (non-regex) global replace (Text::Replace,
+        // text_module/algorithm/text.cpp:150 — a plain find loop); an
+        // empty search string returns the input unchanged
+        when(a(1) === lit(""), a(0))
+          .otherwise(replace_(a(0), a(1), a(2)))
+      case "text.regreplace" =>
+        // regex replace (Text::RegReplace, text.cpp:178 std::regex_replace
+        // — $1-style group references); empty pattern returns the input
+        when(a(1) === lit(""), a(0))
+          .otherwise(regexp_replace(a(0), a(1), a(2)))
+      case "text.distance" =>
+        // Levenshtein edit distance over code points (Text::Distance,
+        // text.cpp:218 — the same DP, codegen'd here)
+        levenshtein(a(0), a(1)).cast("long")
+      case "text.indexof" =>
+        // text.indexOf(text, lookup, from=0, to=-1) → first 0-based index
+        // of `lookup` within [from, to), or -1 (Text::IndexOf,
+        // text.cpp:258; null text/lookup → null, empty lookup → -1)
+        val text = a(0)
+        val lookup = a(1)
+        val from0 =
+          if (args.size > 2) coalesce(a(2).cast("int"), lit(0)) else lit(0)
+        val to0 =
+          if (args.size > 3) coalesce(a(3).cast("int"), lit(-1)) else lit(-1)
+        val len = length(text)
+        val to1 = when(to0 === -1 || to0 > len, len).otherwise(to0)
+        val from1 = least(greatest(from0, lit(0)), to1)
+        // locate is 1-based and searches from the given position
+        val found =
+          call_function("locate", lookup, text, (from1 + 1)) - lit(1)
+        when(text.isNull || lookup.isNull, lit(null).cast("long"))
+          .when(lookup === lit(""), lit(-1L))
+          .when(
+            from1 < to1 && found >= from1 && found < to1,
+            found.cast("long"))
+          .otherwise(lit(-1L))
+      case "text.compare_cleaned" =>
+        // ASCII-only normalization: keep [A-Za-z0-9], lowercase, compare
+        // (Text::CompareCleaned + CleanForCompare, text.cpp:299 — the
+        // reference intentionally drops non-ASCII; NULL inputs compare
+        // false, never null)
+        def cleaned(c: Column): Column =
+          lower_(regexp_replace(c, "[^A-Za-z0-9]", ""))
+        when(a(0).isNull || a(1).isNull, lit(false))
+          .otherwise(cleaned(a(0)) === cleaned(a(1)))
+
       case other =>
         throw new UnsupportedOperationException(s"unknown function: $other")
     }

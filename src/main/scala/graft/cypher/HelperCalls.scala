@@ -20,6 +20,7 @@ object HelperCalls {
     "create.node", "create.nodes", "create.set_property",
     "create.set_properties", "create.remove_properties",
     "create.remove_labels", "create.set_rel_property",
+    "create.set_rel_properties", "create.remove_rel_properties",
     "merge.node", "nodes.link", "nodes.delete")
 
   /** Procedures synthesized as AST against bound node variables. */
@@ -136,6 +137,27 @@ object HelperCalls {
       val key = strings(cv(1), s"$name key").head
       s"MATCH ()-[r]->() WHERE id(r) IN [${ids.mkString(", ")}] " +
         s"SET r.`$key` = ${lit(cv(2))} RETURN r AS relationship"
+    case "create.set_rel_properties" =>
+      // create.set_rel_properties(rels, keys, values) → relationship
+      // (create_module, plural form of set_rel_property)
+      val ids = longs(cv.head, name)
+      val keys = strings(cv(1), s"$name keys")
+      val values = cv(2) match {
+        case xs: Seq[_] => xs
+        case other => throw new IllegalArgumentException(
+          s"$name: need a value list, got $other")
+      }
+      require(keys.size == values.size, s"$name: keys/values length mismatch")
+      val sets = keys.zip(values)
+        .map { case (k, v) => s"r.`$k` = ${lit(v)}" }.mkString(", ")
+      s"MATCH ()-[r]->() WHERE id(r) IN [${ids.mkString(", ")}] " +
+        s"SET $sets RETURN r AS relationship"
+    case "create.remove_rel_properties" =>
+      val ids = longs(cv.head, name)
+      val keys = strings(cv(1), s"$name keys")
+      val rm = keys.map(k => s"r.`$k`").mkString(", ")
+      s"MATCH ()-[r]->() WHERE id(r) IN [${ids.mkString(", ")}] " +
+        s"REMOVE $rm RETURN r AS relationship"
     case "merge.node" =>
       // merge.node(labels, identProps, createProps, matchProps) → node
       // (merge_module.cpp:20)

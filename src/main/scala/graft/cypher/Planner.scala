@@ -750,7 +750,8 @@ final class Planner(
           planHelperMergeNodeRows(lf, args, yieldsRaw, callWhere)
         case "create.set_property" | "create.set_properties" |
             "create.remove_properties" | "create.remove_labels" |
-            "create.set_rel_property" | "nodes.delete"
+            "create.set_rel_property" | "create.set_rel_properties" |
+            "create.remove_rel_properties" | "nodes.delete"
             if args.forall(constValueOpt(_).isDefined) =>
           planHelperTextForm(lf, name, args, yieldsRaw, callWhere)
         case other =>
@@ -1587,6 +1588,26 @@ final class Planner(
       case FnCall(fn, _, Seq(Lit(null)))
           if Set("degree", "indegree", "outdegree")(fn.toLowerCase) =>
         Lit(null)
+      // node.degree_in(n[, type]) / node.degree_out (node_module.cpp:192):
+      // directional degree, optionally restricted to one edge type — the
+      // typed form aggregates that type's edge frame only (pruned scan)
+      case FnCall(fn, _, Var(n) +: rest)
+          if Set("node.degree_in", "node.degree_out")(fn.toLowerCase) &&
+            cur.scope.get(n).contains(Binding.NodeB) =>
+        val dir =
+          if (fn.toLowerCase == "node.degree_in") "indegree" else "outdegree"
+        val tpe = rest.headOption match {
+          case None | Some(Lit("")) | Some(Lit(null)) => None
+          case Some(Lit(s: String)) => Some(s)
+          case Some(other) => throw new IllegalArgumentException(
+            s"$fn: the type argument must be a string literal, got $other")
+        }
+        val name = fresh("deg")
+        cur = tpe match {
+          case None => planDegree(cur, name, n, dir)
+          case Some(t) => planDegreeTyped(cur, name, n, dir, t)
+        }
+        Var(name)
       // startNode(r)/endNode(r) of a bound edge: bind the endpoint NODE
       // (id-equi-join on src/dst), so property access and whole-entity
       // projection see the node, not a bare id
@@ -1702,6 +1723,25 @@ final class Planner(
       .join(degreeFrame, col(idc) === col("__dn"), "left_outer")
       .withColumn(outCol, coalesce(dcol, lit(0L)))
       .drop("__dn", "__dout", "__din")
+    LF(joined, lf.scope + (name -> Binding.ValueB))
+  }
+
+  /** [[planDegree]] restricted to ONE edge type: aggregates that type's
+    * edge frame only (node.degree_in/out's type argument — a pruned scan
+    * instead of the all-types memo). */
+  private def planDegreeTyped(
+      lf: LF, name: String, v: String, fn: String, tpe: String): LF = {
+    val idc = s"$v${Frames.Sep}${GraphState.IdCol}"
+    val keyCol =
+      if (fn == "outdegree") GraphState.SrcCol else GraphState.DstCol
+    val degDf = state.edgesOfTypes(Seq(tpe))
+      .groupBy(col(keyCol).as("__tdn"))
+      .agg(count(lit(1)).as("__td"))
+    val outCol = s"$name${Frames.Sep}_val"
+    val joined = lf.df
+      .join(degDf, col(idc) === col("__tdn"), "left_outer")
+      .withColumn(outCol, coalesce(col("__td"), lit(0L)))
+      .drop("__tdn", "__td")
     LF(joined, lf.scope + (name -> Binding.ValueB))
   }
 

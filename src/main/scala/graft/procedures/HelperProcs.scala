@@ -18,19 +18,25 @@ import graft.core.GraphState.{DstCol, IdCol, SrcCol, TypeCol}
   * distributed aggregation, never a driver-side loop. */
 object HelperProcs {
 
-  private def ids(ctx: ProcContext, i: Int, what: String): Seq[Long] =
-    ctx.args.lift(i) match {
-      case Some(l: Long) => Seq(l)
-      case Some(n: Int) => Seq(n.toLong)
-      case Some(xs: Seq[_]) => xs.map {
-        case l: Long => l
-        case n: Int => n.toLong
-        case other =>
-          throw new IllegalArgumentException(s"$what: need node ids, got $other")
-      }
+  private def ids(ctx: ProcContext, i: Int, what: String): Seq[Long] = {
+    def one(v: Any): Long = v match {
+      case l: Long => l
+      case n: Int => n.toLong
+      // a whole node value (the reference's Type::Node arg) — its id
+      case m: Map[_, _] =>
+        m.collectFirst { case (k, id: Long) if k.toString == IdCol => id }
+          .getOrElse(throw new IllegalArgumentException(
+            s"$what: node value lacks an id"))
       case other =>
         throw new IllegalArgumentException(s"$what: need node ids, got $other")
     }
+    ctx.args.lift(i) match {
+      case Some(xs: Seq[_]) => xs.map(one)
+      case Some(v) => Seq(one(v))
+      case None =>
+        throw new IllegalArgumentException(s"$what: need node ids, got None")
+    }
+  }
 
   private def strings(v: Any): Seq[String] = v match {
     case null => Nil
@@ -128,9 +134,60 @@ object HelperProcs {
           .as("relationship_types"))
   }
 
+  /** One (type-spec → exists?) map for a probed node over direction-
+    * prefixed specs (`<T` incoming, `T>` outgoing, `T` either —
+    * node_module.cpp RelationshipExist). */
+  private def relExistMap(
+      g: GraphState, id: Long, specs: Seq[String]): Map[String, Boolean] =
+    specs.map { p =>
+      if (p.startsWith("<") && p.endsWith(">"))
+        throw new IllegalArgumentException(
+          "Invalid relationship specification!")
+      val in = !p.endsWith(">")
+      val out = !p.startsWith("<")
+      val t = p.stripPrefix("<").stripSuffix(">")
+      val e = incident(g, Seq(id), if (t.isEmpty) Nil else Seq(t))
+      val dirOk =
+        (if (out) col(SrcCol) === id else lit(false)) ||
+          (if (in) col(DstCol) === id else lit(false))
+      p -> !e.filter(dirOk).isEmpty
+    }.toMap
+
+  /** `node.relationships_exist(node, relationships)` → one map row
+    * (node_module.cpp:97; empty list raises). */
+  def relationshipsExist(ctx: ProcContext): DataFrame = {
+    val probe = ids(ctx, 0, "node.relationships_exist")
+    val specs = strings(ctx.args.lift(1).orNull)
+    require(specs.nonEmpty, "Input relationships list must not be empty!")
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq(Tuple1(relExistMap(ctx.g, probe.head, specs))).toDF("result")
+  }
+
+  /** `nodes.relationships_exist(nodes, relationships)` → one row per
+    * probed node: {node_id, status: map} (nodes_module.cpp:41; the
+    * reference packs the node itself — the id is this engine's stable
+    * node reference). Empty input lists raise. */
+  def nodesRelationshipsExist(ctx: ProcContext): DataFrame = {
+    val probe = ids(ctx, 0, "nodes.relationships_exist")
+    val specs = strings(ctx.args.lift(1).orNull)
+    require(
+      probe.nonEmpty && specs.nonEmpty,
+      "Input lists must not be empty!")
+    val spark = ctx.spark
+    import spark.implicits._
+    probe
+      .map(id => (id, relExistMap(ctx.g, id, specs)))
+      .toDF("node_id", "status")
+      .select(
+        struct(col("node_id"), col("status")).as("result"))
+  }
+
   val registry: Map[String, ProcContext => DataFrame] = Map(
     "map.from_nodes" -> fromNodes,
     "node.relationship_types" -> relationshipTypes,
     "node.relationship_exists" -> relationshipExists,
-    "nodes.relationship_types" -> nodesRelationshipTypes)
+    "node.relationships_exist" -> relationshipsExist,
+    "nodes.relationship_types" -> nodesRelationshipTypes,
+    "nodes.relationships_exist" -> nodesRelationshipsExist)
 }

@@ -267,12 +267,35 @@ object MetaProcs {
       struct(combined.columns.map(col).toSeq: _*).as("node"))
   }
 
+  /** `meta.update(created, deleted, removedVProps, removedEProps,
+    * setVLabels, removedVLabels)` — the reference's trigger-driven online
+    * stat-cache maintenance (meta_module.cpp:20, no yields). This engine
+    * recomputes meta.stats from the live frames on every call, so the
+    * cache the reference updates does not exist — the call validates its
+    * arity and returns no rows (cache-consistency is trivially held). */
+  def metaUpdate(ctx: ProcContext): DataFrame = {
+    require(
+      ctx.args.size >= 6,
+      "meta.update expects 6 arguments (createdObjects, deletedObjects, " +
+        "removedVertexProperties, removedEdgeProperties, setVertexLabels, " +
+        "removedVertexLabels)")
+    ctx.spark.range(0).select(lit(true).as("ok")).filter(lit(false))
+  }
+
+  /** `meta.reset()` — drops the reference's cached online stats
+    * (meta.cpp Reset). Same trivially-held contract as [[metaUpdate]]:
+    * nothing is cached here, the next stats call recomputes. */
+  def metaReset(ctx: ProcContext): DataFrame =
+    ctx.spark.range(0).select(lit(true).as("ok")).filter(lit(false))
+
   val registry: Map[String, ProcContext => DataFrame] = Map(
     "uuid.get" -> uuidGet,
     "util.md5" -> utilMd5,
     "meta.stats" -> metaStats,
     "meta.stats_online" -> metaStats,
     "meta.stats_offline" -> metaStats,
+    "meta.update" -> metaUpdate,
+    "meta.reset" -> metaReset,
     "search.node" -> searchRun(dedup = true),
     "search.node_all" -> searchRun(dedup = false))
 }

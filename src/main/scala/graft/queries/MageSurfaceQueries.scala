@@ -256,6 +256,169 @@ object MageSurfaceQueries {
       Some("""SELECT count(*) AS set_n, count(*) AS n_set
              |FROM embeddings""".stripMargin)),
 
+    // text module functions (text_module/algorithm/text.cpp): replace
+    // (literal find loop), regreplace (std::regex_replace), distance
+    // (Levenshtein), indexOf (bounded substring search), compare_cleaned
+    // (ASCII-alnum lowercase normalization)
+    QueryDef(
+      "fn_text_tail",
+      (s, dir) => Cypher.run(
+        s, empty,
+        """RETURN text.replace('hello world', 'l', 'L') AS rep,
+          |       text.regreplace('a1b22c333', '[0-9]+', '#') AS rre,
+          |       text.distance('kitten', 'sitting') AS dist,
+          |       text.indexOf('abcabc', 'bc', 2) AS idx,
+          |       text.indexOf('abc', 'z') AS miss,
+          |       text.compare_cleaned('Hello, World!', 'helloworld') AS eq,
+          |       text.compare_cleaned('a-1', 'a2') AS ne""".stripMargin),
+      Some("""SELECT 'heLLo worLd' AS rep, 'a#b#c#' AS rre,
+             |       CAST(3 AS BIGINT) AS dist, CAST(4 AS BIGINT) AS idx,
+             |       CAST(-1 AS BIGINT) AS miss, true AS eq,
+             |       false AS ne""".stripMargin)),
+
+    // node.degree_in / node.degree_out with and without a type filter
+    // (node_module.cpp:192): 0→1 X, 0→2 Y, 1→0 X
+    QueryDef(
+      "fn_node_degree_dir",
+      (s, dir) => Cypher.run(
+        s,
+        Cypher.execute(
+          s, empty,
+          """CREATE (a:DgV {k: 0}), (b:DgV {k: 1}), (c:DgV {k: 2}),
+            |       (a)-[:X]->(b), (a)-[:Y]->(c), (b)-[:X]->(a)
+            |""".stripMargin).graph,
+        """MATCH (n:DgV)
+          |RETURN n.k AS k,
+          |       node.degree_out(n) AS dout,
+          |       node.degree_in(n) AS din,
+          |       node.degree_out(n, 'X') AS dout_x,
+          |       node.degree_in(n, 'Y') AS din_y
+          |ORDER BY k""".stripMargin),
+      Some("""SELECT CAST(k AS BIGINT) AS k, CAST(o AS BIGINT) AS dout,
+             |       CAST(i AS BIGINT) AS din, CAST(ox AS BIGINT) AS dout_x,
+             |       CAST(iy AS BIGINT) AS din_y
+             |FROM (VALUES (0, 2, 1, 1, 0), (1, 1, 1, 1, 0),
+             |             (2, 0, 1, 0, 1)) v(k, o, i, ox, iy)
+             |ORDER BY k""".stripMargin)),
+
+    // node.relationships_exist / nodes.relationships_exist — per-spec
+    // existence maps with <T / T> direction prefixes (node_module.cpp:97,
+    // nodes_module.cpp:41)
+    QueryDef(
+      "call_rels_exist",
+      (s, dir) => Cypher.run(
+        s,
+        Cypher.execute(
+          s, empty,
+          """CREATE (a:ReV {k: 0}), (b:ReV {k: 1}),
+            |       (a)-[:R]->(b)""".stripMargin).graph,
+        """MATCH (a:ReV {k: 0})
+          |CALL node.relationships_exist(a, ['R>', '<R', 'Q']) YIELD result
+          |RETURN result['R>'] AS has_out, result['<R'] AS has_in,
+          |       result['Q'] AS has_q""".stripMargin),
+      Some("SELECT true AS has_out, false AS has_in, false AS has_q")),
+    QueryDef(
+      "call_nodes_rels_exist",
+      (s, dir) => {
+        val g = Cypher.execute(
+          s, empty,
+          """CREATE (a:RsV {k: 0}), (b:RsV {k: 1}),
+            |       (a)-[:R]->(b)""".stripMargin).graph
+        val ids = Cypher.run(s, g, "MATCH (n:RsV) RETURN id(n) AS i ORDER BY i")
+          .collect().map(_.getLong(0))
+        Cypher.run(
+          s, g,
+          s"""CALL nodes.relationships_exist([${ids.mkString(", ")}], ['R'])
+             |YIELD result
+             |RETURN result.status['R'] AS has_r ORDER BY has_r""".stripMargin)
+      },
+      Some("SELECT has_r FROM (VALUES (true), (true)) v(has_r) " +
+        "ORDER BY has_r")),
+
+    // create.set_rel_properties / create.remove_rel_properties — the
+    // plural relationship write forms (create_module)
+    QueryDef(
+      "call_rel_props_bulk",
+      (s, dir) => {
+        val g0 = Cypher.execute(
+          s, empty,
+          """CREATE (a:RpV {k: 0}), (b:RpV {k: 1}),
+            |       (a)-[:R {w: 1}]->(b)""".stripMargin).graph
+        val rid = Cypher.run(
+          s, g0, "MATCH ()-[r:R]->() RETURN id(r) AS i")
+          .collect()(0).getLong(0)
+        val g1 = Cypher.execute(
+          s, g0,
+          s"CALL create.set_rel_properties([$rid], ['p1', 'p2'], [10, 'x']) " +
+            "YIELD relationship RETURN relationship").graph
+        val g2 = Cypher.execute(
+          s, g1,
+          s"CALL create.remove_rel_properties([$rid], ['w']) " +
+            "YIELD relationship RETURN relationship").graph
+        Cypher.run(
+          s, g2,
+          """MATCH ()-[r:R]->()
+            |RETURN r.p1 AS p1, r.p2 AS p2, r.w IS NULL AS w_gone
+            |""".stripMargin)
+      },
+      Some("SELECT CAST(10 AS BIGINT) AS p1, 'x' AS p2, true AS w_gone")),
+
+    // ANALYZE GRAPH over a composite label+property index: per-prefix
+    // (count, groups, avg group size, chi², avg degree) rows
+    // (interpreter.cpp:4413); DELETE STATISTICS clears the stamps
+    QueryDef(
+      "cy_analyze_graph",
+      (s, dir) => {
+        var g = Cypher.execute(
+          s, empty, "CREATE INDEX ON :AgV(a, b)").graph
+        g = Cypher.execute(
+          s, g,
+          """CREATE (:AgV {a: 1, b: 1}), (:AgV {a: 1, b: 2}),
+            |       (:AgV {a: 2, b: 1}), (:AgV {a: 2})""".stripMargin).graph
+        val res = Cypher.execute(s, g, "ANALYZE GRAPH;")
+        val stats = res.result
+        val cleared = Cypher.execute(
+          s, res.graph, "ANALYZE GRAPH DELETE STATISTICS;")
+        import org.apache.spark.sql.functions._
+        stats
+          .select(
+            col("label"),
+            concat_ws(",", col("property")).as("prop"),
+            col("num estimation nodes").as("n"),
+            col("num groups").as("groups"),
+            round(col("avg group size"), 6).as("avg_sz"),
+            round(col("chi-squared value"), 6).as("chi"))
+          .crossJoin(
+            cleared.result.agg(count(lit(1)).as("n_deleted")))
+      },
+      // prefix [a]: 4 counted (a never null), groups {1: 2, 2: 2} →
+      // avg 2.0, chi 0; prefix [a, b]: 4 counted (not all-null), tuples
+      // (1,1) (1,2) (2,1) (2,null) all distinct → 4 groups, avg 1.0,
+      // chi 0. DELETE STATISTICS reports the one stamped index.
+      Some("""SELECT label, prop, CAST(n AS BIGINT) AS n,
+             |       CAST(groups AS BIGINT) AS groups,
+             |       CAST(avg_sz AS DOUBLE) AS avg_sz,
+             |       CAST(chi AS DOUBLE) AS chi,
+             |       CAST(1 AS BIGINT) AS n_deleted
+             |FROM (VALUES ('AgV', 'a', 4, 2, 2.0, 0.0),
+             |             ('AgV', 'a,b', 4, 4, 1.0, 0.0))
+             |  v(label, prop, n, groups, avg_sz, chi)""".stripMargin)),
+
+    // meta.update / meta.reset — the reference's online stat-cache
+    // maintenance hooks; stats here recompute per call, so the contract
+    // is arity + zero rows, then a live stats read
+    QueryDef(
+      "call_meta_update_reset",
+      (s, dir) => {
+        var g = Cypher.execute(s, empty, "CREATE (:MuV), (:MuV)").graph
+        g = Cypher.execute(
+          s, g, "CALL meta.update([], [], [], [], [], [])").graph
+        g = Cypher.execute(s, g, "CALL meta.reset()").graph
+        Cypher.run(
+          s, g, "CALL meta.stats() YIELD nodeCount RETURN nodeCount")
+      },
+      Some("SELECT CAST(2 AS BIGINT) AS nodeCount")),
+
     // the full module-name surface is registered: every MAGE alias shows
     // up in mg.procedures() (module.cpp registry introspection)
     QueryDef(
