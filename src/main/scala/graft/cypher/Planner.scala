@@ -1814,7 +1814,18 @@ final class Planner(
     val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
     val seedScope =
       Scope(lf.scope.vars.filter { case (nm, _) => shared.contains(nm) })
-    val seed = LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+    // entity vars dedupe on id alone (thin shuffle key; variant-typed
+    // payload columns are not hashable in set operations)
+    val seedKeys = shared.flatMap { v =>
+      lf.scope.get(v) match {
+        case Some(Binding.NodeB) | Some(Binding.EdgeB) =>
+          Seq(s"$v${Frames.Sep}${GraphState.IdCol}")
+        case _ => Frames.colsOf(lf.df, v)
+      }
+    }
+    val seed = LF(
+      lf.df.select(seedCols.map(col): _*).dropDuplicates(seedKeys),
+      seedScope)
     var (sub, subEdges) = planPattern(seed, pc.pattern)
     sub = edgeUniqueness(sub, subEdges)
     pc.where.foreach { w => sub = planWhere(sub, w) }
@@ -5062,13 +5073,25 @@ final class Planner(
     val shared =
       (patVars ++ whereVars).filter(lf.scope.contains).distinct
 
-    // plan the optional branch seeded from distinct shared bindings
+    // plan the optional branch seeded from distinct shared bindings —
+    // entity vars dedupe on their ID alone (it determines the row, the
+    // shuffle key stays thin, and variant-typed property columns — which
+    // Spark refuses in set operations — ride along as payload)
     val seedCols = shared.flatMap(v => Frames.colsOf(lf.df, v))
     val seedScope =
       Scope(lf.scope.vars.filter { case (n, _) => shared.contains(n) })
+    val seedKeys = shared.flatMap { v =>
+      lf.scope.get(v) match {
+        case Some(Binding.NodeB) | Some(Binding.EdgeB) =>
+          Seq(s"$v${Frames.Sep}${GraphState.IdCol}")
+        case _ => Frames.colsOf(lf.df, v)
+      }
+    }
     val seed =
       if (shared.nonEmpty)
-        LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
+        LF(
+          lf.df.select(seedCols.map(col): _*).dropDuplicates(seedKeys),
+          seedScope)
       else initial
 
     var sub = seed
@@ -5596,9 +5619,26 @@ final class Planner(
       val aggCols = aggItems.map { case (alias, e2) =>
         lowPre.lower(e2).as(s"$alias${Frames.Sep}_val")
       } ++ carryCols.result().map(c => first(col(c)).as(c))
+      // a VARIANT-typed group key (mixed-type property column) is neither
+      // orderable nor hashable for Spark's aggregation — group through
+      // its canonical JSON and carry the value itself via first()
+      var pre2 = pre
+      val gkeys: Seq[(String, Option[String])] = groupCols.map { c =>
+        if (pre.schema(c).dataType ==
+          org.apache.spark.sql.types.VariantType) {
+          val jc = s"__vj$c"
+          pre2 = pre2.withColumn(jc, to_json(col(c)))
+          (jc, Some(c))
+        } else (c, None)
+      }
+      val aggCols2 = aggCols ++
+        gkeys.collect { case (_, Some(c)) => first(col(c)).as(c) }
       df =
         if (groupCols.isEmpty) pre.agg(aggCols.head, aggCols.tail: _*)
-        else pre.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        else
+          pre2.groupBy(gkeys.map(k => col(k._1)): _*)
+            .agg(aggCols2.head, aggCols2.tail: _*)
+            .drop(gkeys.collect { case (j, Some(_)) => j }: _*)
 
       // 3) rename passthrough group vars to their aliases (duplicate
       // passthroughs of one source copy the namespace)

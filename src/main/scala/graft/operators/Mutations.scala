@@ -204,6 +204,25 @@ object Mutations {
   /** SET n.prop = value for a set of (_id, __nv) updates, across every
     * label — id namespaces are per-label, so only the owning frame actually
     * changes; the others join against zero matching keys. */
+  /** CASE branches must share one type; a SET whose new value's type
+    * conflicts with the stored column (a long property becoming a list
+    * under refactor.merge_nodes' combine, …) variant-encodes both sides —
+    * the engine's mixed-type property representation. */
+  private def reconciled(
+      existing: Column,
+      existingT: org.apache.spark.sql.types.DataType,
+      nv: Column,
+      nvT: org.apache.spark.sql.types.DataType): (Column, Column) = {
+    import org.apache.spark.sql.types.NullType
+    if (existingT == nvT || existingT == NullType || nvT == NullType)
+      (existing, nv)
+    else {
+      def enc(c: Column): Column = try_variant_get(
+        parse_json(to_json(struct(c.as("v")))), "$.v", "variant")
+      (enc(existing), enc(nv))
+    }
+  }
+
   def setPropertyByIds(
       g: GraphState,
       updates: DataFrame, // columns: _id, __nv
@@ -223,10 +242,11 @@ object Mutations {
           // matched rows take the NEW value even when it is NULL —
           // `SET n.p = null` REMOVES the property (reference SetProperty
           // null semantics); a coalesce would silently keep the old value
+          val (oldC, newC) = reconciled(
+            col(prop), base.schema(prop).dataType, col("__nv"), vtype)
           base
             .join(upG(), Seq(IdCol), "left_outer")
-            .withColumn(
-              prop, when(col("__hit"), col("__nv")).otherwise(col(prop)))
+            .withColumn(prop, when(col("__hit"), newC).otherwise(oldC))
             .drop("__nv", "__hit")
         })
     }
@@ -700,13 +720,15 @@ object Mutations {
     // labels: frames are the label index, so append the matched rows (with
     // updated label arrays) into each target frame. Removal needs no row
     // deletion — scans re-filter on `_labels`, which the in-place update
-    // above already shrank.
+    // above already shrank. Frames may disagree on a shared property's
+    // TYPE (a list-valued p arriving in a frame whose p is long) — those
+    // columns variant-encode on both sides instead of failing the union.
     if (add) {
       val matched = prune(g.nodeLabels, only)
         .map(src =>
           g.nodes(src)
             .join(keyG(_.drop("__hit")), Seq(IdCol), "left_semi"))
-        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .reduceOption(unionReconciled)
         .map(
           _.dropDuplicates(IdCol)
             .withColumn(
@@ -720,12 +742,12 @@ object Mutations {
             l,
             () =>
               if (cur.hasLabel(l))
-                cur.nodes(l).unionByName(
+                unionReconciled(
+                  cur.nodes(l),
                   mc.join(
                     cur.nodes(l).select(IdCol),
                     Seq(IdCol),
-                    "left_anti"),
-                  allowMissingColumns = true)
+                    "left_anti"))
               else mc)
         }
         out = out.withOverlap
@@ -733,6 +755,7 @@ object Mutations {
     }
     out
   }
+
 
   /** DELETE e for edge-variable bindings: anti-join every type by edge id. */
   def deleteEdgesAllTypes(

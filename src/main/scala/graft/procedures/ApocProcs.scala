@@ -54,7 +54,7 @@ object ApocProcs {
     "refactor.invert" -> invert,
     "refactor.normalize_as_boolean" -> normalizeAsBoolean) ++
     PyTail2Procs.writeRegistry ++ PyTail3Procs.writeRegistry ++
-    MlProcs.writeRegistry
+    MlProcs.writeRegistry ++ RefactorProcs.writeRegistry
 
   // ---------------- option helpers ----------------
 

@@ -419,6 +419,138 @@ object MageSurfaceQueries {
       },
       Some("SELECT CAST(2 AS BIGINT) AS nodeCount")),
 
+    // refactor.from / refactor.to — endpoint redirect re-creates the
+    // relationship (new id, same type + properties, refactor.cpp:38/60)
+    QueryDef(
+      "call_refactor_redirect",
+      (s, dir) => {
+        val g0 = Cypher.execute(
+          s, empty,
+          """CREATE (a:RfV {k: 0}), (b:RfV {k: 1}), (c:RfV {k: 2}),
+            |       (a)-[:R {w: 7}]->(b)""".stripMargin).graph
+        def ids(g: graft.core.GraphState) = Cypher.run(
+          s, g,
+          """MATCH (x:RfV)-[r:R]->() WITH r LIMIT 1
+            |MATCH (c:RfV {k: 2}) RETURN id(r) AS r, id(c) AS c""".stripMargin)
+          .collect()(0)
+        val i0 = ids(g0)
+        val g1 = Cypher.execute(
+          s, g0,
+          s"CALL refactor.from(${i0.getLong(0)}, ${i0.getLong(1)}) " +
+            "YIELD relationship RETURN relationship").graph
+        val i1 = ids(g1)
+        val g2 = Cypher.execute(
+          s, g1,
+          s"CALL refactor.to(${i1.getLong(0)}, ${i1.getLong(1)}) " +
+            "YIELD relationship RETURN relationship").graph
+        Cypher.run(
+          s, g2,
+          """MATCH (x)-[r:R]->(y)
+            |RETURN x.k AS src_k, y.k AS dst_k, r.w AS w,
+            |       count(*) AS n""".stripMargin)
+      },
+      Some("SELECT CAST(2 AS BIGINT) AS src_k, CAST(2 AS BIGINT) AS dst_k," +
+        " CAST(7 AS BIGINT) AS w, CAST(1 AS BIGINT) AS n")),
+
+    // refactor.clone_nodes — labels + properties copied (minus
+    // skipProperties), withRelationships clones the TOPOLOGY only
+    // (refactor.cpp:397: CreateRelationship without property copy)
+    QueryDef(
+      "call_refactor_clone",
+      (s, dir) => {
+        val g0 = Cypher.execute(
+          s, empty,
+          """CREATE (a:ClV {k: 0, secret: 'x'}), (b:ClV {k: 1}),
+            |       (a)-[:R {w: 1}]->(b)""".stripMargin).graph
+        val aId = Cypher.run(s, g0, "MATCH (a:ClV {k: 0}) RETURN id(a) AS i")
+          .collect()(0).getLong(0)
+        val g1 = Cypher.execute(
+          s, g0,
+          s"CALL refactor.clone_nodes([$aId], true, ['secret']) " +
+            "YIELD input, output, error RETURN input, output, error").graph
+        Cypher.run(
+          s, g1,
+          """MATCH (n:ClV {k: 0})
+            |WITH count(*) AS n_clones,
+            |     sum(CASE WHEN n.secret IS NULL THEN 1 ELSE 0 END)
+            |       AS n_no_secret
+            |MATCH (:ClV {k: 0})-[r:R]->(:ClV {k: 1})
+            |RETURN n_clones, n_no_secret, count(*) AS n_edges,
+            |       sum(CASE WHEN r.w IS NULL THEN 1 ELSE 0 END)
+            |         AS n_bare""".stripMargin)
+      },
+      // original + clone; the clone lacks `secret`; its cloned edge
+      // carries no properties
+      Some("SELECT CAST(2 AS BIGINT) AS n_clones, CAST(1 AS BIGINT) AS " +
+        "n_no_secret, CAST(2 AS BIGINT) AS n_edges, CAST(1 AS BIGINT) " +
+        "AS n_bare")),
+
+    // refactor.merge_nodes — combine strategy lists colliding values,
+    // labels union, mergeRels redirects the source's relationships,
+    // source detach-deleted (refactor.cpp:923)
+    QueryDef(
+      "call_refactor_merge",
+      (s, dir) => {
+        val g0 = Cypher.execute(
+          s, empty,
+          """CREATE (a:MgA {p: [1]}), (b:MgB {p: 2, q: 'only'}),
+            |       (c:MgC {k: 9}), (b)-[:R {w: 3}]->(c)""".stripMargin).graph
+        val ids = Cypher.run(
+          s, g0,
+          "MATCH (a:MgA), (b:MgB) RETURN id(a) AS a, id(b) AS b")
+          .collect()(0)
+        val g1 = Cypher.execute(
+          s, g0,
+          s"CALL refactor.merge_nodes([${ids.getLong(0)}, " +
+            s"${ids.getLong(1)}], {properties: 'combine', mergeRels: true})" +
+            " YIELD node RETURN node").graph
+        Cypher.run(
+          s, g1,
+          """MATCH (a:MgA)
+            |OPTIONAL MATCH (a)-[r:R]->(c:MgC)
+            |RETURN a.p IS NOT NULL AS has_p, a.q AS q,
+            |       'MgB' IN labels(a) AS has_b,
+            |       r.w AS w, count(*) AS n""".stripMargin)
+      },
+      // a.p combined to the list [1, 2] — variant-encoded by the mixed
+      // frame union, so the oracle pins presence; q / labels / the
+      // redirected edge (with properties) / cardinality pin the rest
+      Some("SELECT true AS has_p, 'only' AS q, " +
+        "true AS has_b, CAST(3 AS BIGINT) AS w, CAST(1 AS BIGINT) AS n")),
+
+    // refactor.collapse_node then refactor.extract_node — inverse-ish
+    // structural rewrites: collapse a 1-in/1-out node into a typed
+    // relationship carrying its properties (refactor.cpp:502), then
+    // extract that relationship back into a labeled node spliced as
+    // from -[inType]-> node -[outType]-> to (refactor.cpp:805)
+    QueryDef(
+      "call_refactor_collapse_extract",
+      (s, dir) => {
+        val g0 = Cypher.execute(
+          s, empty,
+          """CREATE (a:CxV {k: 0}), (m:CxM {tag: 'mid'}), (c:CxV {k: 2}),
+            |       (a)-[:S]->(m), (m)-[:S]->(c)""".stripMargin).graph
+        val mId = Cypher.run(s, g0, "MATCH (m:CxM) RETURN id(m) AS i")
+          .collect()(0).getLong(0)
+        val g1 = Cypher.execute(
+          s, g0,
+          s"CALL refactor.collapse_node($mId, 'LINK') " +
+            "YIELD id_collapsed, new_relationship " +
+            "RETURN id_collapsed, new_relationship").graph
+        val linkId = Cypher.run(
+          s, g1, "MATCH ()-[r:LINK]->() RETURN id(r) AS i")
+          .collect()(0).getLong(0)
+        val g2 = Cypher.execute(
+          s, g1,
+          s"CALL refactor.extract_node([$linkId], ['CxM'], 'OUT', 'IN') " +
+            "YIELD input, output, error RETURN input, output, error").graph
+        Cypher.run(
+          s, g2,
+          """MATCH (a:CxV {k: 0})-[:IN]->(m:CxM)-[:OUT]->(c:CxV {k: 2})
+            |RETURN count(*) AS n, min(m.tag) AS tag""".stripMargin)
+      },
+      Some("SELECT CAST(1 AS BIGINT) AS n, 'mid' AS tag")),
+
     // the full module-name surface is registered: every MAGE alias shows
     // up in mg.procedures() (module.cpp registry introspection)
     QueryDef(
