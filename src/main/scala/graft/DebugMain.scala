@@ -31,6 +31,10 @@ object DebugMain {
         if (explain) {
           println(s"===== $n =====")
           df.explain("formatted")
+        } else if (sys.env.contains("GRAFT_SHOW")) {
+          println(s"===== $n =====")
+          println(df.schema.simpleString)
+          df.show(100, truncate = false)
         } else {
           val tPlan = (System.nanoTime() - t0) / 1e9
           val rows = df.count()

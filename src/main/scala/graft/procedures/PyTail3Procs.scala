@@ -543,10 +543,12 @@ object PyTail3Procs {
     val byLabelSets = nodesData.zipWithIndex.groupBy(_._1._1)
     byLabelSets.foreach { case (labels, members) =>
       val propKeys = members.flatMap(_._1._2.keys).distinct.sorted
+      val propTypes = propKeys.map(k =>
+        k -> JsonCodec.sparkTypeOf(members.flatMap(_._1._2.get(k)))).toMap
       val rows = members.map { case ((_, props), i) =>
         org.apache.spark.sql.Row.fromSeq(
           nodeIds(i) +: labels +: propKeys.map(k =>
-            props.get(k).map(JsonCodec.toSparkValue).orNull))
+            props.get(k).map(JsonCodec.coerceTo(_, propTypes(k))).orNull))
       }
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField(IdCol,
@@ -555,7 +557,7 @@ object PyTail3Procs {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.StringType)) +:
           propKeys.map(k => org.apache.spark.sql.types.StructField(
-            k, JsonCodec.sparkTypeOf(members.flatMap(_._1._2.get(k))))))
+            k, propTypes(k))))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
       labels.foreach { l =>
@@ -567,11 +569,13 @@ object PyTail3Procs {
     val byType = edgesData.zipWithIndex.groupBy(_._1._3)
     byType.foreach { case (tpe, members) =>
       val propKeys = members.flatMap(_._1._4.keys).distinct.sorted
+      val propTypes = propKeys.map(k =>
+        k -> JsonCodec.sparkTypeOf(members.flatMap(_._1._4.get(k)))).toMap
       val rows = members.map { case ((si, di, _, props), i) =>
         org.apache.spark.sql.Row.fromSeq(
           ((base << 48) + (1L << 47) + i) +: nodeIds(si) +: nodeIds(di) +:
             tpe +: propKeys.map(k =>
-              props.get(k).map(JsonCodec.toSparkValue).orNull))
+              props.get(k).map(JsonCodec.coerceTo(_, propTypes(k))).orNull))
       }
       val schema = org.apache.spark.sql.types.StructType(
         Seq(
@@ -584,7 +588,7 @@ object PyTail3Procs {
           org.apache.spark.sql.types.StructField(TypeCol,
             org.apache.spark.sql.types.StringType)) ++
           propKeys.map(k => org.apache.spark.sql.types.StructField(
-            k, JsonCodec.sparkTypeOf(members.flatMap(_._1._4.get(k))))))
+            k, propTypes(k))))
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), schema)
       g = graft.operators.Mutations.createEdges(g, tpe, df)
@@ -842,10 +846,9 @@ private[procedures] object JsonCodec {
       case b: Boolean => sb.append(b.toString)
       case i: Int => sb.append(i.toString)
       case l: Long => sb.append(l.toString)
-      case d: Double =>
-        if (d == d.toLong.toDouble && math.abs(d) < 1e15)
-          sb.append(d.toLong.toString)
-        else sb.append(d.toString)
+      // python json emits floats with a fractional part ("1.0", not "1")
+      // — keeping it distinguishes Double from Long across a roundtrip
+      case d: Double => sb.append(d.toString)
       case f: Float => go(f.toDouble)
       case n: Number => sb.append(n.toString)
       case s: String => sb.append('"').append(esc(s)).append('"')
@@ -875,7 +878,9 @@ private[procedures] object JsonCodec {
   }
 
   /** Recursive-descent JSON parser (payloads are driver-bounded by the
-    * export gate). Numbers parse as Double (python json round-trip). */
+    * export gate). Integral literals (no '.'/'e'/'E') parse as Long so a
+    * dump→import roundtrip preserves integer-typed properties; anything
+    * fractional or exponent-form parses as Double. */
   def parse(s: String): Any = {
     var i = 0
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
@@ -934,7 +939,12 @@ private[procedures] object JsonCodec {
           val start = i
           while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0)
             i += 1
-          s.substring(start, i).toDouble
+          val lit = s.substring(start, i)
+          if (lit.indexOf('.') < 0 && lit.indexOf('e') < 0 &&
+              lit.indexOf('E') < 0)
+            try lit.toLong
+            catch { case _: NumberFormatException => lit.toDouble }
+          else lit.toDouble
       }
     }
     def str(): String = {
@@ -979,6 +989,20 @@ private[procedures] object JsonCodec {
     case other => other
   }
 
+  /** Coerce a parsed JSON value to the column type `sparkTypeOf` picked —
+    * a column may mix integral and fractional literals (promoted to
+    * DoubleType), so individual Longs must widen to Double at row build. */
+  def coerceTo(v: Any, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (n: java.lang.Number, DoubleType) => n.doubleValue()
+      case (n: java.lang.Number, LongType) => n.longValue()
+      case (s: Seq[_], ArrayType(et, _)) => s.map(coerceTo(_, et))
+      case (other, _) => toSparkValue(other)
+    }
+  }
+
   /** Infer a Spark DataType for a column of parsed JSON values. */
   def sparkTypeOf(vals: Seq[Any]): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
@@ -986,8 +1010,8 @@ private[procedures] object JsonCodec {
     nonNull.headOption match {
       case Some(_: String) => StringType
       case Some(_: Boolean) => BooleanType
-      case Some(_: Long) | Some(_: Int) => LongType
-      case Some(_: Double) => DoubleType
+      case Some(_: Long) | Some(_: Int) | Some(_: Double) =>
+        if (nonNull.exists(_.isInstanceOf[Double])) DoubleType else LongType
       case Some(s: Seq[_]) =>
         ArrayType(sparkTypeOf(s ++ nonNull.collect {
           case q: Seq[_] => q

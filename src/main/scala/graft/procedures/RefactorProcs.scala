@@ -432,6 +432,335 @@ object RefactorProcs {
     (g.withIdBase(base), entityYield(g, yields))
   }
 
+  private def mapOf(v: Any): Map[String, Any] = v match {
+    case m: Map[_, _] => m.map { case (k, x) => k.toString -> x }
+    case _ => Map.empty
+  }
+
+  /** Path argument: the PathB value struct `{nodes: [...], edges: [...]}`
+    * the planner lowers for a bound path variable. */
+  private final case class PathArg(
+      nodes: Seq[Map[String, Any]], edges: Seq[Map[String, Any]])
+
+  private def pathArgOf(v: Any, what: String): PathArg = v match {
+    case m: Map[_, _] =>
+      val mm = m.map { case (k, x) => k.toString -> x }
+      (mm.get("nodes"), mm.get("edges")) match {
+        case (Some(ns: Seq[_]), Some(es: Seq[_])) =>
+          PathArg(ns.map(mapOf), es.map(mapOf))
+        case _ => throw new IllegalArgumentException(
+          s"$what: need a path value, got $m")
+      }
+    case other =>
+      throw new IllegalArgumentException(s"$what: need a path, got $other")
+  }
+
+  private val ConfigErr =
+    "Configuration map must consist of specific keys and values " +
+      "described in documentation."
+
+  /** Shared clone machinery of `clone_subgraph` /
+    * `clone_subgraph_from_paths` (refactor.cpp:196-262 CloneNodesImpl +
+    * CloneRelsImpl): every non-standin node is cloned with labels and
+    * non-skipped properties; every relationship is re-created WITH its
+    * (non-skipped) properties between the clones, standin pairs
+    * substituting an existing node for a would-be clone. A relationship
+    * endpoint that is neither cloned nor standing in throws, like the
+    * reference's GetStandinOrCopy. Yields (input, output, error) for the
+    * cloned nodes (InsertCloneNodesRecord emits node records only). */
+  private def cloneSubgraphCommon(
+      ctx: ProcContext,
+      what: String,
+      nodeIds: Seq[Long],
+      rels: Seq[EdgeArg],
+      config: Map[String, Any]): (GraphState, DataFrame) = {
+    val standins: Seq[(Long, Long)] = config.get("standinNodes") match {
+      case Some(xs: Seq[_]) => xs.map {
+        case p: Seq[_] if p.length == 2 =>
+          (nodeIdOf(p.head, what), nodeIdOf(p(1), what))
+        case _ => throw new IllegalArgumentException(ConfigErr)
+      }
+      case None | Some(null) => Nil
+      case _ => throw new IllegalArgumentException(ConfigErr)
+    }
+    val skip = config.get("skipProperties") match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case None | Some(null) => Nil
+      case _ => throw new IllegalArgumentException(ConfigErr)
+    }
+    val standinMap = standins.toMap
+    var g = ctx.g
+    val base = g.idBase + 2
+    var nodeCursor = 0L
+    var mirror = Map.empty[Long, Long]
+    var pairs = Vector.empty[(Long, Long)]
+    nodeIds.foreach { oldId =>
+      if (!standinMap.contains(oldId)) {
+        val newId = (base << 48) + nodeCursor
+        nodeCursor += 1
+        val labels = labelsOf(ctx.g, oldId)
+        val targets = if (labels.isEmpty) Seq("_") else labels
+        targets.foreach { l =>
+          var row = ctx.g.nodes(l).filter(col(IdCol) === oldId)
+            .withColumn(IdCol, lit(newId))
+          skip.filter(row.columns.contains).foreach(p => row = row.drop(p))
+          g = Mutations.createNodes(g, l, row.localCheckpoint(true))
+        }
+        if (targets.size > 1) g = g.withOverlap
+        mirror += (oldId -> newId)
+        pairs :+= ((oldId, newId))
+      }
+    }
+    var edgeCursor = 0L
+    rels.foreach { e =>
+      def endpoint(id: Long): Long =
+        standinMap.getOrElse(id, mirror.getOrElse(id,
+          throw new IllegalArgumentException(
+            "Can't clone relationship without cloning relationship's " +
+              "source and/or target nodes.")))
+      val (s, d) = (endpoint(e.src), endpoint(e.dst))
+      val newId = (base << 48) + (1L << 47) + edgeCursor
+      edgeCursor += 1
+      var row = edgeRow(ctx.g, e)
+        .withColumn(IdCol, lit(newId))
+        .withColumn(SrcCol, lit(s))
+        .withColumn(DstCol, lit(d))
+      skip.filter(row.columns.contains).foreach(p => row = row.drop(p))
+      g = Mutations.createEdges(g, e.tpe, row.localCheckpoint(true))
+    }
+    (g.withIdBase(base), entityYield(g, pairs))
+  }
+
+  /** `refactor.clone_subgraph(nodes, rels, config)` (refactor.cpp:291):
+    * clone the subgraph; with no explicit rels the INDUCED edge set
+    * (both endpoints in the node list) is cloned. */
+  def cloneSubgraph(ctx: ProcContext): (GraphState, DataFrame) = {
+    val what = "refactor.clone_subgraph"
+    val nodes = listOf(ctx.args.headOption.getOrElse(Nil))
+      .map(nodeIdOf(_, what)).distinct
+    val relArgs = (ctx.args.lift(1) match {
+      case Some(xs: Seq[_]) => xs
+      case _ => Nil
+    }).map(resolveEdge(ctx, _, what)).distinctBy(_.id)
+    val config = mapOf(ctx.args.lift(2).orNull)
+    val rels =
+      if (relArgs.isEmpty && nodes.nonEmpty)
+        // induced edges, one pruned pushed-predicate filter per type frame
+        ctx.g.edgeTypes.flatMap { t =>
+          ctx.g.edges(t)
+            .filter(
+              col(SrcCol).isin(nodes: _*) && col(DstCol).isin(nodes: _*))
+            .select(col(IdCol), col(SrcCol), col(DstCol)).collect()
+            .map(r => EdgeArg(r.getLong(0), r.getLong(1), r.getLong(2), t))
+        }.sortBy(_.id)
+      else relArgs
+    cloneSubgraphCommon(ctx, what, nodes, rels, config)
+  }
+
+  /** `refactor.clone_subgraph_from_paths(paths, config)`
+    * (refactor.cpp:263): the distinct nodes + relationships of the paths,
+    * cloned with the same machinery (first-seen order — the reference's
+    * unordered_set leaves order unspecified). */
+  def cloneSubgraphFromPaths(ctx: ProcContext): (GraphState, DataFrame) = {
+    val what = "refactor.clone_subgraph_from_paths"
+    val paths = listOf(ctx.args.headOption.getOrElse(Nil))
+      .map(pathArgOf(_, what))
+    val config = mapOf(ctx.args.lift(1).orNull)
+    val nodes = paths.flatMap(_.nodes.map(nodeIdOf(_, what))).distinct
+    val rels = paths.flatMap(_.edges.map(edgeArgOf(_, what)))
+      .distinctBy(_.id)
+    cloneSubgraphCommon(ctx, what, nodes, rels, config)
+  }
+
+  /** `refactor.categorize(original_prop_key, rel_type, is_outgoing,
+    * new_label, new_prop_name_key, copy_props_list)` → status
+    * (refactor.cpp:348): every node carrying the property becomes linked
+    * to a per-value category node; the property (and the copied ones)
+    * moves off the source nodes.
+    *
+    * This one is a BULK restructure, so unlike the point-write refactor
+    * procedures it stays fully distributed: distinct property values
+    * build the category frame (ids by value order), the node→category
+    * edges come from one equi-join on the value, and the property
+    * removals are id-keyed bulk updates — no per-node driver loop, the
+    * shape that survives a 100 TB corpus. Where the reference's
+    * last-storage-order write wins for copied category properties
+    * (refactor.cpp:377-386), we take the value from the HIGHEST
+    * contributing node id — deterministic under any partitioning. */
+  def categorize(ctx: ProcContext): (GraphState, DataFrame) = {
+    val what = "refactor.categorize"
+    def strArg(i: Int, name: String): String =
+      ctx.args.lift(i).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(s"$what: need $name"))
+    val orig = strArg(0, "original_prop_key")
+    val relType = strArg(1, "rel_type")
+    val isOutgoing = ctx.args.lift(2) match {
+      case Some(b: Boolean) => b
+      case Some(s: String) => s.toBoolean
+      case _ => true
+    }
+    val newLabel = strArg(3, "new_label")
+    val newPropKey = strArg(4, "new_prop_name_key")
+    val copyProps = ctx.args.lift(5) match {
+      case Some(xs: Seq[_]) => xs.map(_.toString)
+      case _ => Nil
+    }
+    val spark = ctx.spark
+    import spark.implicits._
+    val status = Seq("success").toDF("status")
+    var g = ctx.g
+    val all = ctx.g.allNodes
+    if (!all.columns.contains(orig)) return (g, status)
+    val base = g.idBase + 2
+    val copyKeys =
+      copyProps.filter(k => k != newPropKey && all.columns.contains(k))
+    val src = all.filter(col(orig).isNotNull)
+      .select((col(IdCol) +: col(orig).as("__cat") +: copyKeys.map(col)): _*)
+      .localCheckpoint(true)
+    val cats = Ranks
+      .orderedIds(src.select(col("__cat")).distinct(), "__idx", "__cat")
+      .withColumn(IdCol, lit(base << 48) + col("__idx"))
+    val catProps =
+      if (copyKeys.isEmpty) cats
+      else {
+        val aggs = copyKeys.map(k =>
+          max_by(col(k), when(col(k).isNotNull, col(IdCol))).as(k))
+        cats.drop(copyKeys: _*).join(
+          src.groupBy(col("__cat")).agg(aggs.head, aggs.tail: _*), "__cat")
+      }
+    val catFrame = catProps.select(
+      (col(IdCol) +: array(lit(newLabel)).as(LabelsCol) +:
+        col("__cat").as(newPropKey) +: copyKeys.map(col)): _*)
+      .localCheckpoint(true)
+    g = Mutations.createNodes(g, newLabel, catFrame)
+    val withCat = src.select(col(IdCol).as("__nid"), col("__cat"))
+      .join(catProps.select(col("__cat"), col(IdCol).as("__cid")), "__cat")
+    val edges = Ranks.orderedIds(withCat, "__eidx", "__nid")
+      .select(
+        (lit((base << 48) + (1L << 47)) + col("__eidx")).as(IdCol),
+        (if (isOutgoing) col("__nid") else col("__cid")).as(SrcCol),
+        (if (isOutgoing) col("__cid") else col("__nid")).as(DstCol),
+        lit(relType).as(TypeCol))
+      .localCheckpoint(true)
+    g = Mutations.createEdges(g, relType, edges)
+    val ids = src.select(col(IdCol))
+    g = Mutations.removePropertyByIds(g, ids, orig)
+    copyKeys.foreach(k => g = Mutations.removePropertyByIds(g, ids, k))
+    (g.withIdBase(base), status)
+  }
+
+  /** `refactor.delete_and_reconnect(path, nodes, config)` → (nodes,
+    * relationships) (refactor.cpp:648): walk the path, detach-delete the
+    * listed nodes, and bridge each gap between surviving neighbors with
+    * a relationship chosen by `relationshipSelectionStrategy`
+    * (`incoming` keeps the relationship leaving the previous survivor,
+    * `outgoing` the one entering the current survivor, `merge` fuses
+    * both — type `A_B`, properties per `properties`:
+    * discard/override/combine). Yields the surviving path nodes and the
+    * surviving+bridged relationships as ID LISTS — the repo's path/rel
+    * yield shape (IgraphProcs.scala:220), not whole entities. */
+  def deleteAndReconnect(ctx: ProcContext): (GraphState, DataFrame) = {
+    val what = "refactor.delete_and_reconnect"
+    val path = pathArgOf(
+      ctx.args.headOption.getOrElse(throw new IllegalArgumentException(
+        s"$what: need a path")), what)
+    val delIds = listOf(ctx.args.lift(1).getOrElse(Nil))
+      .map(nodeIdOf(_, what)).toSet
+    val cfg = mapOf(ctx.args.lift(2).orNull)
+    // refactor.cpp:543-558: a missing strategy key forces incoming+combine
+    val (relStrategy, propStrategy) =
+      cfg.get("relationshipSelectionStrategy") match {
+        case None | Some(null) => ("incoming", "combine")
+        case Some(rs) =>
+          (rs.toString,
+            cfg.get("properties") match {
+              case None | Some(null) => "combine"
+              case Some(ps) => ps.toString
+            })
+      }
+    if (!Set("incoming", "outgoing", "merge")(relStrategy))
+      throw new IllegalArgumentException(
+        "Invalid relationship selection strategy")
+    val propNorm = propStrategy match {
+      case "discard" => "discard"
+      case "override" | "overwrite" => "override"
+      case "combine" => "combine"
+      case _ => throw new IllegalArgumentException(
+        "Invalid properties selection strategy")
+    }
+    val pNodes = path.nodes.map(nodeIdOf(_, what))
+    val pEdges = path.edges.map(m => (edgeArgOf(m, what),
+      m.filterNot { case (k, v) => Meta.contains(k) || v == null }))
+    var g = ctx.g
+    val base = g.idBase + 2
+    var edgeCursor = 0L
+    var outNodes = Vector.empty[Long]
+    var outRels = Vector.empty[Long]
+    var pi = -1
+    var prevId = -1L
+
+    def createRel(
+        s: Long, d: Long, tpe: String, props: Map[String, Any]): Long = {
+      val id = (base << 48) + (1L << 47) + edgeCursor
+      edgeCursor += 1
+      val cols =
+        Seq(lit(id).as(IdCol), lit(s).as(SrcCol), lit(d).as(DstCol),
+          lit(tpe).as(TypeCol)) ++
+          props.toSeq.sortBy(_._1).map { case (k, v) =>
+            litAny(ctx, v).as(k)
+          }
+      g = Mutations.createEdges(g, tpe, ctx.spark.range(1).select(cols: _*))
+      id
+    }
+    // modify_relationship (refactor.cpp:676-689): re-anchor `e` onto
+    // `node`, preserving its orientation relative to `other`
+    def anchor(e: EdgeArg, node: Long, other: Long): (Long, Long) =
+      if (e.src == other) (e.src, node) else (node, e.dst)
+
+    pNodes.zipWithIndex.foreach { case (id, i) =>
+      val isDel = delIds.contains(id)
+      if (!isDel && pi != -1 && pi != i - 1) {
+        val (inE, inProps) = pEdges(pi) // leaves the previous survivor
+        val (curE, curProps) = pEdges(i - 1) // enters the current one
+        relStrategy match {
+          case "incoming" =>
+            val (s, d) = anchor(inE, id, prevId)
+            outRels :+= createRel(s, d, inE.tpe, inProps)
+          case "outgoing" =>
+            val (s, d) = anchor(curE, prevId, id)
+            outRels :+= createRel(s, d, curE.tpe, curProps)
+          case _ => // merge: type A_B, properties per the prop strategy
+            val tpe = s"${curE.tpe}_${inE.tpe}"
+            val (baseE, baseP, otherP, node, other) =
+              if (propNorm == "override") (curE, curProps, inProps, prevId, id)
+              else (inE, inProps, curProps, id, prevId)
+            val (s, d) = anchor(baseE, node, other)
+            val props =
+              if (propNorm == "combine")
+                otherP.foldLeft(baseP) { case (acc, (k, v)) =>
+                  acc.get(k) match {
+                    case Some(existing) => acc + (k -> Seq(existing, v))
+                    case None => acc + (k -> v)
+                  }
+                }
+              else otherP ++ baseP // base wins collisions, gaps filled
+            outRels :+= createRel(s, d, tpe, props)
+        }
+      } else if (!isDel && pi != -1) {
+        outRels :+= pEdges(pi)._1.id // consecutive survivors: kept as-is
+      }
+      if (!isDel) { outNodes :+= id; pi = i; prevId = id }
+    }
+    val toDelete = pNodes.filter(delIds).distinct
+    if (toDelete.nonEmpty) {
+      import ctx.spark.implicits._
+      g = Mutations.deleteNodes(g, toDelete.toDF(IdCol), detach = true)
+    }
+    import ctx.spark.implicits._
+    (g.withIdBase(base),
+      Seq((outNodes, outRels)).toDF("nodes", "relationships"))
+  }
+
   val writeRegistry
       : Map[String, ProcContext => (GraphState, DataFrame)] = Map(
     "refactor.from" -> (redirect(_, newFrom = true)),
@@ -439,5 +768,9 @@ object RefactorProcs {
     "refactor.clone_nodes" -> cloneNodes,
     "refactor.merge_nodes" -> mergeNodes,
     "refactor.collapse_node" -> collapseNode,
-    "refactor.extract_node" -> extractNode)
+    "refactor.extract_node" -> extractNode,
+    "refactor.categorize" -> categorize,
+    "refactor.clone_subgraph" -> cloneSubgraph,
+    "refactor.clone_subgraph_from_paths" -> cloneSubgraphFromPaths,
+    "refactor.delete_and_reconnect" -> deleteAndReconnect)
 }

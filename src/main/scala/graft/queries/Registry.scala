@@ -9,7 +9,8 @@ object Registry {
       CypherMutationQueries.defs ++ FrontendQueries.defs ++
       StreamingQueries.defs ++ Round3Queries.defs ++ Round9Queries.defs ++
       Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs ++
-      Round13Queries.defs ++ Round14Queries.defs ++ MageSurfaceQueries.defs
+      Round13Queries.defs ++ Round14Queries.defs ++
+      MageSurfaceQueries.defs ++ Round15Queries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(

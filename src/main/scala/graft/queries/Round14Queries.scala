@@ -164,7 +164,7 @@ object Round14Queries {
             |       sum(DISTINCT n.score) AS ssum""".stripMargin)
       },
       Some("SELECT CAST(2 AS BIGINT) AS nodes, CAST(1 AS BIGINT) AS edges," +
-        " 30.0 AS ssum")),
+        " CAST(30 AS BIGINT) AS ssum")),
 
     // START STREAM runs a REAL consumer pass: a file-backed stream
     // declared via DDL, a registered TRANSFORM turning source rows into
