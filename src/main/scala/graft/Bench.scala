@@ -86,12 +86,26 @@ object Bench {
       locally { val _ = ok }
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sub-millisecond digits are contention noise; rounding keeps the
+    // one-line JSON inside the driver's bounded stdout-tail capture
+    def r4(v: Double): String = "%.4f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"loadavg":$loadavg,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    println(json)
+    // the same object goes to a file so round-over-round diffing never
+    // depends on how much stdout the harness kept
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      json.getBytes("UTF-8"))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -778,7 +778,14 @@ abstract class GqlHarness extends SparkTestBase {
       var skip: Int = 0,
       var lenient: Int = 0,
       val failures: scala.collection.mutable.Buffer[String] =
-        scala.collection.mutable.Buffer.empty)
+        scala.collection.mutable.Buffer.empty,
+      // scenario names behind every skip — the exclusion-contract assert
+      // below requires each one to be named in `excluded`, so NEW
+      // unsupported surface fails the suite instead of landing silently
+      val skipNames: scala.collection.mutable.Buffer[String] =
+        scala.collection.mutable.Buffer.empty) {
+    def addSkip(name: String): Unit = { skip += 1; skipNames += name }
+  }
 
   /** Enum DDL survives `Given an empty graph` within a feature file (the
     * reference wipes nodes/edges, not the enum store — memgraph.feature
@@ -805,9 +812,9 @@ abstract class GqlHarness extends SparkTestBase {
     if (sc.unsupported.isDefined || sc.query.isEmpty) {
       dbg(s"  SKIP(step) ${sc.name}: unsupported=${sc.unsupported} " +
         s"query=${sc.query.isDefined} expect=${sc.expect.isDefined}")
-      tally.skip += 1; return
+      tally.addSkip(sc.name); return
     }
-    if (excluded.contains(sc.name)) { tally.skip += 1; return }
+    if (excluded.contains(sc.name)) { tally.addSkip(sc.name); return }
     if (sc.expect.isEmpty) {
       val ran = scala.util.Try {
         var g = carriedEnums.foldLeft(GraphState(Map.empty, Map.empty)) {
@@ -824,7 +831,7 @@ abstract class GqlHarness extends SparkTestBase {
       ran match {
         case scala.util.Success(_) => tally.pass += 1
         case scala.util.Failure(e) =>
-          tally.skip += 1
+          tally.addSkip(sc.name)
           dbg(s"  SKIP(ex) ${sc.name}: " +
             String.valueOf(e.getMessage).take(120))
       }
@@ -861,7 +868,7 @@ abstract class GqlHarness extends SparkTestBase {
         dbg(s"  LENIENT ${sc.name}: ${sc.query.get.linesIterator.mkString(" ").take(150)}")
         tally.lenient += 1
       case (_, scala.util.Failure(e)) =>
-        tally.skip += 1 // unsupported surface (parse/plan/runtime feature)
+        tally.addSkip(sc.name) // unsupported surface (parse/plan/runtime)
         if (sys.env.contains("GRAFT_GQL_DEBUG"))
           info(s"  SKIP(ex) ${sc.name}: ${String.valueOf(e.getMessage).take(120)}")
       case (EmptyResult, scala.util.Success(rows)) =>
@@ -872,7 +879,7 @@ abstract class GqlHarness extends SparkTestBase {
         if (expParsed.exists(_.exists(_.isEmpty))) {
           dbg(s"  SKIP(expcell) ${sc.name}: " + expRaw.flatten.zip(expParsed.flatten)
             .collectFirst { case (raw, None) => raw }.getOrElse(""))
-          tally.skip += 1; return
+          tally.addSkip(sc.name); return
         }
         val expBase = expParsed.map(_.flatten)
         // expected tables are keyed by header NAME (|n|r| may list columns
@@ -890,7 +897,7 @@ abstract class GqlHarness extends SparkTestBase {
             if (k >= 0 && k < r.length) sparkV(r.get(k)) else None))
         if (gotParsed.exists(_.exists(_.isEmpty))) {
           dbg(s"  SKIP(gotcell) ${sc.name}")
-          tally.skip += 1; return
+          tally.addSkip(sc.name); return
         }
         val got0 = gotParsed.map(_.flatten.toSeq)
         // canonically sort list cells on BOTH sides when the step says
@@ -931,6 +938,13 @@ abstract class GqlHarness extends SparkTestBase {
       assert(
         tally.pass >= floor,
         s"only ${tally.pass} scenarios passed in $file (floor $floor)")
+      // exclusion contract: every skip must be a NAMED, reasoned entry —
+      // new unsupported surface fails loud instead of landing as a skip
+      val unnamed = tally.skipNames.filterNot(excluded.contains).distinct
+      assert(
+        unnamed.isEmpty,
+        s"$file: skipped scenarios missing from the exclusion list " +
+          s"(exclude-with-reason or fix): ${unnamed.mkString("; ")}")
     }
   }
 }
