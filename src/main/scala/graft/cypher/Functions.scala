@@ -878,6 +878,64 @@ object Functions {
             x.cast("string").as("key"),
             size(filter(a(0), y => y === x)).cast("long").as("value"))))
 
+      // ---- legacy query_modules: the convert module
+      // (query_modules/convert.cpp) and date module functions
+      // (query_modules/date.py) — pure Column expressions ----
+      case "convert.str2object" =>
+        // JSON text → engine value; variant IS the engine's runtime-typed
+        // value representation (convert.cpp:84 ParseJsonToMgpValue)
+        parse_json(a(0).cast("string"))
+      case "convert.to_json" | "convert.tojson" =>
+        // to_json needs a container — wrap in a one-field struct and
+        // strip the {"v": … } frame, which serializes ANY value kind
+        val wrapped = to_json(struct(a(0).as("v")))
+        when(a(0).isNull, lit("null"))
+          .otherwise(wrapped.substr(lit(6), length(wrapped) - 6))
+      case "convert.from_json_map" | "convert.from_json_list" =>
+        // optional dotted path selects a nested part first
+        // (convert.cpp:206 ResolveJsonPath); null string / unresolved
+        // path / JSON null → null. Shape validation is lenient here: the
+        // selected value returns as variant whatever its kind.
+        val path = args.lift(1) match {
+          case Some(Lit(s: String)) if s.nonEmpty => "$." + s
+          case _ => "$"
+        }
+        try_variant_get(parse_json(a(0).cast("string")), path, "variant")
+      case "convert.to_map" | "convert.tomap" =>
+        import GraphState.{DstCol, IdCol, LabelsCol, SrcCol, TypeCol}
+        def asVariant(c: Column): Column = try_variant_get(
+          parse_json(to_json(struct(c.as("v")))), "$.v", "variant")
+        argType(0) match {
+          case Some(_: MapType) => a(0)
+          case Some(st: StructType) =>
+            // node/relationship value → its property map (convert.cpp:273)
+            val fields = st.fieldNames.filterNot(
+              Set(IdCol, LabelsCol, SrcCol, DstCol, TypeCol))
+            if (fields.isEmpty)
+              lit(null).cast(MapType(StringType, VariantType))
+            else
+              map_from_arrays(
+                array(fields.map(lit(_)): _*),
+                array(fields.map(f => asVariant(a(0).getField(f))): _*))
+          case _ => lit(null).cast(MapType(StringType, VariantType))
+        }
+      case "date.add" =>
+        // date.py:122 add(time, unit, add_value, add_unit) → total in
+        // `unit` (mage/date/unit_conversion.py alias sets)
+        def unitMs(u: Column): Column =
+          when(u.isin("ms", "milli", "millis", "milliseconds"), 1L)
+            .when(u.isin("s", "second", "seconds"), 1000L)
+            .when(u.isin("m", "minute", "minutes"), 60000L)
+            .when(u.isin("h", "hour", "hours"), 3600000L)
+            .when(u.isin("d", "day", "days"), 86400000L)
+            .otherwise(raise_error(
+              concat(lit("The unit "), u, lit(" is not correct.")))
+              .cast("long"))
+        ((a(0).cast("long") * unitMs(a(1)) +
+          a(2).cast("long") * unitMs(a(3))) / unitMs(a(1))).cast("long")
+      case "date.convert_format" =>
+        DateConvert.convertFormat(a(0), args.lift(1), args.lift(2))
+
       // ---- MAGE map module (src/mage/cpp/map_module/algorithm/map.hpp);
       // second map / explicit entry wins on key conflicts (apoc heritage)
       case "map.from_pairs" | "map.frompairs" =>

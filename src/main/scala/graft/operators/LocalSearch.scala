@@ -83,6 +83,58 @@ private[graft] object LocalSearch {
     Some((arr, seedIds))
   }
 
+  /** Seed-reachable capture: when the FULL edge set is supercritical but
+    * the seed set is small and the hop bound tight, the subgraph a
+    * bounded BFS can touch is usually tiny — collect it with one
+    * frontier-pruned scan per level (`src IN frontier` pushes into the
+    * cached columnar scan, no shuffle, no checkpoint) and hand the exact
+    * driver BFS that subgraph. Identical results by construction: the
+    * capture gathers every out-edge of every node within maxHops-1, which
+    * is precisely the edge set a maxHops-bounded traversal can use.
+    * Bails (→ distributed fixpoint) when a frontier exceeds
+    * `spark.graft.local.captureFrontier` (hub explosion), the collected
+    * edges exceed `spark.graft.local.edges`, or the hop bound is above
+    * `spark.graft.local.captureHops`. */
+  def tryCollectReachable(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int)
+    : Option[(Array[(Long, Long, Long, Double)], Seq[(Long, Double)])] =
+    dbg("tryCollectReachable") {
+      val spark = edges.sparkSession
+      val cap = spark.conf.get("spark.graft.local.edges", "2000000").toLong
+      if (cap <= 0) return None
+      val hopCap =
+        spark.conf.get("spark.graft.local.captureHops", "32").toInt
+      val frontierCap =
+        spark.conf.get("spark.graft.local.captureFrontier", "1024").toInt
+      if (maxHops > hopCap) return None
+      val seedRows = seeds.select(col(ShortestPath.SeedCol))
+        .limit(MaxSeeds + 1).collect()
+      if (seedRows.length > MaxSeeds) return None
+      val seedIds = seedRows.toSeq.map(_.getLong(0)).distinct
+      val sel = edges.select(
+        col("__sp_eid"), col(GraphState.SrcCol), col(GraphState.DstCol))
+      val acc = mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val reached = mutable.HashSet.empty[Long] ++ seedIds
+      var frontier: Seq[Long] = seedIds
+      var hop = 0
+      while (frontier.nonEmpty && hop < maxHops) {
+        hop += 1
+        if (frontier.size > frontierCap) return None
+        val remaining = cap - acc.size + 1
+        val batch = sel
+          .filter(col(GraphState.SrcCol).isin(frontier: _*))
+          .limit(math.min(remaining, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (acc.size + batch.length > cap) return None
+        acc ++= batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), 0.0))
+        frontier = batch.map(_.getLong(2)).distinct.filterNot(reached)
+        reached ++= frontier
+      }
+      Some((acc.toArray, seedIds.map(_ -> 0.0)))
+    }
+
   private val seqOrd: Ordering[Seq[Long]] =
     Ordering.Implicits.seqOrdering[Seq, Long]
   private val pathOrd: Ordering[(Seq[Long], Seq[Long])] =

@@ -67,7 +67,8 @@ object Procedures {
     ExtraProcs.registry ++ IndexProcs.registry ++ HelperProcs.registry ++
     MlProcs.registry ++ MetaProcs.registry ++ PyTailProcs.registry ++
     IgraphProcs.registry ++ PyTail2Procs.registry ++ PyTail3Procs.registry ++
-    MageAliases.registry ++ AlgoModuleProcs.registry
+    MageAliases.registry ++ AlgoModuleProcs.registry ++
+    LegacyModuleProcs.registry
 
   /** `CALL mg.procedures()` — registry introspection (the reference's
     * `mg` module lists loaded mgp procedures). */

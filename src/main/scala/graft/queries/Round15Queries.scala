@@ -308,5 +308,123 @@ object Round15Queries {
           """MATCH (a:Dr {k: 0})-[r:R2_R1]->(c:Dr {k: 2})
             |RETURN count(r) AS m, min(size(r.x)) AS xn""".stripMargin)
       },
-      Some("SELECT CAST(1 AS BIGINT) AS m, CAST(2 AS BIGINT) AS xn")))
+      Some("SELECT CAST(1 AS BIGINT) AS m, CAST(2 AS BIGINT) AS xn")),
+
+    // date.parse: wall-clock text in a timezone → epoch count in `unit`
+    // (one UTC point and one DST-shifted Europe/Zagreb point)
+    QueryDef(
+      "call_date_parse",
+      (s, dir) => {
+        val a = Cypher.run(
+          s, empty,
+          """CALL date.parse('2023-01-01 12:00:00', 's',
+            |                '%Y-%m-%d %H:%M:%S', 'UTC')
+            |YIELD parsed RETURN parsed AS utc""".stripMargin)
+        val b = Cypher.run(
+          s, empty,
+          """CALL date.parse('2023-06-15 12:00:00', 's',
+            |                '%Y-%m-%d %H:%M:%S', 'Europe/Zagreb')
+            |YIELD parsed RETURN parsed AS zagreb""".stripMargin)
+        a.crossJoin(b)
+      },
+      Some("SELECT CAST(1672574400 AS BIGINT) AS utc, " +
+        "CAST(1686823200 AS BIGINT) AS zagreb")),
+
+    // date.format: epoch count → formatted wall time with %Z zone name
+    QueryDef(
+      "call_date_format",
+      (s, dir) =>
+        Cypher.run(
+          s, empty,
+          """CALL date.format(1672574400, 's',
+            |                 '%Y-%m-%d %H:%M:%S %Z', 'UTC')
+            |YIELD formatted RETURN formatted""".stripMargin),
+      Some("SELECT '2023-01-01 12:00:00 UTC' AS formatted")),
+
+    // the date/convert expression functions: date.add unit arithmetic,
+    // date.convert_format ISO-name conversion, convert.str2object /
+    // from_json_map (dotted path) / to_json
+    QueryDef(
+      "cy_date_convert_fns",
+      (s, dir) =>
+        Cypher.run(
+          s, empty,
+          """RETURN date.add(1000, 'ms', 2, 's') AS a,
+            |  date.convert_format('2011-12-03T10:15:30+01:00',
+            |    'iso_offset_date_time', 'iso_local_date') AS cf,
+            |  date.convert_format('2011-12-03T10:15:30',
+            |    'iso_local_date_time', 'iso_zoned_date_time') AS cz,
+            |  toInteger(convert.str2object('5')) AS s5,
+            |  toInteger(convert.from_json_map('{"a": {"b": 7}}', 'a.b'))
+            |    AS jb,
+            |  convert.to_json({x: 1}) AS cj""".stripMargin),
+      Some("SELECT CAST(3000 AS BIGINT) AS a, '2011-12-03' AS cf, " +
+        "'2011-12-03T10:15:30+00:00' AS cz, CAST(5 AS BIGINT) AS s5, " +
+        "CAST(7 AS BIGINT) AS jb, '{\"x\":1}' AS cj")),
+
+    // graph_analyzer.analyze over a 3-cycle + pendant + isolated node;
+    // every id-free analysis, values rendered python-str style — the
+    // oracle rows were computed with networkx 3.6 on the same shape
+    QueryDef(
+      "call_graph_analyzer",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (a:Ga {k: 0}), (b:Ga {k: 1}), (c:Ga {k: 2}),
+            |       (d:Ga {k: 3}), (e:Ga {k: 4}),
+            |       (a)-[:GE]->(b), (b)-[:GE]->(c), (c)-[:GE]->(a),
+            |       (c)-[:GE]->(d)""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """CALL graph_analyzer.analyze(['nodes', 'edges', 'bridges',
+            |  'articulation_points', 'avg_degree', 'self_loops',
+            |  'is_bipartite', 'is_planar', 'is_biconnected',
+            |  'is_weakly_connected', 'number_of_weakly_components',
+            |  'is_strongly_connected', 'strongly_components', 'is_dag',
+            |  'is_eulerian', 'is_forest', 'is_tree'])
+            |YIELD name, value RETURN name, value ORDER BY name""".stripMargin)
+      },
+      Some("""SELECT n AS name, v AS value FROM (VALUES
+             |  ('Number of nodes', '5'), ('Number of edges', '4'),
+             |  ('Number of bridges', '1'),
+             |  ('Number of articulation points', '1'),
+             |  ('Average degree', '0.8'), ('Self loops', '0'),
+             |  ('Is bipartite', 'False'), ('Is planar', 'True'),
+             |  ('Is biconnected', 'False'),
+             |  ('Is weakly connected', 'False'),
+             |  ('Number of weakly connected components', '2'),
+             |  ('Is strongly connected', 'False'),
+             |  ('Number of strongly connected components', '3'),
+             |  ('Is DAG', 'False'), ('Is eulerian', 'False'),
+             |  ('Is forest', 'False'), ('Is tree', 'False')) t(n, v)
+             |ORDER BY name""".stripMargin)),
+
+    // graph_analyzer.analyze_subgraph: the cycle alone is strongly
+    // connected, biconnected, eulerian and non-bipartite
+    QueryDef(
+      "call_graph_analyzer_sub",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (a:Gs {k: 0}), (b:Gs {k: 1}), (c:Gs {k: 2}),
+            |       (d:Gs {k: 3}),
+            |       (a)-[:GE]->(b), (b)-[:GE]->(c), (c)-[:GE]->(a),
+            |       (c)-[:GE]->(d)""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """MATCH (a:Gs {k: 0}), (b:Gs {k: 1}), (c:Gs {k: 2})
+            |MATCH (x:Gs {k: 0})-[r1:GE]->(y:Gs {k: 1})
+            |MATCH (y2:Gs {k: 1})-[r2:GE]->(z:Gs {k: 2})
+            |MATCH (z2:Gs {k: 2})-[r3:GE]->(w:Gs {k: 0})
+            |CALL graph_analyzer.analyze_subgraph([a, b, c], [r1, r2, r3],
+            |  ['nodes', 'edges', 'is_strongly_connected', 'is_eulerian',
+            |   'is_biconnected', 'is_bipartite'])
+            |YIELD name, value RETURN name, value ORDER BY name""".stripMargin)
+      },
+      Some("""SELECT n AS name, v AS value FROM (VALUES
+             |  ('Number of nodes', '3'), ('Number of edges', '3'),
+             |  ('Is strongly connected', 'True'),
+             |  ('Is eulerian', 'True'), ('Is biconnected', 'True'),
+             |  ('Is bipartite', 'False')) t(n, v)
+             |ORDER BY name""".stripMargin)))
 }

@@ -453,6 +453,22 @@ object GraphStream {
       initial: GraphState,
       transform: Transformation,
       triggers: Seq[TriggerDef],
+      checkpointDir: String): GraphState =
+    ingestFrom(
+      spark, reader(spark, source), triggerOf(source), initial, transform,
+      triggers, checkpointDir)
+
+  /** [[ingest]] over an already-built streaming DataFrame — the consumer
+    * loop itself, factored out so a test (or an embedding application)
+    * can drive it from ANY streaming source: the kafka/pulsar connector,
+    * a file listing, or an in-memory stream standing in for a broker. */
+  def ingestFrom(
+      spark: SparkSession,
+      stream: DataFrame,
+      trig: Trigger,
+      initial: GraphState,
+      transform: Transformation,
+      triggers: Seq[TriggerDef],
       checkpointDir: String): GraphState = {
     // state evolves batch-serially inside foreachBatch (the reference runs
     // each transformed batch as one transaction, streams.cpp:520-567);
@@ -460,9 +476,9 @@ object GraphStream {
     // API-registered ones
     @volatile var state = initial
     val allTriggers = triggers ++ ddlTriggerDefs(spark)
-    val q = reader(spark, source).writeStream
+    val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .trigger(triggerOf(source))
+      .trigger(trig)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = transform(state, batch)
         val (before, after) = allTriggers
