@@ -10,7 +10,8 @@ object Registry {
       StreamingQueries.defs ++ Round3Queries.defs ++ Round9Queries.defs ++
       Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs ++
       Round13Queries.defs ++ Round14Queries.defs ++
-      MageSurfaceQueries.defs ++ Round15Queries.defs
+      MageSurfaceQueries.defs ++ Round15Queries.defs ++
+      Round15NxQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(
