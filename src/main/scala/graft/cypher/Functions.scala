@@ -935,6 +935,20 @@ object Functions {
           a(2).cast("long") * unitMs(a(3))) / unitMs(a(1))).cast("long")
       case "date.convert_format" =>
         DateConvert.convertFormat(a(0), args.lift(1), args.lift(2))
+      case "mgps.version" => lit("5.9.0") // mgps.py:23 connector shim
+      case "mgps.validate_predicate" =>
+        // mgps.py:28: raise message % params when predicate holds;
+        // literal message/params interpolate at plan time, otherwise the
+        // raw message raises
+        val msg = (args.lift(1), args.lift(2)) match {
+          case (Some(Lit(m: String)), Some(ListLit(ps)))
+              if ps.forall(_.isInstanceOf[Lit]) =>
+            lit(ps.collect { case Lit(v) => v }
+              .foldLeft(m)((acc, p) =>
+                acc.replaceFirst("%[sd]", String.valueOf(p))))
+          case _ => a(1).cast("string")
+        }
+        when(a(0), raise_error(msg).cast("boolean")).otherwise(lit(true))
 
       // ---- MAGE map module (src/mage/cpp/map_module/algorithm/map.hpp);
       // second map / explicit entry wins on key conflicts (apoc heritage)

@@ -54,7 +54,8 @@ object ApocProcs {
     "refactor.invert" -> invert,
     "refactor.normalize_as_boolean" -> normalizeAsBoolean) ++
     PyTail2Procs.writeRegistry ++ PyTail3Procs.writeRegistry ++
-    MlProcs.writeRegistry ++ RefactorProcs.writeRegistry
+    MlProcs.writeRegistry ++ RefactorProcs.writeRegistry ++
+    SchemaModuleProcs.writeRegistry
 
   // ---------------- option helpers ----------------
 

@@ -68,7 +68,8 @@ object Procedures {
     MlProcs.registry ++ MetaProcs.registry ++ PyTailProcs.registry ++
     IgraphProcs.registry ++ PyTail2Procs.registry ++ PyTail3Procs.registry ++
     MageAliases.registry ++ AlgoModuleProcs.registry ++
-    LegacyModuleProcs.registry ++ NxAlgProcs.registry
+    LegacyModuleProcs.registry ++ NxAlgProcs.registry ++
+    SchemaModuleProcs.registry
 
   /** `CALL mg.procedures()` — registry introspection (the reference's
     * `mg` module lists loaded mgp procedures). */

@@ -468,5 +468,123 @@ object Round15NxQueries {
       Some("""SELECT CAST(3 AS BIGINT) AS mste, CAST(csz AS BIGINT) AS csz,
              |  CAST(2 AS BIGINT) AS nchains, CAST(3 AS BIGINT) AS chlen,
              |  true AS sink_dom_is_root, 0.0 AS fh, 0.4 AS recip
-             |FROM (VALUES (2), (3)) v(csz) ORDER BY csz""".stripMargin)))
+             |FROM (VALUES (2), (3)) v(csz) ORDER BY csz""".stripMargin)),
+
+    // schema.node_type_properties: label-set grouping, JDBC type names,
+    // per-property observation counts
+    QueryDef(
+      "call_schema_node_props",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (:Sp1 {a: 1, b: 'x'}), (:Sp1 {a: 2}),
+            |       (:Sp2:Sp1 {c: 1.5})""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """CALL schema.node_type_properties({})
+            |YIELD nodeType, propertyName, propertyTypes, mandatory,
+            |      propertyObservations, totalObservations
+            |RETURN nodeType, propertyName, propertyTypes[0] AS ptype,
+            |       mandatory, propertyObservations AS obs,
+            |       totalObservations AS total
+            |ORDER BY nodeType, propertyName""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (':`Sp1`', 'a', 'Integer', false, CAST(2 AS BIGINT),
+             |   CAST(2 AS BIGINT)),
+             |  (':`Sp1`', 'b', 'String', false, 1, 2),
+             |  (':`Sp1`:`Sp2`', 'c', 'Float', false, 1, 1))
+             |  t(nodeType, propertyName, ptype, mandatory, obs, total)
+             |ORDER BY nodeType, propertyName""".stripMargin)),
+
+    // schema.assert creates an index + existence constraint (actions
+    // Created), the constraint then backs `mandatory`, and
+    // rel_type_properties sees the typed relationship
+    QueryDef(
+      "call_schema_assert",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (a:Sa {p: 1})-[:SR {w: 2}]->(b:Sb)""".stripMargin).graph
+        val asserted = Cypher.execute(
+          s, gr,
+          """CALL schema.assert({Sa: ['p']}, {}, {Sa: ['p']}, true)
+            |YIELD label, key, action
+            |RETURN label, key, action ORDER BY action, key""".stripMargin)
+        val acts = asserted.result
+        val mand = Cypher.run(
+          s, asserted.graph,
+          """CALL schema.node_type_properties({includeLabels: ['Sa']})
+            |YIELD propertyName, mandatory RETURN mandatory""".stripMargin)
+        val rel = Cypher.run(
+          s, asserted.graph,
+          """CALL schema.rel_type_properties({})
+            |YIELD relType, sourceNodeLabels, targetNodeLabels,
+            |      propertyName, propertyTypes, propertyObservations
+            |RETURN relType, sourceNodeLabels[0] AS src,
+            |       targetNodeLabels[0] AS dst, propertyName,
+            |       propertyTypes[0] AS ptype,
+            |       propertyObservations AS obs""".stripMargin)
+        acts.withColumnRenamed("label", "alabel")
+          .crossJoin(mand).crossJoin(rel)
+      },
+      Some("""SELECT 'Sa' AS alabel, 'p' AS key, 'Created' AS action,
+             |  true AS mandatory, ':`SR`' AS relType, 'Sa' AS src,
+             |  'Sb' AS dst, 'w' AS propertyName, 'Integer' AS ptype,
+             |  CAST(1 AS BIGINT) AS obs
+             |FROM (VALUES (1), (2)) v(i)""".stripMargin)),
+
+    // convert.to_tree: two CHILD paths from one root merge into a
+    // single tree whose child entries carry the rel-prefixed edge props
+    QueryDef(
+      "call_convert_to_tree",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (r:Tt {k: 0, name: 'root'}), (c1:Tt {k: 1}),
+            |       (c2:Tt {k: 2}),
+            |       (r)-[:CHILD {o: 1}]->(c1),
+            |       (r)-[:CHILD {o: 2}]->(c2)""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """MATCH p = (r:Tt {k: 0})-[:CHILD]->()
+            |WITH collect(p) AS ps
+            |CALL convert.to_tree(ps, true, {}) YIELD value
+            |WITH convert.to_json(value) AS j
+            |RETURN j CONTAINS '"name":"root"' AS has_root,
+            |       size(split(j, '"child.o"')) - 1 AS nkids,
+            |       j CONTAINS '"_type":"Tt"' AS has_type""".stripMargin)
+      },
+      Some("SELECT true AS has_root, CAST(2 AS BIGINT) AS nkids, " +
+        "true AS has_type")),
+
+    // the mgps / wcc compatibility shims: connector components rows,
+    // version/validate_predicate functions, and the wcc.get_components
+    // alias over the nxalg subgraph-WCC
+    QueryDef(
+      "call_mgps_shims",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (a:Wc {k: 0}), (b:Wc {k: 1}), (c:Wc {k: 2}),
+            |       (a)-[:WE]->(b)""".stripMargin).graph
+        val comp = Cypher.run(
+          s, gr,
+          """CALL mgps.components() YIELD name, edition
+            |RETURN count(*) AS ncomp,
+            |       min(edition) AS edition""".stripMargin)
+        val fns = Cypher.run(
+          s, gr,
+          """RETURN mgps.version() AS v,
+            |       mgps.validate_predicate(false, 'boom %s', [1]) AS ok""".stripMargin)
+        val wcc = Cypher.run(
+          s, gr,
+          """MATCH (n:Wc) OPTIONAL MATCH (x:Wc)-[e:WE]->(y:Wc)
+            |WITH collect(DISTINCT n) AS ns, collect(DISTINCT e) AS es
+            |CALL wcc.get_components(ns, es) YIELD n_components
+            |RETURN n_components""".stripMargin)
+        comp.crossJoin(fns).crossJoin(wcc)
+      },
+      Some("SELECT CAST(2 AS BIGINT) AS ncomp, 'community' AS edition, " +
+        "'5.9.0' AS v, true AS ok, CAST(2 AS BIGINT) AS n_components")))
 }
