@@ -125,42 +125,34 @@ object ShortestPath {
       hadEid && edges0.storageLevel != StorageLevel.NONE
     val edges = (if (hadEid) edges0
                  else edges0.withColumn("__sp_eid", lit(0L)))
-    // one persist + count answers every routing question below — is the
-    // set subcritical (exact driver pass), and which distributed variant
-    // past the cutover — while materializing the cache that both the
-    // reachable-capture's pruned per-level scans and the fixpoint rounds
-    // reuse (A/B at sf10: capturing against the UNPERSISTED frame pays
-    // the edge derivation once per level and loses ~2×)
+    // subcritical + small seed set: one driver pass replaces the whole
+    // fixpoint (LocalSearch header; determinism rules mirrored exactly).
+    // The limit-capped probe is bounded work and runs UNPERSISTED — the
+    // common small case must not pay a cache materialization (A/B at
+    // sf3: persist-first taxed every subcritical BFS ~2×)
+    LocalSearch.tryCollect(edges, seeds, withWeight = false).foreach {
+      case (arr, s) =>
+        return LocalSearch.bfsDf(
+          edges.sparkSession, arr, s, maxHops, withPaths)
+    }
+    // supercritical (or many-seed) path: persist once — the cache backs
+    // both the reachable-capture's pruned per-level scans and the
+    // distributed fixpoint rounds (A/B at sf10: capturing against the
+    // UNPERSISTED frame pays the edge derivation once per level, ~2×)
     if (!callerPersisted) edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeCount = edges.count()
     def unp(): Unit =
       if (!callerPersisted) edges.unpersist(blocking = false)
-    val localCap = edges.sparkSession.conf
-      .get("spark.graft.local.edges", "2000000").toLong
-    if (localCap > 0 && edgeCount <= localCap) {
-      // subcritical + small seed set (unbounded hops included): one
-      // driver pass replaces the whole fixpoint (LocalSearch header;
-      // determinism rules mirrored exactly)
-      LocalSearch.tryCollect(edges, seeds, withWeight = false).foreach {
-        case (arr, s) =>
-          val res = LocalSearch.bfsDf(
-            edges.sparkSession, arr, s, maxHops, withPaths)
-          unp()
-          return res
-      }
-    } else {
-      // supercritical edge set, small seeds, tight hop bound: collect
-      // only the seed-reachable subgraph (one pruned in-memory scan per
-      // level) and run the exact driver pass on it — the 100 TB case
-      // where a 6-hop neighborhood of one node is KB-sized inside a
-      // TB-sized graph
-      LocalSearch.tryCollectReachable(edges, seeds, maxHops).foreach {
-        case (arr, s) =>
-          val res = LocalSearch.bfsDf(
-            edges.sparkSession, arr, s, maxHops, withPaths)
-          unp()
-          return res
-      }
+    // small seeds + tight hop bound over a supercritical edge set:
+    // collect only the seed-reachable subgraph (one pruned in-memory
+    // scan per level) and run the exact driver pass on it — the 100 TB
+    // case where a 6-hop neighborhood of one node is KB-sized inside a
+    // TB-sized graph
+    LocalSearch.tryCollectReachable(edges, seeds, maxHops).foreach {
+      case (arr, s) =>
+        val res = LocalSearch.bfsDf(
+          edges.sparkSession, arr, s, maxHops, withPaths)
+        unp()
+        return res
     }
     if (withPaths) {
       // Path-array carry vs DAG reconstruction: reconstruction keeps arrays
@@ -174,8 +166,9 @@ object ShortestPath {
         .getOption("spark.graft.bfs.reconstructEdges")
         .map(_.toLong)
         .getOrElse(32L * 1000 * 1000)
+      // count() doubles as the cache materializer the first join needs
       val res =
-        if (edgeCount >= cutover) bfsOnePath(edges, seeds, maxHops)
+        if (edges.count() >= cutover) bfsOnePath(edges, seeds, maxHops)
         else bfsCarryPaths(edges, seeds, maxHops)
       unp()
       return res
