@@ -10,12 +10,27 @@ import graft.cypher.Cypher
   * `runMain graft.CyDebug "CREATE (:A)" "MATCH (n) RETURN n"` */
 object CyDebug {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_PLANLOG=RuleName[,RuleName…] logs each named rule's plan
+    // rewrites — the tool for "plan became unresolved" bugs
+    sys.env.get("GRAFT_PLANLOG").foreach { rules =>
+      builder
+        .config("spark.sql.planChangeLog.level", "ERROR")
+        .config("spark.sql.planChangeLog.rules", rules)
+    }
+    sys.env.get("GRAFT_PLANLOG_BATCHES").foreach { batches =>
+      builder
+        .config("spark.sql.planChangeLog.level", "ERROR")
+        .config("spark.sql.planChangeLog.batches", batches)
+    }
+    sys.env.get("GRAFT_EXCLUDE_RULES").foreach { rules =>
+      builder.config("spark.sql.optimizer.excludedRules", rules)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var g = GraphState(Map.empty, Map.empty)
     args.dropRight(1).foreach { q =>
@@ -23,6 +38,9 @@ object CyDebug {
     }
     args.lastOption.foreach { q =>
       val res = Cypher.execute(spark, g, q, Map.empty)
+      if (sys.env.contains("GRAFT_DUMP_ANALYZED"))
+        // verbose tree: data types + nullability per attribute
+        println(res.result.queryExecution.analyzed.treeString(verbose = true))
       res.result.show(100, truncate = false)
     }
     spark.stop()

@@ -1823,8 +1823,24 @@ final class Planner(
         case _ => Frames.colsOf(lf.df, v)
       }
     }
+    val seed0 =
+      lf.df.select(seedCols.map(col): _*).dropDuplicates(seedKeys)
+    // A comprehension that PROJECTS its named path (`[p = (a)-->(b) |
+    // size(nodes(p))]`) builds array-of-entity-struct columns over the
+    // seed's attributes. The optimizer rewrites the seed's Deduplicate
+    // into Aggregate(first(...)) — flipping those attributes' nullability
+    // mid-optimization — and Spark's UpdateAttributeNullability pass then
+    // invalidates the already-resolved struct casts ("the plan was
+    // previously resolved and now became unresolved",
+    // list_operations.feature "Function inside pattern comprehension's
+    // expression"). Cutting the seed's lineage here (an RDD-backed frame
+    // has FIXED attribute nullability) removes the flip; the dedup
+    // shuffle was being paid anyway, so the only extra cost is caching
+    // the (narrow) seed — charged only to the rare path-projecting shape.
+    val pathProjected = pc.pattern.pathVar.exists(pv =>
+      (pc.where.toSeq :+ pc.proj).exists(e => varsIn(e).contains(pv)))
     val seed = LF(
-      lf.df.select(seedCols.map(col): _*).dropDuplicates(seedKeys),
+      if (pathProjected) seed0.localCheckpoint(true) else seed0,
       seedScope)
     var (sub, subEdges) = planPattern(seed, pc.pattern)
     sub = edgeUniqueness(sub, subEdges)
@@ -3470,12 +3486,50 @@ final class Planner(
       Frames.colsOf(df, v).foreach(c =>
         suffixes += c.substring(v.length + Frames.Sep.length)))
     val fields = suffixes.toSeq
-    array(vars.map { v =>
+    val elems = vars.map { v =>
       struct(fields.map { f =>
         val cn = s"$v${Frames.Sep}$f"
         (if (df.columns.contains(cn)) col(cn) else lit(null)).as(f)
       }: _*)
-    }: _*)
+    }
+    // Pin every element to ONE explicit fully-nullable struct type.
+    // Leaving the analyzer to insert implicit casts is fragile: when the
+    // optimizer constant-folds one element to a literal and a later
+    // UpdateAttributeNullability pass flips another element's child
+    // nullability, the array's element types diverge and the plan
+    // "previously resolved, now became unresolved" (hit by
+    // list_operations.feature "Function inside pattern comprehension's
+    // expression"). An explicit cast target is immune: its dataType never
+    // moves with child nullability. Fields with CONFLICTING types across
+    // vars (rare — reconciled at load) keep the analyzer-coercion path.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, NullType, StructField, StructType}
+    def nullAll(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          StructField(f.name, nullAll(f.dataType), nullable = true, f.metadata)))
+      case a: ArrayType => ArrayType(nullAll(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nullAll(m.keyType), nullAll(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    val schemaByName = df.schema.fields.map(sf => sf.name -> sf.dataType).toMap
+    val fieldTypes: Seq[Option[DataType]] = fields.map { f =>
+      val ts = vars.flatMap { v =>
+        schemaByName.get(s"$v${Frames.Sep}$f")
+      }.map(nullAll).distinct
+      ts match {
+        case Nil => Some(NullType)
+        case one :: Nil => Some(one)
+        case _ => None
+      }
+    }
+    if (fieldTypes.forall(_.isDefined) &&
+      fieldTypes.forall(_.get != NullType)) {
+      val target = StructType(fields.zip(fieldTypes).map {
+        case (f, dt) => StructField(f, dt.get, nullable = true)
+      })
+      array(elems.map(_.cast(target)): _*)
+    } else array(elems: _*)
   }
 
   /** Per-step filter lambda (`filter_lambda_`, ast.hpp:1899; applied per

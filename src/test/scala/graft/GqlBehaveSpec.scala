@@ -19,7 +19,7 @@ class GqlBehaveSpec extends GqlHarness {
     "case.feature" -> 9,
     "with.feature" -> 30,
     "union.feature" -> 14,
-    "list_operations.feature" -> 38,
+    "list_operations.feature" -> 46,
     "string_operators.feature" -> 6,
     "expressions.feature" -> 13,
     "create.feature" -> 24,
@@ -81,25 +81,11 @@ class GqlBehaveSpec extends GqlHarness {
       ("memgraph's pipelined per-row execution makes CREATE's nodes " +
         "visible to an upstream MERGE mid-statement (8); snapshot batch " +
         "semantics evaluates each clause against one state (6)"),
-    "Multiple list pattern comprehensions in Return" ->
-      ("upstream expected-table typo: lists 'TheMatrixRevolutions' etc. " +
-        "without spaces while the graph_keanu fixture titles have them " +
-        "(its own third row keeps 'The Matrix' spaced); our answer " +
-        "matches the fixture"),
-    "Multiple list pattern comprehensions with the same symbol name inside in Return" ->
-      "same upstream expected-table typo as the scenario above",
-    "Multiple list pattern comprehensions in With" ->
-      "same upstream 'TheMatrix…' expected-table typo",
-    "Multiple list pattern comprehensions in With and Return" ->
-      "same upstream 'TheMatrix…' expected-table typo",
-    "Multiple list pattern comprehensions with filters in With and Return" ->
-      "same upstream 'TheMatrix…' expected-table typo",
-    "Multiple entries with list pattern comprehension" ->
-      "same upstream 'TheMatrix…' expected-table typo",
-    "Multiple list pattern comprehensions in Return and label index" ->
-      "same upstream 'TheMatrix…' expected-table typo",
-    "Function inside pattern comprehension's expression" ->
-      "same upstream 'TheMatrix…' expected-table typo",
+    // (the eight "Multiple list pattern comprehensions…" scenarios moved
+    // from this list to PASSING in round 16: the 'TheMatrixRevolutions'
+    // expected cells are not typos — the reference harness strips ALL
+    // spaces from both sides before comparing, query.py:303,322, and the
+    // harness now replicates that)
     "Scoped CALL with collect builds per-group list (performance pattern)" ->
       ("collect() after an unordered MATCH has no guaranteed order (the " +
         "reference emits storage-iteration order, openCypher leaves it " +

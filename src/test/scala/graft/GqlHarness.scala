@@ -725,6 +725,14 @@ abstract class GqlHarness extends SparkTestBase {
   }
 
   private def vEq(a: V, b: V): Boolean = (a, b) match {
+    // The reference harness compares WHITESPACE-INSENSITIVELY: it strips
+    // every space from both the stringified result and the expected cell
+    // before comparing (tests/gql_behave/steps/query.py:303,322
+    // `.replace(" ", "")`). Several upstream expected tables depend on
+    // this ('TheMatrixRevolutions' vs the fixture's 'The Matrix
+    // Revolutions', list_operations.feature:340) — replicate it exactly.
+    case (SV(x), SV(y)) =>
+      x == y || x.replace(" ", "") == y.replace(" ", "")
     case (NV(x), NV(y)) =>
       (x.isNaN && y.isNaN) ||
         x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(

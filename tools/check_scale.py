@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Scale-curve regression gate: compare a scale-point bench JSON against
+the sf0.1 baseline bench and FAIL (exit 1) when any query's time ratio
+exceeds the data ratio x a slack factor — a superlinear query should fail
+loud here instead of waiting for a judge to eyeball the sweep.
+
+Sub-second baseline denominators are excluded (their ratio is job-floor
+noise, not a scale curve): a query must take >= MIN_BASE seconds at the
+baseline scale for its ratio to be judged.
+
+Usage:
+  check_scale.py <base_bench.json> <scaled_bench.json> <data_ratio> [slack]
+e.g.
+  check_scale.py BENCH_LATEST.json /tmp/bench_sf10.json 100 1.5
+
+Both files must carry the full {"queries": {name: sec}} object
+(BENCH_LATEST.json / SPARK_GRAFT_BENCH_OUT files do).
+"""
+import json
+import sys
+
+MIN_BASE = 1.0  # seconds at baseline before a ratio is meaningful
+
+
+def load(path):
+    with open(path) as f:
+        d = json.load(f)
+    qs = d.get("queries", {})
+    # tolerate {"name": {"sec": x}} (PokecBench) and {"name": x} (Bench)
+    return {
+        k: (v["sec"] if isinstance(v, dict) else float(v))
+        for k, v in qs.items()
+    }
+
+
+def main() -> int:
+    base_p, scaled_p, ratio = sys.argv[1], sys.argv[2], float(sys.argv[3])
+    slack = float(sys.argv[4]) if len(sys.argv) > 4 else 1.5
+    base, scaled = load(base_p), load(scaled_p)
+    common = sorted(set(base) & set(scaled))
+    if not common:
+        print("no common queries between the two bench files", file=sys.stderr)
+        return 2
+    bound = ratio * slack
+    bad, judged, skipped = [], 0, 0
+    for name in common:
+        b, s = base[name], scaled[name]
+        if b < MIN_BASE:
+            skipped += 1
+            continue
+        judged += 1
+        r = s / b
+        flag = "SUPERLINEAR" if r > bound else "ok"
+        if r > bound:
+            bad.append((name, b, s, r))
+        print(f"{flag:12s} {name:40s} base {b:8.2f}s scaled {s:8.2f}s "
+              f"ratio {r:7.1f}x (bound {bound:.0f}x)")
+    print(f"\n{judged} judged, {skipped} skipped (<{MIN_BASE}s baseline), "
+          f"{len(bad)} superlinear at data ratio {ratio}x slack {slack}")
+    if bad:
+        for name, b, s, r in bad:
+            print(f"FAIL {name}: {r:.1f}x time at {ratio}x data", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
