@@ -108,13 +108,25 @@ object PokecBench {
             |WITH (k * 97 + 13) % nn AS tid
             |MATCH (s:User)-[e]->(m) WHERE s.id = tid
             |RETURN tid AS src, min(m.id) AS id""".stripMargin)),
-        ("pattern_long", "match", 20L, run(
-          """MATCH (u:User) WITH count(u) AS nn
-            |UNWIND range(0, 19) AS k
-            |WITH (k * 97 + 13) % nn AS tid
-            |MATCH (n1:User)-[e1]->(n2)-[e2]->(n3)-[e3]->(n4)<-[e4]-(n5)
-            |WHERE n1.id = tid
-            |RETURN tid AS src, count(*) AS n""".stripMargin)),
+        // The reference's pattern_long is `RETURN n5 LIMIT 1` — an
+        // existence PROBE that a lazy engine answers after the first
+        // match. A batched count(*) would instead enumerate the full
+        // quartic path volume (36 s at medium, 28x the small point —
+        // measured before this change). Run it per-source with LIMIT 1
+        // like the reference client: Spark's LocalLimit(1) stops each
+        // partition's iterator after one row, so the probe early-exits.
+        ("pattern_long", "match", 20L, () => {
+          var rows = 0L
+          for (k <- 0 until 20) {
+            val tid = lcg(k.toLong, 97L, 13L)
+            rows += Cypher.run(
+              spark, g,
+              s"""MATCH (n1:User)-[e1]->(n2)-[e2]->(n3)-[e3]->(n4)<-[e4]-(n5)
+                 |WHERE n1.id = $tid
+                 |RETURN n5.id AS id LIMIT 1""".stripMargin).count()
+          }
+          rows
+        }),
         ("vertex_on_label_property_index", "match", 500L, run(
           """MATCH (u:User) WITH count(u) AS nn
             |UNWIND range(0, 499) AS k
