@@ -128,10 +128,16 @@ object MageAliases {
     * top-k neighbours over per-node property vectors (knn_module.cpp:
     * 21-46; the reference's NN-Descent is approximate, sampleRate knob).
     * Deterministic variant: below `spark.graft.knn.exact` nodes (default
-    * 8192) the candidate set is the exact pair space; above, candidates
+    * 1024) the candidate set is the exact pair space; above, candidates
     * are sign-code LSH buckets (the measured-recall scheme of
     * `knn_graph` — shuffle both sides by code, search bucket-locally, the
-    * 100 TB plan). Yields (node, neighbour, similarity). */
+    * 100 TB plan). The exact pair space is quadratic AND its cosine runs
+    * through interpreted higher-order functions, so the gate sits just
+    * above the oracle corpus (sf0.01 = 500 vectors, exact = the DuckDB
+    * comparison) — 2,000 vectors at sf0.1 already cost 26 s exact vs
+    * ~1 s bucketed, and the reference's own knn module is approximate
+    * (NN-Descent, knn_module sampleRate). Yields
+    * (node, neighbour, similarity). */
   private def knnGet(ctx: ProcContext): DataFrame = {
     val props: Seq[String] = ctx.opts.get("nodeProperties") match {
       case Some(s: String) => Seq(s)
@@ -169,7 +175,7 @@ object MageAliases {
       .withColumn("nrm", LlmOps.l2norm(col("vec")))
       .filter(col("nrm") > 0)
     val exactGate = ctx.spark.conf
-      .get("spark.graft.knn.exact", "8192").toLong
+      .get("spark.graft.knn.exact", "1024").toLong
     val nVec = v.count()
     val q = v.select(
       col("node").as("__qn"), col("vec").as("__qv"), col("nrm").as("__qd"))
