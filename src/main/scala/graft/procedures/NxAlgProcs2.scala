@@ -1220,8 +1220,40 @@ object NxAlgProcs2 {
     one(ctx, "connectivity", k.toLong)
   }
 
+  /** nxalg.k_components (nxalg.py:172-180) — one row per k with that
+    * level's components. `nx.k_components` resolves to the EXACT
+    * Moody–White algorithm (networkx.algorithms.connectivity.kcomponents
+    * — the nxalg.py comment naming the approximation module is
+    * misleading; the approximation lives under nx.approximation and is
+    * not what the unqualified call dispatches to), so the output IS
+    * pinnable: [[NxLocal.kComponents]] implements the same cut-recursion
+    * exactly. The reference's `density` parameter would reach the exact
+    * function's `flow_func` slot (a number is not callable there), so a
+    * non-default value is rejected rather than silently ignored. */
+  def kComponentsP(ctx: ProcContext): DataFrame = {
+    val what = "nxalg.k_components"
+    ctx.args.headOption match {
+      case None | Some(null) => ()
+      case Some(n: java.lang.Number) if n.doubleValue() == 0.95 => ()
+      case Some(other) => throw new UnsupportedOperationException(
+        s"$what: a non-default density ($other) selects nothing in the " +
+          "exact algorithm the reference dispatches to (it lands in " +
+          "nx.k_components' flow_func slot)")
+    }
+    val g = NxLocal.capture(ctx)
+    require(g.n <= 150,
+      s"$what: exact Moody-White is cut-recursive flow — graph above " +
+        "150 nodes")
+    val rows = NxLocal.kComponents(g)
+    val spark = ctx.spark
+    import spark.implicits._
+    rows.map { case (k, cs) => (k.toLong, cs) }
+      .toDF("k", "components")
+  }
+
   val registry: Map[String, ProcContext => DataFrame] =
     Map[String, ProcContext => DataFrame](
+    "nxalg.k_components" -> kComponentsP,
     "nxalg.is_bipartite" -> isBipartite,
     "nxalg.node_boundary" -> nodeBoundary,
     "nxalg.node_expansion" -> nodeExpansion,

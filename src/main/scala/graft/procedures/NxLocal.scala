@@ -417,4 +417,206 @@ private[procedures] object NxLocal {
       i += 1
     }
   }
+
+  // ------------------------------------------------------------------
+  // exact k-components (Moody–White; reference nxalg.py k_components →
+  // networkx.algorithms.connectivity.kcomponents — the EXACT algorithm,
+  // not the Torrents–Ferraro approximation)
+
+  /** st vertex connectivity AND one minimum s-t vertex cut on an
+    * UNDIRECTED simple adjacency (Even–Tarjan split-node Dinic; the cut
+    * is read off the final residual: split arcs whose in-copy is
+    * BFS-reachable from the source while the out-copy is not). */
+  def undStCut(
+      adj: Map[Long, Seq[Long]],
+      nodes: Seq[Long],
+      s: Long,
+      t: Long): (Int, Set[Long]) = {
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    def inId(x: Long) = 2 * idx(x)
+    def outId(x: Long) = 2 * idx(x) + 1
+    val big = n + 1
+    // compact Dinic over 2n vertices
+    val to = mutable.ArrayBuffer.empty[Int]
+    val nxt = mutable.ArrayBuffer.empty[Int]
+    val cap = mutable.ArrayBuffer.empty[Int]
+    val first = Array.fill(2 * n)(-1)
+    def addArc(u: Int, v: Int, c: Int): Unit = {
+      to += v; cap += c; nxt += first(u); first(u) = to.length - 1
+      to += u; cap += 0; nxt += first(v); first(v) = to.length - 1
+    }
+    val splitArc = mutable.HashMap.empty[Int, Long] // arc idx -> node
+    nodes.foreach { x =>
+      splitArc(to.length) = x
+      addArc(inId(x), outId(x), if (x == s || x == t) big else 1)
+    }
+    nodes.foreach { u =>
+      adj.getOrElse(u, Nil).foreach { v =>
+        if (u != v && idx.contains(v)) addArc(outId(u), inId(v), 1)
+      }
+    }
+    val S = outId(s); val T = inId(t)
+    val level = new Array[Int](2 * n)
+    val it = new Array[Int](2 * n)
+    def bfs(): Boolean = {
+      java.util.Arrays.fill(level, -1)
+      level(S) = 0
+      val q = mutable.Queue(S)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        var e = first(v)
+        while (e != -1) {
+          if (cap(e) > 0 && level(to(e)) == -1) {
+            level(to(e)) = level(v) + 1; q += to(e)
+          }
+          e = nxt(e)
+        }
+      }
+      level(T) != -1
+    }
+    def dfs(v: Int, f: Int): Int = {
+      if (v == T) return f
+      while (it(v) != -1) {
+        val e = it(v)
+        if (cap(e) > 0 && level(to(e)) == level(v) + 1) {
+          val d = dfs(to(e), math.min(f, cap(e)))
+          if (d > 0) {
+            cap(e) -= d
+            cap(if (e % 2 == 0) e + 1 else e - 1) += d
+            return d
+          }
+        }
+        it(v) = nxt(e)
+      }
+      0
+    }
+    var flow = 0
+    while (bfs()) {
+      var i = 0
+      while (i < 2 * n) { it(i) = first(i); i += 1 }
+      var f = dfs(S, Int.MaxValue)
+      while (f > 0) { flow += f; f = dfs(S, Int.MaxValue) }
+    }
+    // residual reachability from S; cut = saturated split arcs on the
+    // boundary (in reachable, out not) — these are vertex cut members
+    val reach = Array.fill(2 * n)(false)
+    reach(S) = true
+    val q2 = mutable.Queue(S)
+    while (q2.nonEmpty) {
+      val v = q2.dequeue()
+      var e = first(v)
+      while (e != -1) {
+        if (cap(e) > 0 && !reach(to(e))) { reach(to(e)) = true; q2 += to(e) }
+        e = nxt(e)
+      }
+    }
+    val cut = splitArc.values.collect {
+      case x if reach(inId(x)) && !reach(outId(x)) => x
+    }.toSet
+    (flow, cut)
+  }
+
+  /** Exact global vertex connectivity of an undirected simple adjacency,
+    * plus ONE minimum vertex cut achieving it (networkx's pivot
+    * reduction: all non-neighbors of a minimum-degree pivot, plus
+    * non-adjacent pairs among its neighbors; the pivot's neighborhood is
+    * itself a candidate cut). Complete graphs return (n-1, empty). */
+  def undConnectivityCut(
+      adj: Map[Long, Seq[Long]],
+      nodes: Seq[Long]): (Int, Set[Long]) = {
+    val n = nodes.length
+    if (n < 2) return (0, Set.empty)
+    val nbr: Map[Long, Set[Long]] =
+      nodes.map(v => v -> adj.getOrElse(v, Nil).filter(_ != v).toSet).toMap
+    val v = nodes.minBy(x => nbr(x).size)
+    val nonNbrs = nodes.filterNot(x => x == v || nbr(v)(x))
+    if (nonNbrs.isEmpty && nbr(v).size == n - 1) {
+      // min-degree node adjacent to everything → complete graph
+      return (n - 1, Set.empty)
+    }
+    var bestK = nbr(v).size
+    var bestCut = nbr(v)
+    nonNbrs.foreach { w =>
+      if (bestK > 0) {
+        val (k, c) = undStCut(adj, nodes, v, w)
+        if (k < bestK) { bestK = k; bestCut = c }
+      }
+    }
+    val nv = nbr(v).toSeq.sorted
+    for (i <- nv.indices; j <- (i + 1) until nv.length
+         if bestK > 0 && !nbr(nv(i))(nv(j))) {
+      val (k, c) = undStCut(adj, nodes, nv(i), nv(j))
+      if (k < bestK) { bestK = k; bestCut = c }
+    }
+    (bestK, bestCut)
+  }
+
+  /** Exact Moody–White k-components of the simple undirected view:
+    * for each k, the MAXIMAL node sets (size > k) whose induced subgraph
+    * is k-connected. Level 1 = connected components; level k recurses
+    * into the (k-1)-components, removing one minimum vertex cut at a
+    * time — a k-connected subset can never straddle a cut smaller than
+    * k, so recursing on (component ∪ cut) is exact. */
+  def kComponents(g: G): Seq[(Int, Seq[Seq[Long]])] = {
+    val baseAdj = g.undSimple
+    def induced(s: Set[Long]): Map[Long, Seq[Long]] =
+      s.iterator.map(v =>
+        v -> baseAdj.getOrElse(v, Nil).filter(s)).toMap
+    def comps(s: Set[Long]): Seq[Set[Long]] = {
+      val adj = induced(s)
+      val seen = mutable.HashSet.empty[Long]
+      val out = mutable.ArrayBuffer.empty[Set[Long]]
+      s.toSeq.sorted.foreach { v =>
+        if (!seen(v)) {
+          val c = mutable.HashSet(v)
+          val q = mutable.Queue(v)
+          seen += v
+          while (q.nonEmpty)
+            adj.getOrElse(q.dequeue(), Nil).foreach { w =>
+              if (!seen(w)) { seen += w; c += w; q += w }
+            }
+          out += c.toSet
+        }
+      }
+      out.toSeq
+    }
+    def decompose(s: Set[Long], k: Int): Seq[Set[Long]] = {
+      if (s.size <= k) return Nil
+      val (kappa, cut) = undConnectivityCut(induced(s), s.toSeq.sorted)
+      if (kappa >= k) Seq(s)
+      else if (cut.isEmpty)
+        // κ=0 with no cut: the candidate is disconnected (a cut-branch
+        // union can disconnect) — recurse per connected component
+        comps(s).filter(_.size > k).filter(_ != s).flatMap(decompose(_, k))
+      else
+        comps(s -- cut)
+          .map(_ ++ cut)
+          .filter(_.size > k)
+          .filter(_ != s) // guard: a no-progress candidate would loop
+          .flatMap(decompose(_, k))
+    }
+    def maximal(sets: Seq[Set[Long]]): Seq[Set[Long]] = {
+      val d = sets.distinct
+      d.filterNot(a => d.exists(b => (b ne a) && a != b && a.subsetOf(b)))
+    }
+    val out = mutable.ArrayBuffer.empty[(Int, Seq[Seq[Long]])]
+    var prev = comps(g.nodeSet).filter(_.size > 1)
+    if (prev.isEmpty) return out.toSeq
+    def render(ss: Seq[Set[Long]]): Seq[Seq[Long]] =
+      ss.map(_.toSeq.sorted).sortBy(c => (c.length, c.headOption.getOrElse(0L)))
+    out += ((1, render(prev)))
+    var k = 2
+    var cur = prev
+    while (cur.nonEmpty) {
+      val next = maximal(
+        cur.filter(_.size > k).flatMap(c => {
+          // within a disconnected candidate, recurse per component
+          comps(c).flatMap(decompose(_, k))
+        }))
+      if (next.nonEmpty) { out += ((k, render(next))); k += 1 }
+      cur = next
+    }
+    out.toSeq
+  }
 }

@@ -586,5 +586,40 @@ object Round15NxQueries {
         comp.crossJoin(fns).crossJoin(wcc)
       },
       Some("SELECT CAST(2 AS BIGINT) AS ncomp, 'community' AS edition, " +
-        "'5.9.0' AS v, true AS ok, CAST(2 AS BIGINT) AS n_components")))
+        "'5.9.0' AS v, true AS ok, CAST(2 AS BIGINT) AS n_components")),
+
+    // nxalg.k_components (round 16 — closes the 78th nxalg procedure):
+    // EXACT Moody–White k-components on two K4s sharing the edge 2-3
+    // plus a pendant path 5-6-7. Expected levels pinned with networkx
+    // 3.6 (nx.k_components on this fixture):
+    //   1: {0..7}   2: {0..5}   3: {0,1,2,3}, {2,3,4,5}
+    // Node ids are creation-ordered, so id - min(id) recovers k.
+    QueryDef(
+      "call_nxalg_kcomponents",
+      (s, dir) => {
+        val gr = Cypher.execute(
+          s, empty,
+          """CREATE (n0:KC {k: 0}), (n1:KC {k: 1}), (n2:KC {k: 2}),
+            |       (n3:KC {k: 3}), (n4:KC {k: 4}), (n5:KC {k: 5}),
+            |       (n6:KC {k: 6}), (n7:KC {k: 7}),
+            |       (n0)-[:KE]->(n1), (n0)-[:KE]->(n2), (n0)-[:KE]->(n3),
+            |       (n1)-[:KE]->(n2), (n1)-[:KE]->(n3), (n2)-[:KE]->(n3),
+            |       (n2)-[:KE]->(n4), (n2)-[:KE]->(n5), (n3)-[:KE]->(n4),
+            |       (n3)-[:KE]->(n5), (n4)-[:KE]->(n5),
+            |       (n5)-[:KE]->(n6), (n6)-[:KE]->(n7)""".stripMargin).graph
+        Cypher.run(
+          s, gr,
+          """MATCH (x:KC) WITH min(id(x)) AS base
+            |CALL nxalg.k_components() YIELD k, components
+            |RETURN k,
+            |  text.join([c IN components |
+            |    text.join([n IN collections.sort([m IN c | m - base]) |
+            |               toString(n)], ',')], ';') AS comps
+            |ORDER BY k""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), '0,1,2,3,4,5,6,7'),
+             |  (2, '0,1,2,3,4,5'),
+             |  (3, '0,1,2,3;2,3,4,5')) AS t(k, comps)
+             |ORDER BY k""".stripMargin)))
 }
