@@ -18,8 +18,11 @@ import graft.sources.PokecGraphLoader
   * result deterministic (mgbench runs each query with a RANDOM vertex and
   * validates separately; the oracle gate needs a pinned answer):
   *  - $id/$from/$to parameters are pinned to data-probed vertices
-  *    (17 = degree-12 hub, 0→977 = BFS distance 3, 0→444 = exactly two
-  *    2-hop shortest paths, 124 = cycle apex).
+  *    (17 = degree-12 hub, 0→1 = BFS distance 3 — and 4 under the
+  *    age-filtered lambda, so the filter demonstrably changes the
+  *    answer — 0→24 = a 2-hop shortest path with no direct edge,
+  *    124 = cycle apex; all pinned ids also exist at sf0.001 so the
+  *    catalog smoke test sees rows at every scale factor).
   *  - `RETURN n LIMIT 1` / `RETURN n5 LIMIT 1` probes become
   *    `min(...)`/`count(*)` aggregates (LIMIT 1 over an unordered match is
   *    nondeterministic in ANY engine; the traversal measured is identical).
@@ -198,7 +201,7 @@ object PokecQueries {
     // *ALLSHORTEST syntax) --------------------------------------------
     pq(
       "pokec_shortest_path",
-      """MATCH (n:User {id: 0}), (m:User {id: 977}) WITH n, m
+      """MATCH (n:User {id: 0}), (m:User {id: 1}) WITH n, m
         |MATCH p = (n)-[*BFS..15]->(m)
         |RETURN size(nodes(p)) - 1 AS hops""".stripMargin,
       s"""WITH RECURSIVE $prelude,
@@ -207,11 +210,11 @@ object PokecQueries {
          |  UNION
          |  SELECT f.dst, w.hops + 1 FROM walk w JOIN fr f ON f.src = w.node
          |  WHERE w.hops < 15)
-         |SELECT CAST(min(hops) AS BIGINT) AS hops FROM walk WHERE node = 977""".stripMargin),
+         |SELECT CAST(min(hops) AS BIGINT) AS hops FROM walk WHERE node = 1""".stripMargin),
 
     pq(
       "pokec_shortest_path_filter",
-      """MATCH (n:User {id: 0}), (m:User {id: 977}) WITH n, m
+      """MATCH (n:User {id: 0}), (m:User {id: 1}) WITH n, m
         |MATCH p = (n)-[*BFS..15 (e, v | v.age >= 18)]->(m)
         |RETURN size(nodes(p)) - 1 AS hops""".stripMargin,
       s"""WITH RECURSIVE $prelude,
@@ -221,19 +224,19 @@ object PokecQueries {
          |  UNION
          |  SELECT f.dst, w.hops + 1 FROM walk w JOIN fr f ON f.src = w.node
          |  JOIN u ON u.id = f.dst WHERE u.age >= 18 AND w.hops < 15)
-         |SELECT CAST(min(hops) AS BIGINT) AS hops FROM walk WHERE node = 977""".stripMargin),
+         |SELECT CAST(min(hops) AS BIGINT) AS hops FROM walk WHERE node = 1""".stripMargin),
 
-    // 0→444 sits at BFS distance exactly 2 with two distinct 2-hop
-    // shortest paths (data-probed); the oracle counts them directly.
+    // 0→24 sits at BFS distance exactly 2 with no direct edge
+    // (data-probed); the oracle counts the 2-hop shortest paths.
     pq(
       "pokec_allshortest",
-      """MATCH (n:User {id: 0}), (m:User {id: 444}) WITH n, m
+      """MATCH (n:User {id: 0}), (m:User {id: 24}) WITH n, m
         |MATCH p = (n)-[*ALLSHORTEST ..2 (r, v | 1) total_weight]->(m)
         |RETURN count(*) AS n_paths, toInteger(min(total_weight)) AS w""".stripMargin,
       s"""WITH $prelude
          |SELECT CAST(count(*) AS BIGINT) AS n_paths, CAST(2 AS BIGINT) AS w
          |FROM fr f1 JOIN fr f2 ON f2.src = f1.dst
-         |WHERE f1.src = 0 AND f2.dst = 444""".stripMargin),
+         |WHERE f1.src = 0 AND f2.dst = 24""".stripMargin),
 
     // ---- pattern group (pokec.py:706-770) ----------------------------
     pq(

@@ -738,7 +738,22 @@ abstract class GqlHarness extends SparkTestBase {
         x == y || math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(
           math.abs(x), math.abs(y)))
     case (LV(xs), LV(ys)) =>
-      xs.length == ys.length && xs.zip(ys).forall { case (p, q) => vEq(p, q) }
+      xs.length == ys.length && {
+        xs.zip(ys).forall { case (p, q) => vEq(p, q) } ||
+        // a list of PATHS comes from a pattern comprehension or a
+        // collect() of paths — both orders are unspecified (openCypher
+        // leaves match order open; the upstream expected tables encode
+        // whatever order memgraph's storage iteration produced), so
+        // fall back to multiset equality for path-valued lists ONLY;
+        // ordinary value lists stay strictly ordered
+        (xs.nonEmpty && xs.forall(_.isInstanceOf[PV]) && {
+          val used = Array.fill(ys.length)(false)
+          xs.forall { p =>
+            val j = ys.indices.find(j => !used(j) && vEq(p, ys(j)))
+            j match { case Some(k) => used(k) = true; true; case None => false }
+          }
+        })
+      }
     case (EV(e1, l1, p1), EV(e2, l2, p2)) =>
       e1 == e2 && l1 == l2 && p1.keySet == p2.keySet &&
         p1.forall { case (k, v) => vEq(v, p2(k)) }
