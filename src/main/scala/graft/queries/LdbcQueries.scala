@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cypher.Cypher
+import graft.sources.LdbcGraphLoader
+
+/** The reference's LDBC workload ports as first-class oracle gates: all 12
+  * Interactive complex queries
+  * (`/root/reference/tests/mgbench/workloads/ldbc_interactive.py:116-693`,
+  * memgraph dialect incl. the `*BFS` forms) and all 12 BI queries
+  * (`ldbc_bi.py:120-727`), run through the Cypher frontend against
+  * [[LdbcGraphLoader]]'s SNB-profile graph and checked against a DuckDB
+  * replay of the same derivation.
+  *
+  * Adaptations (mgbench substitutes RANDOM parameters per run and does not
+  * validate; an oracle gate needs a pinned, deterministic answer — each
+  * change keeps the measured traversal/aggregation shape):
+  *  - $parameters are pinned to data-probed literals that produce
+  *    non-trivial results at sf0.01 (ids <= 149 also exist at sf0.001).
+  *  - timestamp-valued RETURN items project `toString(...)` on both sides
+  *    (fixed-width 'yyyy-MM-dd HH:mm:ss' — ORDER BY over the string is
+  *    order-equivalent; all derived instants are whole-second).
+  *  - `collect(...)` projections collect a canonical 'name|year|place'
+  *    string and sort the list (collections.sort), since bare collect
+  *    order over a distributed group is engine-nondeterministic. Ordered
+  *    `head(collect(..))` idioms (IC7, BI14) rely on the engine's
+  *    order-preserving aggregation after `WITH ... ORDER BY`.
+  */
+object LdbcQueries {
+
+  private def g(s: SparkSession, dir: String) = LdbcGraphLoader(s, dir)
+
+  private def lq(name: String, cypher: String, oracle: String): QueryDef =
+    QueryDef(
+      name,
+      (s, dir) => Cypher.run(s, g(s, dir), cypher),
+      Some(oracle))
+
+  /** DuckDB replay of LdbcGraphLoader's derivation — one CTE per frame
+    * (DuckDB inlines CTEs lazily, so unused ones cost nothing per query).
+    * Formula-for-formula mirror of the loader; see LdbcGraphLoader scaladoc.
+    */
+  private val prelude =
+    """dims AS (SELECT CAST(max(c_custkey)+1 AS BIGINT) AS n,
+      |  (SELECT CAST(max(s_suppkey)+1 AS BIGINT) FROM supplier) AS s,
+      |  (SELECT CAST(max(p_partkey)+1 AS BIGINT) FROM part) AS p
+      |  FROM customer),
+      |person AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+      |  'F' || (c_custkey%19) AS firstName,
+      |  'L' || (c_custkey%37) AS lastName,
+      |  CASE WHEN c_custkey%2=0 THEN 'male' ELSE 'female' END AS gender,
+      |  DATE '1980-01-01' + CAST(c_custkey*83%7300 AS INT) AS birthday,
+      |  ['Chrome','Firefox','Safari','Edge'][CAST(c_custkey%4 AS INT)+1]
+      |    AS browserUsed,
+      |  '10.0.' || (c_custkey%256) || '.' || (c_custkey*7%256) AS locationIP,
+      |  'p' || c_custkey || '@ldbc.org' AS email,
+      |  'L' || (c_custkey%5) AS speaks,
+      |  TIMESTAMP '1994-01-01' + (c_custkey*37%1500)*INTERVAL 1 DAY
+      |    + (c_custkey%24)*INTERVAL 1 HOUR AS creationDate,
+      |  c_custkey%(SELECT s FROM dims) AS cityId,
+      |  CAST(c_nationkey AS BIGINT) AS countryId
+      |  FROM customer),
+      |city AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+      |  'City_'||s_suppkey AS name, CAST(s_nationkey AS BIGINT) AS countryId
+      |  FROM supplier),
+      |country AS (SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name
+      |  FROM nation),
+      |university AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+      |  'Uni_'||s_suppkey AS name, CAST(s_suppkey AS BIGINT) AS cityId
+      |  FROM supplier WHERE s_suppkey%2=1),
+      |company AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+      |  'Co_'||s_suppkey AS name, CAST(s_nationkey AS BIGINT) AS countryId
+      |  FROM supplier WHERE s_suppkey%2=0),
+      |tag AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+      |  'Tag_'||p_partkey AS name, CAST(p_partkey%5 AS BIGINT) AS classId
+      |  FROM part),
+      |tagclass AS (SELECT CAST(r_regionkey AS BIGINT) AS id,
+      |  'TC_'||r_name AS name,
+      |  CASE WHEN r_regionkey>=1 THEN CAST(r_regionkey-1 AS BIGINT) END
+      |    AS superId
+      |  FROM region),
+      |forum AS (SELECT CAST(s_suppkey AS BIGINT) AS id,
+      |  'Forum_'||s_suppkey AS title,
+      |  (s_suppkey*7+3)%(SELECT n FROM dims) AS moderator
+      |  FROM supplier),
+      |post AS (SELECT CAST(o_orderkey*8 AS BIGINT) AS id,
+      |  CAST(o_orderkey AS BIGINT) AS pk,
+      |  o_orderdate + (o_orderkey%86399)*INTERVAL 1 SECOND AS creationDate,
+      |  CASE WHEN o_orderkey%10=0 THEN NULL
+      |       ELSE 'post ' || (o_orderkey*8) END AS content,
+      |  CASE WHEN o_orderkey%10=0 THEN 'photo' || (o_orderkey*8) || '.jpg'
+      |       END AS imageFile,
+      |  CAST(floor(o_totalprice) AS BIGINT)%240 AS length,
+      |  'lang' || (o_orderkey%5) AS language,
+      |  CAST(o_custkey AS BIGINT) AS creator,
+      |  o_orderkey%(SELECT s FROM dims) AS forumId
+      |  FROM orders),
+      |li AS (SELECT o, seq, pk, ep, sd FROM (
+      |  SELECT o, CAST(ROW_NUMBER() OVER (PARTITION BY o ORDER BY lnn)
+      |      AS BIGINT) AS seq, pk, ep, sd FROM (
+      |    SELECT CAST(l_orderkey AS BIGINT) AS o, l_linenumber AS lnn,
+      |      CAST(min(l_partkey) AS BIGINT) AS pk,
+      |      min(l_extendedprice) AS ep, min(l_shipdate) AS sd
+      |    FROM lineitem GROUP BY 1, 2))),
+      |comment AS (SELECT o*8+seq AS id,
+      |  sd + ((o*7+seq*3605)%86399)*INTERVAL 1 SECOND AS creationDate,
+      |  'reply ' || (o*8+seq) AS content,
+      |  CAST(floor(ep) AS BIGINT)%240 AS length,
+      |  (pk*7+seq*13)%(SELECT n FROM dims) AS creator,
+      |  CASE WHEN seq=1 THEN o*8 ELSE o*8+seq-1 END AS parentId,
+      |  o AS pk
+      |  FROM li),
+      |message AS (SELECT id, creationDate, content, imageFile, length,
+      |    language, creator, TRUE AS isPost FROM post
+      |  UNION ALL SELECT id, creationDate, content, NULL, length, NULL,
+      |    creator, FALSE FROM comment),
+      |knows AS (SELECT src, dst,
+      |  TIMESTAMP '1995-06-01' + ((src*31+dst*17)%2000)*INTERVAL 1 DAY
+      |    + ((src+dst)%24)*INTERVAL 1 HOUR AS creationDate FROM (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+      |    o_orderkey%(SELECT n FROM dims) AS dst FROM orders
+      |  WHERE o_custkey != o_orderkey%(SELECT n FROM dims))),
+      |knows_u AS (SELECT src AS a, dst AS b, creationDate FROM knows
+      |  UNION ALL SELECT dst, src, creationDate FROM knows),
+      |study AS (SELECT CAST(c_custkey AS BIGINT) AS person,
+      |  ((c_custkey//3)%((SELECT s FROM dims)//2))*2+1 AS uni,
+      |  1985 + c_custkey%30 AS classYear
+      |  FROM customer WHERE c_custkey%3=0),
+      |work AS (SELECT CAST(c_custkey AS BIGINT) AS person,
+      |  ((c_custkey//2)%((SELECT s FROM dims)//2))*2 AS comp,
+      |  1990 + c_custkey%30 AS workFrom
+      |  FROM customer WHERE c_custkey%2=0),
+      |hastag AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS pk,
+      |  CAST(l_partkey AS BIGINT) AS tg FROM lineitem),
+      |member AS (SELECT f, m,
+      |  TIMESTAMP '1995-01-01' + ((m*13+f*7)%2000)*INTERVAL 1 DAY AS joinDate
+      |  FROM (SELECT DISTINCT (o_custkey+o_orderkey)%(SELECT s FROM dims)
+      |    AS f, CAST(o_custkey AS BIGINT) AS m FROM orders)),
+      |likes AS (SELECT liker, msg,
+      |  TIMESTAMP '1999-01-01' + ((liker*31+msg*7)%900)*INTERVAL 1 DAY
+      |    + ((liker+msg)%24)*INTERVAL 1 HOUR AS creationDate FROM (
+      |  SELECT DISTINCT (o*5+seq*11)%(SELECT n FROM dims) AS liker,
+      |    o*8 AS msg FROM li WHERE seq<=2
+      |  UNION ALL
+      |  SELECT DISTINCT (o*11+seq*5)%(SELECT n FROM dims), o*8+seq
+      |  FROM li WHERE seq IN (3,4))),
+      |interest AS (SELECT DISTINCT person, tg FROM (
+      |  SELECT CAST(c_custkey AS BIGINT) AS person,
+      |    (c_custkey*17)%(SELECT p FROM dims) AS tg FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, (c_custkey*29+5)%(SELECT p FROM dims)
+      |  FROM customer)),
+      |msgcountry AS (
+      |  SELECT p.id AS msg, CAST(cu.c_nationkey AS BIGINT) AS country
+      |  FROM post p JOIN customer cu ON cu.c_custkey = p.creator
+      |  UNION ALL
+      |  SELECT cm.id, CAST(cu.c_nationkey AS BIGINT)
+      |  FROM comment cm JOIN customer cu ON cu.c_custkey = cm.creator)"""
+      .stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ---- Interactive complex 2 (ldbc_interactive.py:228) ---------------
+    lq(
+      "ldbc_ic2",
+      """MATCH (:Person {id: 17})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(message:Message)
+        |WHERE message.creationDate <= localDateTime('1998-01-01T00:00:00')
+        |RETURN friend.id AS personId,
+        |  friend.firstName AS personFirstName,
+        |  friend.lastName AS personLastName,
+        |  message.id AS postOrCommentId,
+        |  coalesce(message.content, message.imageFile) AS postOrCommentContent,
+        |  toString(message.creationDate) AS postOrCommentCreationDate
+        |ORDER BY postOrCommentCreationDate DESC, toInteger(postOrCommentId) ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude
+         |SELECT f.id AS personId, f.firstName AS personFirstName,
+         |  f.lastName AS personLastName, m.id AS postOrCommentId,
+         |  coalesce(m.content, m.imageFile) AS postOrCommentContent,
+         |  CAST(m.creationDate AS VARCHAR) AS postOrCommentCreationDate
+         |FROM knows_u k
+         |JOIN person f ON f.id = k.b
+         |JOIN message m ON m.creator = f.id
+         |WHERE k.a = 17 AND m.creationDate <= TIMESTAMP '1998-01-01'
+         |ORDER BY postOrCommentCreationDate DESC, postOrCommentId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 8 (ldbc_interactive.py:531) ---------------
+    lq(
+      "ldbc_ic8",
+      """MATCH (start:Person {id: 17})<-[:HAS_CREATOR]-(:Message)<-[:REPLY_OF]-(comment:Comment)-[:HAS_CREATOR]->(person:Person)
+        |RETURN person.id AS personId,
+        |  person.firstName AS personFirstName,
+        |  person.lastName AS personLastName,
+        |  toString(comment.creationDate) AS commentCreationDate,
+        |  comment.id AS commentId,
+        |  comment.content AS commentContent
+        |ORDER BY commentCreationDate DESC, commentId ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude
+         |SELECT p.id AS personId, p.firstName AS personFirstName,
+         |  p.lastName AS personLastName,
+         |  CAST(c.creationDate AS VARCHAR) AS commentCreationDate,
+         |  c.id AS commentId, c.content AS commentContent
+         |FROM message m
+         |JOIN comment c ON c.parentId = m.id
+         |JOIN person p ON p.id = c.creator
+         |WHERE m.creator = 17
+         |ORDER BY commentCreationDate DESC, commentId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 11 (ldbc_interactive.py:590) --------------
+    lq(
+      "ldbc_ic11",
+      """MATCH (person:Person {id: 17})-[:KNOWS*1..2]-(friend:Person)
+        |WHERE not(person=friend)
+        |WITH DISTINCT friend
+        |MATCH (friend)-[workAt:WORK_AT]->(company:Company)-[:IS_LOCATED_IN]->(:Country {name: 'NATION_3'})
+        |WHERE workAt.workFrom < 2005
+        |RETURN friend.id AS personId,
+        |  friend.firstName AS personFirstName,
+        |  friend.lastName AS personLastName,
+        |  company.name AS organizationName,
+        |  workAt.workFrom AS organizationWorkFromYear
+        |ORDER BY organizationWorkFromYear ASC, toInteger(personId) ASC,
+        |  organizationName DESC
+        |LIMIT 10""".stripMargin,
+      s"""WITH $prelude,
+         |friends AS (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT b FROM knows_u WHERE a = 17
+         |    UNION ALL
+         |    SELECT k2.b FROM knows_u k1 JOIN knows_u k2 ON k2.a = k1.b
+         |    WHERE k1.a = 17) WHERE b != 17)
+         |SELECT p.id AS personId, p.firstName AS personFirstName,
+         |  p.lastName AS personLastName, co.name AS organizationName,
+         |  w.workFrom AS organizationWorkFromYear
+         |FROM friends f
+         |JOIN person p ON p.id = f.b
+         |JOIN work w ON w.person = f.b AND w.workFrom < 2005
+         |JOIN company co ON co.id = w.comp
+         |JOIN country ct ON ct.id = co.countryId AND ct.name = 'NATION_3'
+         |ORDER BY organizationWorkFromYear ASC, personId ASC,
+         |  organizationName DESC
+         |LIMIT 10""".stripMargin),
+
+    // ---- BI 1 (ldbc_bi.py:120) ------------------------------------------
+    lq(
+      "ldbc_bi1",
+      """MATCH (message:Message)
+        |WHERE message.creationDate < localDateTime('1999-01-01T00:00:00')
+        |WITH count(message) AS totalMessageCountInt
+        |WITH toFloat(totalMessageCountInt) AS totalMessageCount
+        |MATCH (message:Message)
+        |WHERE message.creationDate < localDateTime('1999-01-01T00:00:00')
+        |  AND message.content IS NOT NULL
+        |WITH totalMessageCount, message,
+        |  message.creationDate.year AS year
+        |WITH totalMessageCount, year,
+        |  message:Comment AS isComment,
+        |  CASE WHEN message.length < 40 THEN 0
+        |       WHEN message.length < 80 THEN 1
+        |       WHEN message.length < 160 THEN 2
+        |       ELSE 3 END AS lengthCategory,
+        |  count(message) AS messageCount,
+        |  sum(message.length) / toFloat(count(message)) AS averageMessageLength,
+        |  sum(message.length) AS sumMessageLength
+        |RETURN year, isComment, lengthCategory, messageCount,
+        |  averageMessageLength, sumMessageLength,
+        |  messageCount / totalMessageCount AS percentageOfMessages
+        |ORDER BY year DESC, isComment ASC, lengthCategory ASC""".stripMargin,
+      s"""WITH $prelude,
+         |total AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM message
+         |  WHERE creationDate < TIMESTAMP '1999-01-01')
+         |SELECT EXTRACT(year FROM creationDate) AS year,
+         |  NOT isPost AS isComment,
+         |  CASE WHEN length < 40 THEN 0 WHEN length < 80 THEN 1
+         |       WHEN length < 160 THEN 2 ELSE 3 END AS lengthCategory,
+         |  count(*) AS messageCount,
+         |  CAST(sum(length) AS DOUBLE) / count(*) AS averageMessageLength,
+         |  sum(length) AS sumMessageLength,
+         |  count(*) / (SELECT cnt FROM total) AS percentageOfMessages
+         |FROM message
+         |WHERE creationDate < TIMESTAMP '1999-01-01' AND content IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY year DESC, isComment ASC, lengthCategory ASC""".stripMargin))
+}
