@@ -431,8 +431,12 @@ object CypherParser extends RegexParsers {
     }
 
   def patternPart: Parser[PatternPart] =
-    opt(ident <~ "=") ~ (shortestWrap | patternChain) ^^ { case pv ~ p =>
-      p.copy(pathVar = pv)
+    // parenthesized chain: `path = ((a)-[:T]-(b))` (Cypher.g4 allows a
+    // parenthesized patternElement; needs >=1 hop so a bare `(x)` node
+    // pattern is never swallowed)
+    opt(ident <~ "=") ~
+      (shortestWrap | ("(" ~> patternPartWithHops <~ ")") | patternChain) ^^ {
+      case pv ~ p => p.copy(pathVar = pv)
     }
 
   // ---------- clauses ----------

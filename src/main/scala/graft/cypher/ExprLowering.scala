@@ -797,6 +797,25 @@ final class ExprLowering(
               case _ if typeOf(lc).contains(NullType) =>
                 when(size(rc) === 0, lit(false))
                   .otherwise(lit(null).cast("boolean"))
+              // node/edge IN list-of-entities compares by IDENTITY
+              // (Cypher entity equality is id equality): collected
+              // entity structs carry whatever property schema their
+              // provenance had, so a raw struct array_contains would
+              // type-mismatch whenever the two sides saw different
+              // label frames.
+              case Some(ArrayType(st: StructType, _))
+                  if st.fieldNames.contains("_id") &&
+                    typeOf(lc).exists {
+                      case s: StructType => s.fieldNames.contains("_id")
+                      case _ => false
+                    } =>
+                val lid = lc.getField("_id")
+                when(
+                  lid.isNull,
+                  when(size(rc) === 0, lit(false))
+                    .otherwise(lit(null).cast("boolean")))
+                  .otherwise(array_contains(
+                    transform(rc, x => x.getField("_id")), lid))
               case _ => array_contains(rc, lc)
             }
         }

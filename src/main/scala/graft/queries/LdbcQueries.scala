@@ -152,10 +152,10 @@ object LdbcQueries {
       |  SELECT c_custkey, (c_custkey*29+5)%(SELECT p FROM dims)
       |  FROM customer)),
       |msgcountry AS (
-      |  SELECT p.id AS msg, CAST(cu.c_nationkey AS BIGINT) AS country
+      |  SELECT p.id AS msg, (cu.c_nationkey + p.id%3)%25 AS country
       |  FROM post p JOIN customer cu ON cu.c_custkey = p.creator
       |  UNION ALL
-      |  SELECT cm.id, CAST(cu.c_nationkey AS BIGINT)
+      |  SELECT cm.id, (cu.c_nationkey + cm.id%3)%25
       |  FROM comment cm JOIN customer cu ON cu.c_custkey = cm.creator)"""
       .stripMargin
 
@@ -243,6 +243,324 @@ object LdbcQueries {
          |ORDER BY organizationWorkFromYear ASC, personId ASC,
          |  organizationName DESC
          |LIMIT 10""".stripMargin),
+
+    // ---- Interactive complex 1 (ldbc_interactive.py:116) ----------------
+    // The university/company triples collect as sorted 'name|year|place'
+    // strings (see scaladoc); birthday projects toString.
+    lq(
+      "ldbc_ic1",
+      """MATCH (p:Person {id: 17}), (friend:Person {firstName: 'F6'})
+        |WHERE NOT p=friend
+        |WITH p, friend
+        |MATCH path =((p)-[:KNOWS *BFS 1..3]-(friend))
+        |WITH min(size(path)) AS distance, friend
+        |ORDER BY distance ASC, friend.lastName ASC, toInteger(friend.id) ASC
+        |LIMIT 20
+        |MATCH (friend)-[:IS_LOCATED_IN]->(friendCity:City)
+        |OPTIONAL MATCH (friend)-[studyAt:STUDY_AT]->(uni:University)-[:IS_LOCATED_IN]->(uniCity:City)
+        |WITH friend, collections.sort(collect(
+        |    CASE uni.name WHEN null THEN null
+        |    ELSE uni.name + '|' + toString(studyAt.classYear) + '|' + uniCity.name END)) AS unis,
+        |  friendCity, distance
+        |OPTIONAL MATCH (friend)-[workAt:WORK_AT]->(company:Company)-[:IS_LOCATED_IN]->(companyCountry:Country)
+        |WITH friend, collections.sort(collect(
+        |    CASE company.name WHEN null THEN null
+        |    ELSE company.name + '|' + toString(workAt.workFrom) + '|' + companyCountry.name END)) AS companies,
+        |  unis, friendCity, distance
+        |RETURN friend.id AS friendId,
+        |  friend.lastName AS friendLastName,
+        |  distance AS distanceFromPerson,
+        |  toString(friend.birthday) AS friendBirthday,
+        |  friend.gender AS friendGender,
+        |  friend.browserUsed AS friendBrowserUsed,
+        |  friend.locationIP AS friendLocationIp,
+        |  friend.email AS friendEmails,
+        |  friend.speaks AS friendLanguages,
+        |  friendCity.name AS friendCityName,
+        |  unis AS friendUniversities,
+        |  companies AS friendCompanies
+        |ORDER BY distanceFromPerson ASC, friendLastName ASC,
+        |  toInteger(friendId) ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH RECURSIVE $prelude,
+         |walk(node, hops) AS (
+         |  SELECT b, 1 FROM knows_u WHERE a = 17
+         |  UNION
+         |  SELECT k.b, w.hops + 1 FROM walk w JOIN knows_u k ON k.a = w.node
+         |  WHERE w.hops < 3),
+         |cand AS (SELECT p.*, d.distance FROM person p
+         |  JOIN (SELECT node, CAST(min(hops) AS BIGINT) AS distance
+         |        FROM walk GROUP BY node) d ON d.node = p.id
+         |  WHERE p.firstName = 'F6' AND p.id != 17
+         |  ORDER BY d.distance ASC, p.lastName ASC, p.id ASC LIMIT 20),
+         |unis AS (SELECT s.person, list_sort(list(
+         |    u.name || '|' || s.classYear || '|' || 'City_' || u.cityId))
+         |  AS xs FROM study s JOIN university u ON u.id = s.uni GROUP BY 1),
+         |comps AS (SELECT w.person, list_sort(list(
+         |    co.name || '|' || w.workFrom || '|' || ct.name)) AS xs
+         |  FROM work w JOIN company co ON co.id = w.comp
+         |  JOIN country ct ON ct.id = co.countryId GROUP BY 1)
+         |SELECT c.id AS friendId, c.lastName AS friendLastName,
+         |  c.distance AS distanceFromPerson,
+         |  CAST(c.birthday AS VARCHAR) AS friendBirthday,
+         |  c.gender AS friendGender, c.browserUsed AS friendBrowserUsed,
+         |  c.locationIP AS friendLocationIp, c.email AS friendEmails,
+         |  c.speaks AS friendLanguages,
+         |  'City_' || c.cityId AS friendCityName,
+         |  coalesce(u.xs, CAST([] AS VARCHAR[])) AS friendUniversities,
+         |  coalesce(cp.xs, CAST([] AS VARCHAR[])) AS friendCompanies
+         |FROM cand c
+         |LEFT JOIN unis u ON u.person = c.id
+         |LEFT JOIN comps cp ON cp.person = c.id
+         |ORDER BY distanceFromPerson ASC, friendLastName ASC, friendId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 3 (ldbc_interactive.py:256) ----------------
+    lq(
+      "ldbc_ic3",
+      """MATCH (countryX:Country {name: 'NATION_5'}),
+        |  (countryY:Country {name: 'NATION_6'}),
+        |  (person:Person {id: 17})
+        |WITH person, countryX, countryY
+        |LIMIT 1
+        |MATCH (city:City)-[:IS_PART_OF]->(country:Country)
+        |WHERE country IN [countryX, countryY]
+        |WITH person, countryX, countryY, collect(city) AS cities
+        |MATCH (person)-[:KNOWS*1..2]-(friend)-[:IS_LOCATED_IN]->(city)
+        |WHERE NOT person=friend AND NOT city IN cities
+        |WITH DISTINCT friend, countryX, countryY
+        |MATCH (friend)<-[:HAS_CREATOR]-(message),
+        |  (message)-[:IS_LOCATED_IN]->(country)
+        |WHERE localDateTime('1995-06-01T00:00:00') + duration({day:365}) > message.creationDate >= localDateTime('1995-06-01T00:00:00') AND
+        |  country IN [countryX, countryY]
+        |WITH friend,
+        |  CASE WHEN country=countryX THEN 1 ELSE 0 END AS messageX,
+        |  CASE WHEN country=countryY THEN 1 ELSE 0 END AS messageY
+        |WITH friend, sum(messageX) AS xCount, sum(messageY) AS yCount
+        |WHERE xCount>0 AND yCount>0
+        |RETURN friend.id AS friendId,
+        |  friend.firstName AS friendFirstName,
+        |  friend.lastName AS friendLastName,
+        |  xCount, yCount,
+        |  xCount + yCount AS xyCount
+        |ORDER BY xyCount DESC, friendId ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |xy AS (SELECT id FROM country WHERE name IN ('NATION_5','NATION_6')),
+         |friends AS (SELECT DISTINCT b FROM (
+         |  SELECT b FROM knows_u WHERE a = 17
+         |  UNION ALL
+         |  SELECT k2.b FROM knows_u k1 JOIN knows_u k2 ON k2.a = k1.b
+         |  WHERE k1.a = 17) WHERE b != 17),
+         |eligible AS (SELECT f.b FROM friends f JOIN person p ON p.id = f.b
+         |  JOIN city ci ON ci.id = p.cityId
+         |  WHERE ci.countryId NOT IN (SELECT id FROM xy)),
+         |msgs AS (SELECT m.creator, mc.country FROM message m
+         |  JOIN msgcountry mc ON mc.msg = m.id
+         |  WHERE m.creationDate >= TIMESTAMP '1995-06-01'
+         |    AND m.creationDate < TIMESTAMP '1995-06-01' + 365*INTERVAL 1 DAY
+         |    AND mc.country IN (SELECT id FROM xy)),
+         |agg AS (SELECT e.b AS fid,
+         |  CAST(sum(CASE WHEN ms.country =
+         |    (SELECT id FROM country WHERE name='NATION_5')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS xCount,
+         |  CAST(sum(CASE WHEN ms.country =
+         |    (SELECT id FROM country WHERE name='NATION_6')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS yCount
+         |  FROM eligible e JOIN msgs ms ON ms.creator = e.b GROUP BY 1)
+         |SELECT p.id AS friendId, p.firstName AS friendFirstName,
+         |  p.lastName AS friendLastName, xCount, yCount,
+         |  xCount + yCount AS xyCount
+         |FROM agg JOIN person p ON p.id = agg.fid
+         |WHERE xCount > 0 AND yCount > 0
+         |ORDER BY xyCount DESC, friendId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 5 (ldbc_interactive.py:395) ----------------
+    lq(
+      "ldbc_ic5",
+      """MATCH (person:Person { id: 17 })-[:KNOWS*1..2]-(friend)
+        |WHERE NOT person=friend
+        |WITH DISTINCT friend
+        |MATCH (friend)<-[membership:HAS_MEMBER]-(forum)
+        |WHERE membership.joinDate > localDateTime('1995-06-01T00:00:00')
+        |WITH forum, collect(friend) AS friends
+        |OPTIONAL MATCH (friend)<-[:HAS_CREATOR]-(post)<-[:CONTAINER_OF]-(forum)
+        |WHERE friend IN friends
+        |WITH forum, count(post) AS postCount
+        |RETURN forum.title AS forumName, postCount
+        |ORDER BY postCount DESC, forum.id ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |friends AS (SELECT DISTINCT b FROM (
+         |  SELECT b FROM knows_u WHERE a = 17
+         |  UNION ALL
+         |  SELECT k2.b FROM knows_u k1 JOIN knows_u k2 ON k2.a = k1.b
+         |  WHERE k1.a = 17) WHERE b != 17),
+         |mem AS (SELECT m.f AS fo, m.m AS fr FROM member m
+         |  JOIN friends ON friends.b = m.m
+         |  WHERE m.joinDate > TIMESTAMP '1995-06-01'),
+         |cnt AS (SELECT mem.fo, count(*) AS c FROM mem
+         |  JOIN post p ON p.creator = mem.fr AND p.forumId = mem.fo
+         |  GROUP BY 1)
+         |SELECT f.title AS forumName,
+         |  coalesce(cnt.c, 0) AS postCount
+         |FROM (SELECT DISTINCT fo FROM mem) fs
+         |JOIN forum f ON f.id = fs.fo
+         |LEFT JOIN cnt ON cnt.fo = fs.fo
+         |ORDER BY postCount DESC, f.id ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 6 (ldbc_interactive.py:433) ----------------
+    lq(
+      "ldbc_ic6",
+      """MATCH (knownTag:Tag { name: 'Tag_107' })
+        |WITH knownTag.id as knownTagId
+        |MATCH (person:Person { id: 17 })-[:KNOWS*1..2]-(friend)
+        |WHERE NOT person=friend
+        |WITH knownTagId, collect(distinct friend) as friends
+        |UNWIND friends as f
+        |MATCH (f)<-[:HAS_CREATOR]-(post:Post),
+        |  (post)-[:HAS_TAG]->(t:Tag{id: knownTagId}),
+        |  (post)-[:HAS_TAG]->(tag:Tag)
+        |WHERE NOT t = tag
+        |WITH tag.name as tagName, count(post) as postCount
+        |RETURN tagName, postCount
+        |ORDER BY postCount DESC, tagName ASC
+        |LIMIT 10""".stripMargin,
+      s"""WITH $prelude,
+         |friends AS (SELECT DISTINCT b FROM (
+         |  SELECT b FROM knows_u WHERE a = 17
+         |  UNION ALL
+         |  SELECT k2.b FROM knows_u k1 JOIN knows_u k2 ON k2.a = k1.b
+         |  WHERE k1.a = 17) WHERE b != 17),
+         |p107 AS (SELECT DISTINCT p.pk FROM friends f
+         |  JOIN post p ON p.creator = f.b
+         |  JOIN hastag h ON h.pk = p.pk AND h.tg = 107)
+         |SELECT t.name AS tagName, count(*) AS postCount
+         |FROM p107
+         |JOIN hastag h2 ON h2.pk = p107.pk AND h2.tg != 107
+         |JOIN tag t ON t.id = h2.tg
+         |GROUP BY 1
+         |ORDER BY postCount DESC, tagName ASC
+         |LIMIT 10""".stripMargin),
+
+    // ---- Interactive complex 4 (ldbc_interactive.py:336) ----------------
+    lq(
+      "ldbc_ic4",
+      """MATCH (person:Person {id: 17})-[:KNOWS]-(friend:Person),
+        |  (friend)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag)
+        |WITH DISTINCT tag, post
+        |WITH tag,
+        |  CASE WHEN localDateTime('1996-01-01T00:00:00') + duration({day:300}) > post.creationDate >= localDateTime('1996-01-01T00:00:00') THEN 1 ELSE 0 END AS valid,
+        |  CASE WHEN localDateTime('1996-01-01T00:00:00') > post.creationDate THEN 1 ELSE 0 END AS inValid
+        |WITH tag, sum(valid) AS postCount, sum(inValid) AS inValidPostCount
+        |WHERE postCount>0 AND inValidPostCount=0
+        |RETURN tag.name AS tagName, postCount
+        |ORDER BY postCount DESC, tagName ASC
+        |LIMIT 10""".stripMargin,
+      s"""WITH $prelude,
+         |pairs AS (SELECT DISTINCT ht.tg, p.pk, p.creationDate
+         |  FROM knows_u k
+         |  JOIN post p ON p.creator = k.b
+         |  JOIN hastag ht ON ht.pk = p.pk
+         |  WHERE k.a = 17),
+         |agg AS (SELECT tg,
+         |  CAST(sum(CASE WHEN creationDate >= TIMESTAMP '1996-01-01'
+         |    AND creationDate < TIMESTAMP '1996-01-01' + 300*INTERVAL 1 DAY
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS postCount,
+         |  CAST(sum(CASE WHEN creationDate < TIMESTAMP '1996-01-01'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS inv
+         |  FROM pairs GROUP BY tg)
+         |SELECT t.name AS tagName, postCount
+         |FROM agg JOIN tag t ON t.id = tg
+         |WHERE postCount > 0 AND inv = 0
+         |ORDER BY postCount DESC, tagName ASC
+         |LIMIT 10""".stripMargin),
+
+    // ---- Interactive complex 9 (ldbc_interactive.py:558) ----------------
+    lq(
+      "ldbc_ic9",
+      """MATCH (root:Person {id: 17})-[:KNOWS*1..2]-(friend:Person)
+        |WHERE NOT friend = root
+        |WITH collect(distinct friend) as friends
+        |UNWIND friends as friend
+        |MATCH (friend)<-[:HAS_CREATOR]-(message:Message)
+        |WHERE message.creationDate < localDateTime('1996-06-01T00:00:00')
+        |RETURN friend.id AS personId,
+        |  friend.firstName AS personFirstName,
+        |  friend.lastName AS personLastName,
+        |  message.id AS commentOrPostId,
+        |  coalesce(message.content,message.imageFile) AS commentOrPostContent,
+        |  toString(message.creationDate) AS commentOrPostCreationDate
+        |ORDER BY commentOrPostCreationDate DESC, commentOrPostId ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |friends AS (SELECT DISTINCT b FROM (
+         |  SELECT b FROM knows_u WHERE a = 17
+         |  UNION ALL
+         |  SELECT k2.b FROM knows_u k1 JOIN knows_u k2 ON k2.a = k1.b
+         |  WHERE k1.a = 17) WHERE b != 17)
+         |SELECT p.id AS personId, p.firstName AS personFirstName,
+         |  p.lastName AS personLastName, m.id AS commentOrPostId,
+         |  coalesce(m.content, m.imageFile) AS commentOrPostContent,
+         |  CAST(m.creationDate AS VARCHAR) AS commentOrPostCreationDate
+         |FROM friends f
+         |JOIN person p ON p.id = f.b
+         |JOIN message m ON m.creator = f.b
+         |WHERE m.creationDate < TIMESTAMP '1996-06-01'
+         |ORDER BY commentOrPostCreationDate DESC, commentOrPostId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 12 (ldbc_interactive.py:621) ---------------
+    // collect(DISTINCT tag.name) wraps in collections.sort for a
+    // deterministic list (see scaladoc).
+    lq(
+      "ldbc_ic12",
+      """MATCH (tag:Tag)-[:HAS_TYPE|IS_SUBCLASS_OF*0..]->(baseTagClass:TagClass)
+        |WHERE tag.name = 'TC_ASIA' OR baseTagClass.name = 'TC_ASIA'
+        |WITH collect(tag.id) as tags
+        |MATCH (:Person {id: 17})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(comment:Comment)-[:REPLY_OF]->(:Post)-[:HAS_TAG]->(tag:Tag)
+        |WHERE tag.id in tags
+        |RETURN friend.id AS personId,
+        |  friend.firstName AS personFirstName,
+        |  friend.lastName AS personLastName,
+        |  collections.sort(collect(DISTINCT tag.name)) AS tagNames,
+        |  count(DISTINCT comment) AS replyCount
+        |ORDER BY replyCount DESC, toInteger(personId) ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |rows AS (SELECT DISTINCT k.b AS friend, c.id AS cid, t.name AS tn
+         |  FROM knows_u k
+         |  JOIN comment c ON c.creator = k.b
+         |  JOIN post po ON po.id = c.parentId
+         |  JOIN hastag ht ON ht.pk = po.pk
+         |  JOIN tag t ON t.id = ht.tg AND t.id % 5 >= 2
+         |  WHERE k.a = 17)
+         |SELECT p.id AS personId, p.firstName AS personFirstName,
+         |  p.lastName AS personLastName,
+         |  list_sort(list(DISTINCT tn)) AS tagNames,
+         |  count(DISTINCT cid) AS replyCount
+         |FROM rows JOIN person p ON p.id = friend
+         |GROUP BY 1, 2, 3
+         |ORDER BY replyCount DESC, personId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- Interactive complex 13 (ldbc_interactive.py:651) ---------------
+    lq(
+      "ldbc_ic13",
+      """MATCH (person1:Person {id: 17}), (person2:Person {id: 55}),
+        |  path = (person1)-[:KNOWS *BFS]-(person2)
+        |RETURN CASE path IS NULL WHEN true THEN -1 ELSE size(path) END
+        |  AS shortestPathLength""".stripMargin,
+      s"""WITH RECURSIVE $prelude,
+         |walk(node, hops) AS (
+         |  SELECT b, 1 FROM knows_u WHERE a = 17
+         |  UNION
+         |  SELECT k.b, w.hops + 1 FROM walk w JOIN knows_u k ON k.a = w.node
+         |  WHERE w.hops < 8)
+         |SELECT CAST(min(hops) AS BIGINT) AS shortestPathLength
+         |FROM walk WHERE node = 55""".stripMargin),
 
     // ---- BI 1 (ldbc_bi.py:120) ------------------------------------------
     lq(

@@ -251,10 +251,17 @@ object LdbcGraphLoader {
         nid(companyBase, col("s_suppkey")),
         nid(countryBase, col("s_nationkey")), "IS_LOCATED_IN")(
         t("supplier").filter(col("s_suppkey") % 2 === 0))
-      // message -> creator's country (one equi-join to customer each)
+      // message -> country: the creator's nation spread over a 3-country
+      // window by message id (IC3 needs per-creator message countries to
+      // VARY — a fixed creator country would make its xCount AND yCount
+      // predicate structurally empty). 25 = the fixed nation-table size
+      // at every TPC-H scale factor. One equi-join to customer each.
       val postCountry = edge(125L, col("o_orderkey").cast("long"),
         nid(postBase, col("o_orderkey")),
-        nid(countryBase, col("c_nationkey")), "IS_LOCATED_IN")(
+        nid(countryBase,
+          (col("c_nationkey").cast("long") +
+            col("o_orderkey").cast("long") * 8 % 3) % 25),
+        "IS_LOCATED_IN")(
         t("orders").join(t("customer"),
           col("o_custkey") === col("c_custkey")))
       val commentCountry = {
@@ -263,7 +270,9 @@ object LdbcGraphLoader {
           commentCreator(d).as("creatork"))
         edge(126L, col("cid"),
           nid(commentBase, col("cid")),
-          nid(countryBase, col("c_nationkey")), "IS_LOCATED_IN")(
+          nid(countryBase,
+            (col("c_nationkey").cast("long") + col("cid") % 3) % 25),
+          "IS_LOCATED_IN")(
           src.join(t("customer"), col("creatork") === col("c_custkey")))
       }
       Seq(personCity, uniCity, coCountry, postCountry, commentCountry)
