@@ -32,7 +32,14 @@ object CyDebug {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    var g = GraphState(Map.empty, Map.empty)
+    // GRAFT_GRAPH=ldbc:<dir> | pokec:<dir> | tpch:<dir> starts from a
+    // loader graph instead of an empty one
+    var g = sys.env.get("GRAFT_GRAPH") match {
+      case Some(s"ldbc:$dir") => graft.sources.LdbcGraphLoader(spark, dir)
+      case Some(s"pokec:$dir") => graft.sources.PokecGraphLoader(spark, dir)
+      case Some(s"tpch:$dir") => graft.sources.TpchGraphLoader(spark, dir)
+      case _ => GraphState(Map.empty, Map.empty)
+    }
     args.dropRight(1).foreach { q =>
       g = Cypher.execute(spark, g, q, Map.empty).graph
     }

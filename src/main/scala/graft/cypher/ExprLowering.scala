@@ -38,6 +38,12 @@ final class ExprLowering(
       * external-storage encoding. */
     val indexes: Seq[graft.core.GraphState.IndexDef] = Nil) {
 
+  /** Sort keys the current aggregation's collect() must observe (set by
+    * the planner when the previous clause ended in ORDER BY — memgraph's
+    * aggregation pulls the sorted stream, so `WITH ... ORDER BY` + 
+    * `collect(...)` is ordered there). Empty = plain collect_list. */
+  var collectOrder: Seq[(Column, Boolean)] = Nil
+
   private def withLambda(
       name: String, c: Column, t: Option[DataType] = None) =
     new ExprLowering(df, scope, params, lambdaVars + (name -> c), enums,

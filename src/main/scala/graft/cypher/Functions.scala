@@ -139,6 +139,41 @@ object Functions {
 
   def isAggregate(name: String): Boolean = aggregates(name.toLowerCase)
 
+  /** collect() observing the previous clause's ORDER BY (memgraph's
+    * Aggregate cursor pulls the sorted stream, so `WITH … ORDER BY` +
+    * `collect(…)` is ordered there — interactive workloads lean on it for
+    * `head(collect(…))` top-1 idioms). Elements pack the sort keys into a
+    * struct, sort per group AFTER the (partial+final) aggregation with an
+    * asc/desc comparator matching the engine's NULL-GREATEST ORDER BY
+    * discipline, then unwrap — group-local work, no extra shuffle. */
+  private def orderedCollect(ctx: ExprLowering, v: Column): Column = {
+    val keys = ctx.collectOrder
+    val fields = keys.zipWithIndex.map { case ((k, _), i) =>
+      k.as(s"_k$i")
+    } :+ v.as("_v")
+    // collect skips NULL values; the struct wrapper is never null, so
+    // gate it on the value itself
+    val packed = collect_list(when(v.isNotNull, struct(fields: _*)))
+    val cmp = (l: Column, r: Column) => {
+      val keyCmps = keys.zipWithIndex.map { case ((_, asc), i) =>
+        val lk = l.getField(s"_k$i")
+        val rk = r.getField(s"_k$i")
+        val base =
+          when(lk.isNull && rk.isNull, 0)
+            .when(lk.isNull, 1) // NULL-greatest
+            .when(rk.isNull, -1)
+            .when(lk < rk, -1)
+            .when(lk > rk, 1)
+            .otherwise(0)
+        if (asc) base else base * -1
+      }
+      keyCmps.foldRight(lit(0)) { (kc, acc) =>
+        when(kc =!= 0, kc).otherwise(acc)
+      }
+    }
+    transform(array_sort(packed, cmp), s => s.getField("_v"))
+  }
+
   def lower(
       ctx: ExprLowering,
       name: String,
@@ -251,7 +286,9 @@ object Functions {
         // COLLECT_MAP (aggregation.hpp:27 Op::COLLECT_MAP): collect(k, v).
         map_from_entries(array_distinct(collect_list(struct(a(0), a(1)))))
       case "collect" =>
-        if (distinct) collect_set(a(0)) else collect_list(a(0))
+        if (distinct) collect_set(a(0))
+        else if (ctx.collectOrder.nonEmpty) orderedCollect(ctx, a(0))
+        else collect_list(a(0))
       case "stdev" => stddev_samp(a(0))
       case "stdevp" => stddev_pop(a(0))
       // Exact percentiles (the reference computes exact nth-element,

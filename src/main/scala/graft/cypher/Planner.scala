@@ -105,7 +105,16 @@ final class Planner(
     spark.createDataFrame(rdd, schema)
   }
 
-  final case class LF(df: DataFrame, scope: Scope)
+  final case class LF(
+      df: DataFrame,
+      scope: Scope,
+      /** ORDER BY of the clause that produced this frame, rewritten to the
+        * frame's aliases: the NEXT clause's aggregation re-derives it so
+        * collect() observes the ordered stream (the reference guarantees
+        * aggregation input order after `WITH ... ORDER BY` — its Aggregate
+        * cursor just pulls the sorted stream, operator.hpp:1910). Reset by
+        * every non-projection clause. */
+      pendingOrder: Seq[(Expr, Boolean)] = Nil)
 
   private def initial: LF = LF(spark.range(1).drop("id"), Scope.empty)
 
@@ -5670,6 +5679,17 @@ final class Planner(
         case (sc, (nm, _)) => sc + (nm -> Binding.ValueB)
       }
       val lowPre = new ExprLowering(pre, scopeGk, params, enums = state.enums)
+      // ordered-aggregation contract: re-lower the previous clause's ORDER
+      // BY keys against the pre-aggregation frame; if every key is still
+      // expressible, collect() sorts its elements by them (Functions
+      // orderedCollect). A projected-away key falls back to the unordered
+      // collect (the pre-feature behavior).
+      locally {
+        val keys = lf.pendingOrder.flatMap { case (e, asc) =>
+          scala.util.Try(lowPre.lower(e)).toOption.map(c => (c, asc))
+        }
+        if (keys.size == lf.pendingOrder.size) lowPre.collectOrder = keys
+      }
       val aggCols = aggItems.map { case (alias, e2) =>
         lowPre.lower(e2).as(s"$alias${Frames.Sep}_val")
       } ++ carryCols.result().map(c => first(col(c)).as(c))
@@ -5893,7 +5913,10 @@ final class Planner(
         case (alias, Right(_)) => col(s"$alias${Frames.Sep}_val").as(alias)
       }
       LF(df.select(outCols: _*), newScope)
-    } else LF(df, newScope)
+    } else
+      LF(df, newScope,
+        pendingOrder =
+          body.orderBy.map { case (e, asc) => (resolveAlias(e, items), asc) })
   }
 
   /** ORDER BY/HAVING expressions that syntactically match a projected item

@@ -115,14 +115,14 @@ object LdbcQueries {
       |    language, creator, TRUE AS isPost FROM post
       |  UNION ALL SELECT id, creationDate, content, NULL, length, NULL,
       |    creator, FALSE FROM comment),
-      |knows AS (SELECT src, dst,
+      |knows AS (SELECT src, dst, src*(SELECT n FROM dims)+dst AS eid,
       |  TIMESTAMP '1995-06-01' + ((src*31+dst*17)%2000)*INTERVAL 1 DAY
       |    + ((src+dst)%24)*INTERVAL 1 HOUR AS creationDate FROM (
       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
       |    o_orderkey%(SELECT n FROM dims) AS dst FROM orders
       |  WHERE o_custkey != o_orderkey%(SELECT n FROM dims))),
-      |knows_u AS (SELECT src AS a, dst AS b, creationDate FROM knows
-      |  UNION ALL SELECT dst, src, creationDate FROM knows),
+      |knows_u AS (SELECT src AS a, dst AS b, eid, creationDate FROM knows
+      |  UNION ALL SELECT dst, src, eid, creationDate FROM knows),
       |study AS (SELECT CAST(c_custkey AS BIGINT) AS person,
       |  ((c_custkey//3)%((SELECT s FROM dims)//2))*2+1 AS uni,
       |  1985 + c_custkey%30 AS classYear
@@ -133,6 +133,10 @@ object LdbcQueries {
       |  FROM customer WHERE c_custkey%2=0),
       |hastag AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS pk,
       |  CAST(l_partkey AS BIGINT) AS tg FROM lineitem),
+      |msgtag AS (
+      |  SELECT p.id AS msg, ht.tg FROM post p JOIN hastag ht ON ht.pk = p.pk
+      |  UNION ALL
+      |  SELECT o*8+seq, pk FROM li),
       |member AS (SELECT f, m,
       |  TIMESTAMP '1995-01-01' + ((m*13+f*7)%2000)*INTERVAL 1 DAY AS joinDate
       |  FROM (SELECT DISTINCT (o_custkey+o_orderkey)%(SELECT s FROM dims)
@@ -601,5 +605,421 @@ object LdbcQueries {
          |FROM message
          |WHERE creationDate < TIMESTAMP '1999-01-01' AND content IS NOT NULL
          |GROUP BY 1, 2, 3
-         |ORDER BY year DESC, isComment ASC, lengthCategory ASC""".stripMargin))
+         |ORDER BY year DESC, isComment ASC, lengthCategory ASC""".stripMargin),
+
+    // ---- Interactive complex 7 (ldbc_interactive.py:471) ----------------
+    // head(collect(...)) after WITH ... ORDER BY exercises the engine's
+    // order-preserving aggregation.
+    lq(
+      "ldbc_ic7",
+      """MATCH (person:Person {id: 17})<-[:HAS_CREATOR]-(message:Message)<-[like:LIKES]-(liker:Person)
+        |WITH liker, message, like.creationDate AS likeTime, person
+        |ORDER BY likeTime DESC, toInteger(message.id) ASC
+        |WITH liker, head(collect({msg: message, likeTime: likeTime})) AS latestLike, person
+        |OPTIONAL MATCH (liker)-[:KNOWS]-(person)
+        |WITH liker, latestLike, person,
+        |  CASE WHEN person IS null THEN TRUE ELSE FALSE END AS isNew
+        |RETURN liker.id AS personId,
+        |  liker.firstName AS personFirstName,
+        |  liker.lastName AS personLastName,
+        |  toString(latestLike.likeTime) AS likeCreationDate,
+        |  latestLike.msg.id AS commentOrPostId,
+        |  coalesce(latestLike.msg.content, latestLike.msg.imageFile) AS commentOrPostContent,
+        |  (latestLike.likeTime - latestLike.msg.creationDate).minute AS minutesLatency
+        |ORDER BY likeCreationDate DESC, toInteger(personId) ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |lk AS (SELECT l.liker, l.msg, l.creationDate AS likeTime
+         |  FROM likes l JOIN message m ON m.id = l.msg WHERE m.creator = 17),
+         |latest AS (SELECT liker, msg, likeTime FROM (
+         |  SELECT liker, msg, likeTime, ROW_NUMBER() OVER (
+         |    PARTITION BY liker ORDER BY likeTime DESC, msg ASC) AS rn
+         |  FROM lk) WHERE rn = 1),
+         |final AS (SELECT lt.liker, lt.msg, lt.likeTime FROM latest lt
+         |  LEFT JOIN knows_u k ON k.a = lt.liker AND k.b = 17)
+         |SELECT p.id AS personId, p.firstName AS personFirstName,
+         |  p.lastName AS personLastName,
+         |  CAST(f.likeTime AS VARCHAR) AS likeCreationDate,
+         |  f.msg AS commentOrPostId,
+         |  coalesce(m.content, m.imageFile) AS commentOrPostContent,
+         |  CAST(date_part('minute', f.likeTime - m.creationDate) AS BIGINT)
+         |    AS minutesLatency
+         |FROM final f
+         |JOIN person p ON p.id = f.liker
+         |JOIN message m ON m.id = f.msg
+         |ORDER BY likeCreationDate DESC, personId ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- BI 2 (ldbc_bi.py:217) -------------------------------------------
+    lq(
+      "ldbc_bi2",
+      """MATCH (tag:Tag)-[:HAS_TYPE]->(:TagClass {name: 'TC_EUROPE'})
+        |OPTIONAL MATCH (message1:Message)-[:HAS_TAG]->(tag)
+        |WHERE localDateTime('1996-01-01T00:00:00') <= message1.creationDate
+        |  AND message1.creationDate < localDateTime('1996-01-01T00:00:00') + duration({day: 100})
+        |WITH tag, count(message1) AS countWindow1
+        |OPTIONAL MATCH (message2:Message)-[:HAS_TAG]->(tag)
+        |WHERE localDateTime('1996-01-01T00:00:00') + duration({day: 100}) <= message2.creationDate
+        |  AND message2.creationDate < localDateTime('1996-01-01T00:00:00') + duration({day: 200})
+        |WITH tag, countWindow1, count(message2) AS countWindow2
+        |RETURN tag.name AS tagName, countWindow1, countWindow2,
+        |  abs(countWindow1 - countWindow2) AS diff
+        |ORDER BY diff DESC, tagName ASC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |t3 AS (SELECT id, name FROM tag WHERE classId = 3),
+         |w1 AS (SELECT mt.tg, count(*) AS c FROM msgtag mt
+         |  JOIN message m ON m.id = mt.msg
+         |  WHERE m.creationDate >= TIMESTAMP '1996-01-01'
+         |    AND m.creationDate < TIMESTAMP '1996-01-01' + 100*INTERVAL 1 DAY
+         |  GROUP BY 1),
+         |w2 AS (SELECT mt.tg, count(*) AS c FROM msgtag mt
+         |  JOIN message m ON m.id = mt.msg
+         |  WHERE m.creationDate >= TIMESTAMP '1996-01-01' + 100*INTERVAL 1 DAY
+         |    AND m.creationDate < TIMESTAMP '1996-01-01' + 200*INTERVAL 1 DAY
+         |  GROUP BY 1)
+         |SELECT t.name AS tagName,
+         |  coalesce(w1.c, 0) AS countWindow1,
+         |  coalesce(w2.c, 0) AS countWindow2,
+         |  abs(coalesce(w1.c, 0) - coalesce(w2.c, 0)) AS diff
+         |FROM t3 t
+         |LEFT JOIN w1 ON w1.tg = t.id
+         |LEFT JOIN w2 ON w2.tg = t.id
+         |ORDER BY diff DESC, tagName ASC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 3 (ldbc_bi.py:284) -------------------------------------------
+    lq(
+      "ldbc_bi3",
+      """MATCH
+        |  (:Country {name: 'NATION_2'})<-[:IS_PART_OF]-(:City)<-[:IS_LOCATED_IN]-
+        |  (person:Person)<-[:HAS_MODERATOR]-(forum:Forum)-[:CONTAINER_OF]->
+        |  (post:Post)<-[:REPLY_OF*0..]-(message:Message)-[:HAS_TAG]->(:Tag)-[:HAS_TYPE]->(:TagClass {name: 'TC_AMERICA'})
+        |RETURN forum.id as id, forum.title AS title, person.id AS personId,
+        |  count(DISTINCT message) AS messageCount
+        |ORDER BY messageCount DESC, id ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |mods AS (SELECT f.id AS fid, f.title, f.moderator FROM forum f
+         |  JOIN person p ON p.id = f.moderator
+         |  JOIN city ci ON ci.id = p.cityId
+         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_2')),
+         |thread AS (SELECT id AS msg, pk FROM post
+         |  UNION ALL SELECT id, pk FROM comment)
+         |SELECT m.fid AS id, m.title AS title, m.moderator AS personId,
+         |  count(DISTINCT th.msg) AS messageCount
+         |FROM mods m
+         |JOIN post po ON po.forumId = m.fid
+         |JOIN thread th ON th.pk = po.pk
+         |JOIN msgtag mt ON mt.msg = th.msg AND mt.tg % 5 = 1
+         |GROUP BY 1, 2, 3
+         |ORDER BY messageCount DESC, id ASC
+         |LIMIT 20""".stripMargin),
+
+    // ---- BI 5 (ldbc_bi.py:312) -------------------------------------------
+    lq(
+      "ldbc_bi5",
+      """MATCH (tag:Tag {name: 'Tag_41'})<-[:HAS_TAG]-(message:Message)-[:HAS_CREATOR]->(person:Person)
+        |OPTIONAL MATCH (message)<-[likes:LIKES]-(:Person)
+        |WITH person, message, count(likes) AS likeCount
+        |OPTIONAL MATCH (message)<-[:REPLY_OF]-(reply:Comment)
+        |WITH person, message, likeCount, count(reply) AS replyCount
+        |WITH person, count(message) AS messageCount, sum(likeCount) AS likeCount, sum(replyCount) AS replyCount
+        |RETURN person.id AS personId, replyCount, likeCount, messageCount,
+        |  1*messageCount + 2*replyCount + 10*likeCount AS score
+        |ORDER BY score DESC, personId ASC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |msgs AS (SELECT m.id, m.creator FROM message m
+         |  JOIN msgtag mt ON mt.msg = m.id AND mt.tg = 41),
+         |lc AS (SELECT l.msg, count(*) AS c FROM likes l
+         |  JOIN msgs ON msgs.id = l.msg GROUP BY 1),
+         |rc AS (SELECT c.parentId, count(*) AS c FROM comment c
+         |  JOIN msgs ON msgs.id = c.parentId GROUP BY 1),
+         |per AS (SELECT m.creator,
+         |  count(*) AS messageCount,
+         |  CAST(sum(coalesce(lc.c, 0)) AS BIGINT) AS likeCount,
+         |  CAST(sum(coalesce(rc.c, 0)) AS BIGINT) AS replyCount
+         |  FROM msgs m
+         |  LEFT JOIN lc ON lc.msg = m.id
+         |  LEFT JOIN rc ON rc.parentId = m.id
+         |  GROUP BY 1)
+         |SELECT p.id AS personId, replyCount, likeCount, messageCount,
+         |  messageCount + 2*replyCount + 10*likeCount AS score
+         |FROM per JOIN person p ON p.id = per.creator
+         |ORDER BY score DESC, personId ASC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 6 (ldbc_bi.py:343) -------------------------------------------
+    lq(
+      "ldbc_bi6",
+      """MATCH (tag:Tag {name: 'Tag_40'})<-[:HAS_TAG]-(message1:Message)-[:HAS_CREATOR]->(person1:Person)
+        |OPTIONAL MATCH (message1)<-[:LIKES]-(person2:Person)
+        |OPTIONAL MATCH (person2)<-[:HAS_CREATOR]-(message2:Message)<-[like:LIKES]-(person3:Person)
+        |RETURN person1.id as id, count(DISTINCT like) AS authorityScore
+        |ORDER BY authorityScore DESC, id ASC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |m1 AS (SELECT m.id AS mid, m.creator AS p1 FROM message m
+         |  JOIN msgtag mt ON mt.msg = m.id AND mt.tg = 40),
+         |base AS (SELECT DISTINCT p1 FROM m1),
+         |p2 AS (SELECT DISTINCT m1.p1, l.liker AS p2 FROM m1
+         |  JOIN likes l ON l.msg = m1.mid),
+         |pairs AS (SELECT DISTINCT p2.p1, l2.liker, l2.msg FROM p2
+         |  JOIN message m2 ON m2.creator = p2.p2
+         |  JOIN likes l2 ON l2.msg = m2.id),
+         |cnt AS (SELECT p1, count(*) AS c FROM pairs GROUP BY 1)
+         |SELECT b.p1 AS id, coalesce(cnt.c, 0) AS authorityScore
+         |FROM base b LEFT JOIN cnt ON cnt.p1 = b.p1
+         |ORDER BY authorityScore DESC, id ASC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 7 (ldbc_bi.py:368, memgraph variant) --------------------------
+    // RETURN relatedTag (a whole vertex) projects relatedTag.name instead
+    // (the neo4j variant's projection); `count` aliases as cnt.
+    lq(
+      "ldbc_bi7",
+      """MATCH
+        |  (tag:Tag {name: 'Tag_41'})<-[:HAS_TAG]-(message:Message),
+        |  (message)<-[:REPLY_OF]-(comment:Comment)-[:HAS_TAG]->(relatedTag:Tag)
+        |OPTIONAL MATCH (comment)-[:HAS_TAG]->(tag)
+        |WHERE tag IS NOT NULL
+        |RETURN relatedTag.name AS relatedTagName,
+        |  count(DISTINCT comment) AS cnt
+        |ORDER BY relatedTagName ASC, cnt DESC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |m41 AS (SELECT msg FROM msgtag WHERE tg = 41),
+         |rows AS (SELECT DISTINCT c.id AS cid, ct.tg FROM comment c
+         |  JOIN m41 ON m41.msg = c.parentId
+         |  JOIN msgtag ct ON ct.msg = c.id)
+         |SELECT t.name AS relatedTagName, count(DISTINCT cid) AS cnt
+         |FROM rows JOIN tag t ON t.id = rows.tg
+         |GROUP BY 1
+         |ORDER BY relatedTagName ASC, cnt DESC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 9 (ldbc_bi.py:416) -------------------------------------------
+    lq(
+      "ldbc_bi9",
+      """MATCH (person:Person)<-[:HAS_CREATOR]-(post:Post)<-[:REPLY_OF*0..]-(reply:Message)
+        |WHERE post.creationDate >= localDateTime('1996-01-01T00:00:00')
+        |  AND post.creationDate <= localDateTime('1997-01-01T00:00:00')
+        |  AND reply.creationDate >= localDateTime('1996-01-01T00:00:00')
+        |  AND reply.creationDate <= localDateTime('1997-01-01T00:00:00')
+        |RETURN person.id as id, person.firstName AS firstName,
+        |  person.lastName AS lastName,
+        |  count(DISTINCT post) AS threadCount,
+        |  count(DISTINCT reply) AS messageCount
+        |ORDER BY messageCount DESC, id ASC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |thread AS (SELECT id AS msg, pk, creationDate FROM post
+         |  UNION ALL SELECT id, pk, creationDate FROM comment),
+         |rows AS (SELECT p.creator, p.pk, th.msg FROM post p
+         |  JOIN thread th ON th.pk = p.pk
+         |  WHERE p.creationDate >= TIMESTAMP '1996-01-01'
+         |    AND p.creationDate <= TIMESTAMP '1997-01-01'
+         |    AND th.creationDate >= TIMESTAMP '1996-01-01'
+         |    AND th.creationDate <= TIMESTAMP '1997-01-01')
+         |SELECT pe.id AS id, pe.firstName AS firstName,
+         |  pe.lastName AS lastName,
+         |  count(DISTINCT r.pk) AS threadCount,
+         |  count(DISTINCT r.msg) AS messageCount
+         |FROM rows r JOIN person pe ON pe.id = r.creator
+         |GROUP BY 1, 2, 3
+         |ORDER BY messageCount DESC, id ASC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 11 (ldbc_bi.py:470) ------------------------------------------
+    lq(
+      "ldbc_bi11",
+      """MATCH (a:Person)-[:IS_LOCATED_IN]->(:City)-[:IS_PART_OF]->(country:Country {name: 'NATION_7'}),
+        |  (a)-[k1:KNOWS]-(b:Person)
+        |WHERE a.id < b.id
+        |  AND localDateTime('1995-01-01T00:00:00') <= k1.creationDate AND k1.creationDate <= localDateTime('2001-12-31T00:00:00')
+        |WITH DISTINCT country, a, b
+        |MATCH (b)-[:IS_LOCATED_IN]->(:City)-[:IS_PART_OF]->(country)
+        |WITH DISTINCT country, a, b
+        |MATCH (b)-[k2:KNOWS]-(c:Person),
+        |  (c)-[:IS_LOCATED_IN]->(:City)-[:IS_PART_OF]->(country)
+        |WHERE b.id < c.id
+        |  AND localDateTime('1995-01-01T00:00:00') <= k2.creationDate AND k2.creationDate <= localDateTime('2001-12-31T00:00:00')
+        |WITH DISTINCT a, b, c
+        |MATCH (c)-[k3:KNOWS]-(a)
+        |WHERE localDateTime('1995-01-01T00:00:00') <= k3.creationDate AND k3.creationDate <= localDateTime('2001-12-31T00:00:00')
+        |WITH DISTINCT a, b, c
+        |RETURN count(*) AS cnt""".stripMargin,
+      s"""WITH $prelude,
+         |pc AS (SELECT p.id FROM person p JOIN city ci ON ci.id = p.cityId
+         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_7')),
+         |kw AS (SELECT a, b FROM knows_u
+         |  WHERE creationDate >= TIMESTAMP '1995-01-01'
+         |    AND creationDate <= TIMESTAMP '2001-12-31'),
+         |tri AS (SELECT DISTINCT k1.a, k1.b, k2.b AS c FROM kw k1
+         |  JOIN pc pa ON pa.id = k1.a
+         |  JOIN pc pb ON pb.id = k1.b
+         |  JOIN kw k2 ON k2.a = k1.b
+         |  JOIN pc pcc ON pcc.id = k2.b
+         |  JOIN kw k3 ON k3.a = k2.b AND k3.b = k1.a
+         |  WHERE k1.a < k1.b AND k1.b < k2.b)
+         |SELECT count(*) AS cnt FROM tri""".stripMargin),
+
+    // ---- BI 12 (ldbc_bi.py:501) ------------------------------------------
+    lq(
+      "ldbc_bi12",
+      """MATCH (person:Person)
+        |OPTIONAL MATCH (person)<-[:HAS_CREATOR]-(message:Message)-[:REPLY_OF*0..]->(post:Post)
+        |WHERE message.content IS NOT NULL
+        |  AND message.length < 100
+        |  AND message.creationDate > localDateTime('1996-01-01T00:00:00')
+        |  AND post.language IN ['lang0', 'lang2']
+        |WITH person, count(message) AS messageCount
+        |RETURN messageCount, count(person) AS personCount
+        |ORDER BY personCount DESC, messageCount DESC""".stripMargin,
+      s"""WITH $prelude,
+         |qual AS (SELECT m.creator, count(*) AS c FROM message m
+         |  JOIN post p ON p.pk = m.id // 8
+         |  WHERE m.content IS NOT NULL AND m.length < 100
+         |    AND m.creationDate > TIMESTAMP '1996-01-01'
+         |    AND p.language IN ('lang0', 'lang2')
+         |  GROUP BY 1)
+         |SELECT coalesce(q.c, 0) AS messageCount,
+         |  count(*) AS personCount
+         |FROM person pe LEFT JOIN qual q ON q.creator = pe.id
+         |GROUP BY 1
+         |ORDER BY personCount DESC, messageCount DESC""".stripMargin),
+
+    // ---- BI 13 (ldbc_bi.py:531) ------------------------------------------
+    lq(
+      "ldbc_bi13",
+      """MATCH (country:Country {name: 'NATION_4'})<-[:IS_PART_OF]-(:City)<-[:IS_LOCATED_IN]-(zombie:Person)
+        |WHERE zombie.creationDate < localDateTime('2000-01-01T00:00:00')
+        |WITH country, zombie
+        |OPTIONAL MATCH (zombie)<-[:HAS_CREATOR]-(message:Message)
+        |WHERE message.creationDate < localDateTime('2000-01-01T00:00:00')
+        |WITH country, zombie, count(message) AS messageCount
+        |WITH country, zombie,
+        |  12 * (localDateTime('2000-01-01T00:00:00').year - zombie.creationDate.year)
+        |    + (localDateTime('2000-01-01T00:00:00').month - zombie.creationDate.month)
+        |    + 1 AS months,
+        |  messageCount
+        |WHERE messageCount / months < 1
+        |WITH country, collect(zombie) AS zombies
+        |UNWIND zombies AS zombie
+        |OPTIONAL MATCH (zombie)<-[:HAS_CREATOR]-(message:Message)<-[:LIKES]-(likerZombie:Person)
+        |WHERE likerZombie IN zombies
+        |WITH zombie, count(likerZombie) AS zombieLikeCount
+        |OPTIONAL MATCH (zombie)<-[:HAS_CREATOR]-(message:Message)<-[:LIKES]-(likerPerson:Person)
+        |WHERE likerPerson.creationDate < localDateTime('2000-01-01T00:00:00')
+        |WITH zombie, zombieLikeCount, count(likerPerson) AS totalLikeCount
+        |RETURN zombie.id AS zombieId, zombieLikeCount, totalLikeCount,
+        |CASE totalLikeCount
+        |WHEN 0 THEN 0.0
+        |ELSE zombieLikeCount / toFloat(totalLikeCount)
+        |END AS zombieScore
+        |ORDER BY zombieScore DESC, zombieId ASC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |zomb AS (SELECT p.id, p.creationDate FROM person p
+         |  JOIN city ci ON ci.id = p.cityId
+         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_4')
+         |    AND p.creationDate < TIMESTAMP '2000-01-01'),
+         |mc AS (SELECT z.id, count(m.id) AS c FROM zomb z
+         |  LEFT JOIN message m ON m.creator = z.id
+         |    AND m.creationDate < TIMESTAMP '2000-01-01'
+         |  GROUP BY 1),
+         |zombies AS (SELECT z.id FROM zomb z JOIN mc ON mc.id = z.id
+         |  WHERE mc.c // (12*(2000 - EXTRACT(year FROM z.creationDate))
+         |    + (1 - EXTRACT(month FROM z.creationDate)) + 1) < 1),
+         |zl AS (SELECT z.id, count(*) AS c FROM zombies z
+         |  JOIN message m ON m.creator = z.id
+         |  JOIN likes l ON l.msg = m.id
+         |  JOIN zombies z2 ON z2.id = l.liker
+         |  GROUP BY 1),
+         |tl AS (SELECT z.id, count(*) AS c FROM zombies z
+         |  JOIN message m ON m.creator = z.id
+         |  JOIN likes l ON l.msg = m.id
+         |  JOIN person lp ON lp.id = l.liker
+         |    AND lp.creationDate < TIMESTAMP '2000-01-01'
+         |  GROUP BY 1)
+         |SELECT z.id AS zombieId,
+         |  coalesce(zl.c, 0) AS zombieLikeCount,
+         |  coalesce(tl.c, 0) AS totalLikeCount,
+         |  CASE WHEN coalesce(tl.c, 0) = 0 THEN 0.0
+         |       ELSE coalesce(zl.c, 0) / CAST(tl.c AS DOUBLE) END AS zombieScore
+         |FROM zombies z
+         |LEFT JOIN zl ON zl.id = z.id
+         |LEFT JOIN tl ON tl.id = z.id
+         |ORDER BY zombieScore DESC, zombieId ASC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 14 (ldbc_bi.py:648) ------------------------------------------
+    // collect(...)[0] after WITH DISTINCT ... ORDER BY — the second
+    // ordered-aggregation consumer.
+    lq(
+      "ldbc_bi14",
+      """MATCH
+        |  (country1:Country {name: 'NATION_1'})<-[:IS_PART_OF]-(city1:City)<-[:IS_LOCATED_IN]-(person1:Person),
+        |  (country2:Country {name: 'NATION_2'})<-[:IS_PART_OF]-(city2:City)<-[:IS_LOCATED_IN]-(person2:Person),
+        |  (person1)-[:KNOWS]-(person2)
+        |WITH person1, person2, city1, 0 AS score
+        |OPTIONAL MATCH (person1)<-[:HAS_CREATOR]-(c:Comment)-[:REPLY_OF]->(:Message)-[:HAS_CREATOR]->(person2)
+        |WITH DISTINCT person1, person2, city1, score + (CASE c WHEN null THEN 0 ELSE  4 END) AS score
+        |OPTIONAL MATCH (person1)<-[:HAS_CREATOR]-(m:Message)<-[:REPLY_OF]-(:Comment)-[:HAS_CREATOR]->(person2)
+        |WITH DISTINCT person1, person2, city1, score + (CASE m WHEN null THEN 0 ELSE  1 END) AS score
+        |OPTIONAL MATCH (person1)-[:LIKES]->(m:Message)-[:HAS_CREATOR]->(person2)
+        |WITH DISTINCT person1, person2, city1, score + (CASE m WHEN null THEN 0 ELSE 10 END) AS score
+        |OPTIONAL MATCH (person1)<-[:HAS_CREATOR]-(m:Message)<-[:LIKES]-(person2)
+        |WITH DISTINCT person1, person2, city1, score + (CASE m WHEN null THEN 0 ELSE  1 END) AS score
+        |ORDER BY city1.name ASC, score DESC, person1.id ASC, person2.id ASC
+        |WITH city1, collect({score: score, person1Id: person1.id, person2Id: person2.id})[0] AS top
+        |RETURN top.person1Id AS person1Id, top.person2Id AS person2Id,
+        |  city1.name AS cityName, top.score AS score
+        |ORDER BY score DESC, person1Id ASC, person2Id ASC
+        |LIMIT 100""".stripMargin,
+      s"""WITH $prelude,
+         |pairs AS (SELECT DISTINCT p1.id AS a, p2.id AS b, p1.cityId AS city1
+         |  FROM knows_u k
+         |  JOIN person p1 ON p1.id = k.a
+         |  JOIN city c1 ON c1.id = p1.cityId
+         |    AND c1.countryId = (SELECT id FROM country WHERE name='NATION_1')
+         |  JOIN person p2 ON p2.id = k.b
+         |  JOIN city c2 ON c2.id = p2.cityId
+         |    AND c2.countryId = (SELECT id FROM country WHERE name='NATION_2')),
+         |top AS (SELECT city1, a, b FROM (
+         |  SELECT city1, a, b,
+         |    ROW_NUMBER() OVER (PARTITION BY city1 ORDER BY a, b) AS rn
+         |  FROM pairs) WHERE rn = 1)
+         |SELECT a AS person1Id, b AS person2Id,
+         |  'City_' || city1 AS cityName, CAST(16 AS BIGINT) AS score
+         |FROM top
+         |ORDER BY score DESC, person1Id ASC, person2Id ASC
+         |LIMIT 100""".stripMargin),
+
+    // ---- BI 18 (ldbc_bi.py:692, memgraph variant) --------------------------
+    lq(
+      "ldbc_bi18",
+      """MATCH (tag:Tag {name: 'Tag_108'})<-[:HAS_INTEREST]-(person1:Person)-[:KNOWS]-(mutualFriend:Person)-[:KNOWS]-(person2:Person)-[:HAS_INTEREST]->(tag)
+        |OPTIONAL MATCH (person1)-[:KNOWS]-(person2)
+        |WHERE person1 <> person2
+        |RETURN person1.id AS person1Id, person2.id AS person2Id,
+        |  count(DISTINCT mutualFriend) AS mutualFriendCount
+        |ORDER BY mutualFriendCount DESC, person1Id ASC, person2Id ASC
+        |LIMIT 20""".stripMargin,
+      s"""WITH $prelude,
+         |ppl AS (SELECT person FROM interest WHERE tg = 108),
+         |rows AS (SELECT DISTINCT k1.a AS p1, k1.b AS m, k2.b AS p2
+         |  FROM knows_u k1
+         |  JOIN knows_u k2 ON k2.a = k1.b AND k2.eid != k1.eid
+         |  JOIN ppl i1 ON i1.person = k1.a
+         |  JOIN ppl i2 ON i2.person = k2.b
+         |  -- p1 = p2 would reuse ONE interest edge for both pattern ends;
+         |  -- MATCH edge-uniqueness (cyphermorphism) rejects that
+         |  WHERE k1.a != k2.b)
+         |SELECT p1 AS person1Id, p2 AS person2Id,
+         |  count(DISTINCT m) AS mutualFriendCount
+         |FROM rows GROUP BY 1, 2
+         |ORDER BY mutualFriendCount DESC, person1Id ASC, person2Id ASC
+         |LIMIT 20""".stripMargin))
 }

@@ -312,8 +312,14 @@ object LdbcGraphLoader {
           col("l_orderkey").cast("long").as("o"),
           col("l_partkey").cast("long").as("p"))
         .distinct()
-      edge(131L, col("o") * d.p + col("p"),
+      val postTags = edge(131L, col("o") * d.p + col("p"),
         nid(postBase, col("o")), nid(tagBase, col("p")), "HAS_TAG")(pairs)
+      // each comment tags its canonical partkey (BI7's related-tag shape
+      // needs comments to carry tags, as LDBC comments do)
+      val commentTags = edge(141L, col("o") * 8 + col("seq"),
+        nid(commentBase, col("o") * 8 + col("seq")),
+        nid(tagBase, col("pk")), "HAS_TAG")(li())
+      GraphState.unionReconciled(postTags, commentTags)
     }
     def hasType(): DataFrame =
       edge(132L, col("p_partkey").cast("long"),
