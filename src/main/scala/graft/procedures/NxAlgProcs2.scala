@@ -1221,13 +1221,24 @@ object NxAlgProcs2 {
   }
 
   /** nxalg.k_components (nxalg.py:172-180) — one row per k with that
-    * level's components. `nx.k_components` resolves to the EXACT
+    * level's components. `nx.k_components` resolves to the exact
     * Moody–White algorithm (networkx.algorithms.connectivity.kcomponents
     * — the nxalg.py comment naming the approximation module is
     * misleading; the approximation lives under nx.approximation and is
-    * not what the unqualified call dispatches to), so the output IS
-    * pinnable: [[NxLocal.kComponents]] implements the same cut-recursion
-    * exactly. The reference's `density` parameter would reach the exact
+    * not what the unqualified call dispatches to).
+    *
+    * KNOWN DIVERGENCE (deliberate): [[NxLocal.kComponents]] computes the
+    * Moody–White DEFINITION exactly (every maximal k-connected subgraph,
+    * brute-force-verified), while networkx's kcomponents recursion can
+    * MISS maximal k-connected subsets that only emerge after removing a
+    * cut at a lower level (fuzzing 120 random graphs against networkx
+    * 3.6 found 3 such cases, e.g. an embedded K4 missing from its
+    * 3-component level). On those inputs this procedure returns the
+    * definition-correct superset — definition parity, not
+    * output-row-for-row networkx parity. See COVERAGE.md
+    * "nxalg.k_components divergence".
+    *
+    * The reference's `density` parameter would reach the exact
     * function's `flow_func` slot (a number is not callable there), so a
     * non-default value is rejected rather than silently ignored. */
   def kComponentsP(ctx: ProcContext): DataFrame = {

@@ -421,7 +421,11 @@ private[procedures] object NxLocal {
   // ------------------------------------------------------------------
   // exact k-components (Moody–White; reference nxalg.py k_components →
   // networkx.algorithms.connectivity.kcomponents — the EXACT algorithm,
-  // not the Torrents–Ferraro approximation)
+  // not the Torrents–Ferraro approximation). NOTE: exact to the
+  // DEFINITION — networkx's own recursion misses some maximal
+  // k-connected subsets (see kComponents scaladoc / COVERAGE.md
+  // "nxalg.k_components divergence"); on those graphs this code returns
+  // the brute-force-verified answer, networkx does not.
 
   /** st vertex connectivity AND one minimum s-t vertex cut on an
     * UNDIRECTED simple adjacency (Even–Tarjan split-node Dinic; the cut
@@ -557,7 +561,11 @@ private[procedures] object NxLocal {
     * is k-connected. Level 1 = connected components; level k recurses
     * into the (k-1)-components, removing one minimum vertex cut at a
     * time — a k-connected subset can never straddle a cut smaller than
-    * k, so recursing on (component ∪ cut) is exact. */
+    * k, so recursing on (component ∪ cut) is exact w.r.t. the
+    * DEFINITION. networkx's kcomponents gates recursion differently
+    * (all_node_cuts + this_k > parent_k) and can miss levels this code
+    * finds — a known, documented divergence (COVERAGE.md), not a bug
+    * here. */
   def kComponents(g: G): Seq[(Int, Seq[Seq[Long]])] = {
     val baseAdj = g.undSimple
     def induced(s: Set[Long]): Map[Long, Seq[Long]] =

@@ -333,20 +333,40 @@ object Procedures {
     val meta = Set(
       GraphState.IdCol, GraphState.LabelsCol,
       GraphState.SrcCol, GraphState.DstCol, GraphState.TypeCol)
-    def row(kind: String, name: String, frame: DataFrame): DataFrame = {
-      val props = frame.columns.filterNot(meta.contains).sorted.mkString(",")
-      frame
-        .agg(count(lit(1)).as("n"))
+    // ONE job: every frame contributes only its literal (kind, name) tag
+    // — a zero-column parquet scan — into a single union, and one
+    // map-side-combined groupBy counts them all together. The previous
+    // shape (one count-aggregate subtree per frame, ~2 AQE stages each)
+    // multiplied scheduler latency by the label count and swung 0.5-3.5 s
+    // under load (VERDICT r16); this is also label-count-independent at
+    // scale. Property lists come from the schemas (no data read); the
+    // driver-side dimension join restores empty frames as n=0 rows.
+    val entries: Seq[(String, String, DataFrame)] =
+      g.nodeLabels.toSeq.sorted.map(l => ("node", l, g.nodes(l))) ++
+        g.edgeTypes.toSeq.sorted.map(t => ("edge", t, g.edges(t)))
+    if (entries.isEmpty)
+      return ctx.spark.emptyDataFrame
         .select(
-          lit(kind).as("kind"),
-          lit(name).as("name"),
-          col("n"),
-          lit(props).as("props"))
-    }
-    val rows =
-      g.nodeLabels.toSeq.sorted.map(l => row("node", l, g.nodes(l))) ++
-        g.edgeTypes.toSeq.sorted.map(t => row("edge", t, g.edges(t)))
-    rows.reduce(_ unionByName _)
+          lit("").as("kind"), lit("").as("name"),
+          lit(0L).as("n"), lit("").as("props"))
+        .limit(0)
+    val tagged = entries
+      .map { case (k, n, f) =>
+        f.select(lit(k).as("kind"), lit(n).as("name"))
+      }
+      .reduce(_ unionByName _)
+    val counts = tagged.groupBy("kind", "name").agg(count(lit(1)).as("n"))
+    import ctx.spark.implicits._
+    val dim = entries
+      .map { case (k, n, f) =>
+        (k, n, f.columns.filterNot(meta.contains).sorted.mkString(","))
+      }
+      .toDF("kind", "name", "props")
+    broadcast(dim)
+      .join(counts, Seq("kind", "name"), "left")
+      .select(
+        col("kind"), col("name"),
+        coalesce(col("n"), lit(0L)).as("n"), col("props"))
   }
 
   /** ANALYZE GRAPH analog (ast.hpp:3997): per-property statistics for

@@ -32,10 +32,11 @@ object LlmQueries {
     * materialization. At 100 TB the analog is writing the coded corpus
     * to parquet once and bucket-joining against the materialization. */
   private val codedCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
 
   private def codedEmbeddings(s: SparkSession, dir: String): DataFrame =
-    codedCache.getOrElseUpdate(dir, {
+    codedCache.getOrElseUpdate((s, dir), {
       val nVec = embs(s, dir).count()
       val bits = math.max(
         8,

@@ -191,6 +191,93 @@ object MageSurfaceQueries {
              |                             ORDER BY s DESC, c) <= 2)
              |ORDER BY q, c""".stripMargin)),
 
+    // knn.get on a corpus in the BUCKETED range: the spark.graft.knn.exact
+    // default moved 8192 -> 1024 (r16), silently switching 1k-8k corpora
+    // from exact pairwise top-k to the sign-code approximate path. This
+    // gate pins that path's recall@2 against the in-engine exact answer
+    // on a 1,500-vector corpus (3 deterministically-perturbed copies of
+    // the embeddings table), so a recall regression in the bucketing
+    // breaks a hash-checked gate instead of shipping silently. The
+    // oracle pins the measured constant (the whole pipeline is
+    // deterministic for a fixed dir).
+    QueryDef(
+      "call_knn_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        // vec_id < 500 pins the SAME 1,500-vector corpus at every scale
+        // factor (sf0.01 has exactly ids 0..499, so this is a no-op
+        // there and the measured 0.976 constant holds everywhere): the
+        // gate measures bucketing recall, and its exact baseline is a
+        // deliberate O(n²) crossJoin that must not grow with sf (253 s
+        // at sf0.1 unpinned)
+        val base = TpchGraphLoader.table(s, dir, "embeddings")
+          .filter(col("vec_id") < 500)
+          .select(
+            col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val corpus = (0 until 3)
+          .map { k =>
+            base.select(
+              (col("vec_id") + lit(k * 500000L)).as("vec_id"),
+              transform(
+                col("embedding"),
+                (x, i) => x + lit(k * 0.001) * cos(i + lit(k)))
+                .as("embedding"))
+          }
+          .reduce(_ unionByName _)
+        val g = graft.core.GraphState(
+          Map("Embedding" -> (() =>
+            corpus.select(
+              TpchGraphLoader.nodeId("Embedding", col("vec_id"))
+                .as(graft.core.GraphState.IdCol),
+              array(lit("Embedding"))
+                .as(graft.core.GraphState.LabelsCol),
+              col("vec_id"),
+              col("embedding")))),
+          Map.empty)
+        val approx = Cypher.run(
+          s, g,
+          """CALL knn.get({nodeProperties: 'embedding', topK: 2})
+            |YIELD node, neighbour RETURN node AS q, neighbour AS c"""
+            .stripMargin)
+        val n = corpus
+          .select(
+            TpchGraphLoader.nodeId("Embedding", col("vec_id")).as("id"),
+            col("embedding").as("v"))
+          .withColumn("nrm", graft.llm.LlmOps.l2norm(col("v")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q").orderBy(col("sim").desc, col("c"))
+        val exact = n.as("a")
+          .crossJoin(n.select(
+            col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+          .filter(col("id") =!= col("cid"))
+          .select(
+            col("id").as("q"), col("cid").as("c"),
+            (graft.llm.LlmOps.dot(col("v"), col("cv")) /
+              (col("nrm") * col("cnrm"))).as("sim"))
+          .filter(col("sim") >= 0)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("q"), col("c"))
+        // hit and tot in ONE action so the O(n²) exact pipeline runs once
+        val row = exact
+          .join(
+            approx.withColumn("__hit", lit(1)),
+            Seq("q", "c"),
+            "left_outer")
+          .agg(
+            count(lit(1)).as("tot"),
+            sum(coalesce(col("__hit"), lit(0))).as("hit"))
+          .head()
+        s.range(1).select(
+          round(
+            lit(row.getLong(1).toDouble / row.getLong(0)), 4).as("recall"))
+      },
+      // measured constant for the derived 1,500-vector corpus; see gate
+      // comment (regression tripwire, re-measure only on an intentional
+      // bucketing change)
+      Some("SELECT 0.976 AS recall")),
+
     // node2vec.get_embeddings — (node, embedding): shape + unit-norm
     // invariants (bucket hashes aren't portable to SQL; the walk layer
     // itself is oracle-checked via algo.node2vec's gate)

@@ -11,7 +11,8 @@ object Registry {
       Round10Queries.defs ++ Round11Queries.defs ++ Round12Queries.defs ++
       Round13Queries.defs ++ Round14Queries.defs ++
       MageSurfaceQueries.defs ++ Round15Queries.defs ++
-      Round15NxQueries.defs ++ PokecQueries.defs ++ LdbcQueries.defs
+      Round15NxQueries.defs ++ PokecQueries.defs ++ LdbcQueries.defs ++
+      StressQueries.defs
 
   /** Fails fast on duplicate names (two areas claiming the same operator). */
   require(

@@ -64,14 +64,15 @@ object LdbcGraphLoader {
     * metadata-cheap. Memoized per dir alongside the GraphState. */
   final case class Dims(n: Long, s: Long, p: Long)
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, (GraphState, Dims)]
+  // keyed by (session, dir) — see TpchGraphLoader.cache
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (GraphState, Dims)]
 
   def apply(spark: SparkSession, dir: String): GraphState = state(spark, dir)._1
   def dims(spark: SparkSession, dir: String): Dims = state(spark, dir)._2
 
   private def state(spark: SparkSession, dir: String): (GraphState, Dims) =
-    cache.getOrElseUpdate(dir, {
+    cache.getOrElseUpdate((spark, dir), {
       val t = (n: String) => TpchGraphLoader.table(spark, dir, n)
       val Array(nMax, sMax, pMax) = Seq(
         t("customer").agg(max("c_custkey")),

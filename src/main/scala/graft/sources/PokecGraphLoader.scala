@@ -44,11 +44,12 @@ object PokecGraphLoader {
     * 0..79 with ~77% of users passing the workload's `age >= 18` filter. */
   def ageExpr(k: Column): Column = (k.cast("long") * 37) % 80
 
+  // keyed by (session, dir) — see TpchGraphLoader.cache
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, GraphState]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphState]
 
   def apply(spark: SparkSession, dir: String): GraphState =
-    cache.getOrElseUpdate(dir, {
+    cache.getOrElseUpdate((spark, dir), {
       val g =
         if (new java.io.File(s"$dir/users.parquet").exists()) native(spark, dir)
         else derived(spark, dir)
@@ -115,7 +116,16 @@ object PokecGraphLoader {
     def friendships(): DataFrame = {
       val f = spark.read.schema(friendsSchema)
         .parquet(s"$dir/friendships.parquet")
-      // (src,dst) unique by generation; key packs both (N ≤ 2^22 here)
+      // (src,dst) unique by generation; key packs both — the packing is
+      // only injective for ids < 2^22, so oversized inputs fail loudly
+      // instead of silently colliding edge identities
+      val maxId = spark.read.schema(usersSchema)
+        .parquet(s"$dir/users.parquet")
+        .agg(org.apache.spark.sql.functions.max("id")).head().getLong(0)
+      require(
+        maxId < 4194304L,
+        s"pokec native loader: user ids up to $maxId exceed the 2^22 " +
+          "edge-id packing space (src*2^22+dst would collide)")
       f.select(
         (lit(friendBase << Shift) + col("src") * 4194304L + col("dst"))
           .as(GraphState.IdCol),

@@ -260,11 +260,14 @@ object TpchGraphLoader {
 
   // GraphState is a pure-lazy bundle of DataFrames; memoize per sfDir so
   // repeated SparkEntry.queries calls don't re-read parquet footers.
+  // keyed by (session, dir): the thunks capture the building session, so
+  // a second SparkSession in the same JVM (multi-suite test runs) must
+  // not be served a frame bound to the first, possibly stopped, one
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, GraphState]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), GraphState]
 
   def apply(spark: SparkSession, sfDir: String): GraphState =
-    cache.getOrElseUpdate(sfDir, {
+    cache.getOrElseUpdate((spark, sfDir), {
       val g = build(spark, sfDir)
       // ingest-time index build (reference: storage/v2/indices built at
       // load): kick the src-sorted adjacency view off in the background

@@ -17,6 +17,22 @@ import graft.cypher.Cypher
   *   - FAIL: the engine produced a *different answer* — this fails the
   *     suite; a pass-count floor per file guards against silent all-skip.
   */
+object GqlHarness {
+  /** Strict-step ("the result should be:") scenarios whose expected
+    * tables encode memgraph's STORAGE-ITERATION order inside a
+    * path-valued list cell — an order a distributed collect cannot
+    * reproduce (and openCypher leaves unspecified). Only these names get
+    * the path-list multiset fallback; every other scenario keeps strict
+    * within-list ordering so real regressions fail loudly. */
+  val PathListOrderTolerant: Set[String] = Set(
+    "Using a pattern comprehension to test existence",
+    // upstream TCK PatternComprehension.feature: expected [A→C, A→B] is
+    // the recording engine's storage order; both engines agree on the
+    // multiset
+    "Returning a pattern comprehension",
+    "Using a pattern comprehension in a WITH")
+}
+
 abstract class GqlHarness extends SparkTestBase {
 
   /** Directory holding the .feature files. */
@@ -724,7 +740,9 @@ abstract class GqlHarness extends SparkTestBase {
     case other => other
   }
 
-  private def vEq(a: V, b: V): Boolean = (a, b) match {
+  private def vEq(a: V, b: V): Boolean = vEq(a, b, false)
+
+  private def vEq(a: V, b: V, pathListLoose: Boolean): Boolean = (a, b) match {
     // The reference harness compares WHITESPACE-INSENSITIVELY: it strips
     // every space from both the stringified result and the expected cell
     // before comparing (tests/gql_behave/steps/query.py:303,322
@@ -739,24 +757,27 @@ abstract class GqlHarness extends SparkTestBase {
           math.abs(x), math.abs(y)))
     case (LV(xs), LV(ys)) =>
       xs.length == ys.length && {
-        xs.zip(ys).forall { case (p, q) => vEq(p, q) } ||
-        // a list of PATHS comes from a pattern comprehension or a
-        // collect() of paths — both orders are unspecified (openCypher
-        // leaves match order open; the upstream expected tables encode
-        // whatever order memgraph's storage iteration produced), so
-        // fall back to multiset equality for path-valued lists ONLY;
-        // ordinary value lists stay strictly ordered
-        (xs.nonEmpty && xs.forall(_.isInstanceOf[PV]) && {
+        xs.zip(ys).forall { case (p, q) => vEq(p, q, pathListLoose) } ||
+        // a list of PATHS from a pattern comprehension / collect() of
+        // paths: the upstream expected tables encode whatever order
+        // memgraph's storage iteration produced, which this engine's
+        // distributed collect cannot reproduce. The multiset fallback is
+        // GATED (r16 advice): only the "(ignoring element order for
+        // lists)" step variant and the named strict-step scenarios in
+        // [[GqlHarness.PathListOrderTolerant]] get it — everywhere else a
+        // within-list ordering regression still fails loudly.
+        (pathListLoose && xs.nonEmpty && xs.forall(_.isInstanceOf[PV]) && {
           val used = Array.fill(ys.length)(false)
           xs.forall { p =>
-            val j = ys.indices.find(j => !used(j) && vEq(p, ys(j)))
+            val j =
+              ys.indices.find(j => !used(j) && vEq(p, ys(j), pathListLoose))
             j match { case Some(k) => used(k) = true; true; case None => false }
           }
         })
       }
     case (EV(e1, l1, p1), EV(e2, l2, p2)) =>
       e1 == e2 && l1 == l2 && p1.keySet == p2.keySet &&
-        p1.forall { case (k, v) => vEq(v, p2(k)) }
+        p1.forall { case (k, v) => vEq(v, p2(k), pathListLoose) }
     case (PV(n1, e1, f1), PV(n2, e2, f2)) =>
       n1.length == n2.length && e1.length == e2.length && f1 == f2 &&
         n1.zip(n2).forall { case (p, q) => vEq(p, q) } &&
@@ -778,15 +799,19 @@ abstract class GqlHarness extends SparkTestBase {
     case _ => a == b
   }
 
-  private def rowEq(a: Seq[V], b: Seq[V]): Boolean =
-    a.length == b.length && a.zip(b).forall { case (p, q) => vEq(p, q) }
+  private def rowEq(a: Seq[V], b: Seq[V]): Boolean = rowEq(a, b, false)
+
+  private def rowEq(a: Seq[V], b: Seq[V], loose: Boolean): Boolean =
+    a.length == b.length &&
+      a.zip(b).forall { case (p, q) => vEq(p, q, loose) }
 
   /** Greedy multiset match (rows are few). */
-  private def multisetEq(exp: Seq[Seq[V]], got: Seq[Seq[V]]): Boolean = {
+  private def multisetEq(
+      exp: Seq[Seq[V]], got: Seq[Seq[V]], loose: Boolean = false): Boolean = {
     if (exp.length != got.length) return false
     val used = Array.fill(got.length)(false)
     exp.forall { e =>
-      val j = got.indices.find(j => !used(j) && rowEq(e, got(j)))
+      val j = got.indices.find(j => !used(j) && rowEq(e, got(j), loose))
       j match {
         case Some(k) => used(k) = true; true
         case None => false
@@ -933,11 +958,12 @@ abstract class GqlHarness extends SparkTestBase {
           if (sortLists)
             (expBase.map(_.map(sortLV)), got0.map(_.map(sortLV)))
           else (expBase, got0)
+        val loose = sortLists || GqlHarness.PathListOrderTolerant(sc.name)
         val ok =
           if (ordered)
             exp.length == got.length &&
-              exp.zip(got).forall { case (e, g2) => rowEq(e, g2) }
-          else multisetEq(exp, got)
+              exp.zip(got).forall { case (e, g2) => rowEq(e, g2, loose) }
+          else multisetEq(exp, got, loose)
         if (ok) tally.pass += 1
         else tally.failures +=
           s"${sc.name}: expected ${exp.take(4)}… got ${got.take(4)}…"

@@ -122,4 +122,85 @@ class PlanInvariantSpec extends SparkTestBase {
   test("pokec 2-hop expansion keeps every hop an equi-join") {
     assertNoCartesian("pokec_expansion_2")
   }
+
+  test("cartesian workload's cross-pattern equality becomes an equi-join") {
+    // cartesian.py:40-53 — MATCH (n1:Node), (n2:Node) WHERE n1.id = n2.id:
+    // the disconnected-pattern crossJoin + equality filter must be
+    // Catalyst-rewritten into a hash/merge join, or the workload goes
+    // quadratic at scale
+    for (n <- Seq("cartesian_join", "cartesian_different_props_join")) {
+      val p = plan(n)
+      assert(
+        !p.contains("CartesianProduct"),
+        s"$n plans a CartesianProduct — the equality predicate was not " +
+          s"pulled into a join:\n$p")
+      assert(
+        p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$n has no equi-join node:\n$p")
+    }
+  }
+
+  test("supernode MERGE anti-joins on edge identity, no hub-key cartesian") {
+    // supernode.py:37-49 — the 50k matched rows all share the hub dst
+    // key; the merge's miss-branch must be an anti-join on the
+    // per-row-unique (src,dst,type) identity, never a real cartesian or
+    // a hub-key shuffle that concentrates one partition
+    // (the anti-join itself runs inside Cypher.execute's statement
+    // commit and is materialized as an ExistingRDD by the time the
+    // post-state plan prints; the facts that survive to this plan are
+    // the ones pinned: the 1-row hub side rides a BROADCAST nested-loop
+    // — never a CartesianProduct, never a shuffle keyed on the hub)
+    val p = plan("supernode_merge_edges")
+    assert(
+      !p.contains("CartesianProduct"),
+      s"supernode_merge_edges plans a CartesianProduct:\n$p")
+    assert(
+      p.contains("Broadcast"),
+      s"supernode_merge_edges does not broadcast the 1-row hub side:\n$p")
+  }
+
+  test("schema_info rides one job family, not one job per label") {
+    // r16 weak item: one count-aggregate job PER label/type frame made
+    // schema_info swing 0.5-3.5 s with scheduler load (N small
+    // sequential jobs multiply scheduler latency). The collapsed shape
+    // (tag-union -> ONE groupBy -> broadcast dim join) submits a small
+    // CONSTANT number of jobs (AQE materializes its shuffle stages as
+    // separate jobs) regardless of label count; the old per-frame shape
+    // submits >= 2x the ~14 frames. The bound pins the collapse.
+    val sc = spark.sparkContext
+    sc.setJobGroup("schema-info-invariant", "job-count pin")
+    try SparkEntry.queries("schema_info")(spark, sfDir).collect()
+    finally sc.clearJobGroup()
+    def jobs: Int =
+      sc.statusTracker.getJobIdsForGroup("schema-info-invariant").length
+    // the status store updates asynchronously; wait for it to settle
+    var last = -1
+    var cur = jobs
+    var spins = 0
+    while (cur != last && spins < 50) {
+      last = cur; Thread.sleep(100); cur = jobs; spins += 1
+    }
+    assert(
+      cur >= 1 && cur <= 4,
+      s"schema_info submitted $cur jobs — the one-job collapse regressed " +
+        "to per-frame aggregates")
+  }
+
+  test("supernode UNWIND write collapses 50k same-node updates map-side") {
+    // supernode.py:51-57 — SET s.prop = x over 50k UNWIND rows targeting
+    // ONE node: dedupUpdates' groupBy(_id) must ride a partial
+    // HashAggregate (map-side combine) so the hub key never concentrates
+    // 50k rows in a shuffle partition
+    val df = SparkEntry.queries("supernode_unwind_writes")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(
+      !p.contains("CartesianProduct"),
+      s"supernode_unwind_writes plans a CartesianProduct:\n$p")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(
+      hashAggs >= 2,
+      s"supernode_unwind_writes lacks the partial-aggregate update " +
+        s"collapse ($hashAggs HashAggregate nodes):\n$p")
+  }
 }

@@ -25,6 +25,13 @@ MIN_BASE = 1.0  # seconds at baseline before a ratio is meaningful
 def load(path):
     with open(path) as f:
         d = json.load(f)
+    # prefer per-pass MEDIANS when the artifact carries them
+    # ("stats": {name: [min, median, max]}): the median is the honest
+    # scale-curve estimator (min hides contention only; a judged ratio of
+    # medians separates contention from regression)
+    stats = d.get("stats")
+    if isinstance(stats, dict) and stats:
+        return {k: float(v[1]) for k, v in stats.items()}
     qs = d.get("queries", {})
     # tolerate {"name": {"sec": x}} (PokecBench) and {"name": x} (Bench)
     return {

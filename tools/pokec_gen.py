@@ -6,6 +6,7 @@ Profiles mirror the reference's dataset shapes
 (reference tests/mgbench/workloads/pokec.py SIZES):
   small:  10,000 users /   ~121,716 friendships  (avg out-degree ~12.2)
   medium: 100,000 users / ~1,768,515 friendships (avg out-degree ~17.7)
+  large:  1,632,803 users / ~30,622,564 friendships (avg out-degree ~18.8)
 
 Degrees are power-law-ish on BOTH sides (the real pokec graph is a
 scale-free social network): out-degrees are drawn from a Pareto
@@ -18,7 +19,7 @@ User properties follow the gate-side derivation (age/gender/
 completion_percentage as deterministic functions of id) so the same
 query text is meaningful on both datasets.
 
-Usage: pokec_gen.py <out_dir> <small|medium|tiny>
+Usage: pokec_gen.py <out_dir> <small|medium|large|tiny>
 """
 import sys
 
@@ -31,6 +32,8 @@ PROFILES = {
     "tiny": (1000, 12000),
     "small": (10000, 121716),
     "medium": (100000, 1768515),
+    # the reference's third published size (pokec.py SIZES "large")
+    "large": (1632803, 30622564),
 }
 
 
