@@ -219,7 +219,7 @@ object LdbcQueries {
       """MATCH (person:Person {id: 17})-[:KNOWS*1..2]-(friend:Person)
         |WHERE not(person=friend)
         |WITH DISTINCT friend
-        |MATCH (friend)-[workAt:WORK_AT]->(company:Company)-[:IS_LOCATED_IN]->(:Country {name: 'NATION_3'})
+        |MATCH (friend)-[workAt:WORK_AT]->(company:Company)-[:IS_LOCATED_IN]->(:Country {name: 'NATION_15'})
         |WHERE workAt.workFrom < 2005
         |RETURN friend.id AS personId,
         |  friend.firstName AS personFirstName,
@@ -243,7 +243,7 @@ object LdbcQueries {
          |JOIN person p ON p.id = f.b
          |JOIN work w ON w.person = f.b AND w.workFrom < 2005
          |JOIN company co ON co.id = w.comp
-         |JOIN country ct ON ct.id = co.countryId AND ct.name = 'NATION_3'
+         |JOIN country ct ON ct.id = co.countryId AND ct.name = 'NATION_15'
          |ORDER BY organizationWorkFromYear ASC, personId ASC,
          |  organizationName DESC
          |LIMIT 10""".stripMargin),
@@ -322,8 +322,8 @@ object LdbcQueries {
     // ---- Interactive complex 3 (ldbc_interactive.py:256) ----------------
     lq(
       "ldbc_ic3",
-      """MATCH (countryX:Country {name: 'NATION_5'}),
-        |  (countryY:Country {name: 'NATION_6'}),
+      """MATCH (countryX:Country {name: 'NATION_15'}),
+        |  (countryY:Country {name: 'NATION_13'}),
         |  (person:Person {id: 17})
         |WITH person, countryX, countryY
         |LIMIT 1
@@ -350,7 +350,7 @@ object LdbcQueries {
         |ORDER BY xyCount DESC, friendId ASC
         |LIMIT 20""".stripMargin,
       s"""WITH $prelude,
-         |xy AS (SELECT id FROM country WHERE name IN ('NATION_5','NATION_6')),
+         |xy AS (SELECT id FROM country WHERE name IN ('NATION_15','NATION_13')),
          |friends AS (SELECT DISTINCT b FROM (
          |  SELECT b FROM knows_u WHERE a = 17
          |  UNION ALL
@@ -366,10 +366,10 @@ object LdbcQueries {
          |    AND mc.country IN (SELECT id FROM xy)),
          |agg AS (SELECT e.b AS fid,
          |  CAST(sum(CASE WHEN ms.country =
-         |    (SELECT id FROM country WHERE name='NATION_5')
+         |    (SELECT id FROM country WHERE name='NATION_15')
          |    THEN 1 ELSE 0 END) AS BIGINT) AS xCount,
          |  CAST(sum(CASE WHEN ms.country =
-         |    (SELECT id FROM country WHERE name='NATION_6')
+         |    (SELECT id FROM country WHERE name='NATION_13')
          |    THEN 1 ELSE 0 END) AS BIGINT) AS yCount
          |  FROM eligible e JOIN msgs ms ON ms.creator = e.b GROUP BY 1)
          |SELECT p.id AS friendId, p.firstName AS friendFirstName,
@@ -692,7 +692,7 @@ object LdbcQueries {
     lq(
       "ldbc_bi3",
       """MATCH
-        |  (:Country {name: 'NATION_2'})<-[:IS_PART_OF]-(:City)<-[:IS_LOCATED_IN]-
+        |  (:Country {name: 'NATION_15'})<-[:IS_PART_OF]-(:City)<-[:IS_LOCATED_IN]-
         |  (person:Person)<-[:HAS_MODERATOR]-(forum:Forum)-[:CONTAINER_OF]->
         |  (post:Post)<-[:REPLY_OF*0..]-(message:Message)-[:HAS_TAG]->(:Tag)-[:HAS_TYPE]->(:TagClass {name: 'TC_AMERICA'})
         |RETURN forum.id as id, forum.title AS title, person.id AS personId,
@@ -703,7 +703,7 @@ object LdbcQueries {
          |mods AS (SELECT f.id AS fid, f.title, f.moderator FROM forum f
          |  JOIN person p ON p.id = f.moderator
          |  JOIN city ci ON ci.id = p.cityId
-         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_2')),
+         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_15')),
          |thread AS (SELECT id AS msg, pk FROM post
          |  UNION ALL SELECT id, pk FROM comment)
          |SELECT m.fid AS id, m.title AS title, m.moderator AS personId,
@@ -893,7 +893,7 @@ object LdbcQueries {
     // ---- BI 13 (ldbc_bi.py:531) ------------------------------------------
     lq(
       "ldbc_bi13",
-      """MATCH (country:Country {name: 'NATION_4'})<-[:IS_PART_OF]-(:City)<-[:IS_LOCATED_IN]-(zombie:Person)
+      """MATCH (country:Country {name: 'NATION_15'})<-[:IS_PART_OF]-(:City)<-[:IS_LOCATED_IN]-(zombie:Person)
         |WHERE zombie.creationDate < localDateTime('2000-01-01T00:00:00')
         |WITH country, zombie
         |OPTIONAL MATCH (zombie)<-[:HAS_CREATOR]-(message:Message)
@@ -923,7 +923,7 @@ object LdbcQueries {
       s"""WITH $prelude,
          |zomb AS (SELECT p.id, p.creationDate FROM person p
          |  JOIN city ci ON ci.id = p.cityId
-         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_4')
+         |  WHERE ci.countryId = (SELECT id FROM country WHERE name='NATION_15')
          |    AND p.creationDate < TIMESTAMP '2000-01-01'),
          |mc AS (SELECT z.id, count(m.id) AS c FROM zomb z
          |  LEFT JOIN message m ON m.creator = z.id
@@ -960,8 +960,8 @@ object LdbcQueries {
     lq(
       "ldbc_bi14",
       """MATCH
-        |  (country1:Country {name: 'NATION_1'})<-[:IS_PART_OF]-(city1:City)<-[:IS_LOCATED_IN]-(person1:Person),
-        |  (country2:Country {name: 'NATION_2'})<-[:IS_PART_OF]-(city2:City)<-[:IS_LOCATED_IN]-(person2:Person),
+        |  (country1:Country {name: 'NATION_15'})<-[:IS_PART_OF]-(city1:City)<-[:IS_LOCATED_IN]-(person1:Person),
+        |  (country2:Country {name: 'NATION_13'})<-[:IS_PART_OF]-(city2:City)<-[:IS_LOCATED_IN]-(person2:Person),
         |  (person1)-[:KNOWS]-(person2)
         |WITH person1, person2, city1, 0 AS score
         |OPTIONAL MATCH (person1)<-[:HAS_CREATOR]-(c:Comment)-[:REPLY_OF]->(:Message)-[:HAS_CREATOR]->(person2)
@@ -983,10 +983,10 @@ object LdbcQueries {
          |  FROM knows_u k
          |  JOIN person p1 ON p1.id = k.a
          |  JOIN city c1 ON c1.id = p1.cityId
-         |    AND c1.countryId = (SELECT id FROM country WHERE name='NATION_1')
+         |    AND c1.countryId = (SELECT id FROM country WHERE name='NATION_15')
          |  JOIN person p2 ON p2.id = k.b
          |  JOIN city c2 ON c2.id = p2.cityId
-         |    AND c2.countryId = (SELECT id FROM country WHERE name='NATION_2')),
+         |    AND c2.countryId = (SELECT id FROM country WHERE name='NATION_13')),
          |top AS (SELECT city1, a, b FROM (
          |  SELECT city1, a, b,
          |    ROW_NUMBER() OVER (PARTITION BY city1 ORDER BY a, b) AS rn
