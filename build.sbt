@@ -26,7 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs driver+executors in ONE JVM: the heap is the whole
+  // cluster's memory. 8g starved the 350-query sweep once the LDBC/
+  // stress/pokec loader caches joined the TPCH ones — unified memory
+  // evicted/spilled every shared persist and the whole bench ran 1.5-2×
+  // slow (r17 A/B: bfs_allshortest 20s in-sweep vs 3.3s isolated).
+  // 24g ≈ 19% of the 128 GiB box; override via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++
   // local A/B harness: GRAFT_JAVA_OPTS="-Dspark.graft.x=y" passes spark
   // conf toggles into the forked run/test JVMs

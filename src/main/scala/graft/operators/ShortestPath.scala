@@ -180,14 +180,23 @@ object ShortestPath {
     // re-analyzing it long before any data is large. `localCheckpoint`
     // materializes the round AND cuts the plan to a leaf — on a real cluster
     // the same code runs with `checkpoint` to durable storage.
-    var visited = seeds
-      .select(
-        col(SeedCol),
-        col(SeedCol).as(NodeCol),
-        lit(0L).as(DistCol),
-        lit(1L).as(NPathsCol))
-      .transform(Scratch.cp)
-    var frontier = visited
+    // `visited` is a UNION of per-level checkpointed leaves, never
+    // re-checkpointed: each level's rows are materialized exactly once
+    // (their own Scratch.cp). Re-checkpointing the growing union every
+    // round (the pre-r17 shape) copied every visited row once per
+    // remaining level — O(levels × |visited|) extra materialization for
+    // zero plan benefit (a union of k leaves is a linear, flat plan; the
+    // anti-join scans the same rows either way).
+    var levels = List(
+      seeds
+        .select(
+          col(SeedCol),
+          col(SeedCol).as(NodeCol),
+          lit(0L).as(DistCol),
+          lit(1L).as(NPathsCol))
+        .transform(Scratch.cp))
+    def visited: DataFrame = levels.reduce(_ unionByName _)
+    var frontier = levels.head
     var k = 0L
     var done = frontier.isEmpty
     while (!done && k < maxHops) {
@@ -211,7 +220,7 @@ object ShortestPath {
         .transform(Scratch.cp)
       done = fresh.isEmpty
       if (!done) {
-        visited = visited.unionByName(fresh).transform(Scratch.cp)
+        levels ::= fresh
         frontier = fresh
       }
       if (sys.env.contains("GRAFT_SP_DEBUG"))
@@ -233,16 +242,19 @@ object ShortestPath {
       edges: DataFrame,
       seeds: DataFrame,
       maxHops: Int): DataFrame = {
-    var visited = seeds
-      .select(
-        col(SeedCol),
-        col(SeedCol).as(NodeCol),
-        lit(0L).as(DistCol),
-        lit(1L).as(NPathsCol),
-        array(col(SeedCol)).as(PathNodesCol),
-        array().cast("array<long>").as(PathEdgesCol))
-      .transform(Scratch.cp)
-    var frontier = visited
+    // per-level checkpointed leaves, unioned lazily (see bfsEdges)
+    var levels = List(
+      seeds
+        .select(
+          col(SeedCol),
+          col(SeedCol).as(NodeCol),
+          lit(0L).as(DistCol),
+          lit(1L).as(NPathsCol),
+          array(col(SeedCol)).as(PathNodesCol),
+          array().cast("array<long>").as(PathEdgesCol))
+        .transform(Scratch.cp))
+    def visited: DataFrame = levels.reduce(_ unionByName _)
+    var frontier = levels.head
     var k = 0L
     var done = frontier.isEmpty
     while (!done && k < maxHops) {
@@ -276,7 +288,7 @@ object ShortestPath {
         .transform(Scratch.cp)
       done = fresh.isEmpty
       if (!done) {
-        visited = visited.unionByName(fresh).transform(Scratch.cp)
+        levels ::= fresh
         frontier = fresh
       }
     }
@@ -320,19 +332,22 @@ object ShortestPath {
       .select(col(GraphState.IdCol).as("__sp_nid"), col(NStructCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eStructT = edges.schema(edges.schema.fieldIndex(EStructCol)).dataType
-    var visited = seeds
-      .join(nodeStructs, col(SeedCol) === col("__sp_nid"))
-      .select(
-        col(SeedCol),
-        col(SeedCol).as(NodeCol),
-        lit(0L).as(DistCol),
-        lit(1L).as(NPathsCol),
-        array(col(SeedCol)).as(PathNodesCol),
-        array().cast("array<long>").as(PathEdgesCol),
-        array(col(NStructCol)).as(pnCol),
-        array().cast(ArrayType(eStructT)).as(peCol))
-      .transform(Scratch.cp)
-    var frontier = visited
+    // per-level checkpointed leaves, unioned lazily (see bfsEdges)
+    var levels = List(
+      seeds
+        .join(nodeStructs, col(SeedCol) === col("__sp_nid"))
+        .select(
+          col(SeedCol),
+          col(SeedCol).as(NodeCol),
+          lit(0L).as(DistCol),
+          lit(1L).as(NPathsCol),
+          array(col(SeedCol)).as(PathNodesCol),
+          array().cast("array<long>").as(PathEdgesCol),
+          array(col(NStructCol)).as(pnCol),
+          array().cast(ArrayType(eStructT)).as(peCol))
+        .transform(Scratch.cp))
+    def visited: DataFrame = levels.reduce(_ unionByName _)
+    var frontier = levels.head
     var k = 0L
     var done = frontier.isEmpty
     while (!done && k < maxHops) {
@@ -382,7 +397,7 @@ object ShortestPath {
         .transform(Scratch.cp)
       done = fresh.isEmpty
       if (!done) {
-        visited = visited.unionByName(fresh).transform(Scratch.cp)
+        levels ::= fresh
         frontier = fresh
       }
     }
@@ -569,7 +584,11 @@ object ShortestPath {
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
       .transform(Scratch.cp)
-    var out = frontier
+    // accumulate the per-level checkpointed frontiers and union ONCE at
+    // the end: `out` never feeds a later round, so re-checkpointing the
+    // growing union each level (the pre-r17 shape) copied every emitted
+    // path O(maxD) times for nothing.
+    var outLevels = List(frontier)
     for (l <- 1 to maxD) {
       frontier = frontier
         .join(
@@ -586,8 +605,9 @@ object ShortestPath {
           concat(col(PathNodesCol), array(col("__w"))).as(PathNodesCol),
           concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
         .transform(Scratch.cp)
-      out = out.unionByName(frontier).transform(Scratch.cp)
+      outLevels ::= frontier
     }
+    val out = outLevels.reduce(_ unionByName _)
     Seq(edges, vis, dag).foreach(_.unpersist(blocking = false))
     out
   }
@@ -638,7 +658,7 @@ object ShortestPath {
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
       .transform(Scratch.cp)
-    var out = frontier
+    var outLevels = List(frontier)
     var l = 0
     var done = frontier.isEmpty
     while (!done && l < maxHops) {
@@ -658,8 +678,10 @@ object ShortestPath {
           concat(col(PathEdgesCol), array(col("__sp_eid"))).as(PathEdgesCol))
         .transform(Scratch.cp)
       done = frontier.isEmpty
-      if (!done) out = out.unionByName(frontier).transform(Scratch.cp)
+      // per-level leaves, one union at the end (see bfsAllPathsEdges)
+      if (!done) outLevels ::= frontier
     }
+    val out = outLevels.reduce(_ unionByName _)
     Seq(edges, dist, dag).foreach(_.unpersist(blocking = false))
     out
   }
@@ -851,7 +873,13 @@ object ShortestPath {
         array(col(SeedCol)).as(PathNodesCol),
         array().cast("array<long>").as(PathEdgesCol))
       .transform(Scratch.cp)
-    var out: Option[DataFrame] = None
+    // `out` = lazy union of the per-round checkpointed frontiers (each
+    // round's rows are materialized once by their own Scratch.cp;
+    // re-checkpointing the growing union per round copied every kept path
+    // O(rounds) times — see bfsEdges)
+    var outRounds: List[DataFrame] = Nil
+    def out: Option[DataFrame] =
+      if (outRounds.isEmpty) None else Some(outRounds.reduce(_ unionByName _))
     def outCounts: DataFrame = out match {
       case Some(o) =>
         o.groupBy(SeedCol, NodeCol).agg(count(lit(1)).as("__k_cnt"))
@@ -908,9 +936,7 @@ object ShortestPath {
               .otherwise(lit(baseBudget)))
         .drop("__k_rn", "__k_cnt", "__k_contended")
         .transform(Scratch.cp)
-      if (round >= minHops)
-        out = Some(out.map(_.unionByName(frontier).transform(Scratch.cp))
-          .getOrElse(frontier))
+      if (round >= minHops) outRounds ::= frontier
       done = frontier.isEmpty
       if (!done) targets.foreach { t =>
         // saturated when no target pair still needs paths

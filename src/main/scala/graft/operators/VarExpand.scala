@@ -44,6 +44,7 @@ object VarExpand {
   /** Internal column names used while stepping (dropped before return). */
   private val CUR = "__vx_cur"
   private val PATH = "__vx_path"
+  private val RID = "__vx_rid"
 
   /** Expand from `srcVar`, binding `edgeVar@_ids` (edge-id list, in
     * traversal order) and fresh node `dstVar`. `dir` is interpreted per-hop.
@@ -104,6 +105,15 @@ object VarExpand {
       .withColumn(CUR, Frames.id(srcVar))
       .withColumn(PATH, array().cast("array<long>"))
 
+    // Known total row count of the union the fixpoint branch returns
+    // (every reached frontier is counted for the emptiness probe anyway).
+    // -1 = unknown (unrolled branch / minHops==0 includes the uncounted
+    // base frame). Drives the FINAL node-bind join's broadcast gate below:
+    // checkpointed frontiers carry no catalyst size stats, so without it a
+    // point-seeded traversal's last join shuffles the whole node union to
+    // meet a handful of rows.
+    var reachedN = -1L
+
     val all = maxHops match {
       case _ if emptyInterval => base.limit(0)
       case Some(h) if h <= 12 => // unrolled declarative plan
@@ -143,7 +153,30 @@ object VarExpand {
           }
         val pruneMax = frame.sparkSession.conf
           .get("spark.graft.varexpand.pruneFrontier", "1000").toLong
-        var cur = base.transform(Scratch.cp)
+        // SLIM CARRY (opt guide §8 "move heavy bytes once"): the fixpoint
+        // localCheckpoints AND (for large frontiers) shuffles the frontier
+        // EVERY round, so a wide input frame (LDBC bi3/bi9/bi12 arrive
+        // here with whole person+message rows bound) pays rounds×width in
+        // materialization and shuffle bytes. Above `slimCarry` non-
+        // traversal columns, carry only (rowid, cur, path) through the
+        // rounds and re-attach the wide row by rowid once at the end —
+        // identical rows, the heavy columns move once. The rowid is
+        // monotonically_increasing_id FROZEN by the eager checkpoint (its
+        // values are computed exactly once, inside the cp materialization,
+        // and every later read serves the stored blocks).
+        val slimMin = frame.sparkSession.conf
+          .get("spark.graft.varexpand.slimCarry", "10").toInt
+        val wideCols = base.columns.filterNot(c => c == CUR || c == PATH)
+        val keyed: Option[DataFrame] =
+          if (wideCols.length < slimMin) None
+          else Some(
+            base
+              .withColumn(RID, monotonically_increasing_id())
+              .transform(Scratch.cp))
+        var cur = keyed
+          .map(_.select(col(RID), col(CUR), col(PATH)))
+          .getOrElse(base)
+          .transform(Scratch.cp)
         var reached: Seq[DataFrame] = Nil
         if (minHops == 0) reached = reached :+ cur
         // a localCheckpointed frontier has no catalyst size stats, so AQE
@@ -158,6 +191,7 @@ object VarExpand {
         var traversed = 0L
         var curN = cur.count()
         var empty = curN == 0L
+        if (minHops == 0) reachedN = curN else reachedN = 0L
         while (!empty && k < limit) {
           k += 1
           // a ≤pruneMax-row CHECKPOINTED frontier re-reads for the id
@@ -185,7 +219,10 @@ object VarExpand {
                   "returning nondeterministic partial results)")
           }
           empty = curN == 0L
-          if (!empty && k >= minHops) reached = reached :+ cur
+          if (!empty && k >= minHops) {
+            reached = reached :+ cur
+            reachedN += curN
+          }
         }
         ePersisted.foreach(_.unpersist(blocking = false))
         if (!empty && bound.isEmpty)
@@ -193,11 +230,23 @@ object VarExpand {
             s"unbounded variable expansion exceeded $HardHopLimit hops — " +
               "add an explicit upper bound (USING HOPS LIMIT analog)")
         if (reached.isEmpty) reached = Seq(cur.limit(0))
-        reached.reduce(_ unionByName _)
+        val unioned = reached.reduce(_ unionByName _)
+        // re-attach the wide columns by rowid (one join; the traversal
+        // side broadcasts when its counted size allows)
+        keyed match {
+          case Some(kd) =>
+            kd.drop(CUR, PATH)
+              .join(Scratch.gatedBroadcast(unioned, reachedN), Seq(RID))
+              .drop(RID)
+          case None => unioned
+        }
     }
 
     val nodesDf = dstLabel.map(g.nodesOrEmpty).getOrElse(g.allNodes)
-    all
+    // gatedBroadcast: no-op when reachedN is unknown (-1) or above the
+    // frontier-broadcast threshold — a huge traversal result must never be
+    // force-broadcast
+    Scratch.gatedBroadcast(all, reachedN)
       .join(Frames.bind(dstVar)(nodesDf), col(CUR) === Frames.id(dstVar))
       .withColumn(s"$edgeVar${Frames.Sep}_ids", col(PATH))
       .drop(CUR, PATH)

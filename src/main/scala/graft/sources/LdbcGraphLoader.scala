@@ -105,9 +105,15 @@ object LdbcGraphLoader {
       * linenumber sequence, so comment identity dedups by min-aggregates
       * (deterministic, DuckDB-replayable) and threads chain on `seq`
       * (seq 1 replies to the post, seq k to seq k-1 — never dangling).
-      * One extra shuffle over the raw scan; both steps partition by the
-      * order key, so AQE coalesces them at scale. */
-    def li(): DataFrame = {
+      *
+      * SEVEN frames derive from this one windowed aggregate (Comment,
+      * Message, REPLY_OF, the comment halves of HAS_CREATOR / HAS_TAG /
+      * IS_LOCATED_IN, LIKES×2) — persist it once per GraphState exactly
+      * like TpchGraphLoader's keyed-lineitem, or every ldbc_* action
+      * re-pays the groupBy+window shuffle of the whole fact table per
+      * frame per pass. At 100 TB the analog is writing the canonical
+      * lineitem once at load and reading the materialization everywhere. */
+    lazy val liCached: DataFrame = {
       import org.apache.spark.sql.expressions.Window
       t("lineitem")
         .groupBy(col("l_orderkey").cast("long").as("o"),
@@ -118,6 +124,20 @@ object LdbcGraphLoader {
           row_number()
             .over(Window.partitionBy(col("o")).orderBy(col("lnn")))
             .cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    def li(): DataFrame = liCached
+    /** Session-lifetime persist for the shuffle-bearing edge derivations
+      * (distinct / join / union+distinct): GraphState memoizes each
+      * frame's PLAN, so without this every query pass re-runs the
+      * distinct's exchange once per scan of the frame (an unrolled
+      * KNOWS*1..2 over `-[:KNOWS]-` scans it 4×/pass). The reference
+      * materializes its edge index once at ingest; this is the same
+      * pay-once-at-load trade. */
+    def materialized(f: => DataFrame): () => DataFrame = {
+      lazy val p =
+        f.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      () => p
     }
     def node(base: Long, key: Column, labels: Seq[String], props: Column*) =
       (df: DataFrame) =>
@@ -411,21 +431,26 @@ object LdbcGraphLoader {
         "Comment" -> (() => comments()),
         "Message" -> (() => messages())),
       Map(
-        "KNOWS" -> (() => knows()),
+        // materialized: these embed a distinct/join shuffle (KNOWS,
+        // HAS_TAG, HAS_MEMBER, LIKES, HAS_INTEREST pairs; IS_LOCATED_IN's
+        // two customer joins); the rest are single-table projections (or,
+        // once liCached is warm, projections of it) — persisting those
+        // would only spend storage to save a column map.
+        "KNOWS" -> materialized(knows()),
         "IS_PART_OF" -> (() => isPartOf()),
-        "IS_LOCATED_IN" -> (() => isLocatedIn()),
+        "IS_LOCATED_IN" -> materialized(isLocatedIn()),
         "STUDY_AT" -> (() => studyAt()),
         "WORK_AT" -> (() => workAt()),
         "HAS_CREATOR" -> (() => hasCreator()),
-        "HAS_TAG" -> (() => hasTag()),
+        "HAS_TAG" -> materialized(hasTag()),
         "HAS_TYPE" -> (() => hasType()),
         "IS_SUBCLASS_OF" -> (() => isSubclassOf()),
         "REPLY_OF" -> (() => replyOf()),
         "CONTAINER_OF" -> (() => containerOf()),
-        "HAS_MEMBER" -> (() => hasMember()),
+        "HAS_MEMBER" -> materialized(hasMember()),
         "HAS_MODERATOR" -> (() => hasModerator()),
-        "LIKES" -> (() => likes()),
-        "HAS_INTEREST" -> (() => hasInterest())),
+        "LIKES" -> materialized(likes()),
+        "HAS_INTEREST" -> materialized(hasInterest())),
       mayOverlap = true)
   }
 }
