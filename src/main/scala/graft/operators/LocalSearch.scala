@@ -222,6 +222,97 @@ private[graft] object LocalSearch {
       StructType(base ++ pathFields))
   }
 
+  /** ALL distinct shortest paths per (seed, node) — the exact local mirror
+    * of [[ShortestPath.bfsAllPathsEdges]]'s two phases (BFS layering, then
+    * a level-walk of the shortest-path DAG where parallel edges yield
+    * distinct paths). Returns None when the TRUE path count (Σ npaths,
+    * computed from the DAG before enumerating anything) exceeds
+    * `spark.graft.local.maxPaths` (default 2,000,000) — path explosion
+    * stays on the distributed walk. Replaces ~2·maxD fixpoint jobs with
+    * zero for the common subcritical case (the reference's cursor is
+    * single-threaded here too). */
+  def allPathsDf(
+      spark: SparkSession,
+      edges: Array[(Long, Long, Long, Double)],
+      seeds: Seq[Long],
+      maxHops: Int): Option[DataFrame] = dbg("allPathsDf") {
+    val maxPaths =
+      spark.conf.get("spark.graft.local.maxPaths", "2000000").toLong
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (eid, s, d, _) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((eid, d))
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    seeds.distinct.foreach { seed =>
+      // phase 1: layering + npaths (identical to bfsDf's counting)
+      val dist = mutable.HashMap[Long, Long](seed -> 0L)
+      val npaths = mutable.HashMap[Long, Long](seed -> 1L)
+      var level = Seq(seed)
+      var k = 0L
+      var total = 1L
+      while (level.nonEmpty && k < maxHops) {
+        k += 1
+        val nPaths = mutable.HashMap.empty[Long, Long]
+        level.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { case (_, v) =>
+            if (!dist.contains(v))
+              nPaths(v) = nPaths.getOrElse(v, 0L) + npaths(u)
+          }
+        }
+        val discovered = nPaths.keys.toSeq.sorted
+        discovered.foreach { v =>
+          dist(v) = k
+          npaths(v) = nPaths(v)
+          total += nPaths(v)
+          if (total > maxPaths) return None
+        }
+        level = discovered
+      }
+      // phase 2: walk the DAG level by level, materializing every path —
+      // the distributed walk extends (pathNodes, pathEdges) per DAG edge,
+      // parallel edges included
+      val paths =
+        mutable.HashMap[Long, Seq[(Seq[Long], Seq[Long])]](
+          seed -> Seq((Seq(seed), Seq.empty[Long])))
+      out += Row(seed, seed, 0L, Seq(seed), Seq.empty[Long])
+      val byLevel = dist.toSeq.groupBy(_._2)
+      val maxD = if (dist.isEmpty) 0L else dist.values.max
+      (1L to maxD).foreach { l =>
+        val nodesAtL = byLevel.getOrElse(l, Nil).map(_._1).sorted
+        val prev = byLevel.getOrElse(l - 1, Nil).map(_._1)
+        // in-edges of level l from level l-1 (DAG edges only)
+        val incoming =
+          mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+        prev.foreach { u =>
+          adj.getOrElse(u, Nil).foreach { case (eid, v) =>
+            if (dist.get(v).contains(l))
+              incoming.getOrElseUpdate(v, mutable.ArrayBuffer.empty) +=
+                ((u, eid))
+          }
+        }
+        nodesAtL.foreach { v =>
+          val ps = incoming.getOrElse(v, Nil).toSeq.flatMap { case (u, eid) =>
+            paths(u).map { case (pn, pe) => (pn :+ v, pe :+ eid) }
+          }
+          paths(v) = ps
+          ps.foreach { case (pn, pe) => out += Row(seed, v, l, pn, pe) }
+        }
+        // free the previous level's path lists — only level l feeds l+1
+        prev.foreach(paths.remove)
+      }
+    }
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(out.toSeq: _*)),
+      StructType(Seq(
+        StructField(ShortestPath.SeedCol, LongType, nullable = false),
+        StructField(ShortestPath.NodeCol, LongType, nullable = false),
+        StructField(ShortestPath.DistCol, LongType, nullable = false),
+        StructField(
+          ShortestPath.PathNodesCol, ArrayType(LongType), nullable = false),
+        StructField(
+          ShortestPath.PathEdgesCol, ArrayType(LongType), nullable = false)))))
+  }
+
   /** Hop-capped Bellman–Ford mirroring [[ShortestPath.weighted]]'s delta
     * relaxation: strict (weight, dist)-lexicographic improvement, at most
     * maxRounds rounds, converges early when a round improves nothing. */

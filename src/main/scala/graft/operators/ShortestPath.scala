@@ -554,6 +554,16 @@ object ShortestPath {
       edges0: DataFrame,
       seeds: DataFrame,
       maxHops: Int): DataFrame = {
+    // subcritical: one collect + an exact driver enumeration replaces the
+    // BFS fixpoint AND the 2·maxD-job DAG walk (LocalSearch.allPathsDf
+    // mirrors both phases bit-for-bit; bails to the distributed walk on
+    // path explosion)
+    LocalSearch.tryCollect(edges0, seeds, withWeight = false).foreach {
+      case (arr, s) =>
+        LocalSearch
+          .allPathsDf(edges0.sparkSession, arr, s.map(_._1), maxHops)
+          .foreach(return _)
+    }
     val edges = edges0.persist(StorageLevel.MEMORY_AND_DISK)
     val vis = bfsEdges(edges, seeds, maxHops)
       .persist(StorageLevel.MEMORY_AND_DISK)

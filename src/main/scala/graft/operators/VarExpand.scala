@@ -194,6 +194,7 @@ object VarExpand {
         if (minHops == 0) reachedN = curN else reachedN = 0L
         while (!empty && k < limit) {
           k += 1
+          val tRound = System.nanoTime()
           // a ≤pruneMax-row CHECKPOINTED frontier re-reads for the id
           // collect, not recomputes — two cheap actions beat one full
           // edge-corpus scan
@@ -223,6 +224,10 @@ object VarExpand {
             reached = reached :+ cur
             reachedN += curN
           }
+          if (sys.env.contains("GRAFT_VX_DEBUG"))
+            System.err.println(
+              f"[varexpand] round $k%d rows=$curN%d " +
+                f"${(System.nanoTime() - tRound) / 1e9}%.2fs")
         }
         ePersisted.foreach(_.unpersist(blocking = false))
         if (!empty && bound.isEmpty)

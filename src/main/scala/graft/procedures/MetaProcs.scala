@@ -110,25 +110,31 @@ object MetaProcs {
         .agg(count(lit(1)).as("__n"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[String](1), r.getLong(2))))
-    val srcTallyF = Future(
+    // ONE edge scan for both endpoint tallies: group by (type, src-base,
+    // dst-base) — cardinality ≤ types × bases² (a few hundred rows) — and
+    // marginalize driver-side. The previous shape ran two full edge-corpus
+    // scans for aggregates that differ only in which endpoint they shift.
+    val edgeTallyF = Future(
       edges
-        .groupBy(col(TypeCol), shiftright(col(SrcCol), 48).as("__b"))
+        .groupBy(
+          col(TypeCol),
+          shiftright(col(SrcCol), 48).as("__sb"),
+          shiftright(col(DstCol), 48).as("__db"))
         .agg(count(lit(1)).as("__n"))
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
-    val dstTallyF = Future(
-      edges
-        .groupBy(col(TypeCol), shiftright(col(DstCol), 48).as("__b"))
-        .agg(count(lit(1)).as("__n"))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
     val propKeysF = Future(presentKeysAll(
       g.nodeLabels.map(l => (g.nodes(l), GraphState.nodeMeta)) ++
         g.edgeTypes.map(t => (g.edges(t), GraphState.edgeMeta))))
 
     val baseGroups = Await.result(baseGroupsF, Duration.Inf)
-    val srcTally = Await.result(srcTallyF, Duration.Inf)
-    val dstTally = Await.result(dstTallyF, Duration.Inf)
+    val edgeTally = Await.result(edgeTallyF, Duration.Inf)
+    val srcTally = edgeTally
+      .groupBy(x => (x._1, x._2)).toSeq
+      .map { case ((t, b), xs) => (t, b, xs.map(_._4).sum) }
+    val dstTally = edgeTally
+      .groupBy(x => (x._1, x._3)).toSeq
+      .map { case ((t, b), xs) => (t, b, xs.map(_._4).sum) }
     val uniform = baseGroups.groupBy(_._1).valuesIterator.forall(_.size == 1)
 
     val nodeCount = baseGroups.map(_._3).sum
