@@ -194,15 +194,28 @@ final class GraphState(
 
   /** All nodes; schema is the union of per-label schemas (missing → NULL).
     * This is the `ScanAll` path (`operator.hpp:569`) — unavoidable full scan.
-    */
+    *
+    * mayOverlap states pay a full union + dedup-by-id per evaluation, and
+    * every UNLABELED pattern node binds against this frame — one LDBC
+    * query can hit it several times (ic5's plan carried TWO complete
+    * union+SortAggregate subtrees). The deduped view is therefore
+    * memoized per state version with the [[buildAdjacency]] lifetime
+    * rules: session-persisted on pinned (loader) graphs, sweep-tracked
+    * (persist-only, recompute-safe) on mutation-derived versions. */
+  private lazy val allNodesOverlapCached: DataFrame = {
+    val df = nodeLabels
+      .map(nodes)
+      .reduce(GraphState.unionReconciled)
+      .dropDuplicates(GraphState.IdCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!adjCache.pinned) graft.operators.Scratch.trackPersisted(df)
+    df
+  }
+
   def allNodes: DataFrame =
     if (nodeLabels.isEmpty) GraphState.emptyNodeFrame
-    else {
-      val u = nodeLabels
-        .map(nodes)
-        .reduce(GraphState.unionReconciled)
-      if (mayOverlap) u.dropDuplicates(GraphState.IdCol) else u
-    }
+    else if (mayOverlap) allNodesOverlapCached
+    else nodeLabels.map(nodes).reduce(GraphState.unionReconciled)
 
   def allEdges: DataFrame =
     if (edgeTypes.isEmpty) GraphState.emptyEdgeFrame
