@@ -68,11 +68,16 @@ object Bridges {
     // kept fully path-compressed
     var rep = spark.range(0).select(
       col("id").as("node"), col("id").as("rep"))
-    var bridges: Option[DataFrame] = None
-    def addIds(acc: Option[DataFrame], rows: DataFrame): Option[DataFrame] = {
-      val flat = rows.select(explode(col("members")).as("edge_id"))
-      Some(acc.map(_.unionByName(flat)).getOrElse(flat).transform(Scratch.cp))
-    }
+    // append-only accumulator: per-round checkpointed leaves, one lazy
+    // union at the end (re-checkpointing the growing union each round
+    // copied every found bridge O(rounds) times — see ShortestPath)
+    var bridgeRounds: List[DataFrame] = Nil
+    def bridges: Option[DataFrame] =
+      if (bridgeRounds.isEmpty) None
+      else Some(bridgeRounds.reduce(_ unionByName _))
+    def addIds(rows: DataFrame): Unit =
+      bridgeRounds ::=
+        rows.select(explode(col("members")).as("edge_id")).transform(Scratch.cp)
     var round = 0
     var done = cur.isEmpty
     while (!done && round < maxRounds) {
@@ -131,7 +136,7 @@ object Bridges {
             col("v") === col("__lv"), "left_outer")
           .withColumn(
             "__isleaf", col("__lu").isNotNull || col("__lv").isNotNull)
-        bridges = addIds(bridges, flagged.filter(col("__isleaf")))
+        addIds(flagged.filter(col("__isleaf")))
         val afterLeaf = flagged
           .filter(!col("__isleaf"))
           .select("u", "v", "members")

@@ -272,13 +272,17 @@ object PyTailProcs {
       .join(touched, Seq("a"), "left_semi")
       .withColumn("prio", xxhash64(col("a")))
       .transform(Scratch.cp)
-    var colored = ctx.spark.createDataFrame(
-      ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(
-          "a", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(
-          "color", org.apache.spark.sql.types.LongType))))
+    // per-round checkpointed leaves, unioned lazily (append-only
+    // accumulator — see ShortestPath.bfsEdges)
+    var coloredRounds: List[DataFrame] = List(
+      ctx.spark.createDataFrame(
+        ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "color", org.apache.spark.sql.types.LongType)))))
+    def colored: DataFrame = coloredRounds.reduce(_ unionByName _)
     var remaining = uncolored.count()
     var round = 0
     while (remaining > 0) {
@@ -324,9 +328,10 @@ object PyTailProcs {
                 (acc("done") || u > acc("cand")).as("done")),
               acc => acc("cand"))))
         .select(col("a"), col("color"))
-      colored = colored.unionByName(assigned).transform(Scratch.cp)
+      val assignedCp = assigned.transform(Scratch.cp)
+      coloredRounds ::= assignedCp
       uncolored = uncolored
-        .join(assigned.select("a"), Seq("a"), "left_anti")
+        .join(assignedCp.select("a"), Seq("a"), "left_anti")
         .transform(Scratch.cp)
       remaining = uncolored.count()
     }
