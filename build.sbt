@@ -14,6 +14,15 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// Default forked-JVM heap: min(24g, physical/4) — see the -Xmx comment.
+val defaultHeapGb: String = {
+  val physGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal"))
+      .map(_.filter(_.isDigit).toLong / (1024L * 1024L)).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  if (physGb <= 0) "8g" else math.max(4L, math.min(24L, physGb / 4)) + "g"
+}
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
@@ -31,8 +40,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // stress/pokec loader caches joined the TPCH ones — unified memory
   // evicted/spilled every shared persist and the whole bench ran 1.5-2×
   // slow (r17 A/B: bfs_allshortest 20s in-sweep vs 3.3s isolated).
-  // 24g ≈ 19% of the 128 GiB box; override via SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Default = min(24g, physical/4) — 24g ≈ 19% of the 128 GiB bench box,
+  // while a smaller dev/CI machine gets a heap it can actually back
+  // (r17 ADVICE: a flat 24g overcommits 16-32 GiB hosts). Override via
+  // SPARK_DRIVER_MEM.
+  "-Xmx" + sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeapGb),
 ) ++
   // local A/B harness: GRAFT_JAVA_OPTS="-Dspark.graft.x=y" passes spark
   // conf toggles into the forked run/test JVMs

@@ -24,8 +24,25 @@ object DebugMain {
       }
     }
     val explain = sys.env.contains("GRAFT_EXPLAIN")
+    // GRAFT_JOBS: per-query Spark job/task counts — the per-gate "job
+    // floor" (driver round-trips) is what dominates sub-second catalog
+    // entries, so optimization work needs it visible
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val _ = jobs.incrementAndGet()
+        }
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val _ = tasks.incrementAndGet()
+        }
+      })
     names.foreach { n =>
       val t0 = System.nanoTime()
+      val (j0, k0) = (jobs.get(), tasks.get())
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         if (explain) {
@@ -39,8 +56,10 @@ object DebugMain {
           val tPlan = (System.nanoTime() - t0) / 1e9
           val rows = df.count()
           val tAll = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(150) // let the listener bus drain before reading
           println(
-            f"[debug] $n rows=$rows secs=$tAll%.2f (build=$tPlan%.2f exec=${tAll - tPlan}%.2f)")
+            f"[debug] $n rows=$rows secs=$tAll%.2f (build=$tPlan%.2f exec=${tAll - tPlan}%.2f) " +
+              f"jobs=${jobs.get - j0}%d tasks=${tasks.get - k0}%d")
         }
       } catch {
         case e: Throwable =>

@@ -202,14 +202,26 @@ final class GraphState(
     * memoized per state version with the [[buildAdjacency]] lifetime
     * rules: session-persisted on pinned (loader) graphs, sweep-tracked
     * (persist-only, recompute-safe) on mutation-derived versions. */
-  private lazy val allNodesOverlapCached: DataFrame = {
-    val df = nodeLabels
-      .map(nodes)
-      .reduce(GraphState.unionReconciled)
-      .dropDuplicates(GraphState.IdCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (!adjCache.pinned) graft.operators.Scratch.trackPersisted(df)
-    df
+  // (gen, frame): non-pinned (mutation-derived) states register the
+  // persist with Scratch, so a sweep() unpersists it — the memo re-keys on
+  // Scratch.generation and rebuilds after a sweep instead of serving an
+  // unpersisted frame (bookkeeping cost, zero reuse) for the rest of the
+  // state's life. Pinned loader states ignore the generation (never swept).
+  private var allNodesOverlapMemo: Option[(Long, DataFrame)] = None
+  private def allNodesOverlapCached: DataFrame = synchronized {
+    val gen = graft.operators.Scratch.generation
+    allNodesOverlapMemo match {
+      case Some((g, df)) if adjCache.pinned || g == gen => df
+      case _ =>
+        val df = nodeLabels
+          .map(nodes)
+          .reduce(GraphState.unionReconciled)
+          .dropDuplicates(GraphState.IdCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!adjCache.pinned) graft.operators.Scratch.trackPersisted(df)
+        allNodesOverlapMemo = Some((gen, df))
+        df
+    }
   }
 
   def allNodes: DataFrame =

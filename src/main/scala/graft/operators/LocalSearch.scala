@@ -243,13 +243,19 @@ private[graft] object LocalSearch {
       adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((eid, d))
     }
     val out = mutable.ArrayBuffer.empty[Row]
+    // ONE budget across ALL seeds: the guard bounds DRIVER materialization,
+    // which is the sum over seeds — a per-seed reset would admit up to
+    // MaxSeeds × maxPaths boxed path rows (multi-GB) on path-dense inputs
+    // the distributed walk handles with spillable partitions
+    var total = 0L
     seeds.distinct.foreach { seed =>
       // phase 1: layering + npaths (identical to bfsDf's counting)
       val dist = mutable.HashMap[Long, Long](seed -> 0L)
       val npaths = mutable.HashMap[Long, Long](seed -> 1L)
       var level = Seq(seed)
       var k = 0L
-      var total = 1L
+      total += 1L
+      if (total > maxPaths) return None
       while (level.nonEmpty && k < maxHops) {
         k += 1
         val nPaths = mutable.HashMap.empty[Long, Long]

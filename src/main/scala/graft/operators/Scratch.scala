@@ -80,10 +80,18 @@ object Scratch {
     df
   }
 
+  /** Monotonic sweep counter: memos holding a [[trackPersisted]] frame
+    * (e.g. GraphState.allNodesOverlapCached on mutation-derived states)
+    * key themselves on this so a post-sweep read rebuilds + re-registers
+    * instead of silently serving an unpersisted frame forever. */
+  @volatile private var gen = 0L
+  def generation: Long = gen
+
   /** Unpersist every registered block (non-blocking) and clear the
     * registry. Returns how many live entries were swept. */
   def sweep(): Int = {
     var n = 0
+    gen += 1
     tracked.synchronized {
       tracked.foreach { ref =>
         val rdd = ref.get()

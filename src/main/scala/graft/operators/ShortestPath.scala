@@ -886,17 +886,22 @@ object ShortestPath {
     // `out` = lazy union of the per-round checkpointed frontiers (each
     // round's rows are materialized once by their own Scratch.cp;
     // re-checkpointing the growing union per round copied every kept path
-    // O(rounds) times — see bfsEdges)
+    // O(rounds) times — see bfsEdges). UNLIKE the write-only BFS
+    // accumulators, kShortest READS its accumulator every round (budget
+    // filter + saturation probe), so aggregating the leaf union per round
+    // re-scanned and re-shuffled every prior round's paths each round —
+    // the r17 kshortest regression (~2×). The per-(seed,node) path counts
+    // are therefore maintained INCREMENTALLY: each round's (already
+    // checkpointed) leaf aggregates once and merges into a small
+    // checkpointed count frame — O(|reached pairs|) rows, not O(paths),
+    // and the full path union is only scanned once by the final cut.
     var outRounds: List[DataFrame] = Nil
     def out: Option[DataFrame] =
       if (outRounds.isEmpty) None else Some(outRounds.reduce(_ unionByName _))
-    def outCounts: DataFrame = out match {
-      case Some(o) =>
-        o.groupBy(SeedCol, NodeCol).agg(count(lit(1)).as("__k_cnt"))
-      case None =>
-        seeds.limit(0).select(
-          col(SeedCol), col(SeedCol).as(NodeCol), lit(0L).as("__k_cnt"))
-    }
+    var counts: Option[DataFrame] = None
+    def outCounts: DataFrame = counts.getOrElse(
+      seeds.limit(0).select(
+        col(SeedCol), col(SeedCol).as(NodeCol), lit(0L).as("__k_cnt")))
     var round = 0
     var done = frontier.isEmpty
     while (!done && round < maxHops) {
@@ -946,8 +951,18 @@ object ShortestPath {
               .otherwise(lit(baseBudget)))
         .drop("__k_rn", "__k_cnt", "__k_contended")
         .transform(Scratch.cp)
-      if (round >= minHops) outRounds ::= frontier
       done = frontier.isEmpty
+      if (round >= minHops && !done) {
+        outRounds ::= frontier
+        val delta = frontier
+          .groupBy(SeedCol, NodeCol).agg(count(lit(1)).as("__k_cnt"))
+        counts = Some(Scratch.cp(counts match {
+          case Some(c) => c.unionByName(delta)
+            .groupBy(SeedCol, NodeCol)
+            .agg(sum("__k_cnt").as("__k_cnt"))
+          case None => delta
+        }))
+      }
       if (!done) targets.foreach { t =>
         // saturated when no target pair still needs paths
         val needy = t.join(

@@ -113,6 +113,12 @@ object VarExpand {
     // point-seeded traversal's last join shuffles the whole node union to
     // meet a handful of rows.
     var reachedN = -1L
+    // Slim-carry's wide keyed base (set by the fixpoint branch): the
+    // node-bind join runs on the SLIM traversal rows first, and the wide
+    // columns re-attach by rowid LAST — so the broadcast candidates are
+    // always narrow rows and the wide row moves at most once (r17 ADVICE:
+    // the old order force-broadcast up to 100k re-widened rows).
+    var keyedWide: Option[DataFrame] = None
 
     val all = maxHops match {
       case _ if emptyInterval => base.limit(0)
@@ -235,26 +241,31 @@ object VarExpand {
             s"unbounded variable expansion exceeded $HardHopLimit hops — " +
               "add an explicit upper bound (USING HOPS LIMIT analog)")
         if (reached.isEmpty) reached = Seq(cur.limit(0))
-        val unioned = reached.reduce(_ unionByName _)
-        // re-attach the wide columns by rowid (one join; the traversal
-        // side broadcasts when its counted size allows)
-        keyed match {
-          case Some(kd) =>
-            kd.drop(CUR, PATH)
-              .join(Scratch.gatedBroadcast(unioned, reachedN), Seq(RID))
-              .drop(RID)
-          case None => unioned
-        }
+        keyedWide = keyed
+        reached.reduce(_ unionByName _)
     }
 
     val nodesDf = dstLabel.map(g.nodesOrEmpty).getOrElse(g.allNodes)
     // gatedBroadcast: no-op when reachedN is unknown (-1) or above the
     // frontier-broadcast threshold — a huge traversal result must never be
     // force-broadcast
-    Scratch.gatedBroadcast(all, reachedN)
+    val bound = Scratch.gatedBroadcast(all, reachedN)
       .join(Frames.bind(dstVar)(nodesDf), col(CUR) === Frames.id(dstVar))
       .withColumn(s"$edgeVar${Frames.Sep}_ids", col(PATH))
       .drop(CUR, PATH)
+    // slim-carry: re-attach the wide input columns by rowid ONCE, after
+    // the node bind. When the traversal stayed small the bound slim rows
+    // broadcast (gate: counted rows, never a supernode blow-up) and the
+    // wide checkpointed base is never shuffled at all; above the gate the
+    // rowid equi-join shuffles the wide row exactly once — either way the
+    // guide-§8 invariant holds: heavy bytes move at most once.
+    keyedWide match {
+      case Some(kd) =>
+        kd.drop(CUR, PATH)
+          .join(Scratch.gatedBroadcast(bound, reachedN), Seq(RID))
+          .drop(RID)
+      case None => bound
+    }
   }
 
   /** One hop: join the frontier to the edge frame, enforce edge

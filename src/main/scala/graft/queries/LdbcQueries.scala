@@ -22,8 +22,12 @@ import graft.sources.LdbcGraphLoader
   *    (fixed-width 'yyyy-MM-dd HH:mm:ss' — ORDER BY over the string is
   *    order-equivalent; all derived instants are whole-second).
   *  - `collect(...)` projections collect a canonical 'name|year|place'
-  *    string and sort the list (collections.sort), since bare collect
-  *    order over a distributed group is engine-nondeterministic. Ordered
+  *    string, sort the list (collections.sort) — bare collect order over a
+  *    distributed group is engine-nondeterministic — and flatten it to one
+  *    ';'-joined string (text.join) on BOTH sides: array-valued result
+  *    columns are unsortable as pandas sort keys, which crashed the
+  *    driver's comparator (r17 verdict) while carrying the same
+  *    information. Ordered
   *    `head(collect(..))` idioms (IC7, BI14) rely on the engine's
   *    order-preserving aggregation after `WITH ... ORDER BY`.
   */
@@ -262,14 +266,14 @@ object LdbcQueries {
         |LIMIT 20
         |MATCH (friend)-[:IS_LOCATED_IN]->(friendCity:City)
         |OPTIONAL MATCH (friend)-[studyAt:STUDY_AT]->(uni:University)-[:IS_LOCATED_IN]->(uniCity:City)
-        |WITH friend, collections.sort(collect(
+        |WITH friend, text.join(collections.sort(collect(
         |    CASE uni.name WHEN null THEN null
-        |    ELSE uni.name + '|' + toString(studyAt.classYear) + '|' + uniCity.name END)) AS unis,
+        |    ELSE uni.name + '|' + toString(studyAt.classYear) + '|' + uniCity.name END)), ';') AS unis,
         |  friendCity, distance
         |OPTIONAL MATCH (friend)-[workAt:WORK_AT]->(company:Company)-[:IS_LOCATED_IN]->(companyCountry:Country)
-        |WITH friend, collections.sort(collect(
+        |WITH friend, text.join(collections.sort(collect(
         |    CASE company.name WHEN null THEN null
-        |    ELSE company.name + '|' + toString(workAt.workFrom) + '|' + companyCountry.name END)) AS companies,
+        |    ELSE company.name + '|' + toString(workAt.workFrom) + '|' + companyCountry.name END)), ';') AS companies,
         |  unis, friendCity, distance
         |RETURN friend.id AS friendId,
         |  friend.lastName AS friendLastName,
@@ -311,8 +315,8 @@ object LdbcQueries {
          |  c.locationIP AS friendLocationIp, c.email AS friendEmails,
          |  c.speaks AS friendLanguages,
          |  'City_' || c.cityId AS friendCityName,
-         |  coalesce(u.xs, CAST([] AS VARCHAR[])) AS friendUniversities,
-         |  coalesce(cp.xs, CAST([] AS VARCHAR[])) AS friendCompanies
+         |  coalesce(array_to_string(u.xs, ';'), '') AS friendUniversities,
+         |  coalesce(array_to_string(cp.xs, ';'), '') AS friendCompanies
          |FROM cand c
          |LEFT JOIN unis u ON u.person = c.id
          |LEFT JOIN comps cp ON cp.person = c.id
@@ -529,7 +533,7 @@ object LdbcQueries {
         |RETURN friend.id AS personId,
         |  friend.firstName AS personFirstName,
         |  friend.lastName AS personLastName,
-        |  collections.sort(collect(DISTINCT tag.name)) AS tagNames,
+        |  text.join(collections.sort(collect(DISTINCT tag.name)), ';') AS tagNames,
         |  count(DISTINCT comment) AS replyCount
         |ORDER BY replyCount DESC, toInteger(personId) ASC
         |LIMIT 20""".stripMargin,
@@ -543,7 +547,7 @@ object LdbcQueries {
          |  WHERE k.a = 17)
          |SELECT p.id AS personId, p.firstName AS personFirstName,
          |  p.lastName AS personLastName,
-         |  list_sort(list(DISTINCT tn)) AS tagNames,
+         |  array_to_string(list_sort(list(DISTINCT tn)), ';') AS tagNames,
          |  count(DISTINCT cid) AS replyCount
          |FROM rows JOIN person p ON p.id = friend
          |GROUP BY 1, 2, 3
@@ -596,11 +600,14 @@ object LdbcQueries {
          |  WHERE creationDate < TIMESTAMP '1999-01-01')
          |SELECT EXTRACT(year FROM creationDate) AS year,
          |  NOT isPost AS isComment,
-         |  CASE WHEN length < 40 THEN 0 WHEN length < 80 THEN 1
-         |       WHEN length < 160 THEN 2 ELSE 3 END AS lengthCategory,
+         |  CAST(CASE WHEN length < 40 THEN 0 WHEN length < 80 THEN 1
+         |       WHEN length < 160 THEN 2 ELSE 3 END AS BIGINT)
+         |    AS lengthCategory,
          |  count(*) AS messageCount,
          |  CAST(sum(length) AS DOUBLE) / count(*) AS averageMessageLength,
-         |  sum(length) AS sumMessageLength,
+         |  -- DuckDB sum(BIGINT) is HUGEINT -> pandas float64; the engine
+         |  -- returns int64 — cast so the driver's exact value hash matches
+         |  CAST(sum(length) AS BIGINT) AS sumMessageLength,
          |  count(*) / (SELECT cnt FROM total) AS percentageOfMessages
          |FROM message
          |WHERE creationDate < TIMESTAMP '1999-01-01' AND content IS NOT NULL
