@@ -34,6 +34,13 @@ object DebugMain {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val _ = jobs.incrementAndGet()
+          if (sys.env.contains("GRAFT_JOBS")) {
+            val p = Option(j.properties)
+            def g(k: String) = p.flatMap(x => Option(x.getProperty(k)))
+            System.err.println(
+              s"[job ${j.jobId}] ${g("spark.job.description").getOrElse("-")}" +
+                s" scope=${g("spark.rdd.scope").getOrElse("-").take(60)}")
+          }
         }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {

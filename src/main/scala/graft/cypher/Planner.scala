@@ -88,21 +88,44 @@ final class Planner(
       q
     }
 
-  /** Append a sequential id column `start, start+1, …` in row order.
-    * The input is localCheckpoint-ed FIRST: `zipWithIndex` submits a
-    * partition-count job at construction, so without the checkpoint the
-    * upstream plan ran twice per CREATE (once for the count, once when the
-    * result is pinned) — now it runs once and the count job reads cached
-    * partitions. */
-  private def withSeqId(df: DataFrame, idCol: String, start: Long): DataFrame = {
+  /** Append a sequential id column `start, start+1, …` in row order, PIN
+    * the result (ids exist exactly once), and return its row count.
+    *
+    * Small frames (≤ `spark.graft.mint.localRows`, default 20k — every
+    * statement-literal gate graph and typical merge-miss set) take ONE
+    * Spark job: collect the rows (partition-order = zipWithIndex order)
+    * and mint the ids driver-side into a LocalRelation, which also
+    * carries exact size stats so later joins/unions against the created
+    * rows broadcast. The old path (checkpoint + zipWithIndex partition
+    * count + checkpoint + count = 4 driver round-trips) remains for
+    * larger frames — per-partition counts + driver prefix-sum, no
+    * single-partition shuffle, scale-safe. The overflow probe costs one
+    * bounded take() before falling back. */
+  private def withSeqIdPinned(
+      df: DataFrame, idCol: String, start: Long): (DataFrame, Long) = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val cp = df.localCheckpoint(true)
     val schema = StructType(
-      cp.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rdd = cp.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i))
-    }
-    spark.createDataFrame(rdd, schema)
+      df.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    val cap = spark.conf.get("spark.graft.mint.localRows", "20000").toInt
+    val head = graft.operators.Scratch.labeled(spark, s"graft:mint $idCol")(
+      df.limit(cap + 1).collect())
+    if (head.length <= cap) {
+      val rows = head.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i))
+      }
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      (local, head.length.toLong)
+    } else
+      graft.operators.Scratch.labeled(spark, s"graft:mint $idCol") {
+        val cp = df.localCheckpoint(true)
+        val rdd = cp.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i))
+        }
+        val pinned =
+          spark.createDataFrame(rdd, schema).localCheckpoint(true)
+        (pinned, pinned.count())
+      }
   }
 
   final case class LF(
@@ -644,8 +667,7 @@ final class Planner(
       val inHints = inP.hintsSnapshot
       state = inP.currentState
       subHigh = math.max(subHigh, inP.idHighWater)
-      val inDf = withSeqId(inDf0, "__pb_row", 0L)
-      val total = inDf.count()
+      val (inDf, total) = withSeqIdPinned(inDf0, "__pb_row", 0L)
       val nBatches = (total + batchSize - 1) / batchSize
       require(
         nBatches <= 10000,
@@ -1222,10 +1244,9 @@ final class Planner(
     * bounded so a scale misuse fails loudly instead of looping forever. */
   private def planCallSubqueryPerRow(lf: LF, inner: SingleQuery): LF = {
     val hasFrame = lf.df.columns.nonEmpty
-    val outer =
-      if (hasFrame) withSeqId(lf.df, "__cs_row", 0L).localCheckpoint(true)
-      else lf.df
-    val n = if (hasFrame) outer.count() else 1L
+    val (outer, n) =
+      if (hasFrame) withSeqIdPinned(lf.df, "__cs_row", 0L)
+      else (lf.df, 1L)
     require(
       n <= 1000,
       s"mutating CALL subquery over $n input rows — per-row write semantics " +
@@ -1950,12 +1971,12 @@ final class Planner(
             lit((myBase << 48) + nodeCursor))
           nodeCursor += 1
         } else {
-          withNew = withSeqId(
+          val (minted, n) = withSeqIdPinned(
             withNew,
             s"$name${Frames.Sep}${GraphState.IdCol}",
             (myBase << 48) + nodeCursor)
-            .localCheckpoint(true) // ids assigned exactly once
-          nodeCursor += withNew.count()
+          withNew = minted // ids assigned exactly once
+          nodeCursor += n
         }
         val rows = withNew.select(
           col(s"$name${Frames.Sep}${GraphState.IdCol}")
@@ -2037,12 +2058,12 @@ final class Planner(
           lit((myBase << 48) + (1L << 47) + edgeCursor))
         edgeCursor += 1
       } else {
-        withE = withSeqId(
+        val (minted, n) = withSeqIdPinned(
           withE,
           s"$eName${Frames.Sep}${GraphState.IdCol}",
           (myBase << 48) + (1L << 47) + edgeCursor)
-          .localCheckpoint(true)
-        edgeCursor += withE.count()
+        withE = minted
+        edgeCursor += n
       }
       val rows = withE.select(
         col(s"$eName${Frames.Sep}${GraphState.IdCol}").as(GraphState.IdCol) +:
@@ -2678,12 +2699,12 @@ final class Planner(
         d.filter(array_contains(col(GraphState.LabelsCol), l)))
     }
     def createRows(fromWant: DataFrame): DataFrame = {
-      val withId = withSeqId(
+      val (withId, n) = withSeqIdPinned(
         fromWant.select(
           labelsArr.as(GraphState.LabelsCol) +: propNames.map(col): _*),
         GraphState.IdCol,
-        (myBase << 48) + nodeCursor).localCheckpoint(true)
-      nodeCursor += withId.count()
+        (myBase << 48) + nodeCursor)
+      nodeCursor += n
       withId
     }
     def createInto(rows: DataFrame): Unit = {
@@ -4668,12 +4689,14 @@ final class Planner(
             s"create.node props: need a map, got $other")
       }
     }
-    withNew = withSeqId(
-      withNew,
-      s"$alias${Frames.Sep}${GraphState.IdCol}",
-      (myBase << 48) + nodeCursor)
-      .localCheckpoint(true) // ids assigned exactly once
-    nodeCursor += withNew.count()
+    locally {
+      val (m, n) = withSeqIdPinned(
+        withNew,
+        s"$alias${Frames.Sep}${GraphState.IdCol}",
+        (myBase << 48) + nodeCursor)
+      withNew = m // ids assigned exactly once
+      nodeCursor += n
+    }
     val rows = withNew.select(
       col(s"$alias${Frames.Sep}${GraphState.IdCol}").as(GraphState.IdCol) +:
         col(s"$alias${Frames.Sep}${GraphState.LabelsCol}")
@@ -4803,7 +4826,7 @@ final class Planner(
       (identKeys ++ onCreate.map(_._1).filterNot(identKeys.contains)).distinct
     // keep the creating row's __mg_row: later duplicates and the output
     // re-bind resolve to the created node BY ID, never by ident value
-    val created = withSeqId(
+    val (created, nCreated) = withSeqIdPinned(
       firstRows.select(
         col("__mg_row") +:
           array(labels.map(lit): _*).as(GraphState.LabelsCol) +:
@@ -4814,8 +4837,8 @@ final class Planner(
             (if (ci >= 0) col(s"__mg_c$ci") else col(s"__mg_k$ki")).as(p)
           }: _*),
       GraphState.IdCol,
-      (myBase << 48) + nodeCursor).localCheckpoint(true)
-    nodeCursor += created.count()
+      (myBase << 48) + nodeCursor)
+    nodeCursor += nCreated
     val createdRows = created.drop("__mg_row")
     labels.foreach(l => state = Mutations.createNodes(state, l, createdRows))
     if (labels.size > 1) state = state.withOverlap
@@ -5211,7 +5234,7 @@ final class Planner(
     val idsE = s"$pv${Frames.Sep}_edges"
     if (lf.df.columns.contains(nsCol) || !lf.df.columns.contains(idsN))
       return lf
-    val keyed = withSeqId(lf.df, "__pm_row", 0L).localCheckpoint(true)
+    val keyed = withSeqIdPinned(lf.df, "__pm_row", 0L)._1
     def entsOf(frame: DataFrame): DataFrame =
       frame.select(
         col(GraphState.IdCol).as("__ent_id"),
@@ -5284,7 +5307,7 @@ final class Planner(
     val outCol = s"$v${Frames.Sep}_structs"
     if (lf.df.columns.contains(outCol) || !lf.df.columns.contains(idsCol))
       return lf
-    val keyed = withSeqId(lf.df, "__el_row", 0L).localCheckpoint(true)
+    val keyed = withSeqIdPinned(lf.df, "__el_row", 0L)._1
     val edges = state.allEdges
     val ents = edges.select(
       col(GraphState.IdCol).as("__ent_id"),

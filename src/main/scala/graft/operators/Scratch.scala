@@ -24,10 +24,24 @@ object Scratch {
   private val tracked =
     scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[RDD[_]]]
 
+  /** Run `f` with a thread-local Spark job description (guide §1.5 "label
+    * your jobs"): engine-machinery actions (checkpoints, id-minting,
+    * emptiness probes) become attributable in the UI / job listeners
+    * instead of anonymous `count at ...` entries. Restores the previous
+    * description, so nested labels compose. */
+  def labeled[T](spark: org.apache.spark.sql.SparkSession, desc: String)(
+      f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try f
+    finally sc.setJobDescription(prev)
+  }
+
   /** Eagerly localCheckpoint `df` and register the resulting block-backed
     * RDD for the next [[sweep]]. */
   def cp(df: DataFrame): DataFrame = {
-    val d = df.localCheckpoint(true)
+    val d = labeled(df.sparkSession, "graft:cp")(df.localCheckpoint(true))
     d.queryExecution.analyzed match {
       case lr: LogicalRDD =>
         tracked.synchronized {

@@ -713,12 +713,17 @@ object ApocProcs {
       val moved = src.filter(hit).withColumn(LabelsCol, relabel)
       val kept = src.filter(!hit)
       g = g.withNodes(oldL, () => kept)
-      g = (if (g.hasLabel(newL))
+      // rename moves each row from the old frame to exactly one new frame
+      // (in-place rewrites above never move rows), so id-disjointness is
+      // preserved: a non-overlapping graph stays non-overlapping. Marking
+      // overlap here forced every later unlabeled bind through the full
+      // union+dedup of the whole graph.
+      g = if (g.hasLabel(newL))
         g.withNodes(newL, {
           val existing = g.nodes(newL)
           () => existing.unionByName(moved, allowMissingColumns = true)
         })
-      else g.withNodes(newL, () => moved)).withOverlap
+      else g.withNodes(newL, () => moved)
     }
     (g, oneCount(ctx.spark, "nodes_changed", changed))
   }
