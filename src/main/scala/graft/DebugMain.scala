@@ -31,17 +31,27 @@ object DebugMain {
     val tasks = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        val jobMeta =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val _ = jobs.incrementAndGet()
           if (sys.env.contains("GRAFT_JOBS")) {
             val p = Option(j.properties)
             def g(k: String) = p.flatMap(x => Option(x.getProperty(k)))
-            System.err.println(
-              s"[job ${j.jobId}] ${g("spark.job.description").getOrElse("-")}" +
-                s" scope=${g("spark.rdd.scope").getOrElse("-").take(60)}")
+            jobMeta.put(
+              j.jobId,
+              (System.nanoTime(),
+                s"${g("spark.job.description").getOrElse("-")}" +
+                  s" scope=${g("spark.rdd.scope").getOrElse("-").take(60)}"))
           }
         }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobMeta.remove(j.jobId)).foreach { case (t0, desc) =>
+            System.err.println(
+              f"[job ${j.jobId}] ${(System.nanoTime() - t0) / 1e6}%.0fms $desc")
+          }
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val _ = tasks.incrementAndGet()

@@ -2884,9 +2884,13 @@ final class Planner(
         LF(lf.df.select(seedCols.map(col): _*).distinct(), seedScope)
       else initial
 
-    // 1. match branch against the pre-merge state
+    // 1. match branch against the pre-merge state. Checkpoint it: the
+    // match frame feeds the miss anti-join, the ON MATCH updates and the
+    // emptiness probes — left lazy, each consumer re-ran the whole
+    // pattern join from scratch.
     val (sub0, subEdges) = planPattern(seed, part)
-    val sub = edgeUniqueness(sub0, subEdges)
+    val sub1 = edgeUniqueness(sub0, subEdges)
+    val sub = LF(graft.operators.Scratch.cp(sub1.df), sub1.scope)
 
     // 2. bindings with no match → create branch (undirected hops create
     //    outgoing, the openCypher MERGE direction rule)
@@ -3098,6 +3102,18 @@ final class Planner(
         case BothDir => Expand.Both
       }
 
+      // Push already-lowerable WHERE conjuncts below a VAR-LENGTH hop: the
+      // fixpoint localCheckpoints every round, so Catalyst cannot move
+      // filters through that barrier — an unfiltered frontier walks the
+      // closure of rows the WHERE discards afterwards (ldbc_bi9's post
+      // date window seeds the REPLY_OF walk with every post of 7 years;
+      // bi12's message predicates likewise). Re-applying the same conjunct
+      // in planWhere later is a no-op filter — the same rule
+      // planShortest already uses for its seed set.
+      if (rel.varLength.isDefined &&
+        spark.conf.get("spark.graft.varexpand.pushWhere", "true").toBoolean)
+        pushWhere.foreach(w => cur = applyPushable(cur, w))
+
       // per-step filter lambda: pre-filter the oriented edge set; the
       // accumulated-path form (e, n, p | …) on a DFS var-length expansion
       // applies per-prefix AFTER the expansion instead
@@ -3271,37 +3287,66 @@ final class Planner(
           // driver pass is memory-safe up to [[LocalHopsMaxCap]].
           // Supercritical or huge-cap inputs keep the distributed
           // operator and its raise-on-breach contract.
-          val lhEmu: Option[graft.operators.LocalHops.Emu] =
-            hopsLimit.filter(_ <= LocalHopsMaxCap).flatMap { cap =>
-              localTypedEdges(types).map { le =>
-                val srcIds = cur.df
-                  .select(Frames.id(srcVar))
-                  .distinct()
+          def runLocalDfs(
+              le: Array[(Long, Long, Long)],
+              q: graft.operators.LocalHops.Quota,
+              seedCap: Long): Option[graft.operators.LocalHops.Emu] = {
+            val srcRows = cur.df
+              .select(Frames.id(srcVar))
+              .distinct()
+              .limit(math.min(seedCap + 1, Int.MaxValue.toLong).toInt)
+              .collect()
+            if (srcRows.length > seedCap) None
+            else {
+              val srcIds = srcRows.map(_.getLong(0)).sorted.toSeq
+              val allowedIds = edgesOv.map(
+                _.select(col(GraphState.IdCol))
                   .collect()
                   .map(_.getLong(0))
-                  .sorted
-                  .toSeq
-                val allowedIds = edgesOv.map(
-                  _.select(col(GraphState.IdCol))
-                    .collect()
-                    .map(_.getLong(0))
-                    .toSet)
-                graft.operators.LocalHops.dfs(
-                  le, srcIds,
-                  dirOut = dir != Expand.In, dirIn = dir != Expand.Out,
-                  minH, maxH.map(_.toLong).getOrElse(Long.MaxValue),
-                  lhQuota(cap), allowedIds)
+                  .toSet)
+              Some(graft.operators.LocalHops.dfs(
+                le, srcIds,
+                dirOut = dir != Expand.In, dirIn = dir != Expand.Out,
+                minH, maxH.map(_.toLong).getOrElse(Long.MaxValue),
+                q, allowedIds))
+            }
+          }
+          val lhEmu: Option[graft.operators.LocalHops.Emu] =
+            hopsLimit.filter(_ <= LocalHopsMaxCap).flatMap { cap =>
+              localTypedEdges(types).flatMap(le =>
+                runLocalDfs(le, lhQuota(cap), cap))
+            }.orElse {
+              // GENERAL subcritical cutover (no USING HOPS LIMIT): the
+              // distributed fixpoint pays cp+count+join per round; when
+              // the typed edge set collects (spark.graft.local.edges) the
+              // reference's own single-threaded DFS enumerates the same
+              // distinct-edge paths on the driver in one pass. A fetch
+              // budget bounds driver work and memory (each emitted row
+              // consumes ≥1 fetched edge); breaching it — a supercritical
+              // closure — discards the pass and keeps the distributed
+              // walk, so scale inputs never depend on driver memory.
+              val budget = spark.conf
+                .get("spark.graft.varexpand.localBudget", "2000000").toLong
+              if (hopsLimit.isDefined || budget <= 0) None
+              else localTypedEdges(types).flatMap { le =>
+                runLocalDfs(
+                  le, new graft.operators.LocalHops.Quota(budget), budget)
+                  .filterNot(_.breached)
               }
             }
           lhEmu match {
             case Some(emu) =>
               import spark.implicits._
-              val rowsDf = emu.rows
-                .map(r => (r.src, r.dst, r.eids))
-                .toDF("__lh_src", "__lh_dst", "__lh_eids")
+              // row-count-gated: a near-budget emulation result (up to 2M
+              // path rows) must shuffle-join, not force-broadcast
+              val rowsDf = graft.operators.Scratch.gatedBroadcast(
+                emu.rows
+                  .map(r => (r.src, r.dst, r.eids))
+                  .toDF("__lh_src", "__lh_dst", "__lh_eids"),
+                emu.rows.size.toLong)
               if (dstBound) {
                 val df = cur.df
-                  .join(broadcast(rowsDf), Frames.id(srcVar) === col("__lh_src"))
+                  .join(rowsDf, Frames.id(srcVar) === col("__lh_src"))
                   .filter(col("__lh_dst") === Frames.id(dstName))
                   .withColumn(s"$eVar${Frames.Sep}_ids", col("__lh_eids"))
                   .drop("__lh_src", "__lh_dst", "__lh_eids")
@@ -3311,7 +3356,7 @@ final class Planner(
                   .map(state.nodesOrEmpty)
                   .getOrElse(state.allNodes)
                 val df = cur.df
-                  .join(broadcast(rowsDf), Frames.id(srcVar) === col("__lh_src"))
+                  .join(rowsDf, Frames.id(srcVar) === col("__lh_src"))
                   .join(
                     Frames.bind(dstName)(nodesDf),
                     col("__lh_dst") === Frames.id(dstName))
@@ -5182,7 +5227,9 @@ final class Planner(
 
     var sub = seed
     patterns.foreach { p =>
-      val (next, edges) = planPattern(sub, p)
+      // the WHERE is part of an OPTIONAL MATCH (filters the sub before
+      // the outer join), so the var-length pushdown applies here too
+      val (next, edges) = planPattern(sub, p, where)
       sub = edgeUniqueness(next, edges)
     }
     sub = where.map(w => planWhere(sub, w)).getOrElse(sub)

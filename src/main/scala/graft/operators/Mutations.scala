@@ -808,12 +808,28 @@ object Mutations {
     * most ONCE per statement (memoized across the per-frame loops, first
     * thunk force). Above the gate the join falls back to shuffle, where
     * AQE may still pick broadcast from real runtime stats. */
-  private final class GatedKey(val df: DataFrame) {
-    private lazy val small: Boolean = {
-      val max = df.sparkSession.conf
+  private final class GatedKey(df0: DataFrame) {
+    // The key frame is consumed several times per statement: the gate
+    // probe plus one join per touched label/type frame. Left lazy, each
+    // consumer re-executed the (MATCH-shaped) plan from scratch. Resolve
+    // it ONCE instead: a plan whose row count is boundable from the
+    // optimized plan alone (literal CREATE chains end in LocalRelations)
+    // stays lazy and gates with zero jobs; anything else is
+    // localCheckpointed so the probe and every thunk read stored blocks.
+    private lazy val resolved: (DataFrame, Boolean) = {
+      val max = df0.sparkSession.conf
         .get("spark.graft.mutation.broadcastKeys", "100000").toLong
-      df.limit(math.min(max + 1L, Int.MaxValue.toLong).toInt).count() <= max
+      Scratch.boundedRows(df0.queryExecution.optimizedPlan) match {
+        case Some(n) => (df0, n <= max)
+        case None =>
+          val cp = Scratch.cp(df0)
+          val n =
+            cp.limit(math.min(max + 1L, Int.MaxValue.toLong).toInt).count()
+          (cp, n <= max)
+      }
     }
+    def df: DataFrame = resolved._1
+    private def small: Boolean = resolved._2
     /** The key frame, broadcast-hinted only under the gate. */
     def apply(): DataFrame = if (small) broadcast(df) else df
     /** A projection of the key frame, same (memoized) gate decision. */

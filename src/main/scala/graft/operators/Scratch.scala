@@ -24,6 +24,32 @@ object Scratch {
   private val tracked =
     scala.collection.mutable.ArrayBuffer.empty[java.lang.ref.WeakReference[RDD[_]]]
 
+  /** Exact UPPER BOUND on an optimized plan's row count, derivable on the
+    * driver with no Spark job — Some(n) only when every leaf is a
+    * LocalRelation (literal CREATE chains, minted id frames) under
+    * row-preserving-or-shrinking operators. Callers gate "is this frame
+    * small?" decisions with it, skipping a count() probe entirely. */
+  def boundedRows(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case l: LocalRelation => Some(l.data.length.toLong)
+      case _: OneRowRelation => Some(1L)
+      case f: Filter => boundedRows(f.child)
+      case p: Project => boundedRows(p.child)
+      case a: Aggregate => boundedRows(a.child)
+      case d: Distinct => boundedRows(d.child)
+      case s: SubqueryAlias => boundedRows(s.child)
+      case g: GlobalLimit => boundedRows(g.child)
+      case l: LocalLimit => boundedRows(l.child)
+      case u: Union =>
+        val bs = u.children.map(boundedRows)
+        if (bs.forall(_.isDefined)) Some(bs.flatten.sum) else None
+      case _ => None
+    }
+  }
+
   /** Run `f` with a thread-local Spark job description (guide §1.5 "label
     * your jobs"): engine-machinery actions (checkpoints, id-minting,
     * emptiness probes) become attributable in the UI / job listeners

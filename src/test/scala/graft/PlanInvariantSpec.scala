@@ -212,4 +212,80 @@ class PlanInvariantSpec extends SparkTestBase {
       s"supernode_unwind_writes lacks the partial-aggregate update " +
         s"collapse ($hashAggs HashAggregate nodes):\n$p")
   }
+
+  /** Count the jobs one query run submits (jobGroup pattern above). */
+  private def jobCount(group: String)(run: => Unit): Int = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(group, "job-count pin")
+    try run
+    finally sc.clearJobGroup()
+    def jobs: Int = sc.statusTracker.getJobIdsForGroup(group).length
+    var last = -1
+    var cur = jobs
+    var spins = 0
+    while (cur != last && spins < 50) {
+      last = cur; Thread.sleep(100); cur = jobs; spins += 1
+    }
+    cur
+  }
+
+  test("allNodes on a mayOverlap state memoizes ONE deduped view") {
+    // r17 Finding 6: without the memo, every unlabeled bind re-planned a
+    // full union+dedup-by-id subtree (ldbc_ic5's plan carried TWO).
+    // The memoized frame must be the SAME object on repeated access and
+    // persisted, so every consumer shares one materialization.
+    val g = graft.sources.TpchGraphLoader(spark, sfDir).withOverlap
+    val a = g.allNodes
+    val b = g.allNodes
+    assert(a eq b, "allNodes rebuilt the dedup view on the second access")
+    assert(
+      a.storageLevel.useMemory || a.storageLevel.useDisk,
+      "the memoized allNodes view is not persisted")
+  }
+
+  test("meta.stats rides one grouped scan, not two full edge passes") {
+    // r17 Finding 8: one groupBy(type, src>>48, dst>>48) + driver-side
+    // marginalization. The per-pass shape this guards against scans the
+    // edge corpus twice and runs 2x the jobs.
+    SparkEntry.queries("call_meta_stats")(spark, sfDir).collect() // warm
+    val n = jobCount("meta-stats-invariant") {
+      SparkEntry.queries("call_meta_stats")(spark, sfDir).collect()
+    }
+    assert(
+      n >= 1 && n <= 14,
+      s"call_meta_stats submitted $n jobs — the one-scan collapse regressed")
+  }
+
+  test("subcritical var-length expansion runs the driver DFS, not rounds") {
+    // The general local cutover (Planner runLocalDfs): a typed-edge set
+    // under spark.graft.local.edges walks on the driver in ONE pass —
+    // edge collect + seed collect + result jobs, CONSTANT in hop depth.
+    // The distributed fixpoint this replaces submits >= 2 jobs per round
+    // (checkpoint + count; varexpand_unbounded runs 8 rounds, >= 16).
+    SparkEntry.queries("varexpand_unbounded")(spark, sfDir).collect() // warm
+    val n = jobCount("varexpand-local-invariant") {
+      SparkEntry.queries("varexpand_unbounded")(spark, sfDir).collect()
+    }
+    assert(
+      n >= 1 && n <= 12,
+      s"varexpand_unbounded submitted $n jobs — the subcritical local " +
+        "DFS cutover is not engaging")
+  }
+
+  test("distributed var-expand bind join stays broadcast-gated") {
+    // With the local cutover disabled, the fixpoint's final node-bind
+    // join must broadcast a COUNTED-small traversal side (never rely on
+    // AQE stats, absent on checkpointed frames) — and the gate, not a
+    // blind hint, is what keeps a supernode frontier off the driver.
+    val conf = spark.conf
+    conf.set("spark.graft.varexpand.localBudget", "0")
+    try {
+      val df = SparkEntry.queries("varexpand_unbounded")(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(
+        p.contains("BroadcastHashJoin"),
+        s"distributed var-expand bind join is not broadcast for a " +
+          s"counted-small traversal:\n$p")
+    } finally conf.set("spark.graft.varexpand.localBudget", "2000000")
+  }
 }
