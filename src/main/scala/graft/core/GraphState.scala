@@ -325,6 +325,38 @@ final class GraphState(
         present.map(edges).reduce(GraphState.unionReconciled)
     }
 
+  // Collected (eid, src, dst) triples per requested type set — the input
+  // of every driver-local traversal cutover (LocalHops / LocalSearch).
+  // Memoized on PINNED (loader) states only: those are session-shared
+  // across queries and never mutated, so hops-limit replays, subcritical
+  // var-expands and k-shortest passes stop re-collecting the same 1-2M
+  // edge triples per query (same lifetime family as the adjacency
+  // cache / text-index memos). Mutated versions are new instances with a
+  // fresh (empty) memo and skip it (!pinned). None = known supercritical
+  // under `cap` — the next caller skips the wasted probe too.
+  private val localEdgesMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Option[Array[(Long, Long, Long)]]]
+  def localTypedEdges(
+      types: Seq[String], cap: Long): Option[Array[(Long, Long, Long)]] = {
+    val key = types.sorted.mkString(",")
+    if (adjCache.pinned) localEdgesMemo.get(key) match {
+      case Some(v) => return v.filter(_.length <= cap)
+      case None => ()
+    }
+    val rows = edgesOfTypes(types)
+      .select(
+        org.apache.spark.sql.functions.col(GraphState.IdCol),
+        org.apache.spark.sql.functions.col(GraphState.SrcCol),
+        org.apache.spark.sql.functions.col(GraphState.DstCol))
+      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    val res =
+      if (rows.length > cap) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    if (adjCache.pinned) localEdgesMemo.put(key, res)
+    res
+  }
+
   /** New graph version with one node frame replaced/added — the snapshot
     * step every mutation funnels through (our Accumulate barrier analog,
     * `operator.hpp:1870`: writes become visible as a whole new state, never

@@ -3325,8 +3325,11 @@ final class Planner(
               // consumes ≥1 fetched edge); breaching it — a supercritical
               // closure — discards the pass and keeps the distributed
               // walk, so scale inputs never depend on driver memory.
+              // Default 250k: measured break-even — ldbc_bi12's ~500k-row
+              // closure lost to encode+join-back (9.9 s vs 8.4 s
+              // distributed) while bi9/bi3-sized walks (≤100k) win 2x.
               val budget = spark.conf
-                .get("spark.graft.varexpand.localBudget", "2000000").toLong
+                .get("spark.graft.varexpand.localBudget", "250000").toLong
               if (hopsLimit.isDefined || budget <= 0) None
               else localTypedEdges(types).flatMap { le =>
                 runLocalDfs(
@@ -3803,14 +3806,7 @@ final class Planner(
   private def localTypedEdges(
       types: Seq[String]): Option[Array[(Long, Long, Long)]] = {
     val cap = spark.conf.get("spark.graft.local.edges", "2000000").toLong
-    val rows = state
-      .edgesOfTypes(types)
-      .select(
-        col(GraphState.IdCol), col(GraphState.SrcCol), col(GraphState.DstCol))
-      .limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
-      .collect()
-    if (rows.length > cap) None
-    else Some(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    state.localTypedEdges(types, cap) // memoized on pinned loader states
   }
 
   /** Struct of every column of bound var `v`, field names unprefixed —

@@ -58,20 +58,41 @@ object Expand {
       dir: Direction,
       existingVar: String): DataFrame = dir match {
     case Both =>
-      val edges = Frames.bind(edgeVar)(g.edgesOfTypes(types))
-      val fwd = frame.join(
-        edges,
-        Frames.src(edgeVar) === Frames.id(srcVar) &&
-          Frames.dst(edgeVar) === Frames.id(existingVar))
-      val rev = frame.join(
-        edges,
-        Frames.dst(edgeVar) === Frames.id(srcVar) &&
-          Frames.src(edgeVar) === Frames.id(existingVar) &&
-          Frames.src(edgeVar) =!= Frames.dst(edgeVar))
-      fwd.unionByName(rev)
+      // orient the EDGE SET (each edge twice, loops once), not the frame:
+      // unioning two copies of the accumulated frame doubled the whole
+      // upstream plan per undirected hop (2^n subtree copies on an
+      // n-undirected-hop chain — ldbc_bi11 executed its person/city base
+      // EIGHT times). The doubled side here is the edge scan, which is a
+      // base table read.
+      frame
+        .join(
+          orientedBoth(g, edgeVar, types),
+          col(nearCol(edgeVar)) === Frames.id(srcVar) &&
+            col(farCol(edgeVar)) === Frames.id(existingVar))
+        .drop(nearCol(edgeVar), farCol(edgeVar))
     case d =>
       joinEdge(frame, g, srcVar, edgeVar, types, d)
         .filter(farEnd(edgeVar, d) === Frames.id(existingVar))
+  }
+
+  private def nearCol(edgeVar: String) = s"$edgeVar${Frames.Sep}__near"
+  private def farCol(edgeVar: String) = s"$edgeVar${Frames.Sep}__far"
+
+  /** Edge frame oriented BOTH ways: every edge contributes (near=src,
+    * far=dst) and — unless it is a self-loop, which the reference yields
+    * once — (near=dst, far=src). The edge's own `_src`/`_dst` columns are
+    * untouched, so edge bindings read identically downstream. */
+  private def orientedBoth(
+      g: GraphState, edgeVar: String, types: Seq[String]): DataFrame = {
+    val e0 = Frames.bind(edgeVar)(g.edgesOfTypes(types))
+    val fwd = e0
+      .withColumn(nearCol(edgeVar), Frames.src(edgeVar))
+      .withColumn(farCol(edgeVar), Frames.dst(edgeVar))
+    val rev = e0
+      .filter(Frames.src(edgeVar) =!= Frames.dst(edgeVar))
+      .withColumn(nearCol(edgeVar), Frames.dst(edgeVar))
+      .withColumn(farCol(edgeVar), Frames.src(edgeVar))
+    fwd.unionByName(rev)
   }
 
   private def joinEdge(
@@ -119,9 +140,17 @@ object Expand {
       edgeVar: String,
       types: Seq[String],
       dstVar: String,
-      dstLabel: Option[String]): DataFrame =
-    apply(frame, g, srcVar, edgeVar, types, Out, dstVar, dstLabel)
-      .unionByName(
-        apply(frame, g, srcVar, edgeVar, types, In, dstVar, dstLabel)
-          .filter(Frames.src(edgeVar) =!= Frames.dst(edgeVar)))
+      dstLabel: Option[String]): DataFrame = {
+    // see toExisting(Both): one join against a both-ways-oriented edge
+    // set keeps the accumulated plan LINEAR in the number of undirected
+    // hops (the old two-apply union copied the whole upstream subtree)
+    val withEdge = frame.join(
+      orientedBoth(g, edgeVar, types),
+      col(nearCol(edgeVar)) === Frames.id(srcVar))
+    val nodesDf = dstLabel.map(g.nodesOrEmpty).getOrElse(g.allNodes)
+    withEdge
+      .join(Frames.bind(dstVar)(nodesDf),
+        col(farCol(edgeVar)) === Frames.id(dstVar))
+      .drop(nearCol(edgeVar), farCol(edgeVar))
+  }
 }

@@ -140,6 +140,93 @@ private[graft] object LocalSearch {
   private val pathOrd: Ordering[(Seq[Long], Seq[Long])] =
     Ordering.Tuple2(seqOrd, seqOrd)
 
+  /** k-shortest-by-hops mirror of [[ShortestPath.kShortest]]'s RESULT
+    * spec: per (seed, node), the k best SIMPLE (node-distinct) paths of
+    * `minHops..maxHops` out-hops ordered by (hops asc, edge-id list
+    * lexicographic asc) — i.e. exactly the distributed version's final
+    * window cut, computed from a full enumeration instead of its
+    * budgeted frontier (the budget is a work bound, not a semantics
+    * knob: both return the true k shortest, which is what the oracle
+    * pins). Per-pair retention is capped at k DURING enumeration, so
+    * memory is k x |reached| — the `maxPaths` budget bounds enumeration
+    * WORK; breaching it returns None and the distributed walk runs. */
+  def kShortestDf(
+      spark: SparkSession,
+      edges: Array[(Long, Long, Long, Double)],
+      seeds: Seq[Long],
+      k: Int,
+      minHops: Int,
+      maxHops: Int): Option[DataFrame] = dbg("kShortestDf") {
+    val budget =
+      spark.conf.get("spark.graft.local.maxPaths", "2000000").toLong
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    edges.foreach { case (eid, s, d, _) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((eid, d))
+    }
+    val minH1 = math.max(minHops, 1) // the distributed loop never emits
+    // the dist-0 seed row (outRounds starts at round 1)
+    val best = mutable.HashMap
+      .empty[(Long, Long), mutable.ArrayBuffer[(Long, Seq[Long], Seq[Long])]]
+    def record(
+        seed: Long, node: Long, dist: Long,
+        nodes: Seq[Long], eids: Seq[Long]): Unit = {
+      val buf = best.getOrElseUpdate(
+        (seed, node), mutable.ArrayBuffer.empty)
+      buf += ((dist, nodes, eids))
+      if (buf.length > k) {
+        // evict the worst by (hops, edge-list lex) — the final-cut order
+        var wi = 0
+        var i = 1
+        while (i < buf.length) {
+          val a = buf(i); val w = buf(wi)
+          if (a._1 > w._1 || (a._1 == w._1 && seqOrd.gt(a._3, w._3))) wi = i
+          i += 1
+        }
+        buf.remove(wi)
+      }
+    }
+    var work = 0L
+    seeds.distinct.foreach { seed =>
+      val stack = mutable.ArrayBuffer
+        .empty[(Iterator[(Long, Long)], List[Long], List[Long])]
+      stack += ((
+        adj.getOrElse(seed, Nil).iterator, List(seed), List.empty[Long]))
+      while (stack.nonEmpty) {
+        val (it, nodes, eids) = stack.last
+        if (it.hasNext) {
+          val (eid, dst) = it.next()
+          if (!nodes.contains(dst)) { // simple paths, seed included
+            work += 1
+            if (work > budget) return None
+            val eids2 = eid :: eids
+            val dist = eids2.size.toLong
+            if (dist >= minH1)
+              record(seed, dst, dist, (dst :: nodes).reverse, eids2.reverse)
+            if (dist < maxHops)
+              stack += ((
+                adj.getOrElse(dst, Nil).iterator, dst :: nodes, eids2))
+          }
+        } else stack.remove(stack.size - 1)
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    best.foreach { case ((seed, node), buf) =>
+      buf.foreach { case (dist, nodes, eids) =>
+        out += Row(seed, node, dist, nodes, eids)
+      }
+    }
+    Some(spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(out.toSeq: _*)),
+      StructType(Seq(
+        StructField(ShortestPath.SeedCol, LongType, nullable = false),
+        StructField(ShortestPath.NodeCol, LongType, nullable = false),
+        StructField(ShortestPath.DistCol, LongType, nullable = false),
+        StructField(
+          ShortestPath.PathNodesCol, ArrayType(LongType), nullable = false),
+        StructField(
+          ShortestPath.PathEdgesCol, ArrayType(LongType), nullable = false)))))
+  }
+
   /** Multi-source BFS mirroring [[ShortestPath.bfsEdges]]. */
   def bfsDf(
       spark: SparkSession,

@@ -852,6 +852,18 @@ object ShortestPath {
       maxHops: Int,
       targets: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // subcritical + small seed set: one driver pass enumerates the simple
+    // paths and cuts the same (hops, edge-list lex) top-k per pair that
+    // the distributed final window produces — replaces ~4 jobs x maxHops
+    // rounds (LocalSearch header; budget-bailed on path explosion)
+    LocalSearch
+      .tryCollect(edges0, seeds, withWeight = false)
+      .foreach { case (arr, s) =>
+        LocalSearch
+          .kShortestDf(
+            edges0.sparkSession, arr, s.map(_._1), k, minHops, maxHops)
+          .foreach(df => return df)
+      }
     // r13 A/B (sf0.1, cold selective runs): overprovision=2 4.1 s vs
     // overprovision=1 5.1 s — the contended-flag window + outCounts join
     // are NOT the drift; cold runs are dominated by ~2·maxHops driver

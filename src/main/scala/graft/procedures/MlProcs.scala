@@ -139,11 +139,75 @@ object MlProcs {
     val frames = g.nodeLabels.map(g.nodes)
       .filter(_.columns.contains(prop))
     require(frames.nonEmpty, s"kmeans: no nodes carry '$prop'")
-    val pts0 = frames
+    val pts0raw = frames
       .map(f => f.select(col(IdCol), col(prop).cast("array<double>").as("__v")))
       .reduce(_ unionByName _)
       .filter(col("__v").isNotNull)
-      .persist()
+    // subcritical cutover: Lloyd's is maxIter x (groupBy + collect) driver
+    // round-trips for k·dim scalars each — on a corpus that collects, ONE
+    // ordered collect (which the deterministic lowest-id init needs
+    // anyway) runs the same fixed-point locally: same init, same
+    // (distance, index) argmin, same per-cluster mean and 1e-8 movement
+    // test. Above the cap the distributed loop runs unchanged.
+    val localCap = ctx.spark.conf
+      .get("spark.graft.local.kmeansRows", "100000").toLong
+    val head = pts0raw.orderBy(col(IdCol))
+      .limit(math.min(localCap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= localCap) {
+      require(head.length >= k, s"kmeans: fewer than $k embedded nodes")
+      val ids = head.map(_.getLong(0))
+      val vs = head.map(_.getSeq[Double](1))
+      var centersL: Array[Seq[Double]] = vs.take(k)
+      val dim = centersL.head.size
+      def assign(v: Seq[Double]): Int = {
+        var bi = 0
+        var bd = Double.MaxValue
+        var i = 0
+        while (i < k) {
+          val c = centersL(i)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val x = v(j) - c(j); d += x * x; j += 1 }
+          if (d < bd) { bd = d; bi = i } // ties keep the lower index,
+          // matching least(struct(d, c))
+          i += 1
+        }
+        bi
+      }
+      var it = 0
+      var moved = true
+      while (moved && it < maxIter) {
+        it += 1
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val ns = new Array[Long](k)
+        vs.foreach { v =>
+          val c = assign(v)
+          ns(c) += 1
+          var j = 0
+          while (j < dim) { sums(c)(j) += v(j); j += 1 }
+        }
+        val updated = centersL.indices.map { i =>
+          if (ns(i) == 0) centersL(i)
+          else sums(i).toSeq.map(_ / ns(i).toDouble)
+        }.toArray
+        moved = centersL.zip(updated).exists { case (a, b) =>
+          a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum > 1e-8
+        }
+        centersL = updated
+      }
+      val rows = ids.zip(vs).map { case (id, v) =>
+        org.apache.spark.sql.Row(id, assign(v).toLong)
+      }
+      return ctx.spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            IdCol, org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            "cluster_id", org.apache.spark.sql.types.LongType,
+            nullable = false))))
+    }
+    val pts0 = pts0raw.persist()
     // deterministic init: the k lowest-id embeddings
     var centers: Array[Seq[Double]] = pts0
       .orderBy(col(IdCol)).limit(k).collect()

@@ -247,7 +247,12 @@ object MageSurfaceQueries {
           .withColumn("nrm", graft.llm.LlmOps.l2norm(col("v")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("q").orderBy(col("sim").desc, col("c"))
-        val exact = n.as("a")
+        // spread the O(n²) pair compute across the cluster: the 1,500-row
+        // corpus arrives in ~3 scan partitions, so the 2.25M dot products
+        // otherwise run on 3 cores while the rest idle. Per-pair values
+        // (and thus ranks) are unchanged — only placement moves.
+        val exact = n
+          .repartition(s.sparkContext.defaultParallelism).as("a")
           .crossJoin(n.select(
             col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
           .filter(col("id") =!= col("cid"))

@@ -286,6 +286,6 @@ class PlanInvariantSpec extends SparkTestBase {
         p.contains("BroadcastHashJoin"),
         s"distributed var-expand bind join is not broadcast for a " +
           s"counted-small traversal:\n$p")
-    } finally conf.set("spark.graft.varexpand.localBudget", "2000000")
+    } finally conf.unset("spark.graft.varexpand.localBudget")
   }
 }
